@@ -1,0 +1,474 @@
+"""Per-document KG construction: extract → infer → link → relate →
+dedup → package → KGC, for ONE document (= one assembled conversation).
+
+This is the Ray-free core: a pure function of (document text, config,
+LLM client, KB snapshot) reproducing the reference orchestrator's
+per-document semantics (``core/orchestrator.py:26-597``) including its
+order-sensitive dedup rules, so that distributed execution only has to
+guarantee per-conversation ordering to match the reference exactly.
+The Ray Data stage (``stages/kg_stage.py``) maps this over batches of
+conversations inside an actor pool.
+
+Everything cross-document (corpus dedup, graph materialize, stats,
+checkpointing) lives in the Ray pipeline, not here.
+"""
+
+from __future__ import annotations
+
+from entity_extractor_linker_ray.functions import prompts
+from entity_extractor_linker_ray.functions.dedup import (
+    dedup_entities_first_wins,
+    dedup_triples_explicit_wins,
+    entity_dedup_key,
+    fuzzy_dedup_triples,
+    triple_key,
+)
+from entity_extractor_linker_ray.functions.parsing import (
+    parse_entity_lines,
+    parse_triples,
+)
+from entity_extractor_linker_ray.functions.text import chunk_text, strip_trailing_ellipsis
+from entity_extractor_linker_ray.functions.urls import is_valid_wikipedia_url, parse_wiki_url
+
+
+# ----------------------------------------------------------------------
+# extraction + inference
+# ----------------------------------------------------------------------
+
+def extract_entities(text: str, cfg: dict, llm) -> list[dict]:
+    """LLM extraction call + semicolon-line parse
+    (``services/openai_service.py:24-131``). In generate mode entities
+    are marked implicit (``openai_service.py:115``)."""
+    mode = cfg.get("MODE", "extract")
+    raw = llm.chat(
+        prompts.extraction_messages(
+            text, cfg.get("MAX_ENTITIES", 15), cfg.get("LANGUAGE", "en")
+        )
+    )
+    inferred = "explicit" if mode != "generate" else "implicit"
+    return parse_entity_lines(raw, inferred=inferred)
+
+
+def infer_entities(text: str, entities: list[dict], cfg: dict, llm) -> list[dict]:
+    """Optional implicit-entity round; merge keyed ``(name, type)`` with
+    explicit overwriting implicit (``core/entity_inference.py:27-133``).
+
+    Two reference quirks reproduced deliberately:
+
+    * the merged dict is seeded from the *implicit* list, then explicit
+      entries overwrite (``entity_inference.py:130-133``) — output
+      order is implicit-first;
+    * the explicit remapping (``entity_inference.py:44-51``) keeps only
+      ``name/type/wikipedia_url/inferred`` — the extractor's citation is
+      DROPPED (even when inference is disabled, since ``extractor.py:39``
+      always routes through this function), so packaged explicit
+      entities fall back to the whole-input citation
+      (``orchestrator.py:350-352``).
+    """
+    explicit = [
+        {
+            "name": e.get("name", ""),
+            "type": e.get("type", ""),
+            "wikipedia_url": e.get("wikipedia_url", ""),
+            "inferred": e.get("inferred", "explicit"),
+        }
+        for e in entities
+    ]
+    if not cfg.get("ENABLE_ENTITY_INFERENCE", False):
+        return explicit
+    raw = llm.chat(
+        prompts.entity_inference_messages(
+            text,
+            explicit,
+            cfg.get("MAX_ENTITIES", len(explicit) or 15),
+            cfg.get("LANGUAGE", "en"),
+        )
+    )
+    implicit = [
+        {**e, "inferred": "implicit"} for e in parse_entity_lines(raw, inferred="implicit")
+    ]
+    merged = {(e["name"], e["type"]): e for e in implicit}
+    for e in explicit:
+        merged[(e["name"], e["type"])] = e
+    return list(merged.values())
+
+
+# ----------------------------------------------------------------------
+# linking (KB fallback chain)
+# ----------------------------------------------------------------------
+
+def link_entity(entity: dict, cfg: dict, kb) -> dict | None:
+    """Multi-stage KB resolution for one entity, reproducing the
+    fallback chain of ``core/linker.py:56-227``:
+
+    1. valid LLM URL used as-is, else opensearch fallback;
+    2. extract fetch; on miss: redirect-follow → re-fetch → opensearch
+       retry → re-fetch;
+    3. categories only when an extract was found;
+    4. Wikidata id (from extract fetch or pageprops fallback) + details;
+    5. DBpedia record, else constructed resource-URI fallback.
+
+    Adds a ``link_status`` column naming the step that resolved (an
+    upgrade over the reference's silent empty returns, SURVEY.md §4).
+    """
+    name = entity.get("name", "")
+    if not name:
+        return None
+    lang = cfg.get("LANGUAGE", "en")
+    out = dict(entity)
+    out["link_status"] = "unlinked"
+    llm_url = entity.get("wikipedia_url") or ""
+    if llm_url and is_valid_wikipedia_url(llm_url):
+        url = llm_url
+        out["link_status"] = "llm_url"
+    else:
+        url = kb.opensearch(name, lang)
+        out["link_status"] = "opensearch" if url else "unlinked"
+    if not url:
+        return out
+    out["wikipedia_url"] = url
+    entity_name = name
+    extract, qid = kb.get_extract(url)
+    if extract:
+        out["wikipedia_extract"] = strip_trailing_ellipsis(extract)
+        if qid:
+            out["wikidata_id"] = qid
+            out["wikipedia_title"] = entity_name  # linker.py:86-88
+    else:
+        final_url, page_title = kb.follow_redirect(url, entity_name)
+        if final_url and final_url != url:
+            out["wikipedia_url"] = final_url
+            url = final_url
+            out["link_status"] = "redirect"
+        if page_title:
+            out["wikipedia_title"] = page_title
+            entity_name = page_title
+        extract, qid = kb.get_extract(url)
+        if not extract:
+            fb_url = kb.opensearch(entity_name, lang)
+            if fb_url and fb_url != url:
+                out["wikipedia_url"] = fb_url
+                url = fb_url
+                out["link_status"] = "opensearch_retry"
+                try:
+                    fb_title = parse_wiki_url(fb_url)[0]
+                    out["wikipedia_title"] = fb_title
+                    entity_name = fb_title
+                except Exception:
+                    pass
+                extract, qid = kb.get_extract(url)
+        if extract:
+            out["wikipedia_extract"] = strip_trailing_ellipsis(extract)
+            if qid:
+                out["wikidata_id"] = qid
+    if out.get("wikipedia_extract"):
+        cats = kb.get_categories(out["wikipedia_url"])
+        if cats:
+            out["wikipedia_categories"] = cats
+    if cfg.get("USE_WIKIDATA", True):
+        qid = out.get("wikidata_id") or kb.get_wikidata_id(out["wikipedia_url"], entity_name)
+        if qid:
+            out["wikidata_id"] = qid
+            details = kb.get_wikidata_details(qid, lang)
+            if details:
+                out["wikidata_url"] = f"https://www.wikidata.org/wiki/{qid}"
+                out["wikidata_details"] = details
+    if cfg.get("USE_DBPEDIA", False):
+        info = kb.get_dbpedia(out["wikipedia_url"])
+        if info:
+            out["dbpedia_info"] = info
+        else:
+            title = out["wikipedia_url"].rsplit("/", 1)[-1]
+            prefix, dlang = (
+                ("http://de.dbpedia.org/resource/", "de")
+                if cfg.get("DBPEDIA_USE_DE", False)
+                else ("http://dbpedia.org/resource/", "en")
+            )
+            out["dbpedia_info"] = {"resource_uri": prefix + title, "language": dlang}
+    return out
+
+
+def link_entities(entities: list[dict], cfg: dict, kb) -> list[dict]:
+    return [le for le in (link_entity(e, cfg, kb) for e in entities) if le is not None]
+
+
+def extract_and_link(text: str, cfg: dict, llm, kb) -> list[dict]:
+    """``extract_api.extract_and_link`` equivalent: extract →
+    (optional) infer → link (``core/extract_api.py:12-28``,
+    ``core/extractor.py:36-39``)."""
+    ents = extract_entities(text, cfg, llm)
+    ents = infer_entities(text, ents, cfg, llm)
+    return link_entities(ents, cfg, kb)
+
+
+# ----------------------------------------------------------------------
+# relations
+# ----------------------------------------------------------------------
+
+def _entity_info(entities: list[dict]) -> list[dict]:
+    """(name, type) pairs for the relation prompts; Wikipedia label
+    overrides the name when present in packaged ``sources``
+    (``relationship_inference.py:98-133``); internal dicts simply use
+    name/type. Entities missing either field are skipped."""
+    info = []
+    for e in entities:
+        name = e.get("entity") or e.get("name", "")
+        typ = e.get("type") or (e.get("details", {}) or {}).get("typ", "")
+        if isinstance(e.get("sources"), dict):
+            label = (e["sources"].get("wikipedia") or {}).get("label")
+            if label:
+                name = label
+        if name and typ:
+            info.append({"name": name, "type": typ})
+    return info
+
+
+def _annotate(rel: dict, inferred: str, type_map: dict, inferred_map: dict) -> dict:
+    """Stamp inferred/type/entity-inferred fields
+    (``relationship_inference.py:243-253``)."""
+    rel["inferred"] = inferred
+    rel["subject_type"] = type_map.get(rel["subject"], "")
+    rel["object_type"] = type_map.get(rel["object"], "")
+    rel["subject_inferred"] = inferred_map.get(rel["subject"], "explicit")
+    rel["object_inferred"] = inferred_map.get(rel["object"], "explicit")
+    return rel
+
+
+def _case_normalize(rels: list[dict], type_map: dict) -> None:
+    """Match LLM casing back to extracted names
+    (``relationship_inference.py:233-241``)."""
+    lower_to_name = {n.lower(): n for n in type_map}
+    for rel in rels:
+        for slot in ("subject", "object"):
+            canon = lower_to_name.get(rel.get(slot, "").lower())
+            if canon:
+                rel[slot] = canon
+
+
+def llm_pair_dedup(rels: list[dict], cfg: dict, llm, directed: bool) -> list[dict]:
+    """LLM-assisted predicate dedup per entity pair.
+
+    ``directed=True`` reproduces the inline variant keyed on the
+    ordered ``(subject, object)`` tuple
+    (``relationship_inference.py:311-362``); ``directed=False`` the
+    ``frozenset`` variant (``core/deduplication_utils.py:12-87``).
+    Groups of one pass through; on any client error the group is kept
+    unchanged (``deduplication_utils.py:83-85``).
+    """
+    groups: dict[tuple, list[dict]] = {}
+    for rel in rels:
+        if directed:
+            key = (rel["subject"], rel["object"])
+        else:
+            s, o = rel["subject"], rel["object"]
+            key = (s, o) if s <= o else (o, s)
+        groups.setdefault(key, []).append(rel)
+    out: list[dict] = []
+    for (subj, obj), group in groups.items():
+        if len(group) == 1:
+            out.append(group[0])
+            continue
+        candidates = [
+            {"predicate": r["predicate"], "inferred": r.get("inferred", "explicit")}
+            for r in group
+        ]
+        try:
+            raw = llm.chat(prompts.dedup_messages(subj, obj, candidates, cfg.get("LANGUAGE", "en")))
+            cleaned = parse_triples(raw)
+        except Exception:
+            out.extend(group)
+            continue
+        for c in cleaned:
+            match = next(
+                (
+                    r
+                    for r in group
+                    if r["predicate"] == c.get("predicate")
+                    and r.get("inferred", "explicit") == c.get("inferred", "explicit")
+                ),
+                None,
+            )
+            out.append(match if match is not None else {"subject": subj, "object": obj, **c})
+    return out
+
+
+def infer_relationships(text: str, entities: list[dict], cfg: dict, llm) -> list[dict]:
+    """Explicit (+ optional implicit) relation extraction for one
+    document (``relationship_inference.py:46-375`` non-KGC path)."""
+    if not cfg.get("RELATION_EXTRACTION", False):
+        return []
+    info = _entity_info(entities)
+    type_map = {e["name"]: e["type"] for e in info}
+    inferred_map = {
+        (e.get("entity") or e.get("name", "")): e.get("inferred", "explizit")
+        for e in entities
+    }
+    mode = cfg.get("MODE", "extract")
+    max_rel = cfg.get("MAX_RELATIONS", 15)
+    lang = cfg.get("LANGUAGE", "en")
+    raw = llm.chat(prompts.explicit_relation_messages(text, info, max_rel, mode, lang))
+    explicit = parse_triples(raw)
+    _case_normalize(explicit, type_map)
+    first_flag = "implicit" if mode == "generate" else "explicit"
+    valid_explicit = [
+        _annotate(r, first_flag, type_map, inferred_map)
+        for r in explicit
+        if all(k in r for k in ("subject", "predicate", "object"))
+    ]
+    valid_explicit = [r for r in valid_explicit if r["subject_type"] and r["object_type"]]
+    if not cfg.get("ENABLE_RELATIONS_INFERENCE", False):
+        return valid_explicit
+    raw_imp = llm.chat(
+        prompts.implicit_relation_messages(text, info, valid_explicit, max_rel, lang)
+    )
+    implicit = parse_triples(raw_imp)
+    valid_implicit = [
+        _annotate(r, "implicit", type_map, inferred_map)
+        for r in implicit
+        if all(k in r for k in ("subject", "predicate", "object"))
+    ]
+    valid_implicit = [r for r in valid_implicit if r["subject_type"] and r["object_type"]]
+    merged: dict[tuple, dict] = {triple_key(r): r for r in valid_explicit}
+    for rel in valid_implicit:
+        merged.setdefault(triple_key(rel), rel)
+    return llm_pair_dedup(list(merged.values()), cfg, llm, directed=True)
+
+
+def kgc_round(text: str, entities: list[dict], existing: list[dict], cfg: dict, llm) -> list[dict]:
+    """One knowledge-graph-completion round
+    (``relationship_inference.py:144-184``): only triples whose key is
+    new and whose endpoints are known entities survive."""
+    info = _entity_info(entities)
+    type_map = {e["name"]: e["type"] for e in info}
+    inferred_map = {
+        (e.get("entity") or e.get("name", "")): e.get("inferred", "explizit")
+        for e in entities
+    }
+    allowed = {(e.get("entity") or e.get("name", "")) for e in entities}
+    raw = llm.chat(
+        prompts.kgc_messages(
+            text, info, existing, cfg.get("MAX_RELATIONS", 15), cfg.get("LANGUAGE", "en")
+        )
+    )
+    new_rels = parse_triples(raw)
+    existing_keys = {triple_key(r) for r in existing}
+    out = []
+    for rel in new_rels:
+        if not all(k in rel for k in ("subject", "predicate", "object")):
+            continue
+        if triple_key(rel) in existing_keys:
+            continue
+        if rel["subject"] in allowed and rel["object"] in allowed:
+            out.append(_annotate(rel, "implicit", type_map, inferred_map))
+    return out
+
+
+# ----------------------------------------------------------------------
+# packaging
+# ----------------------------------------------------------------------
+
+def package_entity(e: dict, input_text: str, cfg: dict) -> dict:
+    """Internal linked entity → one flat Arrow-friendly output row.
+
+    Field semantics follow the legacy packager
+    (``core/orchestrator.py:347-445``) with the nested ``sources`` map
+    flattened into typed columns; the citation offsets use the same
+    ``str.find`` fallback (``orchestrator.py:350-352``).
+    """
+    citation = e.get("citation", input_text)
+    start = input_text.find(citation) if citation != input_text else 0
+    end = start + len(citation) if start != -1 else len(input_text)
+    wd = e.get("wikidata_details") or {}
+    db = e.get("dbpedia_info") or {}
+    url = e.get("wikipedia_url") or ""
+    if url:
+        label = e.get("wikipedia_title") or parse_wiki_url(url)[0]
+    else:
+        label = ""
+    use_wikidata = bool(cfg.get("USE_WIKIDATA", False) and wd)
+    use_dbpedia = bool(cfg.get("USE_DBPEDIA", False) and (db or e.get("dbpedia_uri")))
+    return {
+        "entity": e.get("name", ""),
+        "type": e.get("type", ""),
+        "inferred": e.get("inferred", "explicit"),
+        "citation": citation,
+        "citation_start": start,
+        "citation_end": end,
+        "wikipedia_label": label,
+        "wikipedia_url": url,
+        "wikipedia_extract": e.get("wikipedia_extract", "") or "",
+        "wikipedia_categories": list(e.get("wikipedia_categories", []) or []),
+        "wikidata_id": (wd.get("id", "") if use_wikidata else ""),
+        "wikidata_label": (wd.get("label", "") if use_wikidata else ""),
+        "wikidata_description": (wd.get("description", "") if use_wikidata else ""),
+        "wikidata_types": (list(wd.get("types", [])) if use_wikidata else []),
+        "wikidata_part_of": (list(wd.get("part_of", [])) if use_wikidata else []),
+        "wikidata_has_parts": (list(wd.get("has_parts", [])) if use_wikidata else []),
+        "wikidata_url": (e.get("wikidata_url", "") if use_wikidata else ""),
+        "dbpedia_uri": (db.get("resource_uri", "") if use_dbpedia else ""),
+        "dbpedia_label": (db.get("label", "") if use_dbpedia else ""),
+        "dbpedia_abstract": (db.get("abstract", "") if use_dbpedia else ""),
+        "dbpedia_types": (list(db.get("types", [])) if use_dbpedia else []),
+        "dbpedia_subjects": (list(db.get("subjects", [])) if use_dbpedia else []),
+        "dbpedia_language": (db.get("language", "") if use_dbpedia else ""),
+        "canonical_id": entity_dedup_key(e),
+        "link_status": e.get("link_status", "unlinked"),
+    }
+
+
+# ----------------------------------------------------------------------
+# full per-document pipeline
+# ----------------------------------------------------------------------
+
+def process_document(input_text: str, cfg: dict, llm, kb) -> tuple[list[dict], list[dict]]:
+    """Full reference flow for one document; returns
+    ``(packaged_entities, relationships)``.
+
+    Single-pass path: ``orchestrator.py:329-468``; chunked path
+    (``TEXT_CHUNKING``): ``orchestrator.py:38-198`` (per-chunk extract +
+    relate, then first-wins entity dedup, explicit>implicit triple
+    dedup, LLM dedup, fuzzy dedup). KGC rounds run here because the
+    reference's KGC state is strictly per-document
+    (``orchestrator.py:446-468``).
+    """
+    if cfg.get("TEXT_CHUNKING", False):
+        chunks = chunk_text(
+            input_text, cfg.get("TEXT_CHUNK_SIZE", 1000), cfg.get("TEXT_CHUNK_OVERLAP", 50)
+        )
+        all_ents: list[dict] = []
+        all_rels: list[dict] = []
+        for chunk in chunks:
+            ents = extract_and_link(chunk, cfg, llm, kb)
+            all_ents.extend(ents)
+            if cfg.get("RELATION_EXTRACTION", False):
+                all_rels.extend(infer_relationships(chunk, ents, cfg, llm))
+        ents = dedup_entities_first_wins(all_ents)
+        rels = dedup_triples_explicit_wins(all_rels)
+        rels = llm_pair_dedup(rels, cfg, llm, directed=False)
+        rels = fuzzy_dedup_triples(rels, 0.85)
+    else:
+        ents = extract_and_link(input_text, cfg, llm, kb)
+        rels = []
+        if cfg.get("RELATION_EXTRACTION", False):
+            if cfg.get("MODE") == "generate" and ents and all(
+                e.get("wikipedia_extract") for e in ents
+            ):
+                rel_context = "\n".join(e["wikipedia_extract"] for e in ents)
+            else:
+                rel_context = input_text
+            rels = infer_relationships(rel_context, ents, cfg, llm)
+            rels = llm_pair_dedup(rels, cfg, llm, directed=False)
+            rels = fuzzy_dedup_triples(rels, 0.85)
+
+    if cfg.get("ENABLE_KGC", False):
+        by_key = {triple_key(r): r for r in rels}
+        for _ in range(cfg.get("KGC_ROUNDS", 3)):
+            new_rels = kgc_round(input_text, ents, list(by_key.values()), cfg, llm)
+            for rel in new_rels:
+                by_key.setdefault(triple_key(rel), rel)
+        rels = list(by_key.values())
+        rels = llm_pair_dedup(rels, cfg, llm, directed=False)
+        rels = fuzzy_dedup_triples(rels, 0.85)
+
+    packaged = [package_entity(e, input_text, cfg) for e in ents]
+    return packaged, rels

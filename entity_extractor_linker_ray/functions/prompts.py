@@ -1,0 +1,187 @@
+"""Prompt builders for the pluggable LLM client.
+
+Fresh, compact templates that keep the reference's *wire contract* —
+the same output formats (semicolon entity/triple lines, JSON dedup
+arrays), the same data blocks (text, entity JSON, existing-relationship
+JSON), and the same dispatch markers the deterministic stub keys on —
+without reproducing the reference's prose. Reference prompt modules:
+``prompts/extract_prompts.py``, ``prompts/relationship_prompts.py``,
+``prompts/entity_inference_prompts.py``,
+``prompts/deduplication_prompts.py``.
+"""
+
+from __future__ import annotations
+
+import json
+
+
+def extraction_messages(text: str, max_entities: int, language: str = "en") -> list[dict]:
+    """Entity extraction (``extract_prompts.py:6-56``): semicolon lines
+    ``name; type; wikipedia_url; citation``."""
+    system = (
+        "You are a helpful AI system for recognizing and linking entities. "
+        f"Identify up to {max_entities} important entities from the text and "
+        "link each to its Wikipedia page. Output one entity per line as "
+        "'name; type; wikipedia_url; citation' — citation is an exact text "
+        "span of at most 5 words. No JSON, no extra text."
+    )
+    return [
+        {"role": "system", "content": system},
+        {"role": "user", "content": f"Text: {text}"},
+    ]
+
+
+def entity_inference_messages(
+    text: str, explicit_entities: list[dict], max_entities: int, language: str = "en"
+) -> list[dict]:
+    """Implicit entity inference (``entity_inference_prompts.py:8-55``)."""
+    system = (
+        "You are an AI assistant enriching an existing entity list by adding "
+        f"only implicit entities. Generate exactly {max_entities} new entities, "
+        "one per line as 'name; type; wikipedia_url; citation' with citation "
+        "set to \"generated\". Do not repeat provided entities."
+    )
+    user = (
+        f"Topic/Text: {text}\n\n"
+        "Existing entities:\n"
+        f"{json.dumps(explicit_entities, indent=2, ensure_ascii=False)}\n"
+    )
+    return [
+        {"role": "system", "content": system},
+        {"role": "user", "content": user},
+    ]
+
+
+def _relation_user(text: str, entity_info: list[dict], max_relations: int, extra: str = "") -> str:
+    return (
+        f"Text: ```{text}```\n\n"
+        "Entities:\n"
+        f"{json.dumps(entity_info, indent=2)}\n\n"
+        f"{extra}"
+        f"Return each relationship as a line 'subject; predicate; object'. "
+        f"Limit to at most {max_relations} relationships."
+    )
+
+
+def explicit_relation_messages(
+    text: str, entity_info: list[dict], max_relations: int,
+    mode: str = "extract", language: str = "en",
+) -> list[dict]:
+    """Explicit (extract mode) or all-relations (generate mode) prompt
+    (``relationship_prompts.py:108-212``)."""
+    if mode == "generate":
+        task = (
+            "Generate ALL possible relationships between the provided "
+            "entities based on the text."
+        )
+    else:
+        task = (
+            "Extract ONLY explicit relationships directly stated in the text "
+            "between the provided entities."
+        )
+    system = (
+        "You are an AI system specializing in knowledge extraction and "
+        f"knowledge graph generation. {task} Use only the provided entities "
+        "as subject and object. Predicates must be 1-3 words lowercase. "
+        "Output one 'subject; predicate; object' line per relationship."
+    )
+    return [
+        {"role": "system", "content": system},
+        {"role": "user", "content": _relation_user(text, entity_info, max_relations)},
+    ]
+
+
+def implicit_relation_messages(
+    text: str, entity_info: list[dict], explicit_rels: list[dict],
+    max_relations: int, language: str = "en",
+) -> list[dict]:
+    """Implicit relation inference (``relationship_prompts.py:214-245``)."""
+    system = (
+        "You are an AI system specializing in knowledge graph enrichment. "
+        "Add implicit relationships not already covered by the explicit "
+        "ones. Use only the provided entities. Predicates 1-3 words "
+        "lowercase; one 'subject; predicate; object' line each."
+    )
+    extra = (
+        "Explicit relationships (do NOT repeat):\n"
+        f"{json.dumps(_slim_rels(explicit_rels), indent=2)}\n\n"
+        f"Identify up to {max_relations} additional implicit relationships.\n\n"
+    )
+    return [
+        {"role": "system", "content": system},
+        {"role": "user", "content": _relation_user(text, entity_info, max_relations, extra)},
+    ]
+
+
+def kgc_messages(
+    text: str, entity_info: list[dict], existing_rels: list[dict],
+    max_relations: int, language: str = "en",
+) -> list[dict]:
+    """Knowledge-graph-completion round (``relationship_prompts.py:8-52``)."""
+    system = (
+        "You are a knowledge graph completion assistant. Generate only new "
+        "implicit relationships uncovering missing logical connections "
+        "between the provided entities; never duplicate existing ones. "
+        "Predicates 1-3 words lowercase; one 'subject; predicate; object' "
+        "line each."
+    )
+    extra = (
+        "Existing relationships:\n"
+        f"{json.dumps(_slim_rels(existing_rels), indent=2)}\n\n"
+        f"Identify up to {max_relations} additional implicit relationships.\n\n"
+    )
+    return [
+        {"role": "system", "content": system},
+        {"role": "user", "content": _relation_user(text, entity_info, max_relations, extra)},
+    ]
+
+
+def dedup_messages(
+    subject: str, obj: str, candidates: list[dict], language: str = "en"
+) -> list[dict]:
+    """Pairwise predicate dedup (``deduplication_prompts.py:9-20``,
+    ``relationship_prompts.py:282-292``)."""
+    system = (
+        "You are a helpful assistant for deduplicating knowledge graph "
+        "relationships."
+    )
+    user = (
+        "Remove duplicate or near-duplicate predicates, preferring explicit "
+        "over implicit. "
+        f"Subject: '{subject}', Object: '{obj}', "
+        f"Relationships: {json.dumps(candidates, ensure_ascii=False)}. "
+        "Return a JSON array of the kept relationships with predicate and "
+        "inferred fields."
+    )
+    return [
+        {"role": "system", "content": system},
+        {"role": "user", "content": user},
+    ]
+
+
+def compendium_messages(topic: str, references: list[str], length: int, knowledge: str) -> list[dict]:
+    """Compendium generation (``compendium_prompts.py:34-134``)."""
+    refs = "\n".join(f"({i + 1}) {u}" for i, u in enumerate(references))
+    user = (
+        f"Write a compendium of about {length} characters on: {topic}\n"
+        f"Cite only these references:\n{refs}\n"
+        "### Wissen aus Quellen:\n"
+        f"{knowledge}"
+    )
+    return [{"role": "user", "content": user}]
+
+
+def _slim_rels(rels: list[dict]) -> list[dict]:
+    """Ship only the triple fields into prompts (the reference ships the
+    whole rel dicts, ``relationship_inference.py:151``; the stub reads
+    only subject/predicate/object/inferred — slimming keeps prompt size
+    bounded at scale without changing stub behavior)."""
+    return [
+        {
+            "subject": r.get("subject", ""),
+            "predicate": r.get("predicate", ""),
+            "object": r.get("object", ""),
+            "inferred": r.get("inferred", "explicit"),
+        }
+        for r in rels
+    ]

@@ -1,0 +1,150 @@
+"""The stateful KG actor stage: documents → unified KG records.
+
+One actor pool (``map_batches(KGDocumentActor, concurrency=N)``) runs
+the whole per-conversation flow — extract, entity inference, KB
+linking, relation extraction, per-document dedups, KGC rounds — because
+every one of those reference steps is strictly document-local
+(``core/orchestrator.py:329-468``); splitting them into separate Ray
+stages would only add per-stage shuffles/joins to re-pair documents
+with their entities. Cross-document work (corpus dedup, graph
+materialize, stats) happens downstream on the emitted records.
+
+Actor state (built ONCE per actor in ``__init__``, the reference's
+module-singleton pattern ``services/*.py`` rephrased for actor pools):
+the KB snapshot indexes (received via a ``ray.put`` broadcast ref —
+shipped once per actor, never per batch), the LLM client, and an LRU
+page cache standing in for the reference's JSON file cache
+(``utils/cache_utils.py:7-51``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from entity_extractor_linker_ray.config import get_config
+from entity_extractor_linker_ray.core_doc import process_document
+from entity_extractor_linker_ray.schemas import KG_RECORD_SCHEMA
+from entity_extractor_linker_ray.state.kb import KBSnapshot, build_kb
+from entity_extractor_linker_ray.state.llm import StubLLMClient
+
+
+def make_llm_client(cfg: dict, kb: KBSnapshot):
+    """LLM client factory (the reference's swappable
+    ``LLM_BASE_URL``/``MODEL`` endpoint, ``settings.py:14-15``, recast
+    as a constructor-injected protocol). Only the deterministic stub is
+    constructible in this sealed environment; a networked client would
+    be registered here."""
+    model = cfg.get("MODEL", "stub")
+    if model == "stub":
+        return StubLLMClient(kb, cfg.get("LANGUAGE", "en"))
+    raise NotImplementedError(
+        f"MODEL={model!r}: only the deterministic 'stub' client exists in "
+        "this environment; implement LLMClient.chat for networked models."
+    )
+
+
+_LIST_COLS = {
+    "wikipedia_categories", "wikidata_types", "wikidata_part_of",
+    "wikidata_has_parts", "dbpedia_types", "dbpedia_subjects",
+}
+_INT_COLS = {"ord", "citation_start", "citation_end"}
+
+
+class KGDocumentActor:
+    def __init__(self, cfg: dict | None = None, kb_ref=None):
+        self.cfg = get_config(cfg)
+        if kb_ref is not None:
+            import ray
+
+            records = ray.get(kb_ref) if not isinstance(kb_ref, list) else kb_ref
+        else:
+            records = build_kb()
+        self.kb = KBSnapshot(records)
+        self.llm = make_llm_client(self.cfg, self.kb)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {f.name: [] for f in KG_RECORD_SCHEMA}
+
+        def emit(record_type: str, conv_id: str, ordinal: int, payload: dict):
+            for name in cols:
+                if name == "record_type":
+                    cols[name].append(record_type)
+                elif name == "conv_id":
+                    cols[name].append(conv_id)
+                elif name == "ord":
+                    cols[name].append(ordinal)
+                elif name in _LIST_COLS:
+                    cols[name].append(list(payload.get(name, []) or []))
+                elif name in _INT_COLS:
+                    cols[name].append(int(payload.get(name, 0) or 0))
+                else:
+                    cols[name].append(str(payload.get(name, "") or ""))
+
+        conv_ids = batch.column("conv_id").to_pylist()
+        doc_texts = batch.column("doc_text").to_pylist()
+        for conv_id, doc_text in zip(conv_ids, doc_texts):
+            entities, rels = process_document(doc_text or "", self.cfg, self.llm, self.kb)
+            canonical_by_name: dict[str, str] = {}
+            for ordinal, ent in enumerate(entities):
+                canonical_by_name.setdefault(ent["entity"], ent["canonical_id"])
+                emit("entity", conv_id, ordinal, ent)
+            for ordinal, rel in enumerate(rels):
+                rel = dict(rel)
+                rel["subject_id"] = canonical_by_name.get(rel["subject"], rel["subject"])
+                rel["object_id"] = canonical_by_name.get(rel["object"], rel["object"])
+                emit("triple", conv_id, ordinal, rel)
+
+        arrays = []
+        for field in KG_RECORD_SCHEMA:
+            if field.name in _INT_COLS:
+                arrays.append(pa.array(np.asarray(cols[field.name], dtype=np.int32), field.type))
+            else:
+                arrays.append(pa.array(cols[field.name], field.type))
+        return pa.Table.from_arrays(arrays, schema=KG_RECORD_SCHEMA)
+
+
+def kg_records(documents_ds, cfg: dict | None = None, kb_ref=None, **ray_opts):
+    """documents → unified KG records via the actor pool.
+
+    ``RAY_KG_CONCURRENCY`` is the pool *cap*; the pool autoscales from 1
+    so it can never reserve every CPU and starve the upstream
+    read/sort/assemble tasks (a fixed pool equal to ``num_cpus``
+    deadlocks the streaming executor)."""
+    merged = get_config(cfg)
+    cap = merged.get("RAY_KG_CONCURRENCY", 8)
+    concurrency = cap if isinstance(cap, tuple) else (1, max(1, int(cap)))
+    opts = dict(
+        batch_format="pyarrow",
+        batch_size=merged.get("RAY_KG_BATCH_SIZE", 64),
+        concurrency=concurrency,
+        num_cpus=merged.get("RAY_NUM_CPUS_PER_ACTOR", 1),
+    )
+    opts.update(ray_opts)
+    return documents_ds.map_batches(
+        KGDocumentActor,
+        fn_constructor_kwargs={"cfg": cfg, "kb_ref": kb_ref},
+        **opts,
+    )
+
+
+def split_entities(records_ds):
+    import pyarrow.compute as pc
+
+    from entity_extractor_linker_ray.schemas import ENTITY_COLUMNS
+
+    return records_ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("record_type"), "entity")).select(ENTITY_COLUMNS),
+        batch_format="pyarrow",
+    )
+
+
+def split_triples(records_ds):
+    import pyarrow.compute as pc
+
+    from entity_extractor_linker_ray.schemas import TRIPLE_COLUMNS
+
+    return records_ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("record_type"), "triple")).select(TRIPLE_COLUMNS),
+        batch_format="pyarrow",
+    )
