@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data KG engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``       — flagship KG pipeline on sf0.001 → triples Dataset.
+* ``queries()``     — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data ops); each takes ``sf_dir``.
+* ``oracle_sql()``  — DuckDB equivalents for every SQL-expressible
+  query (same column names). Non-SQL-expressible ops (stub-LLM
+  pipeline, LSH/minhash/simhash, sessionization, ANN-LSH, language ID,
+  decode actors) are intentionally omitted → rows-only checks.
 """
 
 from __future__ import annotations
@@ -18,27 +17,100 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _kg_full_outputs(sf_dir: str, what: str):
+    """Full stub-LLM KG pipeline over transcripts derived from the
+    documents table (deterministic turn split, scrambled order within
+    the synthesis is unnecessary — documents_to_transcripts emits
+    ordered turns; the assemble stage still groups + sorts)."""
+    from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
+    from entity_extractor_linker_ray.synthetic import transcripts_dataset_from_documents
+
+    cfg = {
+        "USE_WIKIDATA": True,
+        "USE_DBPEDIA": True,
+        "ENABLE_ENTITY_INFERENCE": True,
+        "ENABLE_RELATIONS_INFERENCE": True,
+        "ENABLE_KGC": True,
+        "KGC_ROUNDS": 2,
+        "RAY_KG_CONCURRENCY": 8,
+        "RAY_DOC_BLOCKS": 16,
+    }
+    out = build_kg_datasets(transcripts_dataset_from_documents(sf_dir), cfg)
+    if what == "triples":
+        return out["triples"]
+    if what == "entities":
+        return out["entities"]
+    if what == "nodes":
+        from entity_extractor_linker_ray.stages.graph import build_nodes
+
+        return build_nodes(out["entities"])
+    if what == "edges":
+        from entity_extractor_linker_ray.stages.graph import build_edges
+
+        return build_edges(out["triples"])
+    raise KeyError(what)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full KG pipeline (extract → link → relate → dedup →
+    KGC) on sf0.001; returns the triples Dataset."""
+    return _kg_full_outputs(SF_SMOKE, "triples")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from entity_extractor_linker_ray.ops import ann, dedupe, multimodal, textstats
+    from entity_extractor_linker_ray.pipelines import relational, simple_kg
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {}
+    # --- oracle-track KG operators (deterministic SQL-mirrorable) -----
+    q.update(simple_kg.QUERIES)
+    # --- text analysis -------------------------------------------------
+    q["doc_stats"] = textstats.doc_stats
+    q["token_totals"] = textstats.token_totals
+    q["quality_scores"] = textstats.quality_scores
+    q["fingerprints"] = textstats.fingerprints
+    q["lang_id"] = textstats.lang_id
+    # --- dedup family --------------------------------------------------
+    q["dedup_exact"] = dedupe.exact_dedup
+    q["dedup_minhash_candidates"] = dedupe.minhash_candidates
+    q["dedup_jaccard_verified"] = dedupe.jaccard_verified_pairs
+    q["dedup_simhash"] = dedupe.simhash
+    q["dedup_embedding_neardup"] = dedupe.embedding_neardup
+    # --- similarity search --------------------------------------------
+    q["knn_brute"] = ann.knn_brute
+    q["knn_lsh"] = ann.knn_lsh
+    # --- multimodal plumbing ------------------------------------------
+    q["multimodal_meta"] = multimodal.multimodal_meta
+    q["multimodal_decode"] = multimodal.decode_features
+    # --- relational / stream-shaped -----------------------------------
+    q["events_hourly"] = relational.events_hourly
+    q["events_sessionize"] = relational.events_sessionize
+    q["lineitem_pricing"] = relational.lineitem_pricing
+    q["orders_customer_join"] = relational.orders_customer_join
+    q["top_parts_by_size"] = relational.top_parts_by_size
+    # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
+    #     driver check — golden parity is asserted in pytest) ----------
+    q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
+    q["kg_pipeline_entities"] = lambda sf: _kg_full_outputs(sf, "entities")
+    q["kg_pipeline_nodes"] = lambda sf: _kg_full_outputs(sf, "nodes")
+    q["kg_pipeline_edges"] = lambda sf: _kg_full_outputs(sf, "edges")
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from entity_extractor_linker_ray.ops import ann, dedupe, multimodal, textstats
+    from entity_extractor_linker_ray.pipelines import relational, simple_kg
+
+    sql = dict(simple_kg.oracle_sql())
+    sql.update(textstats.TEXT_ORACLES)
+    sql["dedup_exact"] = dedupe.EXACT_DEDUP_ORACLE
+    sql["knn_brute"] = ann.knn_brute_oracle()
+    sql["multimodal_meta"] = multimodal.MULTIMODAL_META_ORACLE
+    sql["events_hourly"] = relational.EVENTS_HOURLY_ORACLE
+    sql["lineitem_pricing"] = relational.LINEITEM_PRICING_ORACLE
+    sql["orders_customer_join"] = relational.ORDERS_JOIN_ORACLE
+    sql["top_parts_by_size"] = relational.TOP_PARTS_ORACLE.format(k=10)
+    return sql

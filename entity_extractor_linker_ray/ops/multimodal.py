@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata through actor-pool stages.
+
+The image/audio codec libraries are not available in this environment,
+so the *decode kernels* are deterministic stand-ins (clearly marked),
+while the Ray-side plumbing — binary Arrow columns, small batch sizes
+for large payloads, actor signatures, output schema — is real and
+tested. Swap :class:`StubImageDecoder.decode` for a PIL/ffmpeg call and
+nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def attach_payload(sf_dir: str):
+    """Manufacture a binary payload column from the documents table
+    (deterministic; stands in for read_binary_files of a media corpus).
+    Output: (doc_id, payload: binary, media_type, n_bytes)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        payloads = [(t or "").encode("utf-8") for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(
+                    ["image/synthetic"] * len(doc_ids), pa.string()
+                ),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            }
+        )
+
+    # binary columns stay in Arrow end to end; small batch_size bounds
+    # (payload bytes x batch x concurrency) in worker heaps
+    return docs.map_batches(kernel, batch_format="pyarrow", batch_size=256)
+
+
+class StubImageDecoder:
+    """Actor-pool 'decode + feature extract' stage.
+
+    STUB: the decode is a deterministic hash-derived feature vector,
+    NOT a real image decode (no codec libs in this environment). The
+    actor shape (model handle in ``__init__``, batched decode in
+    ``__call__``, feature vector output schema) is the real contract.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self):
+        self.model = "stub-decoder-v1"  # a real impl loads its model here
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        digest = hashlib.sha256(payload).digest()
+        raw = np.frombuffer(digest[: self.FEATURE_DIM], dtype=np.uint8)
+        return (raw.astype(np.float32) / 255.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = [self.decode(p or b"") for p in payloads]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_type": batch.column("media_type"),
+                "sha256": pa.array(
+                    [hashlib.sha256(p or b"").hexdigest() for p in payloads],
+                    pa.string(),
+                ),
+                "n_bytes": pa.array([len(p or b"") for p in payloads], pa.int64()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def decode_features(sf_dir: str):
+    """payload → (sha256, n_bytes, feature vector) via the decoder
+    actor pool."""
+    return attach_payload(sf_dir).map_batches(
+        StubImageDecoder,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 4),
+    )
+
+
+def multimodal_meta(sf_dir: str):
+    """Payload metadata only (oracle-checkable: byte length + sha256
+    of the UTF-8 text payload)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bytes": pa.array([len(p or b"") for p in payloads], pa.int64()),
+                "sha256": pa.array(
+                    [hashlib.sha256(p or b"").hexdigest() for p in payloads],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return attach_payload(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+MULTIMODAL_META_ORACLE = (
+    "SELECT doc_id, octet_length(encode(COALESCE(text,''))) AS n_bytes, "
+    "sha256(COALESCE(text,'')) AS sha256 FROM documents"
+)

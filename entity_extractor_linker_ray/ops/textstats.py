@@ -1,0 +1,189 @@
+"""Text-analysis operators over the ``documents`` table: token
+counting, document statistics, quality scoring, language ID,
+fingerprinting. All vectorized ``map_batches`` kernels; the only
+shuffle is the small per-source aggregate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from ray.data.aggregate import Sum
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that".split()
+)
+
+# Tiny character-frequency profiles for the n-gram-free language
+# heuristic (deterministic; a stand-in for fasttext-style LID at the
+# same pipeline position).
+_LANG_MARKERS = {
+    "en": frozenset(["the", "and", "of", "is"]),
+    "de": frozenset(["der", "die", "das", "und", "ist"]),
+    "es": frozenset(["el", "la", "los", "es", "y"]),
+    "fr": frozenset(["le", "la", "les", "et", "est"]),
+}
+
+
+def doc_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-document counting stats. Token rule shared with the SQL
+    oracle: tokens = spaces + 1 on the raw text (documents are
+    space-separated word streams), 0 for empty text."""
+    text = batch["text"].fillna("")
+    n_chars = text.str.len().to_numpy(dtype=np.int64)
+    n_spaces = text.str.count(" ").to_numpy(dtype=np.int64)
+    n_tokens = np.where(n_chars == 0, 0, n_spaces + 1).astype(np.int64)
+    n_distinct = np.array(
+        [len(set(t.split(" "))) if t else 0 for t in text], dtype=np.int64
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "n_distinct_tokens": n_distinct,
+        }
+    )
+
+
+def doc_stats(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(doc_stats_batch, batch_format="pandas")
+
+
+def token_totals(sf_dir: str):
+    """Corpus token totals per source — two-phase aggregate."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        stats = doc_stats_batch(batch)
+        stats["source"] = batch["source"].to_numpy()
+        out = stats.groupby("source", sort=False).agg(
+            n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum")
+        ).reset_index()
+        return out.astype({"n_docs": np.int64, "total_tokens": np.int64})
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    return partials.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_tokens", alias_name="total_tokens"),
+    )
+
+
+def quality_scores(sf_dir: str):
+    """Deterministic quality heuristics (length / repetition /
+    stopword-rate), integer-scaled so the oracle hash is exact.
+
+    ``repetition_pct`` = 100 - 100*distinct/total (rounded down);
+    ``stopword_pct``   = 100*stopword_tokens/total (rounded down).
+    """
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        rows = []
+        for doc_id, t in zip(batch["doc_id"], text):
+            tokens = t.split(" ") if t else []
+            total = len(tokens)
+            distinct = len(set(tokens))
+            stop = sum(1 for tok in tokens if tok in _STOPWORDS)
+            rows.append(
+                (
+                    doc_id,
+                    np.int64(total),
+                    np.int64(100 - (100 * distinct) // total if total else 0),
+                    np.int64((100 * stop) // total if total else 0),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_tokens", "repetition_pct", "stopword_pct"]
+        )
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+class LangIdModel:
+    """Stopword-marker language ID as a stateful actor stage (the
+    'model loaded once per actor' pattern — markers compiled in
+    ``__init__``, scoring per batch)."""
+
+    def __init__(self):
+        self.markers = {lang: set(words) for lang, words in _LANG_MARKERS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for t in batch["text"].fillna(""):
+            tokens = set(t.split(" ")[:200])
+            scores = {
+                lang: len(tokens & words) for lang, words in self.markers.items()
+            }
+            best = max(sorted(scores), key=lambda lang: scores[lang])
+            preds.append(best if scores[best] > 0 else "und")
+        out = batch[["doc_id"]].copy()
+        out["predicted_lang"] = preds
+        return out
+
+
+def lang_id(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(LangIdModel, batch_format="pandas", concurrency=(1, 4))
+
+
+def fingerprints(sf_dir: str):
+    """Content fingerprint per document: md5 hex of the raw text (the
+    reference's cache-key idiom, ``utils/cache_utils.py:22``, promoted
+    to a dataset operator; oracle = DuckDB ``md5()``)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        fps = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch["text"]
+        ]
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "fingerprint": fps})
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+TEXT_ORACLES = {
+    "doc_stats": (
+        "SELECT doc_id, length(COALESCE(text,'')) AS n_chars, "
+        "CASE WHEN length(COALESCE(text,'')) = 0 THEN 0 "
+        "ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens, "
+        "CASE WHEN length(COALESCE(text,'')) = 0 THEN 0 "
+        "ELSE len(list_distinct(string_split(text, ' '))) END AS n_distinct_tokens "
+        "FROM documents"
+    ),
+    "token_totals": (
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(CASE WHEN length(COALESCE(text,'')) = 0 THEN 0 "
+        "ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS BIGINT) AS total_tokens "
+        "FROM documents GROUP BY source"
+    ),
+    "quality_scores": (
+        "WITH s AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS toks, "
+        "length(COALESCE(text,'')) AS n FROM documents) "
+        "SELECT doc_id, "
+        "CASE WHEN n = 0 THEN 0 ELSE len(toks) END AS n_tokens, "
+        "CASE WHEN n = 0 THEN 0 ELSE 100 - (100 * len(list_distinct(toks)) // len(toks)) END AS repetition_pct, "
+        "CASE WHEN n = 0 THEN 0 ELSE (100 * len(list_filter(toks, t -> list_contains("
+        "['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that'], t))) // len(toks)) END AS stopword_pct "
+        "FROM s"
+    ),
+    "fingerprints": "SELECT doc_id, md5(COALESCE(text,'')) AS fingerprint FROM documents",
+}

@@ -1,0 +1,219 @@
+"""Relational / stream-shaped operators over the events and TPC-H-ish
+tables — the generic aggregate/sort/window machinery the KG stats reuse
+(G1-G8 patterns), each with an exact DuckDB oracle.
+
+Numeric outputs are integers (counts, casts, scaled sums) so the
+order-insensitive value hash is bit-exact across engines; float
+accumulation order is never relied on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ray.data.aggregate import Max, Min, Sum
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per (user, event_type): count + exact
+    min/max of value (no float sums). Streaming shape: the window key
+    is computed per batch, then one grouped aggregate."""
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"]
+    )
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        # normalize to ns regardless of pandas' datetime64 unit, then
+        # bucket by hour (matches the oracle's epoch_us // 3.6e9)
+        ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        hour = (ts_ns // 3_600_000_000_000).astype(np.int64)
+        out = batch[["user_id", "event_type"]].copy()
+        out["hour_bucket"] = hour
+        out["value_centi"] = (
+            np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        )
+        out["one"] = np.int64(1)
+        return out
+
+    partials = events.map_batches(keyed, batch_format="pandas")
+    return (
+        partials.groupby(["user_id", "event_type", "hour_bucket"])
+        .aggregate(
+            Sum("one", alias_name="n_events"),
+            Min("value_centi", alias_name="min_value_centi"),
+            Max("value_centi", alias_name="max_value_centi"),
+        )
+    )
+
+
+EVENTS_HOURLY_ORACLE = """
+SELECT user_id, event_type,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+       count(*) AS n_events,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_value_centi,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_value_centi
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: events sorted by ts within user,
+    session breaks at gaps > ``gap_minutes``. groupby(user).map_groups
+    with an in-group sort — the ordered-log pattern for stream-shaped
+    data (no SQL oracle; rows-only check)."""
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts", kind="stable")
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        breaks = np.zeros(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            breaks[1:] = (np.diff(ts) > gap_us * 1000).astype(np.int64)
+        session_idx = np.cumsum(breaks)
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "session_idx": session_idx,
+                "event_id": g["event_id"].to_numpy(),
+            }
+        )
+        agg = out.groupby("session_idx").agg(
+            n_events=("event_id", "size"), first_event=("event_id", "min")
+        ).reset_index()
+        agg["user_id"] = g["user_id"].iloc[0]
+        return agg[["user_id", "session_idx", "n_events", "first_event"]].astype(
+            {"session_idx": np.int64, "n_events": np.int64, "first_event": np.int64}
+        )
+
+    return events.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with partial per-batch combine
+    and integer-exact sums (quantity is integral; prices scaled to
+    cents before summing)."""
+    import ray.data as rd
+
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["qty"] = b["l_quantity"].astype(np.int64)
+        b["price_centi"] = np.round(b["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        )
+        b["one"] = np.int64(1)
+        return (
+            b.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("qty", "sum"),
+                sum_price_centi=("price_centi", "sum"),
+                n_rows=("one", "sum"),
+            )
+            .reset_index()
+            .astype({"sum_qty": np.int64, "sum_price_centi": np.int64, "n_rows": np.int64})
+        )
+
+    partials = items.map_batches(partial, batch_format="pandas")
+    return (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_centi", alias_name="sum_price_centi"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+
+LINEITEM_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_centi,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def orders_customer_join(sf_dir: str):
+    """Broadcast hash join: orders ⋈ customer (small side shipped once
+    via ray.put, looked up per batch — J5's join pattern on relational
+    data), then a grouped count per market segment and status."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    cust = (
+        pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        .to_pandas()
+        .set_index("c_custkey")["c_mktsegment"]
+    )
+    cust_ref = ray.put(cust)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    )
+
+    class Joiner:
+        def __init__(self):
+            self.cust = ray.get(cust_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            seg = batch["o_custkey"].map(self.cust).fillna("UNKNOWN")
+            out = pd.DataFrame(
+                {"c_mktsegment": seg.to_numpy(), "o_orderstatus": batch["o_orderstatus"]}
+            )
+            return (
+                out.groupby(["c_mktsegment", "o_orderstatus"], sort=False)
+                .size()
+                .reset_index(name="n_orders")
+                .astype({"n_orders": np.int64})
+            )
+
+    partials = orders.map_batches(Joiner, batch_format="pandas", concurrency=(1, 4))
+    return partials.groupby(["c_mktsegment", "o_orderstatus"]).aggregate(
+        Sum("n_orders", alias_name="n_orders")
+    )
+
+
+ORDERS_JOIN_ORACLE = """
+SELECT c.c_mktsegment, o.o_orderstatus, count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+def top_parts_by_size(sf_dir: str, k: int = 10):
+    """Sort/top-k over part: the per-partition partial top-k then final
+    top-k pattern (SURVEY.md §2.8)."""
+    import ray.data as rd
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_size"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["p_size", "p_partkey"], ascending=[False, True]
+        ).head(k)
+
+    pruned = parts.map_batches(partial, batch_format="pandas")
+    return pruned.sort(["p_size", "p_partkey"], descending=[True, False]).limit(k)
+
+
+TOP_PARTS_ORACLE = """
+SELECT p_partkey, p_name, p_size FROM part
+ORDER BY p_size DESC, p_partkey ASC LIMIT {k}
+"""

@@ -1,0 +1,426 @@
+"""Oracle-track KG operators over the driver ``documents`` table.
+
+These are the engine's KG operators (mention detection M2/M5, KB
+linking J5, co-occurrence triple extraction A4, graph aggregates
+G1-G8, chunk accounting M1, citation offsets M9) instantiated with a
+*deterministic, SQL-expressible* rule set so DuckDB can replay every
+step as an oracle (driver correctness gate). The full stub-LLM pipeline
+(`pipelines/kg.py`) exercises the same Ray operators with the richer
+reference semantics and is scored against the reference itself in
+``tests/test_golden_parity.py``.
+
+Deterministic rules (identical in the SQL strings below):
+
+* mention: KB surface ``term`` occurs in a document iff
+  ``' '||text||' '`` contains ``' '||term||' '``; its position is the
+  1-based ``strpos`` of that padded match.
+* triple: per document, mentions ordered by ``(pos, name)``;
+  consecutive pairs become ``(subject, 'related_to', object)``.
+* graph: edges = triple counts; nodes = per-entity document counts;
+  connections = distinct undirected neighbors.
+
+Everything here is document-local until the final aggregate, so the
+only shuffles are the small groupbys over pre-combined partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ray.data.aggregate import Sum
+
+from entity_extractor_linker_ray.functions.categories import is_maintenance_category
+from entity_extractor_linker_ray.functions.text import num_chunks
+from entity_extractor_linker_ray.state.kb import build_kb
+
+CHUNK_SIZE = 200
+CHUNK_OVERLAP = 50
+PREDICATE = "related_to"
+
+
+def vocab() -> list[dict]:
+    """Single-word KB entities (the multi-word 'parent' entities cannot
+    occur in the space-separated documents corpus)."""
+    return [r for r in build_kb() if " " not in r["label"]]
+
+
+def _read_documents(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# ----------------------------------------------------------------------
+# mention detection (vectorized per term)
+# ----------------------------------------------------------------------
+
+def _mentions_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    padded = " " + batch["text"].fillna("") + " "
+    frames = []
+    for rec in vocab():
+        pos = padded.str.find(f" {rec['label'].lower()} ") + 1  # 1-based strpos; 0 = miss
+        mask = pos > 0
+        if mask.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": batch.loc[mask, "doc_id"].to_numpy(),
+                        "name": rec["label"],
+                        "type": rec["type"],
+                        "pos": pos[mask].to_numpy(dtype=np.int64),
+                    }
+                )
+            )
+    if not frames:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "name": pd.Series([], dtype=str),
+                "type": pd.Series([], dtype=str),
+                "pos": pd.Series([], dtype=np.int64),
+            }
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def kg_mentions(sf_dir: str):
+    return _read_documents(sf_dir).map_batches(_mentions_batch, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+# linking: broadcast KB join (J5 — small side broadcast, no shuffle)
+# ----------------------------------------------------------------------
+
+def _kb_frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "name": r["label"],
+                "wikipedia_url": r["url_en"],
+                "wikidata_id": r["wikidata_id"],
+                "dbpedia_uri": r["dbpedia_uri"],
+                "canonical_id": r["url_en"],
+            }
+            for r in vocab()
+        ]
+    )
+
+
+def kg_entities(sf_dir: str):
+    kb = _kb_frame()
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(kb, on="name", how="left")
+
+    return kg_mentions(sf_dir).map_batches(join, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+# triples: consecutive co-occurrence (document-local)
+# ----------------------------------------------------------------------
+
+def _triples_from_mentions(batch: pd.DataFrame) -> pd.DataFrame:
+    if batch.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "subject": pd.Series([], dtype=str),
+                "predicate": pd.Series([], dtype=str),
+                "object": pd.Series([], dtype=str),
+            }
+        )
+    b = batch.sort_values(["doc_id", "pos", "name"], kind="stable")
+    nxt_name = b["name"].shift(-1)
+    nxt_doc = b["doc_id"].shift(-1)
+    mask = nxt_doc == b["doc_id"]
+    return pd.DataFrame(
+        {
+            "doc_id": b.loc[mask, "doc_id"].to_numpy(),
+            "subject": b.loc[mask, "name"].to_numpy(),
+            "predicate": PREDICATE,
+            "object": nxt_name[mask].to_numpy(),
+        }
+    )
+
+
+def kg_triples(sf_dir: str):
+    """Single fused kernel over documents (mention scan + pairing) so
+    one document's mentions can never straddle a batch boundary —
+    re-batching between two chained ``map_batches`` stages would not
+    guarantee that."""
+    return _read_documents(sf_dir).map_batches(
+        lambda b: _triples_from_mentions(_mentions_batch(b)), batch_format="pandas"
+    )
+
+
+# ----------------------------------------------------------------------
+# graph aggregates over the simple triples
+# ----------------------------------------------------------------------
+
+def kg_edges(sf_dir: str):
+    partials = kg_triples(sf_dir).map_batches(
+        lambda b: b.groupby(["subject", "predicate", "object"], sort=False)
+        .size()
+        .reset_index(name="weight")
+        .astype({"weight": np.int64}),
+        batch_format="pandas",
+    )
+    return partials.groupby(["subject", "predicate", "object"]).aggregate(
+        Sum("weight", alias_name="weight")
+    )
+
+
+def kg_nodes(sf_dir: str):
+    partials = kg_mentions(sf_dir).map_batches(
+        lambda b: b.groupby(["name", "type"], sort=False)
+        .agg(n_docs=("doc_id", "nunique"))
+        .reset_index()
+        .astype({"n_docs": np.int64}),
+        batch_format="pandas",
+    )
+    return partials.groupby(["name", "type"]).aggregate(Sum("n_docs", alias_name="n_docs"))
+
+
+def kg_entity_connections(sf_dir: str):
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = batch[["subject", "object"]].rename(
+            columns={"subject": "entity", "object": "neighbor"}
+        )
+        rev = batch[["object", "subject"]].rename(
+            columns={"object": "entity", "subject": "neighbor"}
+        )
+        return pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "entity": [group["entity"].iloc[0]],
+                "n_neighbors": np.array([group["neighbor"].nunique()], dtype=np.int64),
+            }
+        )
+
+    partials = kg_triples(sf_dir).map_batches(both_dirs, batch_format="pandas")
+    return partials.groupby("entity").map_groups(final, batch_format="pandas")
+
+
+def kg_type_distribution(sf_dir: str):
+    partials = kg_entities(sf_dir).map_batches(
+        lambda b: b.groupby("type", sort=False).size().reset_index(name="n")
+        .astype({"n": np.int64}),
+        batch_format="pandas",
+    )
+    return partials.groupby("type").aggregate(Sum("n", alias_name="n"))
+
+
+def kg_linked_counts(sf_dir: str) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "total": [np.int64(len(batch))],
+                "wikidata": [np.int64((batch["wikidata_id"] != "").sum())],
+                "dbpedia": [np.int64((batch["dbpedia_uri"] != "").sum())],
+            }
+        )
+
+    parts = kg_entities(sf_dir).map_batches(partial, batch_format="pandas").to_pandas()
+    total = int(parts["total"].sum())
+    wikidata = int(parts["wikidata"].sum())
+    dbpedia = int(parts["dbpedia"].sum())
+    return pd.DataFrame(
+        [
+            {
+                "total_mentions": np.int64(total),
+                "wikidata_count": np.int64(wikidata),
+                "dbpedia_count": np.int64(dbpedia),
+                "wikidata_percent": (wikidata * 100 / total) if total else 0.0,
+                "dbpedia_percent": (dbpedia * 100 / total) if total else 0.0,
+            }
+        ]
+    )
+
+
+def kg_top_categories(sf_dir: str, k: int = 10):
+    cats = pd.DataFrame(
+        [
+            {"name": r["label"], "category": c}
+            for r in vocab()
+            for c in r["categories"]
+            if not is_maintenance_category(c)
+        ]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        joined = batch[["doc_id", "name"]].merge(cats, on="name")
+        return (
+            joined.groupby("category", sort=False).size().reset_index(name="n")
+            .astype({"n": np.int64})
+        )
+
+    partials = kg_mentions(sf_dir).map_batches(partial, batch_format="pandas")
+    counts = partials.groupby("category").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "category"], descending=[True, False]).limit(k)
+
+
+# ----------------------------------------------------------------------
+# chunk accounting (M1) and citation offsets (M9)
+# ----------------------------------------------------------------------
+
+def kg_chunk_counts(sf_dir: str):
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        lengths = batch["text"].fillna("").str.len()
+        counts = [num_chunks(int(n), CHUNK_SIZE, CHUNK_OVERLAP) for n in lengths]
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(), "n_chunks": np.array(counts, np.int64)}
+        )
+
+    return _read_documents(sf_dir).map_batches(kernel, batch_format="pandas")
+
+
+def kg_citations(sf_dir: str):
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        out = _mentions_batch(batch)
+        term_len = out["name"].str.len().to_numpy(dtype=np.int64)
+        start = out["pos"].to_numpy() - 1
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(),
+                "name": out["name"].to_numpy(),
+                "citation_start": start,
+                "citation_end": start + term_len,
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(kernel, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+# SQL oracle builders
+# ----------------------------------------------------------------------
+
+def _sql_quote(value: str) -> str:
+    return "'" + value.replace("'", "''") + "'"
+
+
+def vocab_cte() -> str:
+    rows = ",\n    ".join(
+        f"({_sql_quote(r['label'].lower())}, {_sql_quote(r['label'])}, "
+        f"{_sql_quote(r['type'])}, {_sql_quote(r['url_en'])}, "
+        f"{_sql_quote(r['wikidata_id'])}, {_sql_quote(r['dbpedia_uri'])})"
+        for r in vocab()
+    )
+    return (
+        "vocab(term, name, type, wikipedia_url, wikidata_id, dbpedia_uri) AS (VALUES\n    "
+        + rows
+        + ")"
+    )
+
+
+def mentions_cte() -> str:
+    return (
+        "m AS (SELECT d.doc_id, v.name, v.type, v.wikipedia_url, v.wikidata_id, "
+        "v.dbpedia_uri, strpos(' '||d.text||' ', ' '||v.term||' ') AS pos "
+        "FROM documents d CROSS JOIN vocab v "
+        "WHERE strpos(' '||d.text||' ', ' '||v.term||' ') > 0)"
+    )
+
+
+def triples_cte() -> str:
+    return (
+        "t AS (SELECT doc_id, name AS subject, 'related_to' AS predicate, "
+        "lead(name) OVER (PARTITION BY doc_id ORDER BY pos, name) AS object FROM m)"
+    )
+
+
+def categories_cte() -> str:
+    rows = ",\n    ".join(
+        f"({_sql_quote(r['label'])}, {_sql_quote(c)})"
+        for r in vocab()
+        for c in r["categories"]
+        if not is_maintenance_category(c)
+    )
+    return f"kbcat(name, category) AS (VALUES\n    {rows})"
+
+
+ORACLES: dict[str, str] = {
+    "kg_mentions": (
+        "WITH {vocab}, {m} SELECT doc_id, name, type, pos FROM m"
+    ),
+    "kg_entities": (
+        "WITH {vocab}, {m} SELECT doc_id, name, type, pos, wikipedia_url, "
+        "wikidata_id, dbpedia_uri, wikipedia_url AS canonical_id FROM m"
+    ),
+    "kg_triples": (
+        "WITH {vocab}, {m}, {t} "
+        "SELECT doc_id, subject, predicate, object FROM t WHERE object IS NOT NULL"
+    ),
+    "kg_edges": (
+        "WITH {vocab}, {m}, {t} "
+        "SELECT subject, predicate, object, count(*) AS weight FROM t "
+        "WHERE object IS NOT NULL GROUP BY 1, 2, 3"
+    ),
+    "kg_nodes": (
+        "WITH {vocab}, {m} "
+        "SELECT name, type, count(DISTINCT doc_id) AS n_docs FROM m GROUP BY 1, 2"
+    ),
+    "kg_entity_connections": (
+        "WITH {vocab}, {m}, {t}, "
+        "p AS (SELECT subject, object FROM t WHERE object IS NOT NULL), "
+        "u AS (SELECT subject AS entity, object AS neighbor FROM p "
+        "UNION SELECT object, subject FROM p) "
+        "SELECT entity, count(DISTINCT neighbor) AS n_neighbors FROM u GROUP BY entity"
+    ),
+    "kg_type_distribution": (
+        "WITH {vocab}, {m} SELECT type, count(*) AS n FROM m GROUP BY type"
+    ),
+    "kg_linked_counts": (
+        "WITH {vocab}, {m} SELECT count(*) AS total_mentions, "
+        "CAST(sum(CASE WHEN wikidata_id <> '' THEN 1 ELSE 0 END) AS BIGINT) AS wikidata_count, "
+        "CAST(sum(CASE WHEN dbpedia_uri <> '' THEN 1 ELSE 0 END) AS BIGINT) AS dbpedia_count, "
+        "sum(CASE WHEN wikidata_id <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) AS wikidata_percent, "
+        "sum(CASE WHEN dbpedia_uri <> '' THEN 1 ELSE 0 END) * 100.0 / count(*) AS dbpedia_percent "
+        "FROM m"
+    ),
+    "kg_top_categories": (
+        "WITH {vocab}, {m}, {kbcat} "
+        "SELECT c.category, count(*) AS n FROM m JOIN kbcat c USING (name) "
+        "GROUP BY c.category ORDER BY n DESC, c.category ASC LIMIT 10"
+    ),
+    "kg_chunk_counts": (
+        "SELECT doc_id, CASE WHEN length(COALESCE(text, '')) = 0 THEN 0 "
+        "WHEN length(text) <= {size} THEN 1 "
+        "ELSE 1 + CAST(CEIL((length(text) - {size}) / {step}.0) AS BIGINT) END AS n_chunks "
+        "FROM documents"
+    ),
+    "kg_citations": (
+        "WITH {vocab}, {m} SELECT doc_id, name, pos - 1 AS citation_start, "
+        "pos - 1 + length(name) AS citation_end FROM m"
+    ),
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    fill = {
+        "vocab": vocab_cte(),
+        "m": mentions_cte(),
+        "t": triples_cte(),
+        "kbcat": categories_cte(),
+        "size": CHUNK_SIZE,
+        "step": CHUNK_SIZE - CHUNK_OVERLAP,
+    }
+    return {name: sql.format(**fill) for name, sql in ORACLES.items()}
+
+
+QUERIES = {
+    "kg_mentions": kg_mentions,
+    "kg_entities": kg_entities,
+    "kg_triples": kg_triples,
+    "kg_edges": kg_edges,
+    "kg_nodes": kg_nodes,
+    "kg_entity_connections": kg_entity_connections,
+    "kg_type_distribution": kg_type_distribution,
+    "kg_linked_counts": kg_linked_counts,
+    "kg_top_categories": kg_top_categories,
+    "kg_chunk_counts": kg_chunk_counts,
+    "kg_citations": kg_citations,
+}
