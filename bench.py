@@ -1,0 +1,177 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line.
+
+``--scaling``: run the headline KG pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and report both
+throughputs plus scaling efficiency (the sandbox stand-in for the
+north rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _kg_cfg(num_cpus: int) -> dict:
+    return {
+        "USE_WIKIDATA": True,
+        "USE_DBPEDIA": True,
+        "ENABLE_ENTITY_INFERENCE": True,
+        "ENABLE_RELATIONS_INFERENCE": True,
+        "ENABLE_KGC": True,
+        "KGC_ROUNDS": 2,
+        "RAY_KG_CONCURRENCY": max(2, num_cpus - 2),
+        "RAY_DOC_BLOCKS": max(16, num_cpus * 4),
+    }
+
+
+def run_kg_headline(sf_dir: str, num_cpus: int) -> tuple[float, int]:
+    """Full KG pipeline end-to-end: read → assemble → extract/link/
+    relate/KGC → write triples+entities to parquet. Returns (sec,
+    n_triples)."""
+    import pyarrow.compute as pc
+
+    from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
+    from entity_extractor_linker_ray.synthetic import transcripts_dataset_from_documents
+
+    out_dir = f"/tmp/bench_kg_out_{num_cpus}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    start = time.time()
+    out = build_kg_datasets(
+        transcripts_dataset_from_documents(sf_dir), _kg_cfg(num_cpus), materialize=False
+    )
+    records = out["records"]
+    records.write_parquet(out_dir)
+    wall = time.time() - start
+    import ray.data as rd
+
+    n_triples = (
+        rd.read_parquet(out_dir, columns=["record_type"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("record_type"), "triple")),
+            batch_format="pyarrow",
+        )
+        .count()
+    )
+    return wall, n_triples
+
+
+def timed_queries(sf_dir: str) -> dict[str, float]:
+    """Representative operator timings (each consumed to completion)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    queries = entrymod.queries()
+    names = [
+        "kg_triples",
+        "kg_edges",
+        "kg_top_categories",
+        "doc_stats",
+        "dedup_exact",
+        "dedup_minhash_candidates",
+        "dedup_simhash",
+        "knn_brute",
+        "events_hourly",
+        "lineitem_pricing",
+    ]
+    times: dict[str, float] = {}
+    for name in names:
+        start = time.time()
+        result = queries[name](sf_dir)
+        if hasattr(result, "to_pandas"):
+            result.to_pandas()
+        times[name] = round(time.time() - start, 3)
+    return times
+
+
+def main_bench() -> dict:
+    _init_ray(NUM_CPUS)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import ray.data as rd
+
+    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    wall, n_triples = run_kg_headline(SF_DIR, NUM_CPUS)
+    qtimes = timed_queries(SF_DIR)
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / wall, 1) if wall else None,
+    }
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def main_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tput_lo = r_lo["triples_per_sec"]
+    tput_hi = r_hi["triples_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo) if tput_lo else None
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3) if eff is not None else None,
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "triples_per_sec_8": tput_lo,
+        "triples_per_sec_32": tput_hi,
+        "n_triples": r_hi["n_triples"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(main_scaling()))
+    else:
+        print(json.dumps(main_bench()))

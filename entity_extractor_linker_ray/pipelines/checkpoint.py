@@ -1,0 +1,176 @@
+"""Checkpointed, resumable KG runs: partitioned Parquet + per-bucket
+lineage/metrics manifest.
+
+Output layout (the "resumable from checkpoint" contract of the north
+rule — per-partition lineage + metrics; a failed run skips completed
+partitions on restart)::
+
+    out_dir/
+      records/bucket=K/*.parquet    # unified KG records, one dir per bucket
+      manifest.json                  # per-bucket status, row counts, timings
+
+Bucket = ``crc32(conv_id) % RAY_NUM_BUCKETS`` — a pure function of the
+partition key, so the assemble groupby and the output partitioning
+agree and a rerun can filter the *input* down to incomplete buckets
+before any heavy work happens (the skip is at the scan, not after it).
+
+Write protocol: remaining buckets are written to a staging directory in
+ONE streaming pass (``write_parquet(partition_cols=['bucket'])``), then
+each completed bucket directory is atomically renamed into place and
+the manifest updated. A crash mid-run leaves finished buckets valid and
+staging garbage ignorable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from entity_extractor_linker_ray.config import get_config
+
+
+def bucket_of(conv_id: str, n_buckets: int) -> int:
+    return zlib.crc32(conv_id.encode("utf-8")) % n_buckets
+
+
+def _add_bucket(n_buckets: int):
+    def kernel(batch: pa.Table) -> pa.Table:
+        buckets = pa.array(
+            [bucket_of(c, n_buckets) for c in batch.column("conv_id").to_pylist()],
+            pa.int32(),
+        )
+        return batch.append_column("bucket", buckets)
+
+    return kernel
+
+
+def _load_manifest(out_dir: str) -> dict:
+    path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh)
+    return {"buckets": {}, "n_buckets": None}
+
+
+def _save_manifest(out_dir: str, manifest: dict) -> None:
+    path = os.path.join(out_dir, "manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def run_kg_checkpointed(
+    transcripts_ds,
+    out_dir: str,
+    cfg: dict | None = None,
+    input_desc: str = "",
+    buckets_per_pass: int | None = None,
+    max_passes: int | None = None,
+) -> dict:
+    """Run the KG pipeline with per-bucket checkpointing; returns the
+    manifest. Safe to re-invoke after a crash: completed buckets are
+    pruned from the input scan and left untouched on disk.
+
+    ``buckets_per_pass`` bounds how many buckets one streaming pass
+    covers (None = all remaining in a single pass — cheapest; a finite
+    value trades extra input scans for finer-grained crash recovery).
+    ``max_passes`` stops after that many passes (tests use it to
+    emulate a crash mid-job).
+    """
+    from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
+
+    cfg = get_config(cfg)
+    n_buckets = int(cfg.get("RAY_NUM_BUCKETS", 32))
+    os.makedirs(out_dir, exist_ok=True)
+    records_dir = os.path.join(out_dir, "records")
+    os.makedirs(records_dir, exist_ok=True)
+    manifest = _load_manifest(out_dir)
+    if manifest["n_buckets"] not in (None, n_buckets):
+        raise ValueError(
+            f"existing checkpoint used n_buckets={manifest['n_buckets']}, "
+            f"got {n_buckets}"
+        )
+    manifest["n_buckets"] = n_buckets
+
+    passes = 0
+    while True:
+        done = {
+            int(b)
+            for b, info in manifest["buckets"].items()
+            if info.get("status") == "done"
+        }
+        todo = sorted(set(range(n_buckets)) - done)
+        if not todo:
+            return manifest
+        selected = todo if buckets_per_pass is None else todo[:buckets_per_pass]
+        sel_arr = pa.array(selected, pa.int32())
+        start = time.time()
+
+        def keep_selected(batch: pa.Table) -> pa.Table:
+            buckets = pa.array(
+                [bucket_of(c, n_buckets) for c in batch.column("conv_id").to_pylist()],
+                pa.int32(),
+            )
+            return batch.filter(pc.is_in(buckets, value_set=sel_arr))
+
+        pruned = transcripts_ds.map_batches(keep_selected, batch_format="pyarrow")
+        out = build_kg_datasets(pruned, cfg, materialize=False)
+        records = out["records"].map_batches(
+            _add_bucket(n_buckets), batch_format="pyarrow"
+        )
+
+        staging = os.path.join(out_dir, f"_staging-{int(start * 1000)}")
+        records.write_parquet(staging, partition_cols=["bucket"])
+
+        wall = time.time() - start
+        for bucket in selected:
+            src = os.path.join(staging, f"bucket={bucket}")
+            dst = os.path.join(records_dir, f"bucket={bucket}")
+            rows_e = rows_t = 0
+            if os.path.exists(src):
+                import pyarrow.parquet as pq
+
+                kinds = pq.read_table(src, columns=["record_type"]).column(
+                    "record_type"
+                ).to_pylist()
+                rows_e = sum(1 for k in kinds if k == "entity")
+                rows_t = len(kinds) - rows_e
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.replace(src, dst)
+            else:
+                os.makedirs(dst, exist_ok=True)
+            manifest["buckets"][str(bucket)] = {
+                "status": "done",
+                "rows_entities": rows_e,
+                "rows_triples": rows_t,
+                "input": input_desc,
+                "wall_s_pass": round(wall, 3),
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+            _save_manifest(out_dir, manifest)
+        shutil.rmtree(staging, ignore_errors=True)
+        passes += 1
+        if buckets_per_pass is None or (max_passes is not None and passes >= max_passes):
+            return manifest
+
+
+def read_checkpointed(out_dir: str, record_type: str | None = None):
+    """Read back a checkpointed run as a Dataset (optionally one record
+    type)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(out_dir, "records"))
+    if record_type is not None:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("record_type"), record_type)),
+            batch_format="pyarrow",
+        )
+    return ds
