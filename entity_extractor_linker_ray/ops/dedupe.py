@@ -15,12 +15,8 @@ against degenerate hot buckets (cap logged, not silent).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
-
-from ray.data.aggregate import Count
 
 _MERSENNE = (1 << 61) - 1
 N_HASHES = 64
@@ -51,9 +47,9 @@ def exact_dedup(sf_dir: str):
     def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "content_hash": [
-                    hashlib.md5((t or "").encode()).hexdigest() for t in batch["text"]
-                ],
+                "content_hash": pd.util.hash_array(
+                    batch["text"].fillna("").to_numpy(dtype=object)
+                ),
                 "doc_id": batch["doc_id"].to_numpy(),
             }
         )
@@ -81,39 +77,49 @@ EXACT_DEDUP_ORACLE = (
 # ----------------------------------------------------------------------
 
 def _shingles(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Hashed k-token shingles (unique, sorted uint64).
+
+    Gram hashing is vectorized via ``pd.util.hash_array`` (SipHash with
+    a fixed key — deterministic across processes), not per-gram md5 in
+    a Python loop."""
     tokens = text.split()
     if len(tokens) < k:
         grams = [" ".join(tokens)] if tokens else []
     else:
         grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    return np.unique(
-        np.array(
-            [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") for g in grams],
-            dtype=np.uint64,
-        )
-    )
+    if not grams:
+        return np.array([], dtype=np.uint64)
+    return np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)))
 
 
 class MinHasher:
     """Stateful signature stage: the (a, b) hash-family coefficients are
-    generated ONCE per actor from a fixed seed."""
+    generated ONCE per actor from a fixed seed.
+
+    Hashing is multiply-add over uint64 with natural 2^64 wraparound
+    (multiply-shift universal family) — fully vectorized, no bignum
+    math. One (n_hashes × total_shingles) product matrix per batch,
+    reduced per document with ``np.minimum.reduceat``."""
 
     def __init__(self, n_hashes: int = N_HASHES, seed: int = 13):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.uint64)
+        # odd multipliers give a proper multiply-shift family mod 2^64
+        self.a = (rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.uint64) << 1) | 1
         self.b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
         self.n = n_hashes
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text)
-        if sh.size == 0:
-            return np.full(self.n, np.iinfo(np.uint64).max, dtype=np.uint64)
-        prods = (sh[None, :].astype(object) * self.a[:, None].astype(object)
-                 + self.b[:, None].astype(object)) % _MERSENNE
-        return np.min(np.asarray(prods, dtype=np.uint64), axis=1)
-
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t or "") for t in batch["text"]])
+        per_doc = [_shingles(t or "") for t in batch["text"]]
+        counts = np.array([s.size for s in per_doc], dtype=np.int64)
+        sigs = np.full((len(per_doc), self.n), np.iinfo(np.uint64).max, dtype=np.uint64)
+        nonempty = counts > 0
+        if nonempty.any():
+            flat = np.concatenate([s for s in per_doc if s.size])
+            with np.errstate(over="ignore"):
+                prods = flat[None, :] * self.a[:, None] + self.b[:, None]
+            starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
+            mins = np.minimum.reduceat(prods, starts, axis=1)  # (n, n_nonempty)
+            sigs[nonempty] = mins.T
         out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
         out["signature"] = list(sigs)
         return out
@@ -125,43 +131,68 @@ def minhash_signatures(sf_dir: str):
     )
 
 
+_BAND_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
 def _band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-    doc_ids, bands, keys = [], [], []
-    for doc_id, sig in zip(batch["doc_id"], batch["signature"]):
-        sig = np.asarray(sig, dtype=np.uint64)
-        for band in range(N_BANDS):
-            chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-            digest = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-            doc_ids.append(doc_id)
-            bands.append(band)
-            keys.append(digest)
+    """Banded bucket keys, fully vectorized: signatures reshape to
+    (docs, bands, rows), each band chunk mixes to one uint64 key via
+    multiply-add (equal chunks → equal keys; cross-chunk collisions are
+    harmless — every candidate pair is Jaccard-verified downstream)."""
+    if batch.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "band": pd.Series([], dtype=np.int32),
+             "bucket": pd.Series([], dtype=np.uint64)}
+        )
+    sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["signature"]])
+    chunks = sigs.reshape(len(sigs), N_BANDS, ROWS_PER_BAND)
+    with np.errstate(over="ignore"):
+        keys = (chunks * _BAND_MIX[:ROWS_PER_BAND]).sum(axis=2, dtype=np.uint64)
+    doc_ids = np.repeat(batch["doc_id"].to_numpy(dtype=np.int64), N_BANDS)
+    bands = np.tile(np.arange(N_BANDS, dtype=np.int32), len(sigs))
+    return pd.DataFrame({"doc_id": doc_ids, "band": bands, "bucket": keys.ravel()})
+
+
+def _pairs_in_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """All (doc_a < doc_b) pairs sharing a (band, bucket), vectorized:
+    cap each bucket at MAX_BUCKET members (smallest doc_ids, matching
+    the prior per-group cap) then one self-merge — no per-group Python
+    even when almost every bucket is singleton."""
+    g = part.sort_values(["band", "bucket", "doc_id"], kind="stable")
+    rank = g.groupby(["band", "bucket"], sort=False).cumcount()
+    g = g[rank.to_numpy() < MAX_BUCKET]
+    m = g.merge(g, on=["band", "bucket"], suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
     return pd.DataFrame(
-        {"doc_id": np.array(doc_ids, dtype=np.int64),
-         "band": np.array(bands, dtype=np.int32),
-         "bucket": keys}
+        {"doc_a": m["doc_id_a"].to_numpy(dtype=np.int64),
+         "doc_b": m["doc_id_b"].to_numpy(dtype=np.int64)}
     )
-
-
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(group["doc_id"].to_numpy())[:MAX_BUCKET]
-    if ids.size < 2:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64)})
-    left, right = np.triu_indices(ids.size, k=1)
-    return pd.DataFrame({"doc_a": ids[left], "doc_b": ids[right]})
 
 
 def minhash_candidates(sf_dir: str):
-    """LSH candidate pairs (deduplicated across bands)."""
+    """LSH candidate pairs (deduplicated across bands). Both wide steps
+    are bucketed two-phase shuffles (`ops/shuffle.py`): pair generation
+    hash-partitions the (band, bucket) key space, pair dedup the
+    (doc_a, doc_b) space — bucket and pair cardinality ≈ row count, the
+    regime where Ray's native per-group aggregate collapses."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
     rows = minhash_signatures(sf_dir).map_batches(_band_rows, batch_format="pandas")
-    pairs = rows.groupby(["band", "bucket"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    # dedup identical pairs surfaced by multiple bands
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-    )
+    pairs = grouped_aggregate(rows, ["band", "bucket"], _pairs_in_partition)
+
+    def count_bands(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["doc_a", "doc_b"], sort=False)
+            .size()
+            .reset_index(name="n_bands")
+            .astype({"n_bands": np.int64})
+        )
+
+    return grouped_aggregate(pairs, ["doc_a", "doc_b"], count_bands)
 
 
 def jaccard_verified_pairs(sf_dir: str, threshold: float = 0.8):
@@ -228,28 +259,32 @@ def jaccard_verified_pairs(sf_dir: str, threshold: float = 0.8):
 # ----------------------------------------------------------------------
 
 def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    out = []
-    for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        tokens = (text or "").split()
-        if not tokens:
-            out.append((doc_id, np.uint64(0)))
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for tok in tokens:
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            )
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        value = np.uint64(0)
-        for i in range(64):
-            if acc[i] > 0:
-                value |= np.uint64(1) << np.uint64(i)
-        out.append((doc_id, value))
-    frame = pd.DataFrame(out, columns=["doc_id", "simhash"])
-    frame["simhash"] = frame["simhash"].astype(np.uint64)
-    return frame
+    """64-bit SimHash per document, vectorized across the whole batch:
+    all tokens hashed at once (SipHash via ``pd.util.hash_array``),
+    bits unpacked into a (tokens × 64) ±1 matrix, summed per document
+    with ``np.add.reduceat`` over the contiguous token runs."""
+    token_lists = [(t or "").split() for t in batch["text"]]
+    counts = np.array([len(t) for t in token_lists], dtype=np.int64)
+    values = np.zeros(len(token_lists), dtype=np.uint64)
+    nonempty = counts > 0
+    if nonempty.any():
+        flat = np.asarray(
+            [tok for toks in token_lists for tok in toks], dtype=object
+        )
+        hashes = pd.util.hash_array(flat)  # uint64 per token
+        bits = (
+            np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            .astype(np.int8)
+            .astype(np.int16)
+        )  # (tokens, 64), bit i = (h >> i) & 1
+        signs = bits * 2 - 1
+        starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
+        acc = np.add.reduceat(signs, starts, axis=0)  # (n_nonempty, 64)
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+        values[nonempty] = np.where(acc > 0, weights, np.uint64(0)).sum(
+            axis=1, dtype=np.uint64
+        )
+    return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "simhash": values})
 
 
 def simhash(sf_dir: str):
