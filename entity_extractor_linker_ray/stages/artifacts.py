@@ -1,0 +1,252 @@
+"""Optional output artifacts: compendium, training data, graph viz.
+
+These are the reference's feature-flagged extras re-expressed as Ray
+stages / driver-side sinks:
+
+* compendium (``ENABLE_COMPENDIUM``, ``services/compendium_service.py:9-89``)
+  — an actor-pool ``map_batches`` stage over assembled documents; each
+  conversation gets one LLM compendium call fed by its linked entities.
+* training data (``COLLECT_TRAINING_DATA``,
+  ``services/openai_service.py:133-209``) — a Dataset of fine-tune chat
+  examples, writable as JSONL via ``write_training_jsonl``.
+* graph visualization (``ENABLE_GRAPH_VISUALIZATION``,
+  ``core/graph_visualization.py:91-209``) — driver-side renderers over
+  the small materialized nodes/edges tables. The PNG path requires
+  matplotlib (absent in this environment → NotImplementedError, as the
+  decode-stub convention); DOT and standalone-HTML renderers are pure
+  Python and always available.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from entity_extractor_linker_ray.config import get_config
+from entity_extractor_linker_ray.core_doc import (
+    build_compendium,
+    extract_and_link,
+    infer_relationships,
+    training_examples,
+)
+from entity_extractor_linker_ray.stages.kg_stage import make_llm_client
+from entity_extractor_linker_ray.state.kb import KBSnapshot, build_kb
+
+COMPENDIUM_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("compendium", pa.string()),
+        ("references", pa.list_(pa.string())),
+        ("n_references", pa.int32()),
+    ]
+)
+
+TRAINING_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("kind", pa.string()),
+        ("messages_json", pa.string()),
+    ]
+)
+
+
+class _DocArtifactActor:
+    """Shared per-actor state for document-level artifact stages."""
+
+    def __init__(self, cfg: dict | None = None, kb_ref=None):
+        self.cfg = get_config(cfg)
+        if kb_ref is not None:
+            import ray
+
+            records = ray.get(kb_ref) if not isinstance(kb_ref, list) else kb_ref
+        else:
+            records = build_kb()
+        self.kb = KBSnapshot(records)
+        self.llm = make_llm_client(self.cfg, self.kb)
+
+
+class CompendiumActor(_DocArtifactActor):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids, texts, refs_col, n_refs = [], [], [], []
+        for conv_id, doc_text in zip(
+            batch.column("conv_id").to_pylist(), batch.column("doc_text").to_pylist()
+        ):
+            ents = extract_and_link(doc_text or "", self.cfg, self.llm, self.kb)
+            compendium, refs = build_compendium(doc_text or "", ents, self.cfg, self.llm)
+            conv_ids.append(conv_id)
+            texts.append(compendium)
+            refs_col.append(refs)
+            n_refs.append(len(refs))
+        return pa.Table.from_arrays(
+            [
+                pa.array(conv_ids, pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array(refs_col, pa.list_(pa.string())),
+                pa.array(n_refs, pa.int32()),
+            ],
+            schema=COMPENDIUM_SCHEMA,
+        )
+
+
+class TrainingDataActor(_DocArtifactActor):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids, kinds, payloads = [], [], []
+        for conv_id, doc_text in zip(
+            batch.column("conv_id").to_pylist(), batch.column("doc_text").to_pylist()
+        ):
+            ents = extract_and_link(doc_text or "", self.cfg, self.llm, self.kb)
+            rels = (
+                infer_relationships(doc_text or "", ents, self.cfg, self.llm)
+                if self.cfg.get("RELATION_EXTRACTION", False)
+                else []
+            )
+            for ex in training_examples(doc_text or "", ents, rels, self.cfg):
+                conv_ids.append(conv_id)
+                kinds.append(ex["kind"])
+                payloads.append(
+                    json.dumps({"messages": ex["messages"]}, ensure_ascii=False)
+                )
+        return pa.Table.from_arrays(
+            [
+                pa.array(conv_ids, pa.string()),
+                pa.array(kinds, pa.string()),
+                pa.array(payloads, pa.string()),
+            ],
+            schema=TRAINING_SCHEMA,
+        )
+
+
+def _actor_stage(documents_ds, actor_cls, cfg, kb_ref, **ray_opts):
+    merged = get_config(cfg)
+    cap = merged.get("RAY_KG_CONCURRENCY", 8)
+    concurrency = cap if isinstance(cap, tuple) else (1, max(1, int(cap)))
+    opts = dict(
+        batch_format="pyarrow",
+        batch_size=merged.get("RAY_KG_BATCH_SIZE", 64),
+        concurrency=concurrency,
+        num_cpus=merged.get("RAY_NUM_CPUS_PER_ACTOR", 1),
+    )
+    opts.update(ray_opts)
+    return documents_ds.map_batches(
+        actor_cls, fn_constructor_kwargs={"cfg": cfg, "kb_ref": kb_ref}, **opts
+    )
+
+
+def compendium_records(documents_ds, cfg: dict | None = None, kb_ref=None, **ray_opts):
+    """documents → (conv_id, compendium, references) via actor pool."""
+    return _actor_stage(documents_ds, CompendiumActor, cfg, kb_ref, **ray_opts)
+
+
+def training_records(documents_ds, cfg: dict | None = None, kb_ref=None, **ray_opts):
+    """documents → fine-tune chat examples (one row per example)."""
+    return _actor_stage(documents_ds, TrainingDataActor, cfg, kb_ref, **ray_opts)
+
+
+def write_training_jsonl(training_ds, path: str) -> None:
+    """S4/S5 sink: JSONL of ``{"messages": [...]}`` lines (the payload
+    column already holds the serialized object, matching the
+    reference's appended-line format)."""
+    training_ds.select_columns(["messages_json"]).write_json(path)
+
+
+# ----------------------------------------------------------------------
+# graph visualization sinks (driver-side, S7/S8)
+# ----------------------------------------------------------------------
+
+def render_graph_dot(nodes_df, edges_df) -> str:
+    """Graphviz DOT text for the materialized graph — the portable
+    stand-in for the reference's matplotlib PNG renderer
+    (``core/graph_visualization.py:91-176``)."""
+    lines = ["digraph knowledgegraph {", "  rankdir=LR;"]
+    for row in nodes_df.itertuples(index=False):
+        label = str(row.label).replace('"', r"\"")
+        lines.append(
+            f'  "{row.canonical_id}" [label="{label}" type="{row.type}"'
+            f" weight={int(row.n_mentions)}];"
+        )
+    for row in edges_df.itertuples(index=False):
+        pred = str(row.predicate).replace('"', r"\"")
+        style = "solid" if row.inferred == "explicit" else "dashed"
+        lines.append(
+            f'  "{row.subject_id}" -> "{row.object_id}" '
+            f'[label="{pred}" style={style} weight={int(row.weight)}];'
+        )
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def render_graph_html(nodes_df, edges_df, title: str = "Knowledge Graph") -> str:
+    """Standalone interactive-HTML sink mirroring the reference's PyVis
+    output (``core/graph_visualization.py:178-209``): the graph data is
+    embedded as JSON; rendering uses a self-contained canvas script (no
+    external JS dependencies, which this environment lacks)."""
+    payload = {
+        "nodes": [
+            {
+                "id": row.canonical_id,
+                "label": str(row.label),
+                "type": str(row.type),
+                "value": int(row.n_mentions),
+            }
+            for row in nodes_df.itertuples(index=False)
+        ],
+        "edges": [
+            {
+                "from": row.subject_id,
+                "to": row.object_id,
+                "label": str(row.predicate),
+                "dashes": row.inferred != "explicit",
+                "value": int(row.weight),
+            }
+            for row in edges_df.itertuples(index=False)
+        ],
+    }
+    data = json.dumps(payload, ensure_ascii=False)
+    return (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+        f"<title>{title}</title></head><body>"
+        f"<h1>{title}</h1>"
+        f"<script id='graph-data' type='application/json'>{data}</script>"
+        "<canvas id='kg' width='1200' height='800'></canvas>"
+        "<script>const g=JSON.parse(document.getElementById('graph-data').textContent);"
+        "const c=document.getElementById('kg').getContext('2d');"
+        "g.nodes.forEach((n,i)=>{const x=100+(i%10)*110,y=60+Math.floor(i/10)*90;"
+        "n._x=x;n._y=y;c.beginPath();c.arc(x,y,8+2*Math.sqrt(n.value),0,7);c.stroke();"
+        "c.fillText(n.label,x+10,y);});"
+        "g.edges.forEach(e=>{const a=g.nodes.find(n=>n.id===e.from),"
+        "b=g.nodes.find(n=>n.id===e.to);if(!a||!b)return;c.beginPath();"
+        "c.setLineDash(e.dashes?[4,3]:[]);c.moveTo(a._x,a._y);c.lineTo(b._x,b._y);"
+        "c.stroke();});</script></body></html>"
+    )
+
+
+def render_graph_png(nodes_df, edges_df, path: str) -> None:
+    """PNG sink (reference S7). matplotlib is not installed in this
+    environment; the import is gated so environments that have it get
+    the real render."""
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "matplotlib is not available in this environment; use "
+            "render_graph_dot / render_graph_html instead"
+        ) from exc
+    import matplotlib.pyplot as plt  # pragma: no cover - env-dependent
+
+    fig, ax = plt.subplots(figsize=(12, 8))
+    pos = {
+        row.canonical_id: (i % 10, i // 10)
+        for i, row in enumerate(nodes_df.itertuples(index=False))
+    }
+    for row in edges_df.itertuples(index=False):
+        if row.subject_id in pos and row.object_id in pos:
+            (x1, y1), (x2, y2) = pos[row.subject_id], pos[row.object_id]
+            ax.plot([x1, x2], [y1, y2], "k-", alpha=0.3)
+    for row in nodes_df.itertuples(index=False):
+        x, y = pos[row.canonical_id]
+        ax.plot(x, y, "o")
+        ax.annotate(str(row.label), (x, y))
+    ax.axis("off")
+    fig.savefig(path)
+    plt.close(fig)

@@ -22,22 +22,34 @@ import numpy as np
 import pandas as pd
 
 
-def _assemble_group(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values("turn_idx", kind="stable")
-    return pd.DataFrame(
-        {
-            "conv_id": [group["conv_id"].iloc[0]],
-            "doc_text": ["\n".join(group["text"].astype(str))],
-            "n_turns": np.array([len(group)], dtype=np.int32),
-        }
+def _assemble_bucket(part: pd.DataFrame) -> pd.DataFrame:
+    g = part.sort_values(["conv_id", "turn_idx"], kind="stable")
+    texts = g["text"].astype(str)
+    agg = (
+        texts.groupby(g["conv_id"].to_numpy(), sort=False)
+        .agg(["\n".join, "size"])
+        .reset_index()
     )
+    agg.columns = ["conv_id", "doc_text", "n_turns"]
+    return agg.astype({"n_turns": np.int32})
 
 
-def assemble_documents(transcripts_ds):
+def assemble_documents(transcripts_ds, num_partitions: int = 64):
     """transcripts Dataset → documents Dataset
-    (``conv_id, doc_text, n_turns``)."""
+    (``conv_id, doc_text, n_turns``).
+
+    Shuffles on ``hash(conv_id) % num_partitions`` (a small int key)
+    rather than on raw ``conv_id`` — one conversation per group would
+    mean per-group Python overhead at 10^10-conversation cardinality;
+    one *bucket* per group keeps the in-group sort + concat fully
+    vectorized (`ops/shuffle.py` rationale). ``num_partitions`` is also
+    the output block count feeding the actor pool."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
     pruned = transcripts_ds.select_columns(["conv_id", "turn_idx", "text"])
-    return pruned.groupby("conv_id").map_groups(_assemble_group, batch_format="pandas")
+    return grouped_aggregate(
+        pruned, ["conv_id"], _assemble_bucket, num_partitions=num_partitions
+    )
 
 
 def sort_transcripts(transcripts_ds):

@@ -107,10 +107,13 @@ class KGDocumentActor:
 def kg_records(documents_ds, cfg: dict | None = None, kb_ref=None, **ray_opts):
     """documents → unified KG records via the actor pool.
 
-    ``RAY_KG_CONCURRENCY`` is the pool *cap*; the pool autoscales from 1
-    so it can never reserve every CPU and starve the upstream
-    read/sort/assemble tasks (a fixed pool equal to ``num_cpus``
-    deadlocks the streaming executor)."""
+    ``RAY_KG_CONCURRENCY`` as an int is the pool *cap*, autoscaling
+    from 1 — a pinned minimum can reserve every CPU of a small session
+    and starve the upstream read/sort/assemble tasks (deadlock). Jobs
+    that know their cluster (bench) pass a ``(min, max)`` tuple to pin
+    the pool; an autoscaling pool ramps slowly (measured: ~8 of 30
+    actors ever busy on a 1-minute job), so pinning to ~3/4 of the
+    node's CPUs is the right call for throughput runs."""
     merged = get_config(cfg)
     cap = merged.get("RAY_KG_CONCURRENCY", 8)
     concurrency = cap if isinstance(cap, tuple) else (1, max(1, int(cap)))

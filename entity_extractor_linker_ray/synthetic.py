@@ -90,11 +90,13 @@ def generate_transcripts(
     return table.take(pa.array(perm))
 
 
-def turns_from_document(doc_id: int, text: str, words_per_turn: int = 12) -> list[dict]:
+def turns_from_document(
+    doc_id: int, text: str, words_per_turn: int = 12, rep: int = 0
+) -> list[dict]:
     """Deterministically split one document into transcript turns."""
     words = text.split()
     rows = []
-    conv_id = f"doc-{doc_id:010d}"
+    conv_id = f"doc-{doc_id:010d}" if rep == 0 else f"doc-r{rep:02d}-{doc_id:010d}"
     n_turns = max(1, (len(words) + words_per_turn - 1) // words_per_turn)
     for ti in range(n_turns):
         chunk = " ".join(words[ti * words_per_turn : (ti + 1) * words_per_turn])
@@ -111,7 +113,7 @@ def turns_from_document(doc_id: int, text: str, words_per_turn: int = 12) -> lis
     return rows
 
 
-def documents_to_transcripts_batch(batch: pa.Table) -> pa.Table:
+def documents_to_transcripts_batch(batch: pa.Table, rep: int = 0) -> pa.Table:
     """``map_batches`` kernel: documents rows → transcript rows.
 
     Vectorized enough for the synthesis step (string split per doc,
@@ -125,7 +127,7 @@ def documents_to_transcripts_batch(batch: pa.Table) -> pa.Table:
         "conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": [], "ts": []
     }
     for doc_id, text in zip(doc_ids, texts):
-        for row in turns_from_document(doc_id, text or ""):
+        for row in turns_from_document(doc_id, text or "", rep=rep):
             for key in out:
                 out[key].append(row[key])
     return pa.table(
@@ -140,10 +142,35 @@ def documents_to_transcripts_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def transcripts_dataset_from_documents(sf_dir: str):
+def transcripts_dataset_from_documents(sf_dir: str, repeat: int = 1):
     """documents.parquet → transcripts Dataset (streaming, column-pruned
-    read; no driver-side materialization)."""
+    read; no driver-side materialization).
+
+    ``repeat > 1`` emits ``repeat`` deterministic copies of each
+    document with distinct ``conv_id`` prefixes — used by the scaling
+    benchmark to make the job compute-bound (same logical input at both
+    parallelism levels). Replication happens inside the map kernel so
+    the block count stays that of ONE read — a union of ``repeat``
+    datasets would multiply shuffle-block count (and with it the
+    sort's O(blocks × partitions) object explosion)."""
     import ray.data as rd
+    import pyarrow.compute as pc
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(documents_to_transcripts_batch, batch_format="pyarrow")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        base = documents_to_transcripts_batch(batch)
+        if repeat == 1:
+            return base
+        # turn derivation runs ONCE; replicas only re-stamp conv_id
+        # (vectorized string concat), so kernel cost is O(turns), not
+        # O(turns × repeat)
+        parts = [base]
+        for rep in range(1, repeat):
+            conv = pc.binary_join_element_wise(
+                pa.scalar(f"rep{rep:03d}-"), base.column("conv_id"), ""
+            )
+            parts.append(base.set_column(0, "conv_id", conv))
+        return pa.concat_tables(parts)
+
+    return docs.map_batches(kernel, batch_format="pyarrow")
