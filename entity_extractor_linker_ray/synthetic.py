@@ -142,7 +142,9 @@ def documents_to_transcripts_batch(batch: pa.Table, rep: int = 0) -> pa.Table:
     )
 
 
-def transcripts_dataset_from_documents(sf_dir: str, repeat: int = 1):
+def transcripts_dataset_from_documents(
+    sf_dir: str, repeat: int = 1, num_blocks: int | None = None
+):
     """documents.parquet → transcripts Dataset (streaming, column-pruned
     read; no driver-side materialization).
 
@@ -156,7 +158,11 @@ def transcripts_dataset_from_documents(sf_dir: str, repeat: int = 1):
     import ray.data as rd
     import pyarrow.compute as pc
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=num_blocks,
+    )
 
     def kernel(batch: pa.Table) -> pa.Table:
         base = documents_to_transcripts_batch(batch)

@@ -1,0 +1,99 @@
+"""Planted-duplicate tests for the dedup family: the driver corpus has
+no near-dups (embedding_neardup legitimately returns 0 rows there), so
+these build a tiny corpus with KNOWN duplicates and assert they — and
+only they — are found."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """Fake sf_dir: documents with planted near/exact dups + embeddings
+    with planted cosine near-dups."""
+    root = tmp_path_factory.mktemp("planted")
+    rng = np.random.default_rng(11)
+
+    words = [f"w{i}" for i in range(400)]
+    base_a = " ".join(rng.choice(words, size=120))
+    base_b = " ".join(rng.choice(words, size=120))
+    docs = []
+    # 0/1: exact duplicates; 2/3: near-dup (one token changed);
+    # 4/5: unrelated randoms; 6: empty
+    docs.append((0, base_a))
+    docs.append((1, base_a))
+    near = base_b.split()
+    near[5] = "CHANGED"
+    docs.append((2, base_b))
+    docs.append((3, " ".join(near)))
+    docs.append((4, " ".join(rng.choice(words, size=120))))
+    docs.append((5, " ".join(rng.choice(words, size=120))))
+    docs.append((6, ""))
+    pd.DataFrame(docs, columns=["doc_id", "text"]).assign(
+        source="planted"
+    ).to_parquet(root / "documents.parquet")
+
+    dim = 32
+    vecs = rng.standard_normal((8, dim))
+    vecs[1] = vecs[0] + 0.001 * rng.standard_normal(dim)  # planted pair (0, 1)
+    vecs[5] = vecs[4] + 0.001 * rng.standard_normal(dim)  # planted pair (4, 5)
+    pd.DataFrame(
+        {"vec_id": np.arange(8, dtype=np.int64), "embedding": list(vecs)}
+    ).to_parquet(root / "embeddings.parquet")
+    return str(root)
+
+
+class TestPlantedDedup:
+    def test_exact_dedup_groups_identical_texts(self, ray_session, planted_dir):
+        from entity_extractor_linker_ray.ops.dedupe import exact_dedup
+
+        df = exact_dedup(planted_dir).to_pandas()
+        assert len(df) == 6  # 7 docs, one exact-dup pair collapsed
+        dup = df[df["n_dups"] == 2]
+        assert list(dup["doc_id"]) == [0]  # min doc_id survives
+
+    def test_minhash_finds_planted_neardup(self, ray_session, planted_dir):
+        from entity_extractor_linker_ray.ops.dedupe import minhash_candidates
+
+        pairs = minhash_candidates(planted_dir).to_pandas()
+        found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        assert (0, 1) in found  # exact dup always a candidate
+        assert (2, 3) in found  # planted near-dup
+        assert (4, 5) not in found  # unrelated randoms
+
+    def test_jaccard_verifies_and_scores(self, ray_session, planted_dir):
+        from entity_extractor_linker_ray.ops.dedupe import jaccard_verified_pairs
+
+        df = jaccard_verified_pairs(planted_dir, threshold=0.8).to_pandas()
+        scores = {(a, b): j for a, b, j in df.itertuples(index=False)}
+        assert scores[(0, 1)] == 100
+        assert 80 <= scores[(2, 3)] < 100
+
+    def test_simhash_distance_tracks_similarity(self, ray_session, planted_dir):
+        from entity_extractor_linker_ray.ops.dedupe import simhash
+
+        df = simhash(planted_dir).to_pandas().set_index("doc_id")["simhash"]
+
+        def hamming(a, b):
+            return bin(int(a) ^ int(b)).count("1")
+
+        assert hamming(df[0], df[1]) == 0  # identical text
+        # near-dup: 1 of 120 tokens changed flips only bits whose
+        # ±1-sum is within 2 of zero (expected ~6 of 64); unrelated
+        # docs flip ~half (32 ± 4)
+        assert hamming(df[2], df[3]) <= 16
+        assert hamming(df[4], df[5]) > 16
+
+    def test_embedding_neardup_finds_planted_pairs_only(
+        self, ray_session, planted_dir
+    ):
+        from entity_extractor_linker_ray.ops.dedupe import embedding_neardup
+
+        df = embedding_neardup(planted_dir, threshold=0.95).to_pandas()
+        found = set(zip(df["vec_a"], df["vec_b"]))
+        assert (0, 1) in found
+        assert (4, 5) in found
+        assert all(pair in {(0, 1), (4, 5)} for pair in found)
