@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["multimodal_decode"] = multimodal.decode_features
     # --- relational / stream-shaped -----------------------------------
     q["events_hourly"] = relational.events_hourly
+    q["events_sliding"] = relational.events_sliding
     q["events_sessionize"] = relational.events_sessionize
     q["lineitem_pricing"] = relational.lineitem_pricing
     q["orders_customer_join"] = relational.orders_customer_join
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
     sql["knn_brute"] = ann.knn_brute_oracle()
     sql["multimodal_meta"] = multimodal.MULTIMODAL_META_ORACLE
     sql["events_hourly"] = relational.EVENTS_HOURLY_ORACLE
+    sql["events_sliding"] = relational.EVENTS_SLIDING_ORACLE
     sql["lineitem_pricing"] = relational.LINEITEM_PRICING_ORACLE
     sql["orders_customer_join"] = relational.ORDERS_JOIN_ORACLE
     sql["top_parts_by_size"] = relational.TOP_PARTS_ORACLE.format(k=10)

@@ -118,6 +118,58 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     return events.groupby("user_id").map_groups(sessionize, batch_format="pandas")
 
 
+def events_sliding(sf_dir: str, window_minutes: int = 60):
+    """Sliding event-time window: for every event, the count of that
+    user's events in the closed interval ``[ts - window, ts]``
+    (matching SQL ``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT
+    ROW``, which also counts equal-ts peers).
+
+    Shape: bucketed shuffle on ``user_id`` (`ops/shuffle.py`), then per
+    user-segment a vectorized two-sided ``searchsorted`` — no per-event
+    Python, no self-join blowup."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    win_ns = np.int64(window_minutes) * 60 * 1_000_000_000
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        users = g["user_id"].to_numpy()
+        counts = np.empty(len(g), dtype=np.int64)
+        start = 0
+        for end in np.append(
+            np.flatnonzero(users[1:] != users[:-1]) + 1, len(users)
+        ):
+            seg = ts[start:end]
+            hi = np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - win_ns, side="left")
+            counts[start:end] = hi - lo
+            start = end
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "event_id": g["event_id"].to_numpy(),
+                "n_in_window": counts,
+            }
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine)
+
+
+EVENTS_SLIDING_ORACLE = """
+SELECT user_id, event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 60 MINUTES PRECEDING
+                            AND CURRENT ROW) AS n_in_window
+FROM events
+"""
+
+
 def lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate with partial per-batch combine
     and integer-exact sums (quantity is integral; prices scaled to
