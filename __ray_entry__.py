@@ -55,6 +55,14 @@ def _kg_full_outputs(sf_dir: str, what: str):
         from entity_extractor_linker_ray.stages.graph import entity_connections
 
         return entity_connections(out["triples"])
+    if what == "type_distribution":
+        from entity_extractor_linker_ray.stages.graph import type_distribution
+
+        return type_distribution(out["entities"])
+    if what == "linked_counts":
+        from entity_extractor_linker_ray.stages.graph import linked_counts
+
+        return linked_counts(out["entities"])
     raise KeyError(what)
 
 
@@ -131,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_pipeline_nodes"] = lambda sf: _kg_full_outputs(sf, "nodes")
     q["kg_pipeline_edges"] = lambda sf: _kg_full_outputs(sf, "edges")
     q["kg_pipeline_connections"] = lambda sf: _kg_full_outputs(sf, "connections")
+    q["kg_pipeline_type_distribution"] = lambda sf: _kg_full_outputs(sf, "type_distribution")
+    q["kg_pipeline_linked_counts"] = lambda sf: _kg_full_outputs(sf, "linked_counts")
     # feature-flag variants (generate mode A2, chunking M1+§3.2)
     q["kg_generate_triples"] = lambda sf: _kg_variant_triples(
         sf, {"MODE": "generate", "RELATION_EXTRACTION": True}

@@ -142,6 +142,12 @@ def run_kg_checkpointed(
         records.write_parquet(staging, partition_cols=["bucket"])
 
         wall = time.time() - start
+        try:
+            # per-stage execution metrics (operator wall/cpu/rows) for
+            # the lineage record — best-effort, never fails the pass
+            manifest["last_pass_stage_stats"] = records.stats()
+        except Exception:
+            pass
         for bucket in selected:
             src = os.path.join(staging, f"bucket={bucket}")
             dst = os.path.join(records_dir, f"bucket={bucket}")
