@@ -176,6 +176,14 @@ class KBSnapshot:
 
     # -- service-equivalent API --------------------------------------------
     def opensearch(self, name: str, language: str = "en") -> str | None:
+        """Name → URL across labels, German labels, aliases and
+        redirects. The de/en label and alias forms in the index ARE the
+        reference's translator/synonym fallbacks (A8/A9,
+        ``wikidata_service.py:81-196``) precomputed into the snapshot:
+        a failed exact lookup that the reference would retry via an LLM
+        translation/synonym call resolves here through the same
+        alternative surface forms, without a per-miss LLM round trip —
+        the right trade at 10^10 lookups."""
         rec = self.search.get((name or "").lower())
         return self.url_for(rec, language) if rec else None
 
