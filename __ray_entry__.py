@@ -8,7 +8,7 @@ The driver initialises Ray BEFORE importing this module; nothing here
   (SURVEY.md §2 + the training-data ops); each takes ``sf_dir``.
 * ``oracle_sql()``  — DuckDB equivalents for every SQL-expressible
   query (same column names). Non-SQL-expressible ops (stub-LLM
-  pipeline, LSH/minhash/simhash, sessionization, ANN-LSH, language ID,
+  pipeline, LSH/minhash/simhash, ANN-LSH, language ID,
   decode actors) are intentionally omitted → rows-only checks.
 """
 
@@ -167,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
     sql["multimodal_meta"] = multimodal.MULTIMODAL_META_ORACLE
     sql["events_hourly"] = relational.EVENTS_HOURLY_ORACLE
     sql["events_sliding"] = relational.EVENTS_SLIDING_ORACLE
+    sql["events_sessionize"] = relational.EVENTS_SESSIONIZE_ORACLE
     sql["lineitem_pricing"] = relational.LINEITEM_PRICING_ORACLE
     sql["orders_customer_join"] = relational.ORDERS_JOIN_ORACLE
     sql["top_parts_by_size"] = relational.TOP_PARTS_ORACLE.format(k=10)

@@ -36,34 +36,51 @@ def _read_docs(sf_dir: str):
 # exact dedup
 # ----------------------------------------------------------------------
 
+_HASH_KEY_A = "0123456789123456"  # pandas' default SipHash key
+_HASH_KEY_B = "fedcba9876543210"  # independent second 64-bit stream
+
+
 def exact_dedup(sf_dir: str):
     """Survivor per distinct text: min doc_id + duplicate count.
 
-    Hash-first so the shuffle moves 16-byte keys, not documents; the
-    final group keeps the full-text check implicit (md5 collisions are
-    ignored at this scale, as in content-addressed dedup generally).
-    """
+    Hash-first so the shuffle moves 16-byte keys, not documents. The
+    key is 128 bits — two independent 64-bit SipHash streams with
+    distinct keys — because at the 10^10-doc design scale a single
+    64-bit key has a birthday bound of ~3 expected collisions (each a
+    silent wrong merge); at 128 bits it is ~1e-18, genuinely ignorable
+    as in content-addressed storage generally.
 
-    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    Both phases are vectorized two-phase hash aggregation
+    (`ops/shuffle.grouped_aggregate`): a per-batch partial combine, a
+    bucketed shuffle on hash(key), one pandas groupby per bucket — no
+    per-group Python even though distinct texts ≈ rows.
+    """
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("").to_numpy(dtype=object)
+        rows = pd.DataFrame(
             {
-                "content_hash": pd.util.hash_array(
-                    batch["text"].fillna("").to_numpy(dtype=object)
-                ),
+                "h_lo": pd.util.hash_array(texts, hash_key=_HASH_KEY_A),
+                "h_hi": pd.util.hash_array(texts, hash_key=_HASH_KEY_B),
                 "doc_id": batch["doc_id"].to_numpy(),
             }
         )
-
-    def pick_first(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": [np.int64(group["doc_id"].min())],
-                "n_dups": [np.int64(len(group))],
-            }
+        return (
+            rows.groupby(["h_lo", "h_hi"], sort=False)
+            .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+            .reset_index()
         )
 
-    hashed = _read_docs(sf_dir).map_batches(hash_batch, batch_format="pandas")
-    return hashed.groupby("content_hash").map_groups(pick_first, batch_format="pandas")
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["h_lo", "h_hi"], sort=False)
+            .agg(doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+            .reset_index()[["doc_id", "n_dups"]]
+            .astype({"doc_id": np.int64, "n_dups": np.int64})
+        )
+
+    return grouped_aggregate(_read_docs(sf_dir), ["h_lo", "h_hi"], combine, partial=partial)
 
 
 EXACT_DEDUP_ORACLE = (

@@ -82,40 +82,77 @@ FROM events GROUP BY 1, 2, 3
 
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Session windows per user: events sorted by ts within user,
-    session breaks at gaps > ``gap_minutes``. groupby(user).map_groups
-    with an in-group sort — the ordered-log pattern for stream-shaped
-    data (no SQL oracle; rows-only check)."""
+    """Session windows per user: events sorted by (ts, event_id) within
+    user, session breaks at gaps > ``gap_minutes``; per session a count
+    and the min event_id.
+
+    Shape: bucketed shuffle on ``user_id`` (`ops/shuffle.py`) then ONE
+    vectorized kernel over the whole bucket — user boundaries and gap
+    breaks found with numpy on the sorted arrays, session ids by cumsum,
+    final rollup a single pandas groupby. Same pattern as
+    ``events_sliding``; no per-user Python groups. Exact DuckDB oracle
+    via lag/gap window SQL (``EVENTS_SESSIONIZE_ORACLE``)."""
     import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
-    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ns = np.int64(gap_minutes) * 60 * 1_000_000_000
 
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts", kind="stable")
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="stable")
         ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
-        breaks = np.zeros(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            breaks[1:] = (np.diff(ts) > gap_us * 1000).astype(np.int64)
-        session_idx = np.cumsum(breaks)
+        users = g["user_id"].to_numpy()
+        n = len(g)
+        brk = np.ones(n, dtype=np.int64)  # row 0 always starts a session
+        if n > 1:
+            new_user = users[1:] != users[:-1]
+            brk[1:] = (new_user | (np.diff(ts) > gap_ns)).astype(np.int64)
+        sess_global = np.cumsum(brk) - 1
+        user_start = np.ones(n, dtype=bool)
+        if n > 1:
+            user_start[1:] = users[1:] != users[:-1]
+        seg_id = np.cumsum(user_start) - 1
+        session_idx = sess_global - sess_global[user_start][seg_id]
         out = pd.DataFrame(
             {
-                "user_id": g["user_id"].to_numpy(),
+                "user_id": users,
                 "session_idx": session_idx,
                 "event_id": g["event_id"].to_numpy(),
             }
         )
-        agg = out.groupby("session_idx").agg(
-            n_events=("event_id", "size"), first_event=("event_id", "min")
-        ).reset_index()
-        agg["user_id"] = g["user_id"].iloc[0]
-        return agg[["user_id", "session_idx", "n_events", "first_event"]].astype(
-            {"session_idx": np.int64, "n_events": np.int64, "first_event": np.int64}
+        return (
+            out.groupby(["user_id", "session_idx"], sort=False)
+            .agg(n_events=("event_id", "size"), first_event=("event_id", "min"))
+            .reset_index()
+            .astype(
+                {"session_idx": np.int64, "n_events": np.int64, "first_event": np.int64}
+            )
         )
 
-    return events.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return grouped_aggregate(events, ["user_id"], combine)
+
+
+EVENTS_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events, CAST(min(event_id) AS BIGINT) AS first_event
+FROM sess GROUP BY 1, 2
+"""
 
 
 def events_sliding(sf_dir: str, window_minutes: int = 60):

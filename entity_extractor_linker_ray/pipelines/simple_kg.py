@@ -192,16 +192,20 @@ def kg_entity_connections(sf_dir: str):
         )
         return pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "entity": [group["entity"].iloc[0]],
-                "n_neighbors": np.array([group["neighbor"].nunique()], dtype=np.int64),
-            }
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized nunique over the whole hash bucket (entity
+        # cardinality ≈ group cardinality — per-group Python collapses)
+        return (
+            bucket.groupby("entity", sort=False)["neighbor"]
+            .nunique()
+            .reset_index(name="n_neighbors")
+            .astype({"n_neighbors": np.int64})
         )
 
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
     partials = kg_triples(sf_dir).map_batches(both_dirs, batch_format="pandas")
-    return partials.groupby("entity").map_groups(final, batch_format="pandas")
+    return grouped_aggregate(partials, ["entity"], final)
 
 
 def kg_type_distribution(sf_dir: str):

@@ -42,16 +42,21 @@ def _node_partials(batch: pd.DataFrame) -> pd.DataFrame:
     return merged.rename(columns={"entity": "label"})
 
 
-def _node_final(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values(["conv_id", "min_ord"], kind="stable")
-    return pd.DataFrame(
-        {
-            "canonical_id": [group["canonical_id"].iloc[0]],
-            "label": [group["label"].iloc[0]],
-            "type": [group["type"].iloc[0]],
-            "n_mentions": np.array([group["n_mentions"].sum()], dtype=np.int64),
-            "n_convs": np.array([group["conv_id"].nunique()], dtype=np.int64),
-        }
+def _node_final(bucket: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized final over a whole hash bucket of canonical_ids: one
+    sort + one pandas groupby covers every entity in the bucket (no
+    per-group Python — at 10^8 nodes the per-group pattern collapses)."""
+    g = bucket.sort_values(["canonical_id", "conv_id", "min_ord"], kind="stable")
+    return (
+        g.groupby("canonical_id", sort=False)
+        .agg(
+            label=("label", "first"),
+            type=("type", "first"),
+            n_mentions=("n_mentions", "sum"),
+            n_convs=("conv_id", "nunique"),
+        )
+        .reset_index()
+        .astype({"n_mentions": np.int64, "n_convs": np.int64})
     )
 
 
@@ -59,11 +64,15 @@ def build_nodes(entities_ds):
     """entities → nodes keyed by ``canonical_id`` (= ``wikipedia_url or
     name``, the reference's D1 key, ``orchestrator.py:58``). Label/type
     come from the first mention in (conv_id, ord) order — the same
-    first-wins rule distributed."""
+    first-wins rule distributed. Final reduce goes through the bucketed
+    two-phase aggregate (`ops/shuffle.py`) since node count ≈ group
+    count."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
     partials = entities_ds.select_columns(
         ["canonical_id", "conv_id", "ord", "entity", "type"]
     ).map_batches(_node_partials, batch_format="pandas")
-    return partials.groupby("canonical_id").map_groups(_node_final, batch_format="pandas")
+    return grouped_aggregate(partials, ["canonical_id"], _node_final)
 
 
 # ----------------------------------------------------------------------
@@ -108,22 +117,27 @@ def _connection_partials(batch: pd.DataFrame) -> pd.DataFrame:
     return both.drop_duplicates()
 
 
-def _connection_final(group: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "entity": [group["entity"].iloc[0]],
-            "n_neighbors": np.array([group["neighbor"].nunique()], dtype=np.int64),
-        }
+def _connection_final(bucket: pd.DataFrame) -> pd.DataFrame:
+    """Distinct-neighbor count for every entity in the hash bucket via
+    one vectorized nunique — no per-entity Python groups."""
+    return (
+        bucket.groupby("entity", sort=False)["neighbor"]
+        .nunique()
+        .reset_index(name="n_neighbors")
+        .astype({"n_neighbors": np.int64})
     )
 
 
 def entity_connections(triples_ds):
     """Distinct undirected neighbor count per entity name, descending —
-    G8 (``orchestrator.py:581-590``)."""
+    G8 (``orchestrator.py:581-590``). Final reduce bucketed
+    (`ops/shuffle.py`): entity cardinality ≈ group cardinality."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
     partials = triples_ds.select_columns(["subject", "object"]).map_batches(
         _connection_partials, batch_format="pandas"
     )
-    counts = partials.groupby("entity").map_groups(_connection_final, batch_format="pandas")
+    counts = grouped_aggregate(partials, ["entity"], _connection_final)
     return counts.sort(["n_neighbors", "entity"], descending=[True, False])
 
 
