@@ -4,19 +4,26 @@
 * MinHash + LSH near-dup — shingle → minhash signature → banded
   bucket groupby → candidate pairs → exact Jaccard verify;
 * SimHash — 64-bit token-hash projection per document;
-* embedding near-dup — cosine over LSH sign-buckets of the
-  ``embeddings`` table.
+* embedding near-dup — cosine over BANDED sign-LSH buckets of the
+  ``embeddings`` table (multi-band = multi-probe recall).
 
 Scale shape: signatures are computed batch-local (vectorized numpy),
-the only all-to-all is the groupby on (band, bucket) — pairs are
-generated inside each bucket group, and buckets are capped to guard
-against degenerate hot buckets (cap logged, not silent).
+the wide steps are bucketed two-phase shuffles on (band, bucket) or the
+pair key — pairs are generated inside each bucket group, buckets are
+capped to guard against degenerate hot buckets (cap logged, not
+silent), and candidate verification joins payloads to pairs through
+the bucketed ``_pair_payload_join`` (ids-only shuffles, no driver
+collect, no whole-corpus broadcast).
 """
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
+
+logger = logging.getLogger(__name__)
 
 _MERSENNE = (1 << 61) - 1
 N_HASHES = 64
@@ -24,6 +31,9 @@ N_BANDS = 16  # 16 bands x 4 rows
 ROWS_PER_BAND = N_HASHES // N_BANDS
 SHINGLE_K = 3
 MAX_BUCKET = 64  # safety cap on pathological buckets
+# bound on the transient (n_hashes x shingles) product matrix inside
+# MinHasher: 64 x 262144 x 8B = 128 MiB regardless of batch size
+MAX_SHINGLE_CHUNK = 262_144
 
 
 def _read_docs(sf_dir: str):
@@ -129,14 +139,26 @@ class MinHasher:
         per_doc = [_shingles(t or "") for t in batch["text"]]
         counts = np.array([s.size for s in per_doc], dtype=np.int64)
         sigs = np.full((len(per_doc), self.n), np.iinfo(np.uint64).max, dtype=np.uint64)
-        nonempty = counts > 0
-        if nonempty.any():
-            flat = np.concatenate([s for s in per_doc if s.size])
+        nonempty_idx = np.flatnonzero(counts > 0)
+        # run over docs in chunks whose total shingle count stays under
+        # MAX_SHINGLE_CHUNK so the (n_hashes x shingles) product matrix
+        # is bounded (~128 MiB) independent of batch size / doc length
+        run_start = 0
+        while run_start < nonempty_idx.size:
+            run_end, total = run_start, 0
+            while run_end < nonempty_idx.size and (
+                total == 0 or total + counts[nonempty_idx[run_end]] <= MAX_SHINGLE_CHUNK
+            ):
+                total += counts[nonempty_idx[run_end]]
+                run_end += 1
+            idx = nonempty_idx[run_start:run_end]
+            flat = np.concatenate([per_doc[i] for i in idx])
             with np.errstate(over="ignore"):
                 prods = flat[None, :] * self.a[:, None] + self.b[:, None]
-            starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
-            mins = np.minimum.reduceat(prods, starts, axis=1)  # (n, n_nonempty)
-            sigs[nonempty] = mins.T
+            starts = np.concatenate(([0], np.cumsum(counts[idx])[:-1]))
+            mins = np.minimum.reduceat(prods, starts, axis=1)  # (n, len(idx))
+            sigs[idx] = mins.T
+            run_start = run_end
         out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
         out["signature"] = list(sigs)
         return out
@@ -144,7 +166,7 @@ class MinHasher:
 
 def minhash_signatures(sf_dir: str):
     return _read_docs(sf_dir).map_batches(
-        MinHasher, batch_format="pandas", concurrency=(1, 8)
+        MinHasher, batch_format="pandas", concurrency=(1, 8), batch_size=1024
     )
 
 
@@ -212,63 +234,130 @@ def minhash_candidates(sf_dir: str):
     return grouped_aggregate(pairs, ["doc_a", "doc_b"], count_bands)
 
 
+# ----------------------------------------------------------------------
+# scale-safe pairs <-> items join (shared by jaccard + embedding verify)
+# ----------------------------------------------------------------------
+
+def _pair_payload_join(pairs_ds, items_ds, verify_wide, num_partitions: int = 64):
+    """Attach item payloads to both sides of every (doc_a, doc_b) pair
+    with two bucketed shuffles and NO driver materialization — the
+    scale-safe replacement for "collect candidates + broadcast texts"
+    (a near-dup-heavy corpus makes candidates O(n)).
+
+    ``items_ds`` must have columns (id:int64, payload:binary);
+    ``pairs_ds`` columns (doc_a, doc_b). Phase 1 explodes each pair
+    into one row per side, unions with the item rows, buckets on
+    hash(id), and does ONE vectorized merge per bucket to attach
+    payloads. Phase 2 buckets on the pair key and hands ``verify_wide``
+    a frame with (doc_a, doc_b, payload_a, payload_b) — it returns the
+    verified output rows. Payloads travel as bytes so the union schema
+    stays a concrete Arrow binary column (no null-typed blocks).
+    """
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy(dtype=np.int64)
+        b = batch["doc_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "id": np.concatenate([a, b]),
+                "a": np.concatenate([a, a]),
+                "b": np.concatenate([b, b]),
+                "side": np.concatenate(
+                    [np.zeros(len(a), dtype=np.int64), np.ones(len(b), dtype=np.int64)]
+                ),
+                "payload": [b""] * (2 * len(a)),
+            }
+        )
+
+    def tag_items(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        return pd.DataFrame(
+            {
+                "id": batch["id"].to_numpy(dtype=np.int64),
+                "a": np.full(n, -1, dtype=np.int64),
+                "b": np.full(n, -1, dtype=np.int64),
+                "side": np.full(n, -1, dtype=np.int64),
+                "payload": batch["payload"].to_list(),
+            }
+        )
+
+    unioned = pairs_ds.map_batches(explode, batch_format="pandas").union(
+        items_ds.map_batches(tag_items, batch_format="pandas")
+    )
+
+    def attach(bucket: pd.DataFrame) -> pd.DataFrame:
+        items = bucket[bucket["side"] < 0][["id", "payload"]]
+        prs = bucket[bucket["side"] >= 0][["id", "a", "b", "side"]]
+        if prs.empty:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
+                 "side": pd.Series([], dtype=np.int64), "payload": pd.Series([], dtype=object)}
+            )
+        m = prs.merge(items, on="id", how="inner")
+        return m[["a", "b", "side", "payload"]]
+
+    sided = grouped_aggregate(unioned, ["id"], attach, num_partitions=num_partitions)
+
+    def widen(bucket: pd.DataFrame) -> pd.DataFrame:
+        s0 = bucket[bucket["side"] == 0][["a", "b", "payload"]].rename(
+            columns={"a": "doc_a", "b": "doc_b", "payload": "payload_a"}
+        )
+        s1 = bucket[bucket["side"] == 1][["a", "b", "payload"]].rename(
+            columns={"a": "doc_a", "b": "doc_b", "payload": "payload_b"}
+        )
+        wide = s0.merge(s1, on=["doc_a", "doc_b"], how="inner")
+        return verify_wide(wide)
+
+    return grouped_aggregate(sided, ["a", "b"], widen, num_partitions=num_partitions)
+
+
 def jaccard_verified_pairs(sf_dir: str, threshold: float = 0.8):
     """Verify LSH candidates with exact shingle Jaccard.
 
-    The candidate set is small (near-dups only), so documents are
-    re-read and joined batch-local against a broadcast of the candidate
-    pair list; at larger candidate volumes this becomes a bucketed
-    join keyed on doc_id.
+    Fully distributed: the candidate pair list stays a Dataset and is
+    joined to document texts via the bucketed pairs↔docs join
+    (`_pair_payload_join`) — no driver collect, no whole-text broadcast.
+    The per-pair set intersection is the verify kernel itself, bounded
+    by candidate volume, with a per-bucket shingle cache so each doc is
+    shingled once per bucket.
     """
-    import ray
+    cand = minhash_candidates(sf_dir)
 
-    cand = minhash_candidates(sf_dir).to_pandas()
-    if cand.empty:
-        import ray.data as rd
-
-        return rd.from_pandas(
-            pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                          "doc_b": pd.Series([], dtype=np.int64),
-                          "jaccard_pct": pd.Series([], dtype=np.int64)})
+    def to_items(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "payload": [(t or "").encode("utf-8") for t in batch["text"]],
+            }
         )
-    needed = set(cand["doc_a"]) | set(cand["doc_b"])
-    texts_ref = ray.put(
-        {
-            int(r["doc_id"]): r["text"]
-            for r in _read_docs(sf_dir)
-            .map_batches(
-                lambda b: b[b["doc_id"].isin(needed)], batch_format="pandas"
-            )
-            .to_pandas()
-            .to_dict("records")
-        }
-    )
-    import ray.data as rd
 
-    pairs_ds = rd.from_pandas(cand[["doc_a", "doc_b"]])
+    docs = _read_docs(sf_dir).map_batches(to_items, batch_format="pandas")
+    min_pct = int(threshold * 100)
 
-    class Verifier:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
-            self.cache: dict[int, np.ndarray] = {}
+    def verify(wide: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[int, np.ndarray] = {}
 
-        def _sh(self, doc_id: int) -> np.ndarray:
-            if doc_id not in self.cache:
-                self.cache[doc_id] = _shingles(self.texts.get(doc_id, "") or "")
-            return self.cache[doc_id]
+        def sh(doc_id: int, payload: bytes) -> np.ndarray:
+            if doc_id not in cache:
+                cache[doc_id] = _shingles(payload.decode("utf-8", "replace"))
+            return cache[doc_id]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for a, b in zip(batch["doc_a"], batch["doc_b"]):
-                sa, sb = self._sh(int(a)), self._sh(int(b))
-                union = np.union1d(sa, sb).size
-                inter = np.intersect1d(sa, sb).size
-                pct = (100 * inter) // union if union else 0
-                out.append((a, b, pct))
-            frame = pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_pct"])
-            return frame[frame["jaccard_pct"] >= int(threshold * 100)]
+        rows = []
+        for a, b, pa, pb in zip(
+            wide["doc_a"], wide["doc_b"], wide["payload_a"], wide["payload_b"]
+        ):
+            sa, sb = sh(int(a), pa), sh(int(b), pb)
+            union = np.union1d(sa, sb).size
+            inter = np.intersect1d(sa, sb).size
+            pct = (100 * inter) // union if union else 0
+            if pct >= min_pct:
+                rows.append((int(a), int(b), int(pct)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_pct"]).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "jaccard_pct": np.int64}
+        )
 
-    return pairs_ds.map_batches(Verifier, batch_format="pandas", concurrency=(1, 4))
+    return _pair_payload_join(cand.select_columns(["doc_a", "doc_b"]), docs, verify)
 
 
 # ----------------------------------------------------------------------
@@ -312,43 +401,116 @@ def simhash(sf_dir: str):
 # embedding near-dup (cosine >= threshold via sign-LSH buckets)
 # ----------------------------------------------------------------------
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.95, n_planes: int = 8, seed: int = 29):
-    """Near-identical embedding pairs: bucket by random-hyperplane sign
-    bits, exact cosine verify within buckets. Deterministic planes."""
+EMB_BANDS = 8
+EMB_ROWS = 8  # sign bits per band; 8 bands x 8 planes = 64 planes total
+EMB_MAX_BUCKET = 256  # cap per (band, bucket); overflow logged, not silent
+
+
+def _emb_planes(dim: int, seed: int = 29) -> np.ndarray:
+    """Deterministic (dim x EMB_BANDS*EMB_ROWS) hyperplane matrix —
+    module-level so tests can reproduce band signatures exactly."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, EMB_BANDS * EMB_ROWS))
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.95, seed: int = 29):
+    """Near-identical embedding pairs via BANDED sign-LSH: 64 random
+    hyperplanes split into 8 bands of 8 bits; a pair is a candidate if
+    ANY band's byte matches (recall ≈ 1-(1-p^8)^8 ≈ 0.99 at cos 0.95,
+    vs ~0.43 for the single-8-plane probe that misses boundary pairs).
+    Candidates are generated per (band, bucket) with a logged
+    EMB_MAX_BUCKET cap (skewed embedding spaces can't blow up a bucket
+    to O(n)), deduped across bands, then cosine-verified through the
+    bucketed pairs↔vectors join — ids-only shuffles end to end, vectors
+    shipped exactly once per verified side, nothing on the driver.
+    """
     import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    class Bucketer:
+    class BandBucketer:
         def __init__(self):
             self.planes = None
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
             if self.planes is None:
-                rng = np.random.default_rng(seed)
-                self.planes = rng.standard_normal((vecs.shape[1], n_planes))
-            signs = (vecs @ self.planes) >= 0
-            keys = np.packbits(signs, axis=1)[:, 0].astype(np.int64)
-            out = pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "bucket": keys})
-            out["embedding"] = list(vecs)
-            return out
+                self.planes = _emb_planes(vecs.shape[1], seed)
+            signs = (vecs @ self.planes) >= 0  # (n, 64)
+            bytes_per_band = np.packbits(
+                signs.reshape(len(vecs), EMB_BANDS, EMB_ROWS), axis=2
+            )[:, :, 0]  # (n, EMB_BANDS)
+            return pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        batch["vec_id"].to_numpy(dtype=np.int64), EMB_BANDS
+                    ),
+                    "band": np.tile(np.arange(EMB_BANDS, dtype=np.int64), len(vecs)),
+                    "bucket": bytes_per_band.ravel().astype(np.int64),
+                }
+            )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.stack(group["embedding"].to_list())
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms
-        sims = unit @ unit.T
-        ids = group["vec_id"].to_numpy()
-        left, right = np.triu_indices(len(ids), k=1)
-        mask = sims[left, right] >= threshold
+    def pairs_in_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["band", "bucket", "vec_id"], kind="stable")
+        rank = g.groupby(["band", "bucket"], sort=False).cumcount()
+        over = rank.to_numpy() >= EMB_MAX_BUCKET
+        if over.any():
+            logger.warning(
+                "embedding_neardup: bucket cap dropped %d of %d rows "
+                "(hot LSH buckets; raise EMB_MAX_BUCKET or add planes)",
+                int(over.sum()), len(g),
+            )
+        g = g[~over]
+        m = g.merge(g, on=["band", "bucket"], suffixes=("_a", "_b"))
+        m = m[m["vec_id_a"] < m["vec_id_b"]]
         return pd.DataFrame(
             {
-                "vec_a": np.minimum(ids[left][mask], ids[right][mask]).astype(np.int64),
-                "vec_b": np.maximum(ids[left][mask], ids[right][mask]).astype(np.int64),
+                "doc_a": m["vec_id_a"].to_numpy(dtype=np.int64),
+                "doc_b": m["vec_id_b"].to_numpy(dtype=np.int64),
             }
         )
 
-    bucketed = ds.map_batches(Bucketer, batch_format="pandas", concurrency=(1, 4))
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    rows = ds.map_batches(BandBucketer, batch_format="pandas", concurrency=(1, 4))
+    cand = grouped_aggregate(rows, ["band", "bucket"], pairs_in_bucket)
+    cand = grouped_aggregate(
+        cand, ["doc_a", "doc_b"], lambda b: b.drop_duplicates()
+    )
+
+    def to_items(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": batch["vec_id"].to_numpy(dtype=np.int64),
+                "payload": [
+                    np.asarray(v, dtype=np.float64).tobytes() for v in batch["embedding"]
+                ],
+            }
+        )
+
+    items = ds.map_batches(to_items, batch_format="pandas")
+
+    def verify(wide: pd.DataFrame) -> pd.DataFrame:
+        if wide.empty:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype=np.int64),
+                 "vec_b": pd.Series([], dtype=np.int64)}
+            )
+        va = np.stack([np.frombuffer(p, dtype=np.float64) for p in wide["payload_a"]])
+        vb = np.stack([np.frombuffer(p, dtype=np.float64) for p in wide["payload_b"]])
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        sims = np.einsum("ij,ij->i", va, vb) / (na * nb)
+        mask = sims >= threshold
+        ids_a = wide["doc_a"].to_numpy(dtype=np.int64)[mask]
+        ids_b = wide["doc_b"].to_numpy(dtype=np.int64)[mask]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ids_a, ids_b),
+                "vec_b": np.maximum(ids_a, ids_b),
+            }
+        )
+
+    return _pair_payload_join(cand, items, verify)

@@ -37,11 +37,33 @@ def planted_dir(tmp_path_factory):
     ).to_parquet(root / "documents.parquet")
 
     dim = 32
-    vecs = rng.standard_normal((8, dim))
+    vecs = rng.standard_normal((10, dim))
     vecs[1] = vecs[0] + 0.001 * rng.standard_normal(dim)  # planted pair (0, 1)
     vecs[5] = vecs[4] + 0.001 * rng.standard_normal(dim)  # planted pair (4, 5)
+    # planted BOUNDARY pair (8, 9): cosine just above 0.95, chosen so
+    # the first 8-plane band signature DIFFERS (the old single-probe
+    # 8-plane LSH would bucket them apart and miss the pair) while some
+    # other band still matches — the case banding exists to catch.
+    from entity_extractor_linker_ray.ops.dedupe import EMB_BANDS, EMB_ROWS, _emb_planes
+
+    planes = _emb_planes(dim)
+    boundary = None
+    for trial in range(500):
+        a = rng.standard_normal(dim)
+        noise = rng.standard_normal(dim)
+        noise -= noise @ a / (a @ a) * a  # orthogonal component
+        noise *= np.linalg.norm(a) * 0.30 / np.linalg.norm(noise)
+        b = a + noise  # cos(a, b) ~ 1/sqrt(1+0.30^2) ~ 0.958
+        signs_a = (np.stack([a, b]) @ planes) >= 0
+        bands = signs_a.reshape(2, EMB_BANDS, EMB_ROWS)
+        band_match = (bands[0] == bands[1]).all(axis=1)
+        if not band_match[0] and band_match.any():
+            boundary = (a, b)
+            break
+    assert boundary is not None, "no boundary pair found in 500 trials"
+    vecs[8], vecs[9] = boundary
     pd.DataFrame(
-        {"vec_id": np.arange(8, dtype=np.int64), "embedding": list(vecs)}
+        {"vec_id": np.arange(10, dtype=np.int64), "embedding": list(vecs)}
     ).to_parquet(root / "embeddings.parquet")
     return str(root)
 
@@ -96,4 +118,7 @@ class TestPlantedDedup:
         found = set(zip(df["vec_a"], df["vec_b"]))
         assert (0, 1) in found
         assert (4, 5) in found
-        assert all(pair in {(0, 1), (4, 5)} for pair in found)
+        # the boundary pair's FIRST band differs (single-probe LSH
+        # would miss it) but another band matches — banding finds it
+        assert (8, 9) in found
+        assert all(pair in {(0, 1), (4, 5), (8, 9)} for pair in found)
