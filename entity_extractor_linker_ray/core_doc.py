@@ -15,6 +15,8 @@ checkpointing) lives in the Ray pipeline, not here.
 
 from __future__ import annotations
 
+import json
+
 from entity_extractor_linker_ray.functions import prompts
 from entity_extractor_linker_ray.functions.dedup import (
     dedup_entities_first_wins,
@@ -165,6 +167,12 @@ def link_entity(entity: dict, cfg: dict, kb) -> dict | None:
         cats = kb.get_categories(out["wikipedia_url"])
         if cats:
             out["wikipedia_categories"] = cats
+    if cfg.get("ADDITIONAL_DETAILS", False) and out.get("wikipedia_extract"):
+        # infobox / see-also / image, only when an extract was found
+        # (``linker.py:130-134``)
+        wiki_details = kb.get_wikipedia_details(out["wikipedia_url"])
+        if wiki_details:
+            out["wikipedia_details"] = wiki_details
     if cfg.get("USE_WIKIDATA", True):
         qid = out.get("wikidata_id") or kb.get_wikidata_id(out["wikipedia_url"], entity_name)
         if qid:
@@ -387,6 +395,14 @@ def package_entity(e: dict, input_text: str, cfg: dict) -> dict:
         label = ""
     use_wikidata = bool(cfg.get("USE_WIKIDATA", False) and wd)
     use_dbpedia = bool(cfg.get("USE_DBPEDIA", False) and (db or e.get("dbpedia_uri")))
+    # ADDITIONAL_DETAILS columns mirror the extended key list the
+    # legacy packager copies into sources.wikipedia / sources.wikidata
+    # (``orchestrator.py:371-395``): present in the schema always,
+    # populated only under the flag — same conditional as the reference.
+    more = bool(cfg.get("ADDITIONAL_DETAILS", False))
+    wp_det = (e.get("wikipedia_details") or {}) if more else {}
+    wd_more = wd if (more and use_wikidata) else {}
+    coords = wd_more.get("coordinates") or {}
     return {
         "entity": e.get("name", ""),
         "type": e.get("type", ""),
@@ -398,6 +414,11 @@ def package_entity(e: dict, input_text: str, cfg: dict) -> dict:
         "wikipedia_url": url,
         "wikipedia_extract": e.get("wikipedia_extract", "") or "",
         "wikipedia_categories": list(e.get("wikipedia_categories", []) or []),
+        "wikipedia_infobox_json": (
+            json.dumps(wp_det["infobox"]) if wp_det.get("infobox") else ""
+        ),
+        "wikipedia_see_also": list(wp_det.get("see_also", []) or []),
+        "wikipedia_image": wp_det.get("image", "") or "",
         "wikidata_id": (wd.get("id", "") if use_wikidata else ""),
         "wikidata_label": (wd.get("label", "") if use_wikidata else ""),
         "wikidata_description": (wd.get("description", "") if use_wikidata else ""),
@@ -405,6 +426,28 @@ def package_entity(e: dict, input_text: str, cfg: dict) -> dict:
         "wikidata_part_of": (list(wd.get("part_of", [])) if use_wikidata else []),
         "wikidata_has_parts": (list(wd.get("has_parts", [])) if use_wikidata else []),
         "wikidata_url": (e.get("wikidata_url", "") if use_wikidata else ""),
+        "wikidata_aliases": list(wd_more.get("aliases", []) or []),
+        "wikidata_instance_of": list(wd_more.get("instance_of", []) or []),
+        "wikidata_subclass_of": list(wd_more.get("subclass_of", []) or []),
+        "wikidata_member_of": list(wd_more.get("member_of", []) or []),
+        "wikidata_citizenships": list(wd_more.get("citizenships", []) or []),
+        "wikidata_image_url": wd_more.get("image_url", "") or "",
+        "wikidata_website": wd_more.get("website", "") or "",
+        "wikidata_lat": (
+            float(coords["latitude"]) if "latitude" in coords else None
+        ),
+        "wikidata_lon": (
+            float(coords["longitude"]) if "longitude" in coords else None
+        ),
+        "wikidata_foundation_date": wd_more.get("foundation_date", "") or "",
+        "wikidata_birth_date": wd_more.get("birth_date", "") or "",
+        "wikidata_death_date": wd_more.get("death_date", "") or "",
+        "wikidata_birth_place": wd_more.get("birth_place", "") or "",
+        "wikidata_death_place": wd_more.get("death_place", "") or "",
+        "wikidata_official_name": wd_more.get("official_name", "") or "",
+        "wikidata_population": wd_more.get("population", "") or "",
+        "wikidata_gnd_id": wd_more.get("gnd_id", "") or "",
+        "wikidata_isni": wd_more.get("isni", "") or "",
         "dbpedia_uri": (db.get("resource_uri", "") if use_dbpedia else ""),
         "dbpedia_label": (db.get("label", "") if use_dbpedia else ""),
         "dbpedia_abstract": (db.get("abstract", "") if use_dbpedia else ""),

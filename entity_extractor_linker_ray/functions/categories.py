@@ -7,7 +7,12 @@ SURVEY.md §2.6). The keyword list below is a fresh, condensed set of
 substring keys chosen so the broad prefixes (``"Articles with"``,
 ``"Pages with"``, ``"Wikipedia"`` …) subsume the reference's long tail
 of specific phrases; any category caught by the reference's list is
-caught by one of these supersets, keeping filter results aligned.
+caught by one of these supersets (proven both directions by
+``tests/test_functions.py::test_maintenance_superset_of_reference``).
+Deliberate over-drop: a few broad keys (``"Redirects"``, ``"Infobox"``,
+``"stubs"``) also catch maintenance-flavored names the reference's list
+misses; legitimate content categories are unaffected (asserted on a
+real-ish sample in the same test).
 """
 
 from __future__ import annotations
@@ -55,6 +60,21 @@ MAINTENANCE_KEYWORDS: tuple[str, ...] = (
     "Deprecated templates",
     "Pages with",
     "Pages using",
+    # long-tail reference phrases not subsumed by the prefixes above
+    # (utils/category_utils.py:3-158 — superset proven by
+    # tests/test_functions.py::test_maintenance_superset_of_reference)
+    "Attempted de-orphan",
+    "BLP articles lacking",
+    "Categories for discussion",
+    "Copied and pasted",
+    "Current events",
+    "Dead-end pages",
+    "Incomplete disambiguation",
+    "Incomplete lists",
+    "Merge by month",
+    "Articles requiring",
+    "Articles slanted",
+    "Articles sourced",
     "Recently revised",
     "Self-contradictory",
     "Vague or ambiguous",

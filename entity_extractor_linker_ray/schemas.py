@@ -52,6 +52,9 @@ KG_RECORD_SCHEMA = pa.schema(
         ("wikipedia_url", _STR),
         ("wikipedia_extract", _STR),
         ("wikipedia_categories", _LSTR),
+        ("wikipedia_infobox_json", _STR),  # ADDITIONAL_DETAILS infobox
+        ("wikipedia_see_also", _LSTR),
+        ("wikipedia_image", _STR),
         ("wikidata_id", _STR),
         ("wikidata_label", _STR),
         ("wikidata_description", _STR),
@@ -59,6 +62,25 @@ KG_RECORD_SCHEMA = pa.schema(
         ("wikidata_part_of", _LSTR),
         ("wikidata_has_parts", _LSTR),
         ("wikidata_url", _STR),
+        # ADDITIONAL_DETAILS claim columns (wikidata_service.py:338-676)
+        ("wikidata_aliases", _LSTR),
+        ("wikidata_instance_of", _LSTR),
+        ("wikidata_subclass_of", _LSTR),
+        ("wikidata_member_of", _LSTR),
+        ("wikidata_citizenships", _LSTR),
+        ("wikidata_image_url", _STR),
+        ("wikidata_website", _STR),
+        ("wikidata_lat", pa.float64()),
+        ("wikidata_lon", pa.float64()),
+        ("wikidata_foundation_date", _STR),
+        ("wikidata_birth_date", _STR),
+        ("wikidata_death_date", _STR),
+        ("wikidata_birth_place", _STR),
+        ("wikidata_death_place", _STR),
+        ("wikidata_official_name", _STR),
+        ("wikidata_population", _STR),
+        ("wikidata_gnd_id", _STR),
+        ("wikidata_isni", _STR),
         ("dbpedia_uri", _STR),
         ("dbpedia_label", _STR),
         ("dbpedia_abstract", _STR),
@@ -89,9 +111,17 @@ TRIPLE_COLUMNS = [
 ENTITY_COLUMNS = [
     "conv_id", "ord", "entity", "type", "inferred", "citation",
     "citation_start", "citation_end", "wikipedia_label", "wikipedia_url",
-    "wikipedia_extract", "wikipedia_categories", "wikidata_id",
+    "wikipedia_extract", "wikipedia_categories",
+    "wikipedia_infobox_json", "wikipedia_see_also", "wikipedia_image",
+    "wikidata_id",
     "wikidata_label", "wikidata_description", "wikidata_types",
     "wikidata_part_of", "wikidata_has_parts", "wikidata_url",
+    "wikidata_aliases", "wikidata_instance_of", "wikidata_subclass_of",
+    "wikidata_member_of", "wikidata_citizenships", "wikidata_image_url",
+    "wikidata_website", "wikidata_lat", "wikidata_lon",
+    "wikidata_foundation_date", "wikidata_birth_date", "wikidata_death_date",
+    "wikidata_birth_place", "wikidata_death_place", "wikidata_official_name",
+    "wikidata_population", "wikidata_gnd_id", "wikidata_isni",
     "dbpedia_uri", "dbpedia_label", "dbpedia_abstract", "dbpedia_types",
     "dbpedia_subjects", "dbpedia_language", "canonical_id", "link_status",
 ]

@@ -45,10 +45,13 @@ def make_llm_client(cfg: dict, kb: KBSnapshot):
 
 
 _LIST_COLS = {
-    "wikipedia_categories", "wikidata_types", "wikidata_part_of",
-    "wikidata_has_parts", "dbpedia_types", "dbpedia_subjects",
+    "wikipedia_categories", "wikipedia_see_also", "wikidata_types",
+    "wikidata_part_of", "wikidata_has_parts", "wikidata_aliases",
+    "wikidata_instance_of", "wikidata_subclass_of", "wikidata_member_of",
+    "wikidata_citizenships", "dbpedia_types", "dbpedia_subjects",
 }
 _INT_COLS = {"ord", "citation_start", "citation_end"}
+_FLOAT_COLS = {"wikidata_lat", "wikidata_lon"}  # nullable float64
 
 
 class KGDocumentActor:
@@ -78,6 +81,9 @@ class KGDocumentActor:
                     cols[name].append(list(payload.get(name, []) or []))
                 elif name in _INT_COLS:
                     cols[name].append(int(payload.get(name, 0) or 0))
+                elif name in _FLOAT_COLS:
+                    value = payload.get(name)
+                    cols[name].append(None if value is None else float(value))
                 else:
                     cols[name].append(str(payload.get(name, "") or ""))
 
@@ -100,7 +106,7 @@ class KGDocumentActor:
             if field.name in _INT_COLS:
                 arrays.append(pa.array(np.asarray(cols[field.name], dtype=np.int32), field.type))
             else:
-                arrays.append(pa.array(cols[field.name], field.type))
+                arrays.append(pa.array(cols[field.name], field.type))  # None → null
         return pa.Table.from_arrays(arrays, schema=KG_RECORD_SCHEMA)
 
 

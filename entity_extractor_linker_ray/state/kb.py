@@ -52,6 +52,30 @@ MAINTENANCE_SAMPLE = [
     "Wikipedia articles needing clarification",
 ]
 
+# Auxiliary claim-target entities (types, occupations, places, ...):
+# QID → (label_en, label_de). These stand in for the arbitrary Wikidata
+# items an entity-valued claim can point at; ``get_wikidata_details``
+# resolves them through a second-level label lookup exactly like the
+# reference's recursive ``get_wikidata_description`` calls
+# (``wikidata_service.py:419,449,547,564``).
+_TYPE_DE = {
+    "Organization": "Organisation", "Person": "Person", "Method": "Methode",
+    "Resource": "Ressource", "Process": "Prozess", "Tool": "Werkzeug",
+    "System": "System", "Term": "Begriff", "Task": "Aufgabe",
+}
+_AUX_LABELS: dict[str, tuple[str, str]] = {
+    "Q8000": ("synthetic entity", "synthetisches Objekt"),
+    "Q8300": ("Synthetic Republic", "Synthetische Republik"),
+    "Q8400": ("Testville", "Testhausen"),
+    "Q8401": ("Mockport", "Attrappenhafen"),
+    "Q8500": ("Synthetic Consortium", "Synthetisches Konsortium"),
+    "Q8600": ("data engineer", "Dateningenieur"),
+    "Q8601": ("analyst", "Analyst"),
+}
+_TYPE_QIDS = {t: f"Q80{i + 1:02d}" for i, t in enumerate(sorted(_TYPE_DE))}
+for _t, _q in _TYPE_QIDS.items():
+    _AUX_LABELS[_q] = (_t, _TYPE_DE[_t])
+
 
 def build_kb() -> list[dict]:
     """Deterministic KB records (pure function; same output everywhere).
@@ -87,6 +111,49 @@ def build_kb() -> list[dict]:
         categories = [f"{typ} concepts", f"Synthetic {typ.lower()}s"]
         if idx % 3 == 0:
             categories = categories + [MAINTENANCE_SAMPLE[idx % len(MAINTENANCE_SAMPLE)]]
+        # Raw Wikidata claims, mirroring the claim set the reference
+        # decodes (``wikidata_service.py:338-676``): entity-valued
+        # claims hold QIDs (resolved to labels via second-level lookup),
+        # times hold the raw ``+YYYY-MM-DDT00:00:00Z`` form (trimmed at
+        # decode like ``wikidata_service.py:506-536``), quantities the
+        # raw ``+N`` amount. Presence varies by index so every
+        # conditional decode path gets both branches exercised.
+        wd_claims: dict[str, list] = {
+            "P31": [_TYPE_QIDS[typ], "Q8000"],  # instance of
+        }
+        if idx % 2 == 1:
+            wd_claims["P279"] = [_TYPE_QIDS[typ]]  # subclass of
+        if typ == "Person":
+            wd_claims["P569"] = [f"+{1900 + idx}-03-14T00:00:00Z"]  # birth
+            if idx % 2 == 1:
+                wd_claims["P570"] = [f"+{1970 + idx}-11-02T00:00:00Z"]  # death
+            wd_claims["P106"] = ["Q8600", "Q8601"]  # occupations
+            wd_claims["P27"] = ["Q8300"]  # citizenship
+            wd_claims["P19"] = ["Q8400"]  # birth place
+            wd_claims["P20"] = ["Q8401"]  # death place
+            wd_claims["P213"] = [f"0000 0001 2345 {idx:03d}X"]  # ISNI
+        elif idx % 3 != 1:
+            # BCE edge (no leading '+') exercises the non-'+' trim path
+            wd_claims["P571"] = (
+                ["-0500-01-01T00:00:00Z"] if idx % 11 == 5
+                else [f"+{1950 + idx * 3}-06-0{(idx % 9) + 1}T00:00:00Z"]
+            )
+        if idx % 2 == 0:
+            wd_claims["P856"] = [f"https://www.{label.lower().replace(' ', '')}.example.org"]
+        if idx % 4 == 0:
+            wd_claims["P625"] = [
+                {"latitude": round(-60.0 + idx * 9.5, 4),
+                 "longitude": round(-150.0 + idx * 23.25, 4)}
+            ]
+        if idx % 3 == 0:
+            wd_claims["P18"] = [f"{label} synthetic image.svg"]  # space → underscore
+            wd_claims["P227"] = [f"11{idx:04d}{idx % 10}"]  # GND
+        if idx % 4 == 1:
+            wd_claims["P1448"] = [f"The Official {label}"]
+        if typ == "System":
+            wd_claims["P1082"] = [f"+{10000 + idx * 1234}"]
+        if idx % 4 == 2:
+            wd_claims["P463"] = ["Q8500"]  # member of
         records.append(
             {
                 "label": label,
@@ -118,14 +185,41 @@ def build_kb() -> list[dict]:
                 "dbpedia_subjects": (
                     [f"Category:{typ} concepts"] if in_dbpedia else []
                 ),
+                "wd_claims": wd_claims,
+                # Wikipedia ADDITIONAL_DETAILS payloads
+                # (``wikipedia_service.py:514-603``: infobox rows,
+                # see-also links, main image)
+                "infobox": (
+                    {"Type": typ, "Part of": parent, "Index": str(idx)}
+                    if parent else {}
+                ),
+                "see_also": [],  # filled below (needs all records)
+                "image": (
+                    f"https://upload.wikimedia.org/wikipedia/commons/"
+                    f"{title.replace(' ', '_')}_synthetic.png"
+                    if idx % 2 == 0 else ""
+                ),
             }
         )
-    # fill has_parts from part_of inverses
+    # claim-target QID per record: its real wikidata id, or an
+    # aux-only id (a record absent from wikidata as an ENTITY can still
+    # be the target of another entity's claim)
+    for idx, rec in enumerate(records):
+        rec["claim_qid"] = rec["wikidata_id"] or f"Q7{idx:04d}"
+    # fill has_parts (labels) + P361/P527 (QIDs) from part_of inverses
     by_label = {r["label"]: r for r in records}
     for rec in records:
         for parent in rec["part_of"]:
             if parent in by_label:
-                by_label[parent]["has_parts"].append(rec["label"])
+                parent_rec = by_label[parent]
+                parent_rec["has_parts"].append(rec["label"])
+                parent_rec["wd_claims"].setdefault("P527", []).append(rec["claim_qid"])
+                rec["wd_claims"].setdefault("P361", []).append(parent_rec["claim_qid"])
+    # see-also: the next two records cyclically (deterministic)
+    for idx, rec in enumerate(records):
+        rec["see_also"] = [
+            records[(idx + k) % len(records)]["url_en"] for k in (1, 2)
+        ]
     return records
 
 
@@ -162,6 +256,15 @@ class KBSnapshot:
             if rec["wikidata_id"]:
                 self.by_qid[rec["wikidata_id"]] = rec
             self.by_label[rec["label"]] = rec
+        # second-level label index for claim-target QIDs (recursive
+        # label resolution, ``wikidata_service.py:307-336``): record
+        # claim-QIDs first, then the static aux vocabulary
+        self.claim_labels: dict[str, tuple[str, str]] = {}
+        for rec in self.records:
+            qid = rec.get("claim_qid")
+            if qid:
+                self.claim_labels[qid] = (rec["label"], rec["label_de"])
+        self.claim_labels.update(_AUX_LABELS)
 
     # -- resolution helpers -------------------------------------------------
     def _resolve_canonical(self, url: str) -> dict | None:
@@ -212,21 +315,132 @@ class KBSnapshot:
             return None
         return rec["wikidata_id"]
 
+    def _qid_label(self, qid: str, language: str = "en") -> str | None:
+        """Second-level label lookup for entity-valued claims — the
+        snapshot form of the reference's recursive per-claim
+        ``get_wikidata_description`` calls (``wikidata_service.py:307-336``)."""
+        pair = self.claim_labels.get(qid)
+        if pair is None:
+            return None
+        return pair[1] if language == "de" else pair[0]
+
+    @staticmethod
+    def _trim_time(time_str: str) -> str:
+        """``+YYYY-MM-DDT00:00:00Z`` → ``YYYY-MM-DD`` exactly as the
+        reference trims claim times (``wikidata_service.py:506-512``:
+        strip a leading '+', drop everything from 'T')."""
+        if time_str.startswith("+"):
+            time_str = time_str[1:]
+        if "T" in time_str:
+            time_str = time_str.split("T")[0]
+        return time_str
+
     def get_wikidata_details(self, qid: str, language: str = "en") -> dict:
+        """Decode the full reference claim set
+        (``wikidata_service.py:338-676``): labels/descriptions/aliases,
+        P31 instance_of (+ the duplicate ``types`` decode), P279
+        subclass_of (+ ``subclasses``), P18 image → Commons FilePath
+        URL (space→underscore), P856 website, P625 coordinates,
+        P571/P569/P570 dates (trimmed), P106 occupations, P27
+        citizenships, P19/P20 places, P1448 official name, P1082
+        population (raw amount), P361/P527/P463 relations, P227 GND,
+        P213 ISNI. Keys appear only when the claim exists — same
+        conditional shape as the reference. Entity-valued claims
+        resolve labels via :meth:`_qid_label`."""
         rec = self.by_qid.get(qid)
         if rec is None:
             return {}
-        details = {
-            "id": qid,
-            "label": rec["label"] if language != "de" else rec["label_de"],
-            "description": rec["description"],
-            "types": list(rec["wikidata_types"]),
-        }
-        if rec["part_of"]:
-            details["part_of"] = list(rec["part_of"])
-        if rec["has_parts"]:
-            details["has_parts"] = list(rec["has_parts"])
-        return details
+        claims = rec.get("wd_claims", {})
+        result: dict = {"id": qid}
+        result["description"] = rec["description"]
+        result["label"] = rec["label_de"] if language == "de" else rec["label"]
+        if rec["aliases"]:
+            result["aliases"] = list(rec["aliases"])
+
+        def labels_of(pid: str) -> list[str]:
+            out: list[str] = []
+            for target in claims.get(pid, []):
+                lab = self._qid_label(target, language)
+                if lab and lab not in out:
+                    out.append(lab)
+            return out
+
+        instances = labels_of("P31")
+        if instances:
+            result["instance_of"] = instances
+            result["types"] = list(instances)  # duplicate decode, :439-454
+        subclasses = labels_of("P279")
+        if subclasses:
+            result["subclass_of"] = subclasses
+            result["subclasses"] = list(subclasses)
+        if claims.get("P18"):
+            image_name = claims["P18"][0].replace(" ", "_")
+            result["image_url"] = (
+                f"https://commons.wikimedia.org/wiki/Special:FilePath/{image_name}"
+            )
+        if claims.get("P856"):
+            result["website"] = claims["P856"][0]
+        if claims.get("P625"):
+            coord = claims["P625"][0]
+            result["coordinates"] = {
+                "latitude": coord["latitude"],
+                "longitude": coord["longitude"],
+            }
+        if claims.get("P571"):
+            result["foundation_date"] = self._trim_time(claims["P571"][0])
+        if claims.get("P569"):
+            result["birth_date"] = self._trim_time(claims["P569"][0])
+        if claims.get("P570"):
+            result["death_date"] = self._trim_time(claims["P570"][0])
+        occupations = labels_of("P106")
+        if occupations:
+            result["occupations"] = occupations
+        citizenships = labels_of("P27")
+        if citizenships:
+            result["citizenships"] = citizenships
+        if claims.get("P19"):
+            lab = self._qid_label(claims["P19"][0], language)
+            if lab:
+                result["birth_place"] = lab
+        if claims.get("P20"):
+            lab = self._qid_label(claims["P20"][0], language)
+            if lab:
+                result["death_place"] = lab
+        if claims.get("P1448"):
+            result["official_name"] = claims["P1448"][0]
+        if claims.get("P1082"):
+            result["population"] = claims["P1082"][0]
+        part_of = labels_of("P361")
+        if part_of:
+            result["part_of"] = part_of
+        has_parts = labels_of("P527")
+        if has_parts:
+            result["has_parts"] = has_parts
+        member_of = labels_of("P463")
+        if member_of:
+            result["member_of"] = member_of
+        if claims.get("P227"):
+            result["gnd_id"] = claims["P227"][0]
+        if claims.get("P213"):
+            result["isni"] = claims["P213"][0]
+        return result
+
+    def get_wikipedia_details(self, url: str) -> dict:
+        """ADDITIONAL_DETAILS payload for a Wikipedia page — infobox
+        rows, see-also links, main image — mirroring the keys (and the
+        only-when-present shape) of the reference's scrape
+        (``wikipedia_service.py:514-603``)."""
+        rec = self._resolve_canonical(url)
+        if rec is None:
+            return {}
+        result: dict = {}
+        if rec.get("infobox"):
+            result["infobox"] = dict(rec["infobox"])
+        if rec.get("see_also"):
+            result["see_also"] = list(rec["see_also"])
+        if rec.get("image"):
+            result["image"] = rec["image"]
+        return result
 
     def get_dbpedia(self, url: str) -> dict | None:
         rec = self._resolve_canonical(url)

@@ -91,7 +91,9 @@ def install_reference(stub):
         lambda url, entity_name=None: kb.follow_redirect(url, entity_name or "")
     )
     ref_linker.get_wikipedia_categories = lambda url, config=None: kb.get_categories(url)
-    ref_linker.get_wikipedia_details = lambda url, config=None: {}
+    ref_linker.get_wikipedia_details = (
+        lambda url, config=None: kb.get_wikipedia_details(url)
+    )
     ref_linker.get_wikidata_id_from_wikipedia_url = (
         lambda url, entity_name=None, config=None: kb.get_wikidata_id(url, entity_name or "")
     )

@@ -169,3 +169,54 @@ class TestCategories:
 
     def test_plain_category_kept(self):
         assert not is_maintenance_category("German physicists")
+
+    def test_maintenance_superset_of_reference(self):
+        """Both directions of the condensed-list claim
+        (utils/category_utils.py:3-158):
+
+        1. superset — every phrase on the reference's keyword list (as a
+           bare category name and embedded in a longer one) is dropped
+           by `is_maintenance_category`;
+        2. no over-reach on content — a sample of real-ish legitimate
+           categories is kept by BOTH the reference rule and ours.
+
+        The reference list is read via ast.literal_eval (no import of
+        the reference package needed)."""
+        import ast
+        import pathlib
+
+        src = pathlib.Path(
+            "/root/reference/entityextractor/utils/category_utils.py"
+        ).read_text()
+        ref_keywords = None
+        for node in ast.parse(src).body:
+            if isinstance(node, ast.Assign) and getattr(
+                node.targets[0], "id", ""
+            ) == "MAINTENANCE_KEYWORDS":
+                ref_keywords = ast.literal_eval(node.value)
+        assert ref_keywords and len(ref_keywords) > 100
+
+        missed = [
+            kw for kw in ref_keywords
+            if not (is_maintenance_category(kw)
+                    and is_maintenance_category(f"Hidden {kw} tracking"))
+        ]
+        assert not missed, f"reference-dropped but kept by ours: {missed}"
+
+        legitimate = [
+            "German physicists",
+            "Machine learning",
+            "Rivers of Germany",
+            "19th-century mathematicians",
+            "Query languages",
+            "Distributed computing architecture",
+            "Data management",
+            "Cities in Bavaria",
+            "Nobel laureates in Physics",
+            "Programming language topics",
+            "Organization concepts",
+            "Synthetic processes",
+        ]
+        for cat in legitimate:
+            assert not any(kw in cat for kw in ref_keywords), cat
+            assert not is_maintenance_category(cat), cat

@@ -123,6 +123,99 @@ def test_entity_parity(golden, engine_out):
         assert got == gold, conv
 
 
+@pytest.fixture(scope="module")
+def golden_details(tiny_transcripts):
+    return H.run_reference(tiny_transcripts, {"ADDITIONAL_DETAILS": True})
+
+
+@pytest.fixture(scope="module")
+def engine_details(ray_session, tiny_transcripts):
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
+
+    out = build_kg_datasets(
+        rd.from_arrow(tiny_transcripts),
+        H.engine_config({"RAY_KG_CONCURRENCY": 2, "ADDITIONAL_DETAILS": True}),
+    )
+    return out["entities"].to_pandas()
+
+
+def test_additional_details_parity(golden_details, engine_details):
+    """With ADDITIONAL_DETAILS on, every extended Wikipedia
+    (infobox/see-also/image) and Wikidata (claims P18/P856/P625/P571/
+    P569/P570/P27/P19/P20/P1448/P1082/P463/P227/P213, aliases,
+    instance_of, subclass_of) column equals the value the REFERENCE
+    packs into sources.wikipedia / sources.wikidata
+    (orchestrator.py:371-395)."""
+    import json
+
+    import pandas as pd
+
+    checked = 0
+    for conv, result in golden_details.items():
+        sub = engine_details[engine_details.conv_id == conv]
+        by_key = {(r.entity, r.type, r.inferred): r for r in sub.itertuples()}
+        for e in result["entities"]:
+            key = (e["entity"], e["details"]["typ"], e["details"]["inferred"])
+            assert key in by_key, (conv, key)
+            row = by_key[key]
+            src = e.get("sources", {})
+            ws, wd = src.get("wikipedia", {}), src.get("wikidata", {})
+            assert row.wikipedia_image == ws.get("image", "")
+            assert list(row.wikipedia_see_also) == list(ws.get("see_also", []))
+            got_infobox = (
+                json.loads(row.wikipedia_infobox_json)
+                if row.wikipedia_infobox_json else {}
+            )
+            assert got_infobox == ws.get("infobox", {})
+            assert list(row.wikidata_aliases) == list(wd.get("aliases", []))
+            assert list(row.wikidata_instance_of) == list(wd.get("instance_of", []))
+            assert list(row.wikidata_subclass_of) == list(wd.get("subclass_of", []))
+            assert list(row.wikidata_member_of) == list(wd.get("member_of", []))
+            assert list(row.wikidata_citizenships) == list(wd.get("citizenships", []))
+            assert row.wikidata_image_url == wd.get("image_url", "")
+            assert row.wikidata_website == wd.get("website", "")
+            coords = wd.get("coordinates", {})
+            if coords:
+                assert row.wikidata_lat == coords["latitude"]
+                assert row.wikidata_lon == coords["longitude"]
+            else:
+                assert pd.isna(row.wikidata_lat) and pd.isna(row.wikidata_lon)
+            for col, wd_key in [
+                ("wikidata_foundation_date", "foundation_date"),
+                ("wikidata_birth_date", "birth_date"),
+                ("wikidata_death_date", "death_date"),
+                ("wikidata_birth_place", "birth_place"),
+                ("wikidata_death_place", "death_place"),
+                ("wikidata_official_name", "official_name"),
+                ("wikidata_population", "population"),
+                ("wikidata_gnd_id", "gnd_id"),
+                ("wikidata_isni", "isni"),
+            ]:
+                assert getattr(row, col) == wd.get(wd_key, ""), (key, col)
+            checked += 1
+    assert checked > 0
+
+
+def test_wikidata_details_cover_reference_claims(golden_details):
+    """The golden corpus must actually exercise the extended claim
+    decodes — at least one entity with each non-empty detail family."""
+    seen: set[str] = set()
+    for result in golden_details.values():
+        for e in result["entities"]:
+            wd = e.get("sources", {}).get("wikidata", {})
+            seen.update(k for k, v in wd.items() if v)
+            ws = e.get("sources", {}).get("wikipedia", {})
+            seen.update(f"wp_{k}" for k, v in ws.items() if v)
+    for required in [
+        "image_url", "website", "coordinates", "foundation_date",
+        "official_name", "member_of", "gnd_id", "aliases", "instance_of",
+        "subclass_of", "wp_infobox", "wp_see_also", "wp_image",
+    ]:
+        assert required in seen, required
+
+
 def test_entity_order_preserved(golden, engine_out):
     """The engine's per-conversation `ord` column reproduces the
     reference's entity emission order (first-wins semantics depend on
