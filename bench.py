@@ -187,12 +187,16 @@ def main_bench() -> dict:
     for _ in range(2):
         wall, n_triples = run_kg_headline(SF_DIR, NUM_CPUS)
         walls.append(round(wall, 3))
-    wall = min(walls)
+    # headline value = MEAN of the runs (unbiased vs other engines'
+    # single-run walls); the minimum is still disclosed as best_wall
+    # since co-tenant noise only ever inflates a wall, never deflates it
+    wall = round(sum(walls) / len(walls), 3)
     qtimes = {} if os.environ.get("GRAFT_SKIP_QUERIES") else timed_queries(SF_DIR)
     result = {
         "metric": "kg_pipeline_sec",
-        "value": round(wall, 3),
+        "value": wall,
         "unit": "sec",
+        "best_wall": min(walls),
         "headline_runs": walls,
         "queries": qtimes,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],

@@ -465,30 +465,64 @@ def package_entity(e: dict, input_text: str, cfg: dict) -> dict:
 
 def collect_references(entities: list[dict]) -> list[str]:
     """Ordered distinct source URLs across all linked entities — G9
-    (``services/compendium_service.py:46-63``): wikipedia first, then
-    wikidata, then dbpedia, insertion-ordered, first occurrence wins."""
+    (``services/compendium_service.py:46-63``): ENTITY-major, per
+    entity wikipedia → wikidata (url, else constructed /wiki/{id}) →
+    dbpedia, deduplicated with first occurrence winning — the same
+    numbering the reference's compendium citations use."""
     urls: list[str] = []
-    for key in ("wikipedia_url", "wikidata_url", "dbpedia_uri"):
-        for e in entities:
-            url = e.get(key) or ""
-            if not url and key == "dbpedia_uri":
-                url = (e.get("dbpedia_info") or {}).get("resource_uri", "")
-            if url and url not in urls:
-                urls.append(url)
-    return urls
+    for e in entities:
+        wp_url = e.get("wikipedia_url") or ""
+        if wp_url:
+            urls.append(wp_url)
+        wd_url = e.get("wikidata_url") or ""
+        if not wd_url and e.get("wikidata_id"):
+            wd_url = f"https://www.wikidata.org/wiki/{e['wikidata_id']}"
+        if wd_url:
+            urls.append(wd_url)
+        db_uri = e.get("dbpedia_uri") or (e.get("dbpedia_info") or {}).get(
+            "resource_uri", ""
+        )
+        if db_uri:
+            urls.append(db_uri)
+    return list(dict.fromkeys(urls))
 
 
 def build_compendium(topic: str, entities: list[dict], cfg: dict, llm) -> tuple[str, list[str]]:
     """One compendium LLM call from the linked entities' knowledge
-    (``services/compendium_service.py:9-89``): numbered reference list +
-    extract-based knowledge context → ~COMPENDIUM_LENGTH-char cited
-    text. Returns ``(compendium_text, references)``."""
+    (``services/compendium_service.py:9-89``): entity-major reference
+    list + a knowledge block of per-entity, NAME-labeled source lines
+    (the reference's ``Wikipedia-Extract für {entity}: ...`` format —
+    labels are German in the reference regardless of LANGUAGE) →
+    ~COMPENDIUM_LENGTH-char cited text. Returns
+    ``(compendium_text, references)``."""
     refs = collect_references(entities)
-    knowledge = "\n\n".join(
-        f"[{i + 1}] {e.get('entity') or e.get('name', '')}: {e.get('wikipedia_extract', '')}"
-        for i, e in enumerate(entities)
-        if e.get("wikipedia_extract")
-    )
+    knowledge_parts: list[str] = []
+    for e in entities:
+        name = e.get("entity") or e.get("name", "")
+        parts: list[str] = []
+        if e.get("wikipedia_extract"):
+            parts.append(f"Wikipedia-Extract für {name}: {e['wikipedia_extract']}")
+        if e.get("wikipedia_url"):
+            parts.append(f"Wikipedia-URL für {name}: {e['wikipedia_url']}")
+        if e.get("wikipedia_categories"):
+            parts.append(
+                f"Kategorien für {name}: {', '.join(e['wikipedia_categories'])}"
+            )
+        wd = e.get("wikidata_details") or {}
+        if wd.get("id"):
+            parts.append(f"Wikidata-ID für {name}: {wd['id']}")
+        if wd.get("description"):
+            parts.append(f"Wikidata-Beschreibung für {name}: {wd['description']}")
+        if wd.get("types"):
+            parts.append(f"Wikidata-Typen für {name}: {', '.join(wd['types'])}")
+        db = e.get("dbpedia_info") or {}
+        if db.get("abstract"):
+            parts.append(f"DBpedia-Abstract für {name}: {db['abstract']}")
+        if db.get("resource_uri"):
+            parts.append(f"DBpedia-URI für {name}: {db['resource_uri']}")
+        if parts:
+            knowledge_parts.append("\n".join(parts))
+    knowledge = "\n\n".join(knowledge_parts)
     raw = llm.chat(
         prompts.compendium_messages(
             topic, refs, int(cfg.get("COMPENDIUM_LENGTH", 8000)), knowledge
@@ -537,9 +571,30 @@ def training_examples(text: str, entities: list[dict], rels: list[dict], cfg: di
 # full per-document pipeline
 # ----------------------------------------------------------------------
 
-def process_document(input_text: str, cfg: dict, llm, kb) -> tuple[list[dict], list[dict]]:
+def build_doc_artifacts(
+    input_text: str, ents: list[dict], rels: list[dict], cfg: dict, llm
+) -> dict:
+    """Feature-flagged per-document artifacts (compendium A14, training
+    data S4/S5) derived from the SAME extraction pass — the reference
+    derives both from its single ``process_entities`` run
+    (``orchestrator.py``), never re-extracting per artifact."""
+    artifacts: dict = {}
+    if cfg.get("ENABLE_COMPENDIUM", False):
+        compendium, refs = build_compendium(input_text, ents, cfg, llm)
+        artifacts["compendium"] = {"compendium": compendium, "references": refs}
+    if cfg.get("COLLECT_TRAINING_DATA", False):
+        artifacts["training"] = training_examples(input_text, ents, rels, cfg)
+    return artifacts
+
+
+def process_document(
+    input_text: str, cfg: dict, llm, kb, *, return_artifacts: bool = False
+):
     """Full reference flow for one document; returns
-    ``(packaged_entities, relationships)``.
+    ``(packaged_entities, relationships)`` — or, with
+    ``return_artifacts=True``, ``(packaged, rels, artifacts)`` where the
+    flagged compendium/training artifacts reuse this pass's entities and
+    relations instead of re-extracting.
 
     Single-pass path: ``orchestrator.py:329-468``; chunked path
     (``TEXT_CHUNKING``): ``orchestrator.py:38-198`` (per-chunk extract +
@@ -588,4 +643,6 @@ def process_document(input_text: str, cfg: dict, llm, kb) -> tuple[list[dict], l
         rels = fuzzy_dedup_triples(rels, 0.85)
 
     packaged = [package_entity(e, input_text, cfg) for e in ents]
-    return packaged, rels
+    if not return_artifacts:
+        return packaged, rels
+    return packaged, rels, build_doc_artifacts(input_text, ents, rels, cfg, llm)

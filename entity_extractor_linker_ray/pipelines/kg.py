@@ -55,9 +55,20 @@ def build_kg_datasets(
     records = kg_records(docs, cfg, kb_ref, **ray_opts)
     if materialize:
         records = records.materialize()
-    return {
+    out = {
         "documents": docs,
         "records": records,
         "entities": split_entities(records),
         "triples": split_triples(records),
     }
+    # flagged artifacts are byproducts of the same actor pass (no
+    # re-extraction): expose their decoded table shapes when enabled
+    if cfg.get("ENABLE_COMPENDIUM", False):
+        from entity_extractor_linker_ray.stages.kg_stage import split_compendium
+
+        out["compendium"] = split_compendium(records)
+    if cfg.get("COLLECT_TRAINING_DATA", False):
+        from entity_extractor_linker_ray.stages.kg_stage import split_training
+
+        out["training"] = split_training(records)
+    return out

@@ -99,6 +99,8 @@ KG_RECORD_SCHEMA = pa.schema(
         ("object_inferred", _STR),
         ("subject_id", _STR),
         ("object_id", _STR),
+        # --- artifact columns (record_type compendium|training) -------
+        ("artifact_json", _STR),
     ]
 )
 

@@ -24,12 +24,7 @@ import json
 import pyarrow as pa
 
 from entity_extractor_linker_ray.config import get_config
-from entity_extractor_linker_ray.core_doc import (
-    build_compendium,
-    extract_and_link,
-    infer_relationships,
-    training_examples,
-)
+from entity_extractor_linker_ray.core_doc import process_document
 from entity_extractor_linker_ray.stages.kg_stage import make_llm_client
 from entity_extractor_linker_ray.state.kb import KBSnapshot, build_kb
 
@@ -67,17 +62,30 @@ class _DocArtifactActor:
 
 
 class CompendiumActor(_DocArtifactActor):
+    """Standalone compendium stage. Derives the compendium from ONE
+    ``process_document`` pass (the same code path the KG stage runs) —
+    never a second extraction per artifact; pipelines wanting triples
+    AND artifacts should set ENABLE_COMPENDIUM / COLLECT_TRAINING_DATA
+    on ``build_kg_datasets`` instead, which emits artifact rows from
+    the single actor pass."""
+
+    def __init__(self, cfg: dict | None = None, kb_ref=None):
+        super().__init__({**(cfg or {}), "ENABLE_COMPENDIUM": True,
+                          "COLLECT_TRAINING_DATA": False}, kb_ref)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv_ids, texts, refs_col, n_refs = [], [], [], []
         for conv_id, doc_text in zip(
             batch.column("conv_id").to_pylist(), batch.column("doc_text").to_pylist()
         ):
-            ents = extract_and_link(doc_text or "", self.cfg, self.llm, self.kb)
-            compendium, refs = build_compendium(doc_text or "", ents, self.cfg, self.llm)
+            _, _, artifacts = process_document(
+                doc_text or "", self.cfg, self.llm, self.kb, return_artifacts=True
+            )
+            payload = artifacts["compendium"]
             conv_ids.append(conv_id)
-            texts.append(compendium)
-            refs_col.append(refs)
-            n_refs.append(len(refs))
+            texts.append(payload["compendium"])
+            refs_col.append(payload["references"])
+            n_refs.append(len(payload["references"]))
         return pa.Table.from_arrays(
             [
                 pa.array(conv_ids, pa.string()),
@@ -90,18 +98,22 @@ class CompendiumActor(_DocArtifactActor):
 
 
 class TrainingDataActor(_DocArtifactActor):
+    """Standalone training-data stage; same single-pass contract as
+    :class:`CompendiumActor`."""
+
+    def __init__(self, cfg: dict | None = None, kb_ref=None):
+        super().__init__({**(cfg or {}), "COLLECT_TRAINING_DATA": True,
+                          "ENABLE_COMPENDIUM": False}, kb_ref)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv_ids, kinds, payloads = [], [], []
         for conv_id, doc_text in zip(
             batch.column("conv_id").to_pylist(), batch.column("doc_text").to_pylist()
         ):
-            ents = extract_and_link(doc_text or "", self.cfg, self.llm, self.kb)
-            rels = (
-                infer_relationships(doc_text or "", ents, self.cfg, self.llm)
-                if self.cfg.get("RELATION_EXTRACTION", False)
-                else []
+            _, _, artifacts = process_document(
+                doc_text or "", self.cfg, self.llm, self.kb, return_artifacts=True
             )
-            for ex in training_examples(doc_text or "", ents, rels, self.cfg):
+            for ex in artifacts.get("training", []):
                 conv_ids.append(conv_id)
                 kinds.append(ex["kind"])
                 payloads.append(

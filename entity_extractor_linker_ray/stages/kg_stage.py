@@ -19,6 +19,8 @@ page cache standing in for the reference's JSON file cache
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pyarrow as pa
 
@@ -34,14 +36,36 @@ def make_llm_client(cfg: dict, kb: KBSnapshot):
     ``LLM_BASE_URL``/``MODEL`` endpoint, ``settings.py:14-15``, recast
     as a constructor-injected protocol). Only the deterministic stub is
     constructible in this sealed environment; a networked client would
-    be registered here."""
+    be registered here.
+
+    A13: when ``RATE_LIMIT_MAX_CALLS`` is set, the client's ``chat`` is
+    wrapped in a per-actor sliding-window limiter
+    (``state/rate_limiter.py``) holding this actor's share of the
+    global budget — ``global / pool_size`` — so a pool of N actors
+    stays under the global rate with no cross-actor coordination
+    (mirrors ``utils/rate_limiter.py:7-44`` semantics)."""
     model = cfg.get("MODEL", "stub")
     if model == "stub":
-        return StubLLMClient(kb, cfg.get("LANGUAGE", "en"))
-    raise NotImplementedError(
-        f"MODEL={model!r}: only the deterministic 'stub' client exists in "
-        "this environment; implement LLMClient.chat for networked models."
-    )
+        client = StubLLMClient(kb, cfg.get("LANGUAGE", "en"))
+    else:
+        raise NotImplementedError(
+            f"MODEL={model!r}: only the deterministic 'stub' client exists in "
+            "this environment; implement LLMClient.chat for networked models."
+        )
+    global_max = cfg.get("RATE_LIMIT_MAX_CALLS")
+    if global_max:
+        from entity_extractor_linker_ray.state.rate_limiter import RateLimiter
+
+        pool = cfg.get("RAY_KG_CONCURRENCY", 8)
+        pool_size = pool[1] if isinstance(pool, tuple) else int(pool)
+        limiter = RateLimiter.for_pool_share(
+            int(global_max),
+            float(cfg.get("RATE_LIMIT_PERIOD", 1.0)),
+            pool_size,
+            backoff_max=float(cfg.get("RATE_LIMIT_BACKOFF_MAX", 60.0)),
+        )
+        client.chat = limiter(client.chat)
+    return client
 
 
 _LIST_COLS = {
@@ -87,10 +111,19 @@ class KGDocumentActor:
                 else:
                     cols[name].append(str(payload.get(name, "") or ""))
 
+        want_artifacts = self.cfg.get("ENABLE_COMPENDIUM", False) or self.cfg.get(
+            "COLLECT_TRAINING_DATA", False
+        )
         conv_ids = batch.column("conv_id").to_pylist()
         doc_texts = batch.column("doc_text").to_pylist()
         for conv_id, doc_text in zip(conv_ids, doc_texts):
-            entities, rels = process_document(doc_text or "", self.cfg, self.llm, self.kb)
+            if want_artifacts:
+                entities, rels, artifacts = process_document(
+                    doc_text or "", self.cfg, self.llm, self.kb, return_artifacts=True
+                )
+            else:
+                entities, rels = process_document(doc_text or "", self.cfg, self.llm, self.kb)
+                artifacts = {}
             canonical_by_name: dict[str, str] = {}
             for ordinal, ent in enumerate(entities):
                 canonical_by_name.setdefault(ent["entity"], ent["canonical_id"])
@@ -100,6 +133,16 @@ class KGDocumentActor:
                 rel["subject_id"] = canonical_by_name.get(rel["subject"], rel["subject"])
                 rel["object_id"] = canonical_by_name.get(rel["object"], rel["object"])
                 emit("triple", conv_id, ordinal, rel)
+            # artifact rows ride the same unified stream: the flagged
+            # compendium/training outputs are byproducts of THIS pass
+            # (no re-extraction per artifact stage)
+            if "compendium" in artifacts:
+                emit("compendium", conv_id, 0,
+                     {"artifact_json": json.dumps(artifacts["compendium"],
+                                                  ensure_ascii=False)})
+            for ordinal, example in enumerate(artifacts.get("training", [])):
+                emit("training", conv_id, ordinal,
+                     {"artifact_json": json.dumps(example, ensure_ascii=False)})
 
         arrays = []
         for field in KG_RECORD_SCHEMA:
@@ -157,3 +200,65 @@ def split_triples(records_ds):
         lambda t: t.filter(pc.equal(t.column("record_type"), "triple")).select(TRIPLE_COLUMNS),
         batch_format="pyarrow",
     )
+
+
+def split_compendium(records_ds):
+    """Decode the compendium artifact rows into the COMPENDIUM_SCHEMA
+    table shape (conv_id, compendium, references, n_references)."""
+    import pyarrow.compute as pc
+
+    def decode(t: pa.Table) -> pa.Table:
+        from entity_extractor_linker_ray.stages.artifacts import COMPENDIUM_SCHEMA
+
+        t = t.filter(pc.equal(t.column("record_type"), "compendium"))
+        convs, comps, refs, n_refs = [], [], [], []
+        for conv_id, payload in zip(
+            t.column("conv_id").to_pylist(), t.column("artifact_json").to_pylist()
+        ):
+            obj = json.loads(payload)
+            convs.append(conv_id)
+            comps.append(obj["compendium"])
+            refs.append(obj["references"])
+            n_refs.append(len(obj["references"]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(convs, pa.string()),
+                pa.array(comps, pa.string()),
+                pa.array(refs, pa.list_(pa.string())),
+                pa.array(n_refs, pa.int32()),
+            ],
+            schema=COMPENDIUM_SCHEMA,
+        )
+
+    return records_ds.map_batches(decode, batch_format="pyarrow")
+
+
+def split_training(records_ds):
+    """Decode the training artifact rows into the TRAINING_SCHEMA
+    table shape (conv_id, kind, messages_json)."""
+    import pyarrow.compute as pc
+
+    def decode(t: pa.Table) -> pa.Table:
+        from entity_extractor_linker_ray.stages.artifacts import TRAINING_SCHEMA
+
+        t = t.filter(pc.equal(t.column("record_type"), "training"))
+        convs, kinds, payloads = [], [], []
+        for conv_id, payload in zip(
+            t.column("conv_id").to_pylist(), t.column("artifact_json").to_pylist()
+        ):
+            obj = json.loads(payload)
+            convs.append(conv_id)
+            kinds.append(obj["kind"])
+            payloads.append(
+                json.dumps({"messages": obj["messages"]}, ensure_ascii=False)
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array(convs, pa.string()),
+                pa.array(kinds, pa.string()),
+                pa.array(payloads, pa.string()),
+            ],
+            schema=TRAINING_SCHEMA,
+        )
+
+    return records_ds.map_batches(decode, batch_format="pyarrow")

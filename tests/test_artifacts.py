@@ -50,10 +50,12 @@ class TestCompendium:
              "dbpedia_info": {"resource_uri": "http://dbpedia.org/resource/B"}},
             {"wikipedia_url": "https://en.wikipedia.org/wiki/A"},  # dup dropped
         ]
+        # ENTITY-major (compendium_service.py:46-63): per entity
+        # wp → wd → db, first occurrence wins
         assert collect_references(ents) == [
             "https://en.wikipedia.org/wiki/A",
-            "https://en.wikipedia.org/wiki/B",
             "https://www.wikidata.org/wiki/Q1",
+            "https://en.wikipedia.org/wiki/B",
             "http://dbpedia.org/resource/B",
         ]
 
@@ -163,3 +165,32 @@ class TestPipelineVariants:
         )
         assert len(df) > 0
         assert set(df["inferred"]) <= {"explicit", "implicit"}
+
+
+class TestSinglePassArtifacts:
+    def test_artifacts_from_single_pass(self, ray_session, tiny_transcripts):
+        """ENABLE_COMPENDIUM / COLLECT_TRAINING_DATA on build_kg_datasets
+        emit artifact rows from the SAME actor pass as entities/triples
+        (no per-artifact re-extraction)."""
+        import json
+
+        import ray.data as rd
+
+        from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
+
+        out = build_kg_datasets(
+            rd.from_arrow(tiny_transcripts),
+            {"RAY_KG_CONCURRENCY": 2, "RELATION_EXTRACTION": True,
+             "ENABLE_COMPENDIUM": True, "COLLECT_TRAINING_DATA": True},
+        )
+        n_docs = out["documents"].count()
+        comp = out["compendium"].to_pandas()
+        train = out["training"].to_pandas()
+        assert len(comp) == n_docs
+        assert (comp["n_references"] > 0).any()
+        assert (train["kind"] == "entity_extraction").sum() == n_docs
+        for payload in train["messages_json"].head(3):
+            assert json.loads(payload)["messages"]
+        # the unified stream still yields entities and triples
+        assert out["entities"].count() > 0
+        assert out["triples"].count() > 0
