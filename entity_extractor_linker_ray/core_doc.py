@@ -29,7 +29,11 @@ from entity_extractor_linker_ray.functions.parsing import (
     parse_entity_lines,
     parse_triples,
 )
-from entity_extractor_linker_ray.functions.text import chunk_text, strip_trailing_ellipsis
+from entity_extractor_linker_ray.functions.text import (
+    chunk_text,
+    clean_llm_json,
+    strip_trailing_ellipsis,
+)
 from entity_extractor_linker_ray.functions.urls import is_valid_wikipedia_url, parse_wiki_url
 
 
@@ -99,7 +103,76 @@ def infer_entities(text: str, entities: list[dict], cfg: dict, llm) -> list[dict
 # linking (KB fallback chain)
 # ----------------------------------------------------------------------
 
-def link_entity(entity: dict, cfg: dict, kb) -> dict | None:
+def _llm_translate(entity_name: str, llm) -> str | None:
+    """A8: translate-to-English LLM call (``wikidata_service.py:81-132``)."""
+    out = (llm.chat(prompts.translate_messages(entity_name)) or "").strip()
+    return out.strip('"').strip("'").strip() or None
+
+
+def _llm_synonyms(entity_name: str, language: str, llm) -> list[str]:
+    """A9: 3-synonym LLM call (``wikidata_service.py:134-196``)."""
+    raw = clean_llm_json(llm.chat(prompts.synonym_messages(entity_name, language)))
+    try:
+        parsed = json.loads(raw)
+    except ValueError:
+        return []
+    return [s for s in parsed if isinstance(s, str)] if isinstance(parsed, list) else []
+
+
+def _search_with_translate(name: str, language: str, cfg: dict, llm, kb) -> str | None:
+    """``search_wikidata_by_entity_name`` topology
+    (``wikidata_service.py:20-79``): direct search; on a non-English
+    miss, translate the term and retry once in English
+    (``try_english=False`` on the retry — no recursion)."""
+    qid = kb.search_wikidata(name, language)
+    if qid:
+        return qid
+    if language != "en" and llm is not None:
+        english = _llm_translate(name, llm)
+        if english and english != name:
+            return kb.search_wikidata(english, "en")
+    return None
+
+
+def resolve_wikidata_id(url: str, entity_name: str, cfg: dict, kb, llm=None):
+    """The reference's full Wikidata-ID fallback chain
+    (``wikidata_service.py:198-302``), returned as ``(qid, step)``:
+
+    1. ``pageprops`` — title → QID lookup on the URL;
+    2. ``search`` — name search (with A8 translate-retry inside for
+       non-English, ``:69-75``);
+    3. ``synonym`` — up to 3 LLM-generated alternative names, each
+       searched in turn (``:279-289``);
+    4. ``translate`` — German-term final fallback: translate then
+       search English (``:291-299``).
+
+    Steps 3-4 need an LLM; with ``llm=None`` the chain stops after 2
+    (the conservative degradation for LLM-less callers).
+    """
+    qid = kb.get_wikidata_id(url, entity_name)
+    if qid:
+        return qid, "pageprops"
+    if not entity_name:
+        return None, "miss"
+    language = "en" if "en.wikipedia.org" in (url or "") else "de"
+    qid = _search_with_translate(entity_name, language, cfg, llm, kb)
+    if qid:
+        return qid, "search"
+    if llm is not None:
+        for synonym in _llm_synonyms(entity_name, language, llm)[:3]:
+            qid = kb.search_wikidata(synonym, language)
+            if qid:
+                return qid, "synonym"
+        if language == "de":
+            english = _llm_translate(entity_name, llm)
+            if english:
+                qid = kb.search_wikidata(english, "en")
+                if qid:
+                    return qid, "translate"
+    return None, "miss"
+
+
+def link_entity(entity: dict, cfg: dict, kb, llm=None) -> dict | None:
     """Multi-stage KB resolution for one entity, reproducing the
     fallback chain of ``core/linker.py:56-227``:
 
@@ -174,7 +247,13 @@ def link_entity(entity: dict, cfg: dict, kb) -> dict | None:
         if wiki_details:
             out["wikipedia_details"] = wiki_details
     if cfg.get("USE_WIKIDATA", True):
-        qid = out.get("wikidata_id") or kb.get_wikidata_id(out["wikipedia_url"], entity_name)
+        qid = out.get("wikidata_id")
+        if not qid:
+            # full fallback topology: pageprops → search(+translate) →
+            # synonyms → de→en translate (resolve_wikidata_id)
+            qid, _wd_step = resolve_wikidata_id(
+                out["wikipedia_url"], entity_name, cfg, kb, llm
+            )
         if qid:
             out["wikidata_id"] = qid
             details = kb.get_wikidata_details(qid, lang)
@@ -196,8 +275,10 @@ def link_entity(entity: dict, cfg: dict, kb) -> dict | None:
     return out
 
 
-def link_entities(entities: list[dict], cfg: dict, kb) -> list[dict]:
-    return [le for le in (link_entity(e, cfg, kb) for e in entities) if le is not None]
+def link_entities(entities: list[dict], cfg: dict, kb, llm=None) -> list[dict]:
+    return [
+        le for le in (link_entity(e, cfg, kb, llm) for e in entities) if le is not None
+    ]
 
 
 def extract_and_link(text: str, cfg: dict, llm, kb) -> list[dict]:
@@ -206,7 +287,7 @@ def extract_and_link(text: str, cfg: dict, llm, kb) -> list[dict]:
     ``core/extractor.py:36-39``)."""
     ents = extract_entities(text, cfg, llm)
     ents = infer_entities(text, ents, cfg, llm)
-    return link_entities(ents, cfg, kb)
+    return link_entities(ents, cfg, kb, llm)
 
 
 # ----------------------------------------------------------------------
@@ -403,6 +484,12 @@ def package_entity(e: dict, input_text: str, cfg: dict) -> dict:
     wp_det = (e.get("wikipedia_details") or {}) if more else {}
     wd_more = wd if (more and use_wikidata) else {}
     coords = wd_more.get("coordinates") or {}
+    # NOTE: the reference packager's "same_as"/"foundation_date"/"lat"/
+    # "long" keys never match the SPARQL decode's actual keys
+    # ("sameAs"/"founding_date"/"coordinates") — those fields are dead
+    # in the reference's packaged sources.dbpedia, so they get no
+    # columns here either (parity over completeness).
+    db_more = db if (more and use_dbpedia) else {}
     return {
         "entity": e.get("name", ""),
         "type": e.get("type", ""),
@@ -454,6 +541,28 @@ def package_entity(e: dict, input_text: str, cfg: dict) -> dict:
         "dbpedia_types": (list(db.get("types", [])) if use_dbpedia else []),
         "dbpedia_subjects": (list(db.get("subjects", [])) if use_dbpedia else []),
         "dbpedia_language": (db.get("language", "") if use_dbpedia else ""),
+        "dbpedia_part_of": (list(db.get("part_of", [])) if use_dbpedia else []),
+        "dbpedia_has_parts": (list(db.get("has_parts", [])) if use_dbpedia else []),
+        "dbpedia_member_of": (list(db.get("member_of", [])) if use_dbpedia else []),
+        "dbpedia_categories": (list(db.get("categories", [])) if use_dbpedia else []),
+        "dbpedia_comment": db_more.get("comment", "") or "",
+        "dbpedia_homepage": db_more.get("homepage", "") or "",
+        "dbpedia_thumbnail": db_more.get("thumbnail", "") or "",
+        "dbpedia_depiction": db_more.get("depiction", "") or "",
+        "dbpedia_birth_date": db_more.get("birth_date", "") or "",
+        "dbpedia_death_date": db_more.get("death_date", "") or "",
+        "dbpedia_birth_place": db_more.get("birth_place", "") or "",
+        "dbpedia_death_place": db_more.get("death_place", "") or "",
+        "dbpedia_population": str(db_more.get("population", "") or ""),
+        "dbpedia_area": str(db_more.get("area", "") or ""),
+        "dbpedia_country": db_more.get("country", "") or "",
+        "dbpedia_region": db_more.get("region", "") or "",
+        "dbpedia_founder": db_more.get("founder", "") or "",
+        "dbpedia_parent_company": db_more.get("parent_company", "") or "",
+        "dbpedia_current_member": list(db_more.get("current_member", []) or []),
+        "dbpedia_former_member": list(db_more.get("former_member", []) or []),
+        "dbpedia_dbp_part_of": list(db_more.get("dbp_part_of", []) or []),
+        "dbpedia_dbp_member_of": list(db_more.get("dbp_member_of", []) or []),
         "canonical_id": entity_dedup_key(e),
         "link_status": e.get("link_status", "unlinked"),
     }

@@ -44,7 +44,7 @@ def entity_inference_messages(
     user = (
         f"Topic/Text: {text}\n\n"
         "Existing entities:\n"
-        f"{json.dumps(explicit_entities, indent=2, ensure_ascii=False)}\n"
+        f"{json.dumps(explicit_entities, ensure_ascii=False)}\n"
     )
     return [
         {"role": "system", "content": system},
@@ -56,7 +56,7 @@ def _relation_user(text: str, entity_info: list[dict], max_relations: int, extra
     return (
         f"Text: ```{text}```\n\n"
         "Entities:\n"
-        f"{json.dumps(entity_info, indent=2)}\n\n"
+        f"{json.dumps(entity_info)}\n\n"
         f"{extra}"
         f"Return each relationship as a line 'subject; predicate; object'. "
         f"Limit to at most {max_relations} relationships."
@@ -104,7 +104,7 @@ def implicit_relation_messages(
     )
     extra = (
         "Explicit relationships (do NOT repeat):\n"
-        f"{json.dumps(_slim_rels(explicit_rels), indent=2)}\n\n"
+        f"{json.dumps(_slim_rels(explicit_rels))}\n\n"
         f"Identify up to {max_relations} additional implicit relationships.\n\n"
     )
     return [
@@ -127,7 +127,7 @@ def kgc_messages(
     )
     extra = (
         "Existing relationships:\n"
-        f"{json.dumps(_slim_rels(existing_rels), indent=2)}\n\n"
+        f"{json.dumps(_slim_rels(existing_rels))}\n\n"
         f"Identify up to {max_relations} additional implicit relationships.\n\n"
     )
     return [
@@ -184,4 +184,51 @@ def _slim_rels(rels: list[dict]) -> list[dict]:
             "inferred": r.get("inferred", "explicit"),
         }
         for r in rels
+    ]
+
+
+def translate_messages(term: str) -> list[dict]:
+    """A8 translate-to-English prompt (``wikidata_service.py:81-132``).
+    The system marker mirrors the reference wording so the stub client
+    dispatches on the same text the reference sends."""
+    system = (
+        "Du bist ein Experte für Übersetzungen wissenschaftlicher Begriffe "
+        "und die in Wikidata verwendete Terminologie."
+    )
+    user = (
+        "Übersetze den folgenden Begriff ins Englische, wie er in Wikidata "
+        f"verwendet würde. Gib NUR den übersetzten Begriff zurück: '{term}'"
+    )
+    return [
+        {"role": "system", "content": system},
+        {"role": "user", "content": user},
+    ]
+
+
+def synonym_messages(entity_name: str, language: str = "en") -> list[dict]:
+    """A9 synonym-generation prompt (``wikidata_service.py:134-196``):
+    3 alternative Wikidata-convention names as a JSON array."""
+    if language == "de":
+        system = (
+            "Du bist ein Experte für Entitätserkennung und die "
+            "Namenskonventionen der Wikidata-Wissensdatenbank."
+        )
+        user = (
+            "Generiere die 3 wahrscheinlichsten alternativen Namen für "
+            f"'{entity_name}' nach Wikidata-Konventionen. Gib NUR ein "
+            "JSON-Array von Strings zurück."
+        )
+    else:
+        system = (
+            "You are an expert in entity recognition and Wikidata "
+            "knowledge base conventions."
+        )
+        user = (
+            "Generate the 3 most likely alternative names or synonyms for "
+            f"'{entity_name}' matching Wikidata naming conventions. "
+            "Return ONLY a JSON array of strings."
+        )
+    return [
+        {"role": "system", "content": system},
+        {"role": "user", "content": user},
     ]

@@ -87,6 +87,31 @@ KG_RECORD_SCHEMA = pa.schema(
         ("dbpedia_types", _LSTR),
         ("dbpedia_subjects", _LSTR),
         ("dbpedia_language", _STR),
+        # DBpedia SPARQL extras (dbpedia_service.py:377-497; packaged
+        # per orchestrator.py:398-445 — base relations unconditional,
+        # the rest under ADDITIONAL_DETAILS)
+        ("dbpedia_part_of", _LSTR),
+        ("dbpedia_has_parts", _LSTR),
+        ("dbpedia_member_of", _LSTR),
+        ("dbpedia_categories", _LSTR),
+        ("dbpedia_comment", _STR),
+        ("dbpedia_homepage", _STR),
+        ("dbpedia_thumbnail", _STR),
+        ("dbpedia_depiction", _STR),
+        ("dbpedia_birth_date", _STR),
+        ("dbpedia_death_date", _STR),
+        ("dbpedia_birth_place", _STR),
+        ("dbpedia_death_place", _STR),
+        ("dbpedia_population", _STR),
+        ("dbpedia_area", _STR),
+        ("dbpedia_country", _STR),
+        ("dbpedia_region", _STR),
+        ("dbpedia_founder", _STR),
+        ("dbpedia_parent_company", _STR),
+        ("dbpedia_current_member", _LSTR),
+        ("dbpedia_former_member", _LSTR),
+        ("dbpedia_dbp_part_of", _LSTR),
+        ("dbpedia_dbp_member_of", _LSTR),
         ("canonical_id", _STR),
         ("link_status", _STR),
         # --- triple columns -------------------------------------------
@@ -125,7 +150,16 @@ ENTITY_COLUMNS = [
     "wikidata_birth_place", "wikidata_death_place", "wikidata_official_name",
     "wikidata_population", "wikidata_gnd_id", "wikidata_isni",
     "dbpedia_uri", "dbpedia_label", "dbpedia_abstract", "dbpedia_types",
-    "dbpedia_subjects", "dbpedia_language", "canonical_id", "link_status",
+    "dbpedia_subjects", "dbpedia_language",
+    "dbpedia_part_of", "dbpedia_has_parts", "dbpedia_member_of",
+    "dbpedia_categories", "dbpedia_comment", "dbpedia_homepage",
+    "dbpedia_thumbnail", "dbpedia_depiction", "dbpedia_birth_date",
+    "dbpedia_death_date", "dbpedia_birth_place", "dbpedia_death_place",
+    "dbpedia_population", "dbpedia_area", "dbpedia_country",
+    "dbpedia_region", "dbpedia_founder", "dbpedia_parent_company",
+    "dbpedia_current_member", "dbpedia_former_member",
+    "dbpedia_dbp_part_of", "dbpedia_dbp_member_of",
+    "canonical_id", "link_status",
 ]
 
 NODES_SCHEMA = pa.schema(

@@ -73,9 +73,27 @@ _LIST_COLS = {
     "wikidata_part_of", "wikidata_has_parts", "wikidata_aliases",
     "wikidata_instance_of", "wikidata_subclass_of", "wikidata_member_of",
     "wikidata_citizenships", "dbpedia_types", "dbpedia_subjects",
+    "dbpedia_part_of", "dbpedia_has_parts", "dbpedia_member_of",
+    "dbpedia_categories", "dbpedia_current_member", "dbpedia_former_member",
+    "dbpedia_dbp_part_of", "dbpedia_dbp_member_of",
 }
 _INT_COLS = {"ord", "citation_start", "citation_end"}
 _FLOAT_COLS = {"wikidata_lat", "wikidata_lon"}  # nullable float64
+
+# Columns each record type actually carries; everything else in the
+# unified schema is emitted as a typed null column (pa.nulls — zero
+# per-row Python). The per-type split keeps record assembly one list
+# comprehension per RELEVANT column instead of a ~70-way branch per
+# row — measured ~20% of actor wall before the rewrite.
+def _relevant_columns() -> dict[str, set]:
+    from entity_extractor_linker_ray.schemas import ENTITY_COLUMNS, TRIPLE_COLUMNS
+
+    return {
+        "entity": set(ENTITY_COLUMNS),
+        "triple": set(TRIPLE_COLUMNS),
+        "compendium": {"conv_id", "ord", "artifact_json"},
+        "training": {"conv_id", "ord", "artifact_json"},
+    }
 
 
 class KGDocumentActor:
@@ -90,30 +108,48 @@ class KGDocumentActor:
         self.kb = KBSnapshot(records)
         self.llm = make_llm_client(self.cfg, self.kb)
 
+    @staticmethod
+    def _rows_table(record_type: str, rows: list[dict], relevant: set) -> pa.Table:
+        """Columnar assembly for one record type: one list comprehension
+        per relevant column, typed nulls for the rest of the unified
+        schema (no per-row per-column branching)."""
+        n = len(rows)
+        arrays = []
+        for field in KG_RECORD_SCHEMA:
+            name = field.name
+            if name == "record_type":
+                arrays.append(pa.array([record_type] * n, field.type))
+            elif name not in relevant:
+                arrays.append(pa.nulls(n, field.type))
+            elif name in _INT_COLS:
+                arrays.append(
+                    pa.array(
+                        np.fromiter(
+                            (row.get(name) or 0 for row in rows),
+                            dtype=np.int32, count=n,
+                        ),
+                        field.type,
+                    )
+                )
+            elif name in _LIST_COLS:
+                arrays.append(
+                    pa.array([row.get(name) or [] for row in rows], field.type)
+                )
+            elif name in _FLOAT_COLS:
+                arrays.append(pa.array([row.get(name) for row in rows], field.type))
+            else:
+                arrays.append(
+                    pa.array([row.get(name) or "" for row in rows], field.type)
+                )
+        return pa.Table.from_arrays(arrays, schema=KG_RECORD_SCHEMA)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols: dict[str, list] = {f.name: [] for f in KG_RECORD_SCHEMA}
-
-        def emit(record_type: str, conv_id: str, ordinal: int, payload: dict):
-            for name in cols:
-                if name == "record_type":
-                    cols[name].append(record_type)
-                elif name == "conv_id":
-                    cols[name].append(conv_id)
-                elif name == "ord":
-                    cols[name].append(ordinal)
-                elif name in _LIST_COLS:
-                    cols[name].append(list(payload.get(name, []) or []))
-                elif name in _INT_COLS:
-                    cols[name].append(int(payload.get(name, 0) or 0))
-                elif name in _FLOAT_COLS:
-                    value = payload.get(name)
-                    cols[name].append(None if value is None else float(value))
-                else:
-                    cols[name].append(str(payload.get(name, "") or ""))
-
         want_artifacts = self.cfg.get("ENABLE_COMPENDIUM", False) or self.cfg.get(
             "COLLECT_TRAINING_DATA", False
         )
+        ent_rows: list[dict] = []
+        tri_rows: list[dict] = []
+        art_rows: dict[str, list[dict]] = {"compendium": [], "training": []}
         conv_ids = batch.column("conv_id").to_pylist()
         doc_texts = batch.column("doc_text").to_pylist()
         for conv_id, doc_text in zip(conv_ids, doc_texts):
@@ -127,30 +163,43 @@ class KGDocumentActor:
             canonical_by_name: dict[str, str] = {}
             for ordinal, ent in enumerate(entities):
                 canonical_by_name.setdefault(ent["entity"], ent["canonical_id"])
-                emit("entity", conv_id, ordinal, ent)
+                ent["conv_id"] = conv_id
+                ent["ord"] = ordinal
+                ent_rows.append(ent)
             for ordinal, rel in enumerate(rels):
                 rel = dict(rel)
+                rel["conv_id"] = conv_id
+                rel["ord"] = ordinal
                 rel["subject_id"] = canonical_by_name.get(rel["subject"], rel["subject"])
                 rel["object_id"] = canonical_by_name.get(rel["object"], rel["object"])
-                emit("triple", conv_id, ordinal, rel)
+                tri_rows.append(rel)
             # artifact rows ride the same unified stream: the flagged
             # compendium/training outputs are byproducts of THIS pass
             # (no re-extraction per artifact stage)
             if "compendium" in artifacts:
-                emit("compendium", conv_id, 0,
-                     {"artifact_json": json.dumps(artifacts["compendium"],
-                                                  ensure_ascii=False)})
+                art_rows["compendium"].append(
+                    {"conv_id": conv_id, "ord": 0,
+                     "artifact_json": json.dumps(artifacts["compendium"],
+                                                 ensure_ascii=False)}
+                )
             for ordinal, example in enumerate(artifacts.get("training", [])):
-                emit("training", conv_id, ordinal,
-                     {"artifact_json": json.dumps(example, ensure_ascii=False)})
+                art_rows["training"].append(
+                    {"conv_id": conv_id, "ord": ordinal,
+                     "artifact_json": json.dumps(example, ensure_ascii=False)}
+                )
 
-        arrays = []
-        for field in KG_RECORD_SCHEMA:
-            if field.name in _INT_COLS:
-                arrays.append(pa.array(np.asarray(cols[field.name], dtype=np.int32), field.type))
-            else:
-                arrays.append(pa.array(cols[field.name], field.type))  # None → null
-        return pa.Table.from_arrays(arrays, schema=KG_RECORD_SCHEMA)
+        relevant = _relevant_columns()
+        tables = []
+        if ent_rows:
+            tables.append(self._rows_table("entity", ent_rows, relevant["entity"]))
+        if tri_rows:
+            tables.append(self._rows_table("triple", tri_rows, relevant["triple"]))
+        for kind in ("compendium", "training"):
+            if art_rows[kind]:
+                tables.append(self._rows_table(kind, art_rows[kind], relevant[kind]))
+        if not tables:
+            return KG_RECORD_SCHEMA.empty_table()
+        return pa.concat_tables(tables).combine_chunks()
 
 
 def kg_records(documents_ds, cfg: dict | None = None, kb_ref=None, **ray_opts):

@@ -186,6 +186,86 @@ def build_kb() -> list[dict]:
                     [f"Category:{typ} concepts"] if in_dbpedia else []
                 ),
                 "wd_claims": wd_claims,
+                # DBpedia SPARQL-shaped extras (dbpedia_service.py:
+                # 269-327 OPTIONAL clauses / 377-497 result keys);
+                # presence varies by index so every conditional decode
+                # path is exercised. part_of/has_parts/member_of URIs
+                # are filled in the inverse pass below.
+                "db_extra": {
+                    key: value
+                    for key, value in {
+                        "comment": (
+                            f"Synthetic comment about {label}."
+                            if idx % 2 == 0 else ""
+                        ),
+                        "sameAs": (
+                            [f"http://www.wikidata.org/entity/Q9{idx:04d}"]
+                            if has_wikidata else []
+                        ),
+                        "homepage": (
+                            f"https://www.{label.lower().replace(' ', '')}.example.org"
+                            if idx % 2 == 0 else ""
+                        ),
+                        "thumbnail": (
+                            f"https://commons.wikimedia.org/wiki/Special:FilePath/"
+                            f"{title.replace(' ', '_')}_thumb.png?width=300"
+                            if idx % 3 == 0 else ""
+                        ),
+                        "depiction": (
+                            f"https://commons.wikimedia.org/wiki/Special:FilePath/"
+                            f"{title.replace(' ', '_')}_depiction.png"
+                            if idx % 3 == 0 else ""
+                        ),
+                        "coordinates": (
+                            {"latitude": round(-60.0 + idx * 9.5, 4),
+                             "longitude": round(-150.0 + idx * 23.25, 4)}
+                            if idx % 4 == 0 else {}
+                        ),
+                        "categories": (
+                            [f"Category:{typ} concepts"] if in_dbpedia else []
+                        ),
+                        "birth_date": (
+                            f"{1900 + idx}-03-14" if typ == "Person" else ""
+                        ),
+                        "death_date": (
+                            f"{1970 + idx}-11-02"
+                            if typ == "Person" and idx % 2 == 1 else ""
+                        ),
+                        "birth_place": "Testville" if typ == "Person" else "",
+                        "death_place": "Mockport" if typ == "Person" else "",
+                        "country": (
+                            "Synthetic Republic" if typ == "Person" else ""
+                        ),
+                        "population": (
+                            str(10000 + idx * 1234) if typ == "System" else ""
+                        ),
+                        "area": (str(500 + idx * 17) if idx % 5 == 0 else ""),
+                        "region": ("Test Region" if idx % 5 == 0 else ""),
+                        "founding_date": (
+                            f"{1950 + idx * 3}-06-0{(idx % 9) + 1}"
+                            if typ != "Person" and idx % 3 != 1 else ""
+                        ),
+                        "founder": (
+                            "Ada Synthetic" if typ == "Organization" else ""
+                        ),
+                        "parent_company": (
+                            parent if typ == "Organization" and parent else ""
+                        ),
+                        "dbp_part_of": [parent] if parent else [],
+                        "dbp_member_of": (
+                            ["Synthetic Consortium"] if idx % 4 == 2 else []
+                        ),
+                        "member_of": (
+                            ["http://dbpedia.org/resource/Synthetic_Consortium"]
+                            if idx % 4 == 2 else []
+                        ),
+                        "former_member": (
+                            ["http://dbpedia.org/resource/Legacy_Component"]
+                            if not parent and idx % 2 == 0 else []
+                        ),
+                    }.items()
+                    if value  # only-when-present, like the SPARQL decode
+                },
                 # Wikipedia ADDITIONAL_DETAILS payloads
                 # (``wikipedia_service.py:514-603``: infobox rows,
                 # see-also links, main image)
@@ -206,7 +286,8 @@ def build_kb() -> list[dict]:
     # be the target of another entity's claim)
     for idx, rec in enumerate(records):
         rec["claim_qid"] = rec["wikidata_id"] or f"Q7{idx:04d}"
-    # fill has_parts (labels) + P361/P527 (QIDs) from part_of inverses
+    # fill has_parts (labels) + P361/P527 (QIDs) + DBpedia part/member
+    # URIs from part_of inverses
     by_label = {r["label"]: r for r in records}
     for rec in records:
         for parent in rec["part_of"]:
@@ -215,6 +296,18 @@ def build_kb() -> list[dict]:
                 parent_rec["has_parts"].append(rec["label"])
                 parent_rec["wd_claims"].setdefault("P527", []).append(rec["claim_qid"])
                 rec["wd_claims"].setdefault("P361", []).append(parent_rec["claim_qid"])
+                parent_uri = parent_rec["dbpedia_uri"] or (
+                    f"http://dbpedia.org/resource/{parent.replace(' ', '_')}"
+                )
+                child_uri = rec["dbpedia_uri"] or (
+                    f"http://dbpedia.org/resource/{rec['label'].replace(' ', '_')}"
+                )
+                rec["db_extra"].setdefault("part_of", []).append(parent_uri)
+                parent_rec["db_extra"].setdefault("has_parts", []).append(child_uri)
+                if rec["label"] != parent:
+                    parent_rec["db_extra"].setdefault("current_member", []).append(
+                        child_uri
+                    )
     # see-also: the next two records cyclically (deterministic)
     for idx, rec in enumerate(records):
         rec["see_also"] = [
@@ -235,7 +328,9 @@ class KBSnapshot:
     * :meth:`follow_redirect`   ↔ ``follow_wikipedia_redirect`` (``wikipedia_service.py:207-266``)
     * :meth:`get_categories`    ↔ ``get_wikipedia_categories`` (``wikipedia_service.py:468-512``)
     * :meth:`get_wikidata_id`   ↔ ``get_wikidata_id_from_wikipedia_url`` (``wikidata_service.py:198-305``)
+    * :meth:`search_wikidata`   ↔ ``search_wikidata_by_entity_name`` (``wikidata_service.py:20-79``)
     * :meth:`get_wikidata_details` ↔ ``get_wikidata_details`` (``wikidata_service.py:338-676``)
+    * :meth:`get_wikipedia_details` ↔ ``get_wikipedia_details`` (``wikipedia_service.py:514-603``)
     * :meth:`get_dbpedia`       ↔ ``get_dbpedia_info_from_wikipedia_url`` (``dbpedia_service.py:30-208``)
     """
 
@@ -314,6 +409,17 @@ class KBSnapshot:
         if rec is None or not rec["wikidata_id"]:
             return None
         return rec["wikidata_id"]
+
+    def search_wikidata(self, name: str, language: str = "en") -> str | None:
+        """Name → QID across labels/aliases/redirects — the snapshot
+        form of ``search_wikidata_by_entity_name``
+        (``wikidata_service.py:20-79``) minus the per-call HTTP. Misses
+        (unknown name, or a known entity with no Wikidata item) return
+        None so the caller's fallback chain advances."""
+        rec = self.search.get((name or "").lower())
+        if rec and rec["wikidata_id"]:
+            return rec["wikidata_id"]
+        return None
 
     def _qid_label(self, qid: str, language: str = "en") -> str | None:
         """Second-level label lookup for entity-valued claims — the
@@ -443,10 +549,19 @@ class KBSnapshot:
         return result
 
     def get_dbpedia(self, url: str) -> dict | None:
+        """Full SPARQL-shaped DBpedia record
+        (``dbpedia_service.py:377-497``): base fields plus the ~25
+        OPTIONAL-clause extras (comment, sameAs, homepage, thumbnail,
+        depiction, coordinates, categories, birth/death dates+places,
+        population, area, country, region, founding_date, founder,
+        parent_company, part_of/has_parts/member_of URIs,
+        current/former members, raw infobox dbp:* values) — each key
+        present only when the synthetic resource carries it, matching
+        the reference's only-when-bound decode."""
         rec = self._resolve_canonical(url)
         if rec is None or not rec["dbpedia_uri"]:
             return None
-        return {
+        info = {
             "resource_uri": rec["dbpedia_uri"],
             "label": rec["label"],
             "abstract": rec["extract"],
@@ -454,3 +569,8 @@ class KBSnapshot:
             "subjects": list(rec["dbpedia_subjects"]),
             "language": "en",
         }
+        for key, value in rec.get("db_extra", {}).items():
+            info[key] = list(value) if isinstance(value, list) else (
+                dict(value) if isinstance(value, dict) else value
+            )
+        return info

@@ -108,6 +108,11 @@ class StubLLMClient:
                 system = msg.get("content", "")
             elif msg.get("role") == "user":
                 user = msg.get("content", "")
+        if "Übersetzungen wissenschaftlicher Begriffe" in system:
+            return self._translate(user)
+        if ("entity recognition and Wikidata" in system
+                or "Entitätserkennung" in system):
+            return self._synonyms(user)
         if "recognizing and linking entities" in system or "Erkennung und Verlinkung von Entitäten" in system:
             return self._extract_entities(system, user)
         if "enriching an existing entity list" in system or "Entitätenliste anreichert" in system:
@@ -261,6 +266,33 @@ class StubLLMClient:
             [{"predicate": best.get("predicate", ""),
               "inferred": best.get("inferred", "explicit")}]
         )
+
+    # -- A8/A9 translate + synonyms ------------------------------------
+    @staticmethod
+    def _quoted_term(user: str) -> str:
+        m = re.search(r"'([^']+)'", user)
+        return m.group(1) if m else ""
+
+    def _translate(self, user: str) -> str:
+        """Deterministic translate-to-English: KB surface form → English
+        label; unknown terms come back unchanged (the reference's LLM
+        would return its best guess — unchanged is the conservative
+        deterministic stand-in)."""
+        term = self._quoted_term(user)
+        rec = self.kb.search.get(term.lower())
+        return rec["label"] if rec else term
+
+    def _synonyms(self, user: str) -> str:
+        """Deterministic 3-synonym list: the KB record's redirect titles
+        and other-language label, JSON-array-encoded like the reference
+        expects; unknown names yield []."""
+        name = self._quoted_term(user)
+        rec = self.kb.search.get(name.lower())
+        if not rec:
+            return "[]"
+        candidates = [*rec["redirect_from"], rec["label_de"], rec["label"]]
+        synonyms = [c for c in candidates if c.lower() != name.lower()]
+        return json.dumps(synonyms[:3])
 
     # -- compendium -----------------------------------------------------
     def _compendium(self, user: str) -> str:

@@ -194,6 +194,35 @@ def test_additional_details_parity(golden_details, engine_details):
                 ("wikidata_isni", "isni"),
             ]:
                 assert getattr(row, col) == wd.get(wd_key, ""), (key, col)
+            dbp = src.get("dbpedia", {})
+            for col, db_key in [
+                ("dbpedia_part_of", "part_of"),
+                ("dbpedia_has_parts", "has_parts"),
+                ("dbpedia_member_of", "member_of"),
+                ("dbpedia_categories", "categories"),
+                ("dbpedia_current_member", "current_member"),
+                ("dbpedia_former_member", "former_member"),
+                ("dbpedia_dbp_part_of", "dbp_part_of"),
+                ("dbpedia_dbp_member_of", "dbp_member_of"),
+            ]:
+                assert list(getattr(row, col)) == list(dbp.get(db_key, [])), (key, col)
+            for col, db_key in [
+                ("dbpedia_comment", "comment"),
+                ("dbpedia_homepage", "homepage"),
+                ("dbpedia_thumbnail", "thumbnail"),
+                ("dbpedia_depiction", "depiction"),
+                ("dbpedia_birth_date", "birth_date"),
+                ("dbpedia_death_date", "death_date"),
+                ("dbpedia_birth_place", "birth_place"),
+                ("dbpedia_death_place", "death_place"),
+                ("dbpedia_population", "population"),
+                ("dbpedia_area", "area"),
+                ("dbpedia_country", "country"),
+                ("dbpedia_region", "region"),
+                ("dbpedia_founder", "founder"),
+                ("dbpedia_parent_company", "parent_company"),
+            ]:
+                assert getattr(row, col) == str(dbp.get(db_key, "")), (key, col)
             checked += 1
     assert checked > 0
 
@@ -208,10 +237,15 @@ def test_wikidata_details_cover_reference_claims(golden_details):
             seen.update(k for k, v in wd.items() if v)
             ws = e.get("sources", {}).get("wikipedia", {})
             seen.update(f"wp_{k}" for k, v in ws.items() if v)
+            dbp = e.get("sources", {}).get("dbpedia", {})
+            seen.update(f"db_{k}" for k, v in dbp.items() if v)
     for required in [
         "image_url", "website", "coordinates", "foundation_date",
         "official_name", "member_of", "gnd_id", "aliases", "instance_of",
         "subclass_of", "wp_infobox", "wp_see_also", "wp_image",
+        "db_comment", "db_homepage", "db_thumbnail", "db_depiction",
+        "db_categories", "db_part_of", "db_has_parts", "db_founder",
+        "db_region", "db_area", "db_dbp_part_of",
     ]:
         assert required in seen, required
 

@@ -1,0 +1,113 @@
+"""A8/A9 live fallback-chain topology (``wikidata_service.py:20-302``):
+each conditional step of ``resolve_wikidata_id`` — pageprops, direct
+search, translate-retry, LLM synonyms, final de→en translation — is
+exercised in isolation with controlled LLM responses."""
+
+from __future__ import annotations
+
+import json
+
+from entity_extractor_linker_ray.core_doc import resolve_wikidata_id
+
+
+class ScriptedLLM:
+    """Returns scripted translate/synonym responses in call order."""
+
+    def __init__(self, translations=(), synonyms=()):
+        self._translations = list(translations)
+        self._synonyms = list(synonyms)
+        self.calls: list[str] = []
+
+    def chat(self, messages, **kwargs):
+        system = messages[0]["content"]
+        if "Übersetzungen" in system:
+            self.calls.append("translate")
+            return self._translations.pop(0) if self._translations else ""
+        self.calls.append("synonyms")
+        return json.dumps(self._synonyms.pop(0) if self._synonyms else [])
+
+
+class TestResolveChain:
+    def test_pageprops_hit_skips_llm(self, kb):
+        llm = ScriptedLLM()
+        qid, step = resolve_wikidata_id(
+            "https://en.wikipedia.org/wiki/Spark", "Spark", {}, kb, llm
+        )
+        assert (qid, step) == ("Q90000", "pageprops")
+        assert llm.calls == []  # no LLM call when the URL resolves
+
+    def test_search_by_name_on_unknown_url(self, kb):
+        qid, step = resolve_wikidata_id(
+            "https://en.wikipedia.org/wiki/Nonexistent_Page", "Spark", {}, kb,
+            ScriptedLLM(),
+        )
+        assert (qid, step) == ("Q90000", "search")
+
+    def test_search_translate_retry_for_german_term(self, kb):
+        # "Funke" is the German label; direct de search hits the alias
+        # index, but an unknown German TERM goes through the translate
+        # retry inside the search step (wikidata_service.py:69-75)
+        llm = ScriptedLLM(translations=["Spark"])
+        qid, step = resolve_wikidata_id(
+            "https://de.wikipedia.org/wiki/Unbekannt", "Funkenschlag", {}, kb, llm
+        )
+        assert (qid, step) == ("Q90000", "search")
+        assert llm.calls == ["translate"]
+
+    def test_synonym_fallback(self, kb):
+        # name unknown, translation fails, 2nd synonym resolves
+        llm = ScriptedLLM(translations=[""], synonyms=[["Nope", "Spark"]])
+        qid, step = resolve_wikidata_id(
+            "https://de.wikipedia.org/wiki/Unbekannt", "Funkenwerk", {}, kb, llm
+        )
+        assert (qid, step) == ("Q90000", "synonym")
+        assert llm.calls == ["translate", "synonyms"]
+
+    def test_final_translate_fallback_for_german(self, kb):
+        # inner translate yields nothing, synonyms miss, final de→en
+        # translation resolves (wikidata_service.py:291-299)
+        llm = ScriptedLLM(translations=["", "Spark"], synonyms=[["Nope"]])
+        qid, step = resolve_wikidata_id(
+            "https://de.wikipedia.org/wiki/Unbekannt", "Funkenwerk", {}, kb, llm
+        )
+        assert (qid, step) == ("Q90000", "translate")
+        assert llm.calls == ["translate", "synonyms", "translate"]
+
+    def test_all_steps_miss(self, kb):
+        llm = ScriptedLLM(translations=["", ""], synonyms=[["Nope"]])
+        qid, step = resolve_wikidata_id(
+            "https://de.wikipedia.org/wiki/Unbekannt", "Unbekanntes Ding", {},
+            kb, llm,
+        )
+        assert (qid, step) == (None, "miss")
+
+    def test_llm_none_degrades_to_search_only(self, kb):
+        qid, step = resolve_wikidata_id(
+            "https://de.wikipedia.org/wiki/Unbekannt", "Funkenwerk", {}, kb, None
+        )
+        assert (qid, step) == (None, "miss")
+
+    def test_entity_without_wikidata_item_misses_cleanly(self, kb):
+        # "Merge" (idx 4) exists in the KB but has no Wikidata item:
+        # every step must advance and the chain must end in a miss
+        llm = ScriptedLLM(translations=["Merge"], synonyms=[["The Merge"]])
+        qid, step = resolve_wikidata_id(
+            "https://en.wikipedia.org/wiki/Nonexistent", "Merge", {}, kb, llm
+        )
+        assert (qid, step) == (None, "miss")
+
+
+class TestStubHandlers:
+    def test_stub_translate_maps_german_label(self, stub_llm):
+        from entity_extractor_linker_ray.functions.prompts import translate_messages
+
+        assert stub_llm.chat(translate_messages("Funke")) == "Spark"
+        assert stub_llm.chat(translate_messages("Unbekannt")) == "Unbekannt"
+
+    def test_stub_synonyms_return_kb_forms(self, stub_llm):
+        from entity_extractor_linker_ray.functions.prompts import synonym_messages
+
+        synonyms = json.loads(stub_llm.chat(synonym_messages("Spark")))
+        assert 1 <= len(synonyms) <= 3
+        assert "Spark" not in synonyms
+        assert json.loads(stub_llm.chat(synonym_messages("Unbekannt"))) == []
