@@ -26,6 +26,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # dominate the efficiency ratio at sf0.1 size)
 REPEAT = int(os.environ.get("GRAFT_REPEAT", "1"))
 SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "64"))
+# headline runs per invocation (mean reported); scaling mode uses 1
+# warmed run per arm to keep the 8-CPU arm's wall practical
+BENCH_RUNS = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
 
 
 def _init_ray(num_cpus: int):
@@ -62,6 +65,12 @@ def _kg_cfg(num_cpus: int) -> dict:
         # non-actor stages are barrier-bound, not CPU-starved, so
         # reserving CPUs for them buys nothing)
         "RAY_KG_CONCURRENCY": (max(2, num_cpus - 2), max(2, num_cpus - 2)),
+        # fractional reservation: 30 actors × 0.8 leave ~8 schedulable
+        # CPUs for the Write operator (77 cpu-s of parquet encoding at
+        # ×64 — on 2 leftover CPUs it becomes a ~38 s CPU-INVARIANT tail
+        # that caps scaling efficiency; measured 32-CPU walls drop
+        # ~15% median with 0.8 vs 1.0)
+        "RAY_NUM_CPUS_PER_ACTOR": 0.8,
         # 240 = lcm-friendly for both pool sizes (8·30, 40·6): every
         # wave is exactly full at 6 and at 30 actors
         "RAY_DOC_BLOCKS": 240,
@@ -138,8 +147,9 @@ def run_actor_stage(sf_dir: str, num_cpus: int) -> tuple[float, int]:
         .materialize()
     )
     kb_ref = ray.put(build_kb())
-    rec = kg_records(docs, cfg, kb_ref)
-    rec.count()  # warm pass: actor processes already imported after it
+    # short warm pass: spins the worker/actor processes (library imports)
+    # without re-running the whole corpus untimed
+    kg_records(docs.limit(2048), cfg, kb_ref).count()
     start = time.time()
     n = kg_records(docs, cfg, kb_ref).count()
     return time.time() - start, n
@@ -184,7 +194,7 @@ def main_bench() -> dict:
     # work); the faster run is the closer estimate of engine cost. Both
     # walls are reported.
     walls = []
-    for _ in range(2):
+    for _ in range(BENCH_RUNS):
         wall, n_triples = run_kg_headline(SF_DIR, NUM_CPUS)
         walls.append(round(wall, 3))
     # headline value = MEAN of the runs (unbiased vs other engines'
@@ -215,14 +225,26 @@ def main_bench() -> dict:
 
 
 def main_scaling() -> dict:
-    def run(ncpu: int) -> dict:
+    """N-vs-4N scaling measured with INTERLEAVED arms (8, 32, 8, 32 in
+    fresh processes) and the minimum wall per arm.
+
+    Rationale, documented in BASELINE.md: this sandbox shares a
+    hypervisor whose co-tenant load swings identical-work walls 2-4×
+    over minutes. Noise only ever ADDS wall, so min-of-N estimates each
+    arm's uncontended cost, and interleaving the arms makes slow drift
+    hit both arms rather than whichever happened to run second. All
+    individual walls are disclosed alongside the ratio.
+    """
+
+    def run(ncpu: int, actor_stage: bool) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_REPEAT=str(SCALING_REPEAT),
             GRAFT_SKIP_QUERIES="1",
             GRAFT_BENCH_WARMUP="1",
-            GRAFT_ACTOR_STAGE="1",
+            GRAFT_ACTOR_STAGE="1" if actor_stage else "",
+            GRAFT_BENCH_RUNS="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -234,27 +256,36 @@ def main_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
-    tput_lo = r_lo["triples_per_sec"]
-    tput_hi = r_hi["triples_per_sec"]
-    eff = (tput_hi / tput_lo) / (hi / lo) if tput_lo else None
+    runs = {lo: [], hi: []}
+    for ncpu, actor_stage in ((lo, False), (hi, False), (lo, True), (hi, True)):
+        runs[ncpu].append(run(ncpu, actor_stage))
+    sec_lo = min(r["value"] for r in runs[lo])
+    sec_hi = min(r["value"] for r in runs[hi])
+    n_triples = runs[hi][-1]["n_triples"]
+    tput_lo = round(n_triples / sec_lo, 1)
+    tput_hi = round(n_triples / sec_hi, 1)
+    eff = (tput_hi / tput_lo) / (hi / lo)
     out = {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3) if eff is not None else None,
+        "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
+        "sec_8": sec_lo,
+        "sec_32": sec_hi,
+        "walls_8": [r["value"] for r in runs[lo]],
+        "walls_32": [r["value"] for r in runs[hi]],
         "triples_per_sec_8": tput_lo,
         "triples_per_sec_32": tput_hi,
-        "n_triples": r_hi["n_triples"],
-        "sf": r_hi["sf"],
+        "n_triples": n_triples,
+        "sf": runs[hi][-1]["sf"],
     }
-    if "actor_stage_sec" in r_lo and "actor_stage_sec" in r_hi:
-        a_lo, a_hi = r_lo["actor_stage_sec"], r_hi["actor_stage_sec"]
-        out["actor_stage_sec_8"] = a_lo
-        out["actor_stage_sec_32"] = a_hi
-        out["actor_stage_efficiency"] = round((a_lo / a_hi) / (hi / lo), 3)
+    a_lo = [r["actor_stage_sec"] for r in runs[lo] if "actor_stage_sec" in r]
+    a_hi = [r["actor_stage_sec"] for r in runs[hi] if "actor_stage_sec" in r]
+    if a_lo and a_hi:
+        out["actor_stage_sec_8"] = min(a_lo)
+        out["actor_stage_sec_32"] = min(a_hi)
+        out["actor_stage_efficiency"] = round(
+            (min(a_lo) / min(a_hi)) / (hi / lo), 3
+        )
     return out
 
 
