@@ -25,7 +25,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # compute-bound (fixed ~5s of Ray startup/shuffle latency would otherwise
 # dominate the efficiency ratio at sf0.1 size)
 REPEAT = int(os.environ.get("GRAFT_REPEAT", "1"))
-SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "64"))
+SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "128"))
 # headline runs per invocation (mean reported); scaling mode uses 1
 # warmed run per arm to keep the 8-CPU arm's wall practical
 BENCH_RUNS = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
@@ -72,54 +72,51 @@ def _kg_cfg(num_cpus: int) -> dict:
         # ~15% median with 0.8 vs 1.0)
         "RAY_NUM_CPUS_PER_ACTOR": 0.8,
         # 240 = lcm-friendly for both pool sizes (8·30, 40·6): every
-        # wave is exactly full at 6 and at 30 actors
-        "RAY_DOC_BLOCKS": 240,
+        # wave is exactly full at 6 and at 30 actors; scale blocks with
+        # corpus replication so per-task document count stays constant
+        # (larger tasks = longer straggler tail in the last wave)
+        "RAY_DOC_BLOCKS": 240 * max(1, REPEAT // 64),
     }
 
 
 def run_kg_headline(sf_dir: str, num_cpus: int) -> tuple[float, int]:
     """Full KG pipeline end-to-end: read → assemble → extract/link/
-    relate/KGC → write triples+entities to parquet. Returns (sec,
-    n_triples)."""
-    import pyarrow.compute as pc
+    relate/KGC → records parquet written BY the actors (the
+    direct-write path: output encoding scales with the pool instead of
+    hopping the full record stream through the object store to a
+    separate Write operator). Returns (sec, n_triples from the
+    manifest)."""
+    import ray
 
-    from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
+    from entity_extractor_linker_ray.stages.assemble import assemble_documents
+    from entity_extractor_linker_ray.stages.kg_stage import kg_records_direct_write
+    from entity_extractor_linker_ray.state.kb import build_kb
     from entity_extractor_linker_ray.synthetic import transcripts_dataset_from_documents
 
     out_dir = f"/tmp/bench_kg_out_{num_cpus}"
     import shutil
+
+    cfg = _kg_cfg(num_cpus)
+    kb_ref = ray.put(build_kb())
+
+    def pipeline(repeat: int, target: str):
+        ts = transcripts_dataset_from_documents(sf_dir, repeat=repeat)
+        docs = assemble_documents(ts, int(cfg["RAY_DOC_BLOCKS"])).repartition(
+            int(cfg["RAY_DOC_BLOCKS"])
+        )
+        return kg_records_direct_write(docs, target, cfg, kb_ref)
 
     shutil.rmtree(out_dir, ignore_errors=True)
     if os.environ.get("GRAFT_BENCH_WARMUP"):
         # untimed small pass: warms Ray's worker-process pool (library
         # imports) and the page cache so the timed run measures
         # steady-state throughput — the regime a long job lives in
-        warm = build_kg_datasets(
-            transcripts_dataset_from_documents(sf_dir, repeat=2),
-            _kg_cfg(num_cpus),
-            materialize=False,
-        )
-        warm["records"].write_parquet(out_dir + "_warm")
+        pipeline(2, out_dir + "_warm").count()
         shutil.rmtree(out_dir + "_warm", ignore_errors=True)
     start = time.time()
-    out = build_kg_datasets(
-        transcripts_dataset_from_documents(sf_dir, repeat=REPEAT),
-        _kg_cfg(num_cpus),
-        materialize=False,
-    )
-    records = out["records"]
-    records.write_parquet(out_dir)
+    manifest = pipeline(REPEAT, out_dir).to_pandas()
     wall = time.time() - start
-    import ray.data as rd
-
-    n_triples = (
-        rd.read_parquet(out_dir, columns=["record_type"])
-        .map_batches(
-            lambda t: t.filter(pc.equal(t.column("record_type"), "triple")),
-            batch_format="pyarrow",
-        )
-        .count()
-    )
+    n_triples = int(manifest["n_triples"].sum())
     return wall, n_triples
 
 
@@ -256,9 +253,12 @@ def main_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     runs = {lo: [], hi: []}
-    for ncpu, actor_stage in ((lo, False), (hi, False), (lo, True), (hi, True)):
-        runs[ncpu].append(run(ncpu, actor_stage))
+    for i in range(rounds):
+        last = i == rounds - 1  # actor-stage sub-measurement once per arm
+        runs[lo].append(run(lo, last))
+        runs[hi].append(run(hi, last))
     sec_lo = min(r["value"] for r in runs[lo])
     sec_hi = min(r["value"] for r in runs[hi])
     n_triples = runs[hi][-1]["n_triples"]

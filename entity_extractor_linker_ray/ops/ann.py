@@ -105,21 +105,31 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 
 
 def knn_lsh(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
-            n_planes: int = 4, seed: int = 31):
-    """Approximate variant: only vectors sharing the query's sign-LSH
-    bucket are scored (the IVF/LSH scale path — candidate set shrinks
-    ~2**n_planes-fold; recall measured against knn_brute in tests)."""
+            n_planes: int = 4, seed: int = 31, probe_bits: int = 1):
+    """Approximate variant: vectors land in ONE sign-LSH bucket; each
+    query probes its own bucket plus every bucket within
+    ``probe_bits`` Hamming distance (multi-probe LSH — near-boundary
+    neighbors whose signature differs by one flipped plane are still
+    scored; single-probe misses exactly those). Candidate set still
+    shrinks ~2**n_planes / (1+n_planes) fold; recall measured against
+    knn_brute in tests."""
     import ray
 
     queries = _query_matrix(sf_dir, n_queries)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((queries.shape[1], n_planes))
     qbuckets = np.packbits((queries @ planes) >= 0, axis=1)[:, 0]
-    ctx_ref = ray.put((queries, planes, qbuckets))
+    probes = []
+    for qb in qbuckets:
+        probe = {int(qb)}
+        if probe_bits >= 1:
+            probe.update(int(qb) ^ (1 << bit) for bit in range(n_planes))
+        probes.append(np.array(sorted(probe), dtype=np.uint8))
+    ctx_ref = ray.put((queries, planes, probes))
 
     class BucketTopK:
         def __init__(self):
-            self.queries, self.planes, self.qbuckets = ray.get(ctx_ref)
+            self.queries, self.planes, self.probes = ray.get(ctx_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             vecs = np.stack(
@@ -132,7 +142,7 @@ def knn_lsh(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
             ids = batch["vec_id"].to_numpy()
             out = []
             for q in range(self.queries.shape[0]):
-                mask = buckets == self.qbuckets[q]
+                mask = np.isin(buckets, self.probes[q])
                 if not mask.any():
                     continue
                 sims = unit[mask] @ self.queries[q]

@@ -202,6 +202,77 @@ class KGDocumentActor:
         return pa.concat_tables(tables).combine_chunks()
 
 
+class KGWriterActor(KGDocumentActor):
+    """KG actor that writes its own output parquet and emits a tiny
+    manifest row instead of shipping records through the object store.
+
+    At corpus scale the unified record stream is large (~70 columns ×
+    every mention); routing it through the object store to a separate
+    Write operator costs a serialize + transfer + encode hop whose CPU
+    does NOT live in the scaled actor pool (measured: a CPU-invariant
+    multi-second tail). Writing inside the actor makes output cost part
+    of the parallel stage and leaves only manifest rows downstream —
+    the same files-per-task layout ``write_parquet`` produces, still
+    one file per task under ``out_dir``."""
+
+    def __init__(self, cfg: dict | None = None, kb_ref=None, out_dir: str = ""):
+        super().__init__(cfg, kb_ref)
+        import os
+
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self._seq = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        table = super().__call__(batch)
+        path = os.path.join(
+            self.out_dir, f"part-{os.getpid()}-{self._seq:05d}.parquet"
+        )
+        self._seq += 1
+        pq.write_table(table, path)
+        n_triples = int(
+            pc.sum(
+                pc.cast(pc.equal(table.column("record_type"), "triple"), pa.int64())
+            ).as_py()
+            or 0
+        )
+        return pa.Table.from_pydict(
+            {
+                "path": [path],
+                "n_rows": [table.num_rows],
+                "n_triples": [n_triples],
+                "n_docs": [batch.num_rows],
+            }
+        )
+
+
+def kg_records_direct_write(
+    documents_ds, out_dir: str, cfg: dict | None = None, kb_ref=None, **ray_opts
+):
+    """documents → records parquet written BY the actors; returns the
+    manifest Dataset (path, n_rows, n_triples, n_docs per task)."""
+    merged = get_config(cfg)
+    cap = merged.get("RAY_KG_CONCURRENCY", 8)
+    concurrency = cap if isinstance(cap, tuple) else (1, max(1, int(cap)))
+    opts = dict(
+        batch_format="pyarrow",
+        batch_size=merged.get("RAY_KG_BATCH_SIZE", 64),
+        concurrency=concurrency,
+        num_cpus=merged.get("RAY_NUM_CPUS_PER_ACTOR", 1),
+    )
+    opts.update(ray_opts)
+    return documents_ds.map_batches(
+        KGWriterActor,
+        fn_constructor_kwargs={"cfg": cfg, "kb_ref": kb_ref, "out_dir": out_dir},
+        **opts,
+    )
+
+
 def kg_records(documents_ds, cfg: dict | None = None, kb_ref=None, **ray_opts):
     """documents → unified KG records via the actor pool.
 

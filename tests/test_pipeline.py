@@ -173,3 +173,43 @@ class TestCheckpointResume:
         assert {
             b: i["completed_at"] for b, i in again["buckets"].items()
         } == {b: i["completed_at"] for b, i in resumed["buckets"].items()}
+
+
+class TestDirectWrite:
+    def test_direct_write_matches_records(self, ray_session, tiny_transcripts, tmp_path):
+        """The actor-side direct-write path produces byte-identical
+        records (canonically sorted) to the records Dataset + external
+        write, plus a consistent manifest."""
+        import ray
+        import ray.data as rd
+
+        from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
+        from entity_extractor_linker_ray.stages.assemble import assemble_documents
+        from entity_extractor_linker_ray.stages.kg_stage import kg_records_direct_write
+        from entity_extractor_linker_ray.state.kb import build_kb
+        from tests.reference_harness import engine_config
+
+        import pyarrow.parquet as pq
+
+        key = ["record_type", "conv_id", "ord"]
+        cfg = engine_config({"RAY_KG_CONCURRENCY": 2})
+        out = build_kg_datasets(rd.from_arrow(tiny_transcripts), cfg)
+        expected = out["records"].select_columns(key).to_pandas()
+
+        docs = assemble_documents(rd.from_arrow(tiny_transcripts), 4)
+        manifest = kg_records_direct_write(
+            docs, str(tmp_path / "recs"), cfg, ray.put(build_kb())
+        ).to_pandas()
+        got_table = pq.read_table(str(tmp_path / "recs"))
+        got = got_table.select(key).to_pandas()
+
+        from entity_extractor_linker_ray.schemas import KG_RECORD_SCHEMA
+
+        assert got_table.schema.names == KG_RECORD_SCHEMA.names
+        expected = expected.sort_values(key).reset_index(drop=True)
+        got = got.sort_values(key).reset_index(drop=True)
+        assert got.equals(expected)
+        assert int(manifest["n_rows"].sum()) == len(expected)
+        assert int(manifest["n_triples"].sum()) == int(
+            (expected["record_type"] == "triple").sum()
+        )
