@@ -15,10 +15,12 @@ agree and a rerun can filter the *input* down to incomplete buckets
 before any heavy work happens (the skip is at the scan, not after it).
 
 Write protocol: remaining buckets are written to a staging directory in
-ONE streaming pass (``write_parquet(partition_cols=['bucket'])``), then
-each completed bucket directory is atomically renamed into place and
-the manifest updated. A crash mid-run leaves finished buckets valid and
-staging garbage ignorable.
+ONE streaming pass — the KG actors themselves write ``bucket=K/``
+partition files (``stages/kg_stage.py:KGWriterActor``; the record
+stream never hops through the object store to a separate partitioned
+Write operator) — then each completed bucket directory is atomically
+renamed into place and the manifest updated. A crash mid-run leaves
+finished buckets valid and staging garbage ignorable.
 """
 
 from __future__ import annotations
@@ -56,15 +58,6 @@ def _bucket_array(conv_col, n_buckets: int) -> pa.Array:
     return pa.array(lut[enc.indices.to_numpy(zero_copy_only=False)], pa.int32())
 
 
-def _add_bucket(n_buckets: int):
-    def kernel(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "bucket", _bucket_array(batch.column("conv_id"), n_buckets)
-        )
-
-    return kernel
-
-
 def _load_manifest(out_dir: str) -> dict:
     path = os.path.join(out_dir, "manifest.json")
     if os.path.exists(path):
@@ -99,8 +92,6 @@ def run_kg_checkpointed(
     ``max_passes`` stops after that many passes (tests use it to
     emulate a crash mid-job).
     """
-    from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
-
     cfg = get_config(cfg)
     n_buckets = int(cfg.get("RAY_NUM_BUCKETS", 32))
     os.makedirs(out_dir, exist_ok=True)
@@ -133,19 +124,34 @@ def run_kg_checkpointed(
             return batch.filter(pc.is_in(buckets, value_set=sel_arr))
 
         pruned = transcripts_ds.map_batches(keep_selected, batch_format="pyarrow")
-        out = build_kg_datasets(pruned, cfg, materialize=False)
-        records = out["records"].map_batches(
-            _add_bucket(n_buckets), batch_format="pyarrow"
-        )
 
         staging = os.path.join(out_dir, f"_staging-{int(start * 1000)}")
-        records.write_parquet(staging, partition_cols=["bucket"])
+        # actors write their own bucket=K/ partition files (the
+        # direct-write path — no object-store hop for the record
+        # stream, no separate partitioned Write operator) and return a
+        # manifest of (path, n_rows, n_triples) per written file
+        import ray
 
+        from entity_extractor_linker_ray.stages.assemble import assemble_documents
+        from entity_extractor_linker_ray.stages.kg_stage import (
+            kg_records_direct_write,
+        )
+        from entity_extractor_linker_ray.state.kb import build_kb
+
+        docs = assemble_documents(
+            pruned, num_partitions=int(cfg.get("RAY_DOC_BLOCKS") or 64)
+        )
+        if cfg.get("RAY_DOC_BLOCKS"):
+            docs = docs.repartition(int(cfg["RAY_DOC_BLOCKS"]))
+        writes = kg_records_direct_write(
+            docs, staging, cfg, ray.put(build_kb()), partition_buckets=n_buckets
+        )
+        writes.to_pandas()  # consume: all bucket files staged
         wall = time.time() - start
         try:
             # per-stage execution metrics (operator wall/cpu/rows) for
             # the lineage record — best-effort, never fails the pass
-            manifest["last_pass_stage_stats"] = records.stats()
+            manifest["last_pass_stage_stats"] = writes.stats()
         except Exception:
             pass
         for bucket in selected:

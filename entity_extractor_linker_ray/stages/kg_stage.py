@@ -215,26 +215,63 @@ class KGWriterActor(KGDocumentActor):
     the same files-per-task layout ``write_parquet`` produces, still
     one file per task under ``out_dir``."""
 
-    def __init__(self, cfg: dict | None = None, kb_ref=None, out_dir: str = ""):
+    def __init__(
+        self,
+        cfg: dict | None = None,
+        kb_ref=None,
+        out_dir: str = "",
+        partition_buckets: int = 0,
+    ):
         super().__init__(cfg, kb_ref)
         import os
 
         self.out_dir = out_dir
+        # >0: write hive-style bucket=K/ subdirectories keyed on
+        # crc32(conv_id) % partition_buckets — the checkpoint layout
+        # (pipelines/checkpoint.py), produced without a separate
+        # partitioned Write operator
+        self.partition_buckets = int(partition_buckets)
         os.makedirs(out_dir, exist_ok=True)
         self._seq = 0
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _write(self, table: pa.Table, subdir: str = "") -> str:
         import os
 
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        table = super().__call__(batch)
-        path = os.path.join(
-            self.out_dir, f"part-{os.getpid()}-{self._seq:05d}.parquet"
-        )
+        target = os.path.join(self.out_dir, subdir) if subdir else self.out_dir
+        os.makedirs(target, exist_ok=True)
+        path = os.path.join(target, f"part-{os.getpid()}-{self._seq:05d}.parquet")
         self._seq += 1
         pq.write_table(table, path)
+        return path
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        table = super().__call__(batch)
+        if self.partition_buckets:
+            from entity_extractor_linker_ray.pipelines.checkpoint import _bucket_array
+
+            buckets = _bucket_array(table.column("conv_id"), self.partition_buckets)
+            paths, rows, triples = [], [], []
+            for bucket in pc.unique(buckets).to_pylist():
+                sub = table.filter(pc.equal(buckets, bucket))
+                paths.append(self._write(sub, subdir=f"bucket={bucket}"))
+                rows.append(sub.num_rows)
+                triples.append(int(
+                    pc.sum(pc.cast(pc.equal(sub.column("record_type"), "triple"),
+                                   pa.int64())).as_py() or 0
+                ))
+            return pa.Table.from_pydict(
+                {
+                    "path": paths,
+                    "n_rows": rows,
+                    "n_triples": triples,
+                    "n_docs": [batch.num_rows] + [0] * (len(paths) - 1),
+                }
+            )
+        path = self._write(table)
         n_triples = int(
             pc.sum(
                 pc.cast(pc.equal(table.column("record_type"), "triple"), pa.int64())
@@ -252,10 +289,17 @@ class KGWriterActor(KGDocumentActor):
 
 
 def kg_records_direct_write(
-    documents_ds, out_dir: str, cfg: dict | None = None, kb_ref=None, **ray_opts
+    documents_ds,
+    out_dir: str,
+    cfg: dict | None = None,
+    kb_ref=None,
+    partition_buckets: int = 0,
+    **ray_opts,
 ):
     """documents → records parquet written BY the actors; returns the
-    manifest Dataset (path, n_rows, n_triples, n_docs per task)."""
+    manifest Dataset (path, n_rows, n_triples, n_docs per row).
+    ``partition_buckets > 0`` writes the checkpoint's hive layout
+    (``bucket=K/`` per crc32(conv_id) bucket)."""
     merged = get_config(cfg)
     cap = merged.get("RAY_KG_CONCURRENCY", 8)
     concurrency = cap if isinstance(cap, tuple) else (1, max(1, int(cap)))
@@ -268,7 +312,12 @@ def kg_records_direct_write(
     opts.update(ray_opts)
     return documents_ds.map_batches(
         KGWriterActor,
-        fn_constructor_kwargs={"cfg": cfg, "kb_ref": kb_ref, "out_dir": out_dir},
+        fn_constructor_kwargs={
+            "cfg": cfg,
+            "kb_ref": kb_ref,
+            "out_dir": out_dir,
+            "partition_buckets": partition_buckets,
+        },
         **opts,
     )
 
