@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- similarity search --------------------------------------------
     q["knn_brute"] = ann.knn_brute
     q["knn_lsh"] = ann.knn_lsh
+    q["knn_ivf"] = ann.knn_ivf
     # --- multimodal plumbing ------------------------------------------
     q["multimodal_meta"] = multimodal.multimodal_meta
     q["multimodal_decode"] = multimodal.decode_features

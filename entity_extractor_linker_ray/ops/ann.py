@@ -5,8 +5,12 @@
   actor), each batch does one float64 matmul against it, and the
   partial top-k per batch is merged by a final per-query group — the
   canonical scale path for brute-force ANN (no all-pairs shuffle).
-* :func:`knn_lsh` — the bucketed variant: sign-LSH bucket per vector,
-  per-bucket exact search; recall trades against the bucket count.
+* :func:`knn_lsh` — sign-LSH bucket per vector with multi-probe
+  queries; recall trades against the bucket count.
+* :func:`knn_ivf` — inverted-file variant (the production ANN scale
+  path): deterministic k-means centroids fit on a bounded sample,
+  broadcast once; every batch assigns vectors to their nearest list
+  and scores only vectors in the ``n_probe`` lists nearest each query.
 """
 
 from __future__ import annotations
@@ -164,5 +168,97 @@ def knn_lsh(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
 
     partials = _read_embeddings(sf_dir).map_batches(
         BucketTopK, batch_format="pandas", concurrency=(1, 8)
+    )
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def _fit_centroids(sample: np.ndarray, n_lists: int, iters: int = 10,
+                   seed: int = 37) -> np.ndarray:
+    """Deterministic mini k-means (cosine space: unit vectors, spherical
+    updates) on a bounded driver-side sample — at corpus scale the
+    sample stays fixed-size, so centroid fitting is O(sample), not
+    O(corpus)."""
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = sample / norms
+    rng = np.random.default_rng(seed)
+    centroids = unit[rng.choice(len(unit), size=min(n_lists, len(unit)),
+                                replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(unit @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = unit[assign == c]
+            if len(members):
+                mean = members.mean(axis=0)
+                norm = np.linalg.norm(mean)
+                if norm > 0:
+                    centroids[c] = mean / norm
+    return centroids
+
+
+def knn_ivf(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
+            n_lists: int = 16, n_probe: int = 2, seed: int = 37,
+            sample_rows: int = 4096):
+    """IVF approximate top-k: vectors are binned by nearest centroid;
+    each query scores only vectors in its ``n_probe`` nearest lists.
+    Centroids fit once on a bounded sample and broadcast via
+    ``ray.put``; per batch ONE matmul assigns lists and one masked
+    matmul scores — no shuffle at all (the partial-top-k merge is the
+    only small exchange, same shape as :func:`knn_brute`)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    queries = _query_matrix(sf_dir, n_queries)
+    sample_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, sample_rows)
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample_tbl.column("embedding").to_pylist()]
+    )
+    centroids = _fit_centroids(sample, n_lists, seed=seed)
+    q_lists = np.argsort(-(queries @ centroids.T), axis=1)[:, :n_probe]
+    ctx_ref = ray.put((queries, centroids, q_lists))
+
+    class IvfTopK:
+        def __init__(self):
+            self.queries, self.centroids, self.q_lists = ray.get(ctx_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms
+            lists = np.argmax(unit @ self.centroids.T, axis=1)
+            ids = batch["vec_id"].to_numpy()
+            out = []
+            for q in range(self.queries.shape[0]):
+                mask = np.isin(lists, self.q_lists[q])
+                if not mask.any():
+                    continue
+                sims = unit[mask] @ self.queries[q]
+                keep = min(k + 1, int(mask.sum()))
+                top = np.argpartition(-sims, keep - 1)[:keep]
+                masked_ids = ids[mask]
+                for i in top:
+                    out.append((q, int(masked_ids[i]), float(sims[i])))
+            return pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        q = int(group["query_id"].iloc[0])
+        g = group[group["neighbor_id"] != q]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(g), q, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    partials = _read_embeddings(sf_dir).map_batches(
+        IvfTopK, batch_format="pandas", concurrency=(1, 8)
     )
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")

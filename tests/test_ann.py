@@ -62,3 +62,28 @@ class TestAnnRecall:
                 range(1, len(group) + 1)
             )
         assert (df["query_id"] != df["neighbor_id"]).all()
+
+
+class TestIvf:
+    def test_ivf_recall_on_clusters(self, ray_session, clustered_dir):
+        from entity_extractor_linker_ray.ops.ann import knn_brute, knn_ivf
+
+        brute = _pairs(knn_brute(clustered_dir).to_pandas())
+        ivf = _pairs(knn_ivf(clustered_dir, n_lists=8, n_probe=2).to_pandas())
+        recall = len(ivf & brute) / len(brute)
+        assert recall >= 0.8, recall
+
+    def test_ivf_more_probes_higher_recall(self, ray_session, clustered_dir):
+        from entity_extractor_linker_ray.ops.ann import knn_brute, knn_ivf
+
+        brute = _pairs(knn_brute(clustered_dir).to_pandas())
+        r1 = len(_pairs(knn_ivf(clustered_dir, n_lists=8, n_probe=1).to_pandas()) & brute)
+        r2 = len(_pairs(knn_ivf(clustered_dir, n_lists=8, n_probe=4).to_pandas()) & brute)
+        assert r2 >= r1
+
+    def test_ivf_runs_on_driver_table(self, ray_session):
+        from entity_extractor_linker_ray.ops.ann import knn_ivf
+
+        df = knn_ivf(SF).to_pandas()
+        assert len(df) > 0
+        assert set(df.columns) == {"query_id", "neighbor_id", "rank"}
