@@ -147,6 +147,8 @@ def _single_text_result(text: str, cfg: dict) -> dict:
     )
 
     def records(df) -> list[dict]:
+        import math
+
         import numpy as np
 
         rows = df.to_dict("records")
@@ -154,6 +156,8 @@ def _single_text_result(text: str, cfg: dict) -> dict:
             for key, value in row.items():
                 if isinstance(value, np.ndarray):
                     row[key] = value.tolist()
+                elif isinstance(value, float) and math.isnan(value):
+                    row[key] = None  # null floats must stay valid JSON
         return rows
 
     result = {
@@ -169,6 +173,9 @@ def _single_text_result(text: str, cfg: dict) -> dict:
 
 
 def _corpus_run(transcripts_path: str, output_dir: str, cfg: dict) -> dict:
+    import os
+    import shutil
+
     import ray.data as rd
 
     from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
@@ -183,10 +190,17 @@ def _corpus_run(transcripts_path: str, output_dir: str, cfg: dict) -> dict:
         ("nodes", build_nodes(out["entities"])),
         ("edges", build_edges(out["triples"])),
     ):
-        sub_ds.write_parquet(f"{output_dir.rstrip('/')}/{name}")
-        counts[name] = None  # filled below from written data
-    for name in counts:
-        counts[name] = rd.read_parquet(f"{output_dir.rstrip('/')}/{name}").count()
+        target = f"{output_dir.rstrip('/')}/{name}"
+        # a rerun must not mix this run's part files with a previous
+        # run's (write_parquet only ever adds files)
+        shutil.rmtree(target, ignore_errors=True)
+        sub_ds.write_parquet(target)
+        # an empty dataset (e.g. triples with relation extraction off)
+        # writes no files and may not even create the directory
+        wrote = os.path.isdir(target) and any(
+            f.endswith(".parquet") for f in os.listdir(target)
+        )
+        counts[name] = rd.read_parquet(target).count() if wrote else 0
     return counts
 
 

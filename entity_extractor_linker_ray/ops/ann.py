@@ -119,16 +119,22 @@ def knn_lsh(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
     knn_brute in tests."""
     import ray
 
+    import itertools
+
     queries = _query_matrix(sf_dir, n_queries)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((queries.shape[1], n_planes))
     qbuckets = np.packbits((queries @ planes) >= 0, axis=1)[:, 0]
-    probes = []
-    for qb in qbuckets:
-        probe = {int(qb)}
-        if probe_bits >= 1:
-            probe.update(int(qb) ^ (1 << bit) for bit in range(n_planes))
-        probes.append(np.array(sorted(probe), dtype=np.uint8))
+    # all masks with 1..probe_bits flipped plane bits
+    flip_masks = [0] + [
+        sum(1 << bit for bit in bits)
+        for r in range(1, min(probe_bits, n_planes) + 1)
+        for bits in itertools.combinations(range(n_planes), r)
+    ]
+    probes = [
+        np.array(sorted({int(qb) ^ mask for mask in flip_masks}), dtype=np.uint8)
+        for qb in qbuckets
+    ]
     ctx_ref = ray.put((queries, planes, probes))
 
     class BucketTopK:
@@ -210,12 +216,22 @@ def knn_ivf(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
     import ray
 
     queries = _query_matrix(sf_dir, n_queries)
-    sample_tbl = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-    ).slice(0, sample_rows)
-    sample = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in sample_tbl.column("embedding").to_pylist()]
-    )
+    # bounded streaming sample: iterate record batches until
+    # sample_rows are collected — never materializes the full table on
+    # the driver (file-ordered data caveat: pass a larger sample_rows
+    # or pre-shuffle when the file is clustered by similarity)
+    collected: list[np.ndarray] = []
+    n_collected = 0
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    for record_batch in pf.iter_batches(columns=["embedding"], batch_size=1024):
+        for vec in record_batch.column("embedding").to_pylist():
+            collected.append(np.asarray(vec, dtype=np.float64))
+            n_collected += 1
+            if n_collected >= sample_rows:
+                break
+        if n_collected >= sample_rows:
+            break
+    sample = np.stack(collected)
     centroids = _fit_centroids(sample, n_lists, seed=seed)
     q_lists = np.argsort(-(queries @ centroids.T), axis=1)[:, :n_probe]
     ctx_ref = ray.put((queries, centroids, q_lists))

@@ -238,7 +238,9 @@ def minhash_candidates(sf_dir: str):
 # scale-safe pairs <-> items join (shared by jaccard + embedding verify)
 # ----------------------------------------------------------------------
 
-def _pair_payload_join(pairs_ds, items_ds, verify_wide, num_partitions: int = 64):
+def _pair_payload_join(
+    pairs_ds, items_ds, verify_wide, output_schema, num_partitions: int = 64
+):
     """Attach item payloads to both sides of every (doc_a, doc_b) pair
     with two bucketed shuffles and NO driver materialization — the
     scale-safe replacement for "collect candidates + broadcast texts"
@@ -252,6 +254,12 @@ def _pair_payload_join(pairs_ds, items_ds, verify_wide, num_partitions: int = 64
     a frame with (doc_a, doc_b, payload_a, payload_b) — it returns the
     verified output rows. Payloads travel as bytes so the union schema
     stays a concrete Arrow binary column (no null-typed blocks).
+
+    ``output_schema`` (a ``pyarrow.Schema``) declares ``verify_wide``'s
+    output columns: a typed empty block is unioned onto the result so a
+    candidate-free corpus still yields a Dataset with the verified
+    schema (Ray drops the schema of the 0-row pandas blocks that
+    ``map_groups`` emits when no group reaches the final stage).
     """
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
@@ -309,7 +317,10 @@ def _pair_payload_join(pairs_ds, items_ds, verify_wide, num_partitions: int = 64
         wide = s0.merge(s1, on=["doc_a", "doc_b"], how="inner")
         return verify_wide(wide)
 
-    return grouped_aggregate(sided, ["a", "b"], widen, num_partitions=num_partitions)
+    import ray.data as rd
+
+    verified = grouped_aggregate(sided, ["a", "b"], widen, num_partitions=num_partitions)
+    return verified.union(rd.from_arrow(output_schema.empty_table()))
 
 
 def jaccard_verified_pairs(sf_dir: str, threshold: float = 0.8):
@@ -357,7 +368,14 @@ def jaccard_verified_pairs(sf_dir: str, threshold: float = 0.8):
             {"doc_a": np.int64, "doc_b": np.int64, "jaccard_pct": np.int64}
         )
 
-    return _pair_payload_join(cand.select_columns(["doc_a", "doc_b"]), docs, verify)
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_pct", pa.int64())]
+    )
+    return _pair_payload_join(
+        cand.select_columns(["doc_a", "doc_b"]), docs, verify, out_schema
+    )
 
 
 # ----------------------------------------------------------------------
@@ -513,4 +531,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, seed: int = 29):
             }
         )
 
-    return _pair_payload_join(cand, items, verify)
+    import pyarrow as pa
+
+    out_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    return _pair_payload_join(cand, items, verify, out_schema)

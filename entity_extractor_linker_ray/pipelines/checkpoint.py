@@ -165,7 +165,9 @@ def run_kg_checkpointed(
                     "record_type"
                 ).to_pylist()
                 rows_e = sum(1 for k in kinds if k == "entity")
-                rows_t = len(kinds) - rows_e
+                # count triples explicitly: the stream may also carry
+                # compendium/training artifact rows
+                rows_t = sum(1 for k in kinds if k == "triple")
                 if os.path.exists(dst):
                     shutil.rmtree(dst)
                 os.replace(src, dst)

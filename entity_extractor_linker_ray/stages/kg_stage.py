@@ -232,24 +232,57 @@ class KGWriterActor(KGDocumentActor):
         # partitioned Write operator
         self.partition_buckets = int(partition_buckets)
         os.makedirs(out_dir, exist_ok=True)
-        self._seq = 0
 
-    def _write(self, table: pa.Table, subdir: str = "") -> str:
+    @staticmethod
+    def _batch_tag(batch: pa.Table) -> str:
+        """Deterministic per-batch file tag: crc32 over the batch's
+        conv_ids. Batches partition the conv space, so tags are unique
+        across batches AND stable under Ray task retry — a retried task
+        rewrites the SAME filenames instead of leaving the failed
+        attempt's duplicates (and possibly a torn file) next to fresh
+        ones for the checkpoint commit to count twice."""
+        import zlib
+
+        joined = "|".join(batch.column("conv_id").to_pylist())
+        return f"{zlib.crc32(joined.encode('utf-8')):08x}-{batch.num_rows}"
+
+    def _write(self, table: pa.Table, tag: str, subdir: str = "") -> str:
         import os
 
         import pyarrow.parquet as pq
 
         target = os.path.join(self.out_dir, subdir) if subdir else self.out_dir
         os.makedirs(target, exist_ok=True)
-        path = os.path.join(target, f"part-{os.getpid()}-{self._seq:05d}.parquet")
-        self._seq += 1
+        path = os.path.join(target, f"part-{tag}.parquet")
         pq.write_table(table, path)
         return path
+
+    @staticmethod
+    def _count_triples(table: pa.Table) -> int:
+        import pyarrow.compute as pc
+
+        return int(
+            pc.sum(
+                pc.cast(pc.equal(table.column("record_type"), "triple"), pa.int64())
+            ).as_py()
+            or 0
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        manifest_schema = pa.schema(
+            [
+                ("path", pa.string()),
+                ("n_rows", pa.int64()),
+                ("n_triples", pa.int64()),
+                ("n_docs", pa.int64()),
+            ]
+        )
         table = super().__call__(batch)
+        if table.num_rows == 0:
+            return manifest_schema.empty_table()
+        tag = self._batch_tag(batch)
         if self.partition_buckets:
             from entity_extractor_linker_ray.pipelines.checkpoint import _bucket_array
 
@@ -257,34 +290,18 @@ class KGWriterActor(KGDocumentActor):
             paths, rows, triples = [], [], []
             for bucket in pc.unique(buckets).to_pylist():
                 sub = table.filter(pc.equal(buckets, bucket))
-                paths.append(self._write(sub, subdir=f"bucket={bucket}"))
+                paths.append(self._write(sub, tag, subdir=f"bucket={bucket}"))
                 rows.append(sub.num_rows)
-                triples.append(int(
-                    pc.sum(pc.cast(pc.equal(sub.column("record_type"), "triple"),
-                                   pa.int64())).as_py() or 0
-                ))
-            return pa.Table.from_pydict(
-                {
-                    "path": paths,
-                    "n_rows": rows,
-                    "n_triples": triples,
-                    "n_docs": [batch.num_rows] + [0] * (len(paths) - 1),
-                }
-            )
-        path = self._write(table)
-        n_triples = int(
-            pc.sum(
-                pc.cast(pc.equal(table.column("record_type"), "triple"), pa.int64())
-            ).as_py()
-            or 0
-        )
+                triples.append(self._count_triples(sub))
+            n_docs = [batch.num_rows] + [0] * (len(paths) - 1)
+        else:
+            paths = [self._write(table, tag)]
+            rows = [table.num_rows]
+            triples = [self._count_triples(table)]
+            n_docs = [batch.num_rows]
         return pa.Table.from_pydict(
-            {
-                "path": [path],
-                "n_rows": [table.num_rows],
-                "n_triples": [n_triples],
-                "n_docs": [batch.num_rows],
-            }
+            {"path": paths, "n_rows": rows, "n_triples": triples, "n_docs": n_docs},
+            schema=manifest_schema,
         )
 
 

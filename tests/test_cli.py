@@ -57,6 +57,27 @@ class TestCli:
         assert summary["rows"]["triples"] > 0
         assert (out_dir / "nodes").exists() and (out_dir / "edges").exists()
 
+    def test_corpus_mode_without_relations_writes_empty_triples(self, tmp_path):
+        """With relation extraction off, the triples dataset is empty —
+        the corpus run must report 0 (not crash reading a directory
+        write_parquet never created)."""
+        from entity_extractor_linker_ray.synthetic import generate_transcripts
+
+        src = tmp_path / "transcripts.parquet"
+        pq.write_table(generate_transcripts(6, seed=3), src)
+        out_dir = tmp_path / "kg"
+        proc = _run_cli(
+            [
+                "--transcripts", str(src), "--output-dir", str(out_dir),
+                "--num-cpus", "2", "--concurrency", "2",
+            ]
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summary = json.loads(proc.stdout[proc.stdout.index("{"):])
+        assert summary["rows"]["entities"] > 0
+        assert summary["rows"]["triples"] == 0
+        assert summary["rows"]["edges"] == 0
+
     def test_no_input_errors(self):
         proc = _run_cli(["--quiet"])
         assert proc.returncode == 1

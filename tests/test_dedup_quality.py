@@ -122,3 +122,82 @@ class TestPlantedDedup:
         # would miss it) but another band matches — banding finds it
         assert (8, 9) in found
         assert all(pair in {(0, 1), (4, 5), (8, 9)} for pair in found)
+
+
+class TestEmptyCandidates:
+    @pytest.fixture(scope="class")
+    def distinct_dir(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("distinct")
+        rng = np.random.default_rng(23)
+        words = [f"u{i}" for i in range(500)]
+        docs = [
+            (i, " ".join(rng.choice(words, size=60, replace=False)))
+            for i in range(6)
+        ]
+        pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+            root / "documents.parquet"
+        )
+        return str(root)
+
+    def test_jaccard_empty_keeps_output_schema(self, ray_session, distinct_dir):
+        """A candidate-free corpus must still yield the verified output
+        columns (not the intermediate join schema)."""
+        from entity_extractor_linker_ray.ops.dedupe import (
+            jaccard_verified_pairs,
+            minhash_candidates,
+        )
+
+        assert minhash_candidates(distinct_dir).count() == 0
+        verified = jaccard_verified_pairs(distinct_dir)
+        # Dataset.to_pandas() drops columns on 0-row datasets in this
+        # Ray version, so assert on the Dataset schema itself
+        assert verified.schema().names == ["doc_a", "doc_b", "jaccard_pct"]
+        assert verified.count() == 0
+
+
+class TestWriterEdgeCases:
+    def test_writer_handles_batches_with_no_records(self, ray_session, tmp_path):
+        """A batch whose documents yield zero entities/triples must emit
+        an empty manifest, not crash on mismatched column lengths
+        (partitioned mode included)."""
+        import pyarrow as pa
+
+        from entity_extractor_linker_ray.stages.kg_stage import KGWriterActor
+
+        batch = pa.table(
+            {
+                "conv_id": ["c-empty-1", "c-empty-2"],
+                "doc_text": ["nothing relevant here", ""],
+            }
+        )
+        for buckets in (0, 8):
+            actor = KGWriterActor(
+                {"RELATION_EXTRACTION": True},
+                out_dir=str(tmp_path / f"w{buckets}"),
+                partition_buckets=buckets,
+            )
+            manifest = actor(batch)
+            assert manifest.num_rows == 0
+            assert manifest.schema.names == ["path", "n_rows", "n_triples", "n_docs"]
+
+    def test_writer_filenames_stable_across_retries(self, ray_session, tmp_path):
+        """The same batch written twice (a Ray task retry) overwrites the
+        same file instead of leaving duplicates."""
+        import os
+
+        import pyarrow as pa
+
+        from entity_extractor_linker_ray.stages.kg_stage import KGWriterActor
+
+        batch = pa.table(
+            {
+                "conv_id": ["c1", "c2"],
+                "doc_text": ["Spark feeds the Table.", "Query uses Window."],
+            }
+        )
+        out = str(tmp_path / "retry")
+        first = KGWriterActor({}, out_dir=out)(batch)
+        second = KGWriterActor({}, out_dir=out)(batch)  # fresh actor = retry
+        assert first.column("path").to_pylist() == second.column("path").to_pylist()
+        files = [f for _, _, fs in os.walk(out) for f in fs]
+        assert len(files) == 1
