@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q.update(simple_kg.QUERIES)
     # --- text analysis -------------------------------------------------
     q["doc_stats"] = textstats.doc_stats
+    q["doc_length_quantiles"] = textstats.doc_length_quantiles
     q["token_totals"] = textstats.token_totals
     q["quality_scores"] = textstats.quality_scores
     q["fingerprints"] = textstats.fingerprints
@@ -119,6 +120,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_jaccard_verified"] = dedupe.jaccard_verified_pairs
     q["dedup_simhash"] = dedupe.simhash
     q["dedup_embedding_neardup"] = dedupe.embedding_neardup
+    # --- sampling / per-group selection -------------------------------
+    from entity_extractor_linker_ray.ops import sampling
+
+    q["stratified_sample"] = sampling.stratified_sample
+    q["top_docs_per_lang"] = sampling.top_docs_per_lang
     # --- similarity search --------------------------------------------
     q["knn_brute"] = ann.knn_brute
     q["knn_lsh"] = ann.knn_lsh
@@ -128,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["multimodal_decode"] = multimodal.decode_features
     # --- relational / stream-shaped -----------------------------------
     q["events_hourly"] = relational.events_hourly
+    q["events_orders_asof"] = relational.events_orders_asof
     q["events_sliding"] = relational.events_sliding
     q["events_sessionize"] = relational.events_sessionize
     q["lineitem_pricing"] = relational.lineitem_pricing
@@ -167,9 +174,15 @@ def oracle_sql() -> dict[str, str]:
     sql["knn_brute"] = ann.knn_brute_oracle()
     sql["multimodal_meta"] = multimodal.MULTIMODAL_META_ORACLE
     sql["events_hourly"] = relational.EVENTS_HOURLY_ORACLE
+    sql["events_orders_asof"] = relational.EVENTS_ASOF_ORACLE
     sql["events_sliding"] = relational.EVENTS_SLIDING_ORACLE
     sql["events_sessionize"] = relational.EVENTS_SESSIONIZE_ORACLE
     sql["lineitem_pricing"] = relational.LINEITEM_PRICING_ORACLE
     sql["orders_customer_join"] = relational.ORDERS_JOIN_ORACLE
     sql["top_parts_by_size"] = relational.TOP_PARTS_ORACLE.format(k=10)
+
+    from entity_extractor_linker_ray.ops import sampling
+
+    sql["stratified_sample"] = sampling.STRATIFIED_SAMPLE_ORACLE
+    sql["top_docs_per_lang"] = sampling.TOP_DOCS_PER_LANG_ORACLE.format(k=5)
     return sql

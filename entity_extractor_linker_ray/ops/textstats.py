@@ -160,7 +160,65 @@ def fingerprints(sf_dir: str):
     return docs.map_batches(kernel, batch_format="pandas")
 
 
+def doc_length_quantiles(sf_dir: str):
+    """Exact per-language length quantiles (p50/p90/p99 of ``n_chars``)
+    via distributed value counting: the per-batch partial collapses
+    rows to (lang, n_chars, count) — bounded by the distinct-value
+    domain, not the corpus — and the per-language final walks the
+    sorted cumulative counts. Matches DuckDB ``quantile_disc``
+    (sorted index ``max(ceil(q*n), 1) - 1``) bit-for-bit; no sampling,
+    no sketch error, and the only shuffle moves value counts.
+    """
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby(["lang", "n_chars"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+            .astype({"n_chars": np.int64, "cnt": np.int64})
+        )
+
+    quantiles = (("p50_n_chars", 0.5), ("p90_n_chars", 0.9), ("p99_n_chars", 0.99))
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        vc = (
+            bucket.groupby(["lang", "n_chars"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+            .sort_values(["lang", "n_chars"], kind="stable")
+        )
+        rows = []
+        for lang, g in vc.groupby("lang", sort=False):
+            vals = g["n_chars"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(g["cnt"].to_numpy(dtype=np.int64))
+            n = int(cum[-1])
+            picks = [
+                vals[np.searchsorted(cum, max(int(np.ceil(q * n)), 1), side="left")]
+                for _, q in quantiles
+            ]
+            rows.append((lang, np.int64(n), *picks))
+        return pd.DataFrame(
+            rows, columns=["lang", "n_docs"] + [name for name, _ in quantiles]
+        ).astype({c: np.int64 for c in ("n_docs", "p50_n_chars", "p90_n_chars", "p99_n_chars")})
+
+    return grouped_aggregate(docs, ["lang"], combine, partial=partial)
+
+
 TEXT_ORACLES = {
+    "doc_length_quantiles": (
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_n_chars, "
+        "CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_n_chars, "
+        "CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99_n_chars "
+        "FROM documents GROUP BY lang"
+    ),
     "doc_stats": (
         "SELECT doc_id, length(COALESCE(text,'')) AS n_chars, "
         "CASE WHEN length(COALESCE(text,'')) = 0 THEN 0 "

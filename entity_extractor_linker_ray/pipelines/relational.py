@@ -328,3 +328,130 @@ TOP_PARTS_ORACLE = """
 SELECT p_partkey, p_name, p_size FROM part
 ORDER BY p_size DESC, p_partkey ASC LIMIT {k}
 """
+
+
+def events_orders_asof(sf_dir: str):
+    """As-of join: for every event, the customer's most recent order at
+    or before the event time (``ts >= o_orderdate``, latest wins;
+    events with no prior order keep -1 sentinels so every output column
+    stays a concrete int64 — nullable ints would hash differently than
+    SQL NULLs).
+
+    Shape: both tables are bucketed on the join key (`ops/shuffle.py`
+    hash(user)%P — the ONE partitioning both sides share), then each
+    bucket does a single vectorized ``pd.merge_asof`` (C merge over the
+    time-sorted frames, ``by=`` handles per-user boundaries). No
+    per-user Python, no range-cross-join blowup: cost is sort + one
+    linear merge per bucket. Ties (same customer, same order date) are
+    broken to the max o_orderkey on BOTH sides so the result is
+    deterministic under any partitioning.
+    """
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def tag_events(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "join_key": batch["user_id"].to_numpy(dtype=np.int64),
+                "t_ns": batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64),
+                "side": np.zeros(len(batch), dtype=np.int64),
+                "id": batch["event_id"].to_numpy(dtype=np.int64),
+                "extra": np.zeros(len(batch), dtype=np.int64),
+            }
+        )
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "join_key": batch["o_custkey"].to_numpy(dtype=np.int64),
+                "t_ns": batch["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[ns]")
+                .astype(np.int64),
+                "side": np.ones(len(batch), dtype=np.int64),
+                "id": batch["o_orderkey"].to_numpy(dtype=np.int64),
+                "extra": np.round(batch["o_totalprice"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    unioned = events.map_batches(tag_events, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    out_cols = {
+        "event_id": np.int64,
+        "user_id": np.int64,
+        "ts_us": np.int64,
+        "o_orderkey": np.int64,
+        "o_date_us": np.int64,
+        "o_totalprice_centi": np.int64,
+    }
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        ev = bucket[bucket["side"] == 0]
+        if ev.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in out_cols.items()})
+        od = bucket[bucket["side"] == 1][["join_key", "t_ns", "id", "extra"]]
+        # deterministic tie-break: one order per (customer, date), max key
+        od = od.sort_values(["join_key", "t_ns", "id"], kind="stable").drop_duplicates(
+            ["join_key", "t_ns"], keep="last"
+        )
+        left = ev[["join_key", "t_ns", "id"]].sort_values("t_ns", kind="stable")
+        right = od.rename(
+            columns={"t_ns": "o_t_ns", "id": "o_id", "extra": "o_extra"}
+        ).sort_values("o_t_ns", kind="stable")
+        m = pd.merge_asof(
+            left,
+            right,
+            left_on="t_ns",
+            right_on="o_t_ns",
+            by="join_key",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        for col in ("o_id", "o_t_ns", "o_extra"):
+            m[col] = m[col].fillna(-1)
+        # missing o_t_ns becomes sentinel -1 (not -1 ns // 1000)
+        o_t = m["o_t_ns"].to_numpy(dtype=np.int64)
+        o_date_us = np.where(o_t < 0, np.int64(-1), o_t // 1000)
+        return pd.DataFrame(
+            {
+                "event_id": m["id"].to_numpy(dtype=np.int64),
+                "user_id": m["join_key"].to_numpy(dtype=np.int64),
+                "ts_us": m["t_ns"].to_numpy(dtype=np.int64) // 1000,
+                "o_orderkey": m["o_id"].to_numpy(dtype=np.int64),
+                "o_date_us": o_date_us,
+                "o_totalprice_centi": m["o_extra"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return grouped_aggregate(unioned, ["join_key"], combine)
+
+
+EVENTS_ASOF_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         max(o_orderkey) AS o_orderkey,
+         max_by(CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+             AS o_totalprice_centi
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+       COALESCE(o.o_orderkey, -1) AS o_orderkey,
+       COALESCE(CAST(epoch_us(o.o_orderdate) AS BIGINT), -1) AS o_date_us,
+       COALESCE(o.o_totalprice_centi, -1) AS o_totalprice_centi
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
