@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- relational / stream-shaped -----------------------------------
     q["events_hourly"] = relational.events_hourly
     q["events_orders_asof"] = relational.events_orders_asof
+    q["orders_events_range_join"] = relational.orders_events_range_join
+    q["customers_without_urgent"] = relational.customers_without_urgent_orders
     q["events_sliding"] = relational.events_sliding
     q["events_sessionize"] = relational.events_sessionize
     q["lineitem_pricing"] = relational.lineitem_pricing
@@ -175,6 +177,8 @@ def oracle_sql() -> dict[str, str]:
     sql["multimodal_meta"] = multimodal.MULTIMODAL_META_ORACLE
     sql["events_hourly"] = relational.EVENTS_HOURLY_ORACLE
     sql["events_orders_asof"] = relational.EVENTS_ASOF_ORACLE
+    sql["orders_events_range_join"] = relational.ORDERS_EVENTS_RANGE_ORACLE
+    sql["customers_without_urgent"] = relational.CUSTOMERS_WITHOUT_URGENT_ORACLE
     sql["events_sliding"] = relational.EVENTS_SLIDING_ORACLE
     sql["events_sessionize"] = relational.EVENTS_SESSIONIZE_ORACLE
     sql["lineitem_pricing"] = relational.LINEITEM_PRICING_ORACLE

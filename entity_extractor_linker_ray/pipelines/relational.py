@@ -455,3 +455,207 @@ SELECT e.event_id, e.user_id,
 FROM events e ASOF LEFT JOIN o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """
+
+
+def orders_events_range_join(sf_dir: str, days: int = 7):
+    """Range join + aggregate: for every order, the count and exact
+    centi-unit value sum of that customer's events in
+    ``[o_orderdate, o_orderdate + days)``.
+
+    Shape: both tables bucketed on the shared key (hash(user)%P — one
+    partitioning, reused), then per bucket a vectorized two-sided
+    ``searchsorted`` against each user's time-sorted event segment with
+    a cumulative-sum trick for the value totals. Cost is sort + O(log)
+    probes per order — never the events × orders cross product a naive
+    range join materializes.
+    """
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    span_ns = np.int64(days) * 86_400 * 1_000_000_000
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "join_key": batch["o_custkey"].to_numpy(dtype=np.int64),
+                "t_ns": batch["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[ns]")
+                .astype(np.int64),
+                "side": np.zeros(len(batch), dtype=np.int64),
+                "id": batch["o_orderkey"].to_numpy(dtype=np.int64),
+                "value_centi": np.zeros(len(batch), dtype=np.int64),
+            }
+        )
+
+    def tag_events(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "join_key": batch["user_id"].to_numpy(dtype=np.int64),
+                "t_ns": batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64),
+                "side": np.ones(len(batch), dtype=np.int64),
+                "id": np.zeros(len(batch), dtype=np.int64),
+                "value_centi": np.round(batch["value"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    unioned = orders.map_batches(tag_orders, batch_format="pandas").union(
+        events.map_batches(tag_events, batch_format="pandas")
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        od = bucket[bucket["side"] == 0]
+        if od.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "o_custkey": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "value_centi_sum": pd.Series([], dtype=np.int64),
+                }
+            )
+        od = od.sort_values(["join_key", "t_ns"], kind="stable")
+        ev = bucket[bucket["side"] == 1].sort_values(
+            ["join_key", "t_ns"], kind="stable"
+        )
+        e_users = ev["join_key"].to_numpy(dtype=np.int64)
+        e_ts = ev["t_ns"].to_numpy(dtype=np.int64)
+        # prefix sums: cum[i] = sum of event values [0, i)
+        cum = np.concatenate(
+            ([0], np.cumsum(ev["value_centi"].to_numpy(dtype=np.int64)))
+        )
+        if len(e_users):
+            seg_starts = np.concatenate(
+                ([0], np.flatnonzero(e_users[1:] != e_users[:-1]) + 1)
+            )
+            seg_users = e_users[seg_starts]
+            seg_ends = np.concatenate((seg_starts[1:], [len(e_users)]))
+        else:
+            seg_starts = seg_ends = np.array([], dtype=np.int64)
+            seg_users = np.array([], dtype=np.int64)
+
+        o_users = od["join_key"].to_numpy(dtype=np.int64)
+        o_ts = od["t_ns"].to_numpy(dtype=np.int64)
+        n_events = np.zeros(len(od), dtype=np.int64)
+        value_sums = np.zeros(len(od), dtype=np.int64)
+        # per order-user segment, vectorized searchsorted against that
+        # user's time-sorted event slice (same per-segment pattern as
+        # events_sliding; the loop is over distinct users in the
+        # bucket, not rows)
+        start = 0
+        boundaries = (
+            np.append(np.flatnonzero(o_users[1:] != o_users[:-1]) + 1, len(o_users))
+            if len(o_users)
+            else []
+        )
+        for end in boundaries:
+            user = o_users[start]
+            si = np.searchsorted(seg_users, user, side="left")
+            if si < len(seg_users) and seg_users[si] == user:
+                a, b = seg_starts[si], seg_ends[si]
+                seg = e_ts[a:b]
+                lo = a + np.searchsorted(seg, o_ts[start:end], side="left")
+                hi = a + np.searchsorted(seg, o_ts[start:end] + span_ns, side="left")
+                n_events[start:end] = hi - lo
+                value_sums[start:end] = cum[hi] - cum[lo]
+            start = end
+        return pd.DataFrame(
+            {
+                "o_orderkey": od["id"].to_numpy(dtype=np.int64),
+                "o_custkey": o_users,
+                "n_events": n_events,
+                "value_centi_sum": value_sums,
+            }
+        )
+
+    return grouped_aggregate(unioned, ["join_key"], combine)
+
+
+ORDERS_EVENTS_RANGE_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey,
+       count(e.user_id) AS n_events,
+       COALESCE(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT), 0)
+           AS value_centi_sum
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAYS
+GROUP BY 1, 2
+"""
+
+
+def customers_without_urgent_orders(sf_dir: str):
+    """Anti join: customers with no URGENT-priority order (the 'docs
+    not in the blocklist' shape every curation pipeline needs; the
+    priority predicate keeps the result non-degenerate on the test
+    corpus, where every customer has at least one order).
+
+    Shape: the order side collapses to distinct customer keys per batch
+    (the partial), both sides shuffle once on hash(key)%P, and each
+    bucket filters with one vectorized ``isin``. No broadcast of the
+    full key set, so the filter side may be arbitrarily large.
+    """
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def tag_customers(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": batch["c_custkey"].to_numpy(dtype=np.int64),
+                "c_name": batch["c_name"].astype(str).to_numpy(),
+                "side": np.zeros(len(batch), dtype=np.int64),
+            }
+        )
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        urgent = batch[batch["o_orderpriority"] == "1-URGENT"]
+        keys = np.unique(urgent["o_custkey"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "key": keys,
+                "c_name": np.full(len(keys), "", dtype=object),
+                "side": np.ones(len(keys), dtype=np.int64),
+            }
+        )
+
+    unioned = customers.map_batches(tag_customers, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        cust = bucket[bucket["side"] == 0]
+        with_orders = bucket.loc[bucket["side"] == 1, "key"].to_numpy(dtype=np.int64)
+        kept = cust[~cust["key"].isin(with_orders)]
+        return pd.DataFrame(
+            {
+                "c_custkey": kept["key"].to_numpy(dtype=np.int64),
+                "c_name": kept["c_name"].astype(str).to_numpy(),
+            }
+        )
+
+    return grouped_aggregate(unioned, ["key"], combine)
+
+
+CUSTOMERS_WITHOUT_URGENT_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""

@@ -215,3 +215,83 @@ class TestDocLengthQuantiles:
             )
         )
         pd.testing.assert_frame_equal(got, exp)
+
+
+class TestRangeJoin:
+    def test_matches_duckdb_range_join(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            ORDERS_EVENTS_RANGE_ORACLE,
+            orders_events_range_join,
+        )
+
+        got = _canon(orders_events_range_join(SF).to_pandas())
+        exp = _canon(
+            _oracle(
+                {"events": f"{SF}/events.parquet", "orders": f"{SF}/orders.parquet"},
+                ORDERS_EVENTS_RANGE_ORACLE,
+            )
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_window_boundaries_half_open(self, ray_session, tmp_path):
+        """[start, start + days): the event AT the order date counts,
+        the event exactly days later does not; users with no events
+        get zero counts."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            orders_events_range_join,
+        )
+
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": [1, 2],
+                "o_custkey": [5, 6],
+                "o_orderdate": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+                "o_totalprice": [1.0, 1.0],
+            }
+        )
+        events = pd.DataFrame(
+            {
+                "event_id": [10, 11, 12],
+                "user_id": [5, 5, 5],
+                "ts": pd.to_datetime(
+                    ["2024-01-01", "2024-01-07 23:59:59", "2024-01-08"],
+                    format="ISO8601",
+                ),
+                "event_type": ["a"] * 3,
+                "value": [1.0, 2.0, 4.0],
+                "props": [""] * 3,
+            }
+        )
+        orders.to_parquet(tmp_path / "orders.parquet")
+        events.to_parquet(tmp_path / "events.parquet")
+        out = (
+            orders_events_range_join(str(tmp_path), days=7)
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        assert out.loc[0, "n_events"] == 2  # boundary event 12 excluded
+        assert out.loc[0, "value_centi_sum"] == 300
+        assert out.loc[1, "n_events"] == 0  # customer 6 has no events
+        assert out.loc[1, "value_centi_sum"] == 0
+
+
+class TestAntiJoin:
+    def test_matches_duckdb_not_exists(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            CUSTOMERS_WITHOUT_URGENT_ORACLE,
+            customers_without_urgent_orders,
+        )
+
+        got = _canon(customers_without_urgent_orders(SF).to_pandas())
+        exp = _canon(
+            _oracle(
+                {
+                    "customer": f"{SF}/customer.parquet",
+                    "orders": f"{SF}/orders.parquet",
+                },
+                CUSTOMERS_WITHOUT_URGENT_ORACLE,
+            )
+        )
+        assert len(got) > 0  # non-degenerate on the test corpus
+        pd.testing.assert_frame_equal(got, exp)
