@@ -168,6 +168,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "dedup_simhash",
         "knn_brute",
         "events_hourly",
+        "events_orders_asof",
+        "orders_events_range_join",
+        "stratified_sample",
+        "doc_length_quantiles",
         "lineitem_pricing",
     ]
     times: dict[str, float] = {}
