@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_jaccard_verified"] = dedupe.jaccard_verified_pairs
     q["dedup_simhash"] = dedupe.simhash
     q["dedup_embedding_neardup"] = dedupe.embedding_neardup
+    q["dedup_ngram_jaccard"] = dedupe.ngram_jaccard_pairs
     # --- sampling / per-group selection -------------------------------
     from entity_extractor_linker_ray.ops import sampling
 
@@ -173,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
     sql = dict(simple_kg.oracle_sql())
     sql.update(textstats.TEXT_ORACLES)
     sql["dedup_exact"] = dedupe.EXACT_DEDUP_ORACLE
+    sql["dedup_ngram_jaccard"] = dedupe.NGRAM_JACCARD_ORACLE
     sql["knn_brute"] = ann.knn_brute_oracle()
     sql["multimodal_meta"] = multimodal.MULTIMODAL_META_ORACLE
     sql["events_hourly"] = relational.EVENTS_HOURLY_ORACLE

@@ -535,3 +535,220 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, seed: int = 29):
 
     out_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
     return _pair_payload_join(cand, items, verify, out_schema)
+
+
+# ----------------------------------------------------------------------
+# exact n-gram Jaccard (oracle-gated, no LSH approximation)
+# ----------------------------------------------------------------------
+
+NGRAM_K = 3
+NGRAM_DF_CAP = 64  # drop grams appearing in more docs (skew guard, mirrored in SQL)
+_NGRAM_SPLIT = None  # compiled lazily (regex module import kept at use site)
+
+
+def _word_ngrams(text: str, k: int = NGRAM_K) -> list[str]:
+    """Distinct lowercase word k-grams; tokenization is exactly
+    DuckDB's ``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` so
+    the oracle and the Ray side shingle identically."""
+    global _NGRAM_SPLIT
+    if _NGRAM_SPLIT is None:
+        import re
+
+        _NGRAM_SPLIT = re.compile(r"[^a-z0-9]+")
+    toks = [t for t in _NGRAM_SPLIT.split((text or "").lower()) if t]
+    if len(toks) < k:
+        return []
+    return list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold_pct: int = 60,
+    k: int = NGRAM_K,
+    df_cap: int = NGRAM_DF_CAP,
+):
+    """EXACT word-n-gram Jaccard similarity pairs — the deterministic,
+    SQL-mirrorable sibling of the MinHash estimate: every doc pair with
+    Jaccard >= threshold over its distinct word k-grams, restricted to
+    grams whose document frequency is in [2, df_cap] (a gram in only
+    one doc can't intersect; a near-ubiquitous gram would generate
+    O(df^2) pairs — the cap bounds per-gram pair fan-out and is applied
+    identically in the DuckDB oracle, so results still hash-match).
+
+    Scale shape: ONE linear stream through four bucketed two-phase
+    shuffles (`ops/shuffle.grouped_aggregate`) — no branch is consumed
+    twice, nothing lands on the driver:
+
+    1. key ``g`` (gram string): document frequency is exact per gram
+       (all rows of a gram share its bucket), kept grams emit both
+       intersection-pair partials (bounded self-merge, <= df_cap^2 rows
+       per gram) and per-doc size partials in one pass;
+    2. key ``(doc_a, doc_b)``: sum partials -> exact n_common per pair
+       and exact kept-gram count per doc (size rows ride along tagged
+       ``doc_b = -1``);
+    3. key ``doc_a``: bucketed hash join attaching n_a to each pair
+       (size rows pass through for the next join);
+    4. key ``doc_b``: attach n_b, then a final vectorized filter
+       computes n_union and the integer jaccard_pct — all-integer
+       arithmetic so the driver's value hash is exact, no float drift.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        grams: list[str] = []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            gs = _word_ngrams(t, k)
+            ids.extend([int(d)] * len(gs))
+            grams.extend(gs)
+        # emit Arrow so the gram column is a typed string column even
+        # when a batch yields zero grams (object-dtype empties break
+        # Ray's block size estimation)
+        return pa.table(
+            {"g": pa.array(grams, pa.string()),
+             "doc_id": pa.array(ids, pa.int64())}
+        )
+
+    gram_rows = _read_docs(sf_dir).map_batches(explode, batch_format="pandas")
+
+    def pairs_and_sizes(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.groupby("g", sort=False)["doc_id"].transform("size").to_numpy()
+        kept = bucket[(df >= 2) & (df <= df_cap)]
+        if kept.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "cnt": pd.Series([], dtype=np.int64)}
+            )
+        sizes = kept.groupby("doc_id", sort=False).size().reset_index(name="cnt")
+        m = kept.merge(kept, on="g", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        partial = (
+            m.groupby(["doc_id_a", "doc_id_b"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(
+                    [partial["doc_id_a"].to_numpy(dtype=np.int64),
+                     sizes["doc_id"].to_numpy(dtype=np.int64)]
+                ),
+                "doc_b": np.concatenate(
+                    [partial["doc_id_b"].to_numpy(dtype=np.int64),
+                     np.full(len(sizes), -1, dtype=np.int64)]
+                ),
+                "cnt": np.concatenate(
+                    [partial["cnt"].to_numpy(dtype=np.int64),
+                     sizes["cnt"].to_numpy(dtype=np.int64)]
+                ),
+            }
+        )
+
+    partials = grouped_aggregate(gram_rows, ["g"], pairs_and_sizes)
+
+    def sum_cnt(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["doc_a", "doc_b"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+            .astype({"doc_a": np.int64, "doc_b": np.int64, "cnt": np.int64})
+        )
+
+    summed = grouped_aggregate(partials, ["doc_a", "doc_b"], sum_cnt)
+    # rows now: pairs (doc_a, doc_b>=0, cnt=n_common) + sizes (doc_b=-1, cnt=n_kept)
+
+    def key_on_a(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["key"] = out["doc_a"].to_numpy(dtype=np.int64)  # sizes: key = doc_id
+        out["n_a"] = np.int64(0)
+        return out
+
+    def attach_a(bucket: pd.DataFrame) -> pd.DataFrame:
+        sizes = bucket[bucket["doc_b"] < 0][["key", "cnt"]].rename(columns={"cnt": "sz"})
+        out = bucket.merge(sizes, on="key", how="left")
+        pairs = out["doc_b"] >= 0
+        out.loc[pairs, "n_a"] = out.loc[pairs, "sz"].fillna(0).astype(np.int64)
+        return out[["doc_a", "doc_b", "cnt", "n_a"]]
+
+    with_a = grouped_aggregate(
+        summed.map_batches(key_on_a, batch_format="pandas"), ["key"], attach_a
+    )
+
+    def key_on_b(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        is_size = out["doc_b"].to_numpy() < 0
+        out["key"] = np.where(
+            is_size, out["doc_a"].to_numpy(dtype=np.int64), out["doc_b"].to_numpy(dtype=np.int64)
+        )
+        out["n_b"] = np.int64(0)
+        return out
+
+    def attach_b(bucket: pd.DataFrame) -> pd.DataFrame:
+        sizes = bucket[bucket["doc_b"] < 0][["key", "cnt"]].rename(columns={"cnt": "sz"})
+        pairs = bucket[bucket["doc_b"] >= 0].merge(sizes, on="key", how="left")
+        if pairs.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "n_common": pd.Series([], dtype=np.int64),
+                 "n_union": pd.Series([], dtype=np.int64),
+                 "jaccard_pct": pd.Series([], dtype=np.int64)}
+            )
+        n_common = pairs["cnt"].to_numpy(dtype=np.int64)
+        n_a = pairs["n_a"].to_numpy(dtype=np.int64)
+        n_b = pairs["sz"].fillna(0).to_numpy(dtype=np.int64)
+        n_union = n_a + n_b - n_common
+        ok = (n_union > 0) & (100 * n_common >= threshold_pct * n_union)
+        return pd.DataFrame(
+            {
+                "doc_a": pairs["doc_a"].to_numpy(dtype=np.int64)[ok],
+                "doc_b": pairs["doc_b"].to_numpy(dtype=np.int64)[ok],
+                "n_common": n_common[ok],
+                "n_union": n_union[ok],
+                "jaccard_pct": (100 * n_common[ok]) // n_union[ok],
+            }
+        )
+
+    result = grouped_aggregate(
+        with_a.map_batches(key_on_b, batch_format="pandas"), ["key"], attach_b
+    )
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_common", pa.int64()),
+         ("n_union", pa.int64()), ("jaccard_pct", pa.int64())]
+    )
+    return result.union(rd.from_arrow(out_schema.empty_table()))
+
+
+NGRAM_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+), df AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 64
+), kept AS (
+  SELECT doc_id, g FROM grams JOIN df USING (g)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM kept a JOIN kept b USING (g)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       sa.n + sb.n - n_common AS n_union,
+       (100 * n_common) // (sa.n + sb.n - n_common) AS jaccard_pct
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 100 * n_common >= 60 * (sa.n + sb.n - n_common)
+"""

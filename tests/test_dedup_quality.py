@@ -201,3 +201,54 @@ class TestWriterEdgeCases:
         assert first.column("path").to_pylist() == second.column("path").to_pylist()
         files = [f for _, _, fs in os.walk(out) for f in fs]
         assert len(files) == 1
+
+
+class TestNgramJaccard:
+    def test_finds_planted_pairs_with_exact_scores(self, ray_session, planted_dir):
+        from entity_extractor_linker_ray.ops.dedupe import ngram_jaccard_pairs
+
+        df = (
+            ngram_jaccard_pairs(planted_dir, threshold_pct=60)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        pairs = set(zip(df["doc_a"], df["doc_b"]))
+        assert (0, 1) in pairs  # exact dup
+        assert (2, 3) in pairs  # one-token near-dup
+        assert pairs == {(0, 1), (2, 3)}
+        exact = df[(df["doc_a"] == 0)].iloc[0]
+        assert exact["jaccard_pct"] == 100 and exact["n_common"] == exact["n_union"]
+        # the changed token's grams have document frequency 1 on each
+        # side, so the df>=2 restriction removes them from the kept-gram
+        # universe symmetrically: over KEPT grams the pair is identical
+        # (pct 100) but with a smaller union than the exact-dup pair.
+        near = df[(df["doc_a"] == 2)].iloc[0]
+        assert near["jaccard_pct"] >= 60
+        assert near["n_union"] < exact["n_union"] or near["n_common"] != exact["n_common"]
+
+    def test_matches_duckdb_oracle(self, ray_session, planted_dir):
+        import duckdb
+
+        from entity_extractor_linker_ray.ops.dedupe import (
+            NGRAM_JACCARD_ORACLE,
+            ngram_jaccard_pairs,
+        )
+
+        got = (
+            ngram_jaccard_pairs(planted_dir)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{planted_dir}/documents.parquet'"
+        )
+        want = (
+            con.execute(NGRAM_JACCARD_ORACLE + " ORDER BY doc_a, doc_b")
+            .df()
+            .astype("int64")
+        )
+        pd.testing.assert_frame_equal(got[list(want.columns)], want)
