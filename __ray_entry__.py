@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customers_without_urgent"] = relational.customers_without_urgent_orders
     q["events_sliding"] = relational.events_sliding
     q["events_sessionize"] = relational.events_sessionize
+    q["events_daily_distinct"] = relational.events_daily_distinct
+    q["events_user_pivot"] = relational.events_user_pivot
     q["lineitem_pricing"] = relational.lineitem_pricing
     q["orders_customer_join"] = relational.orders_customer_join
     q["top_parts_by_size"] = relational.top_parts_by_size
@@ -183,6 +185,8 @@ def oracle_sql() -> dict[str, str]:
     sql["customers_without_urgent"] = relational.CUSTOMERS_WITHOUT_URGENT_ORACLE
     sql["events_sliding"] = relational.EVENTS_SLIDING_ORACLE
     sql["events_sessionize"] = relational.EVENTS_SESSIONIZE_ORACLE
+    sql["events_daily_distinct"] = relational.EVENTS_DAILY_DISTINCT_ORACLE
+    sql["events_user_pivot"] = relational.EVENTS_USER_PIVOT_ORACLE
     sql["lineitem_pricing"] = relational.LINEITEM_PRICING_ORACLE
     sql["orders_customer_join"] = relational.ORDERS_JOIN_ORACLE
     sql["top_parts_by_size"] = relational.TOP_PARTS_ORACLE.format(k=10)

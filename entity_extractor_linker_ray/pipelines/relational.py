@@ -659,3 +659,114 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
 """
+
+
+def events_daily_distinct(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per day — the two-phase distinct
+    shape: batches pre-dedupe (day, user) locally, the shuffle routes
+    each distinct (day, user) to exactly one bucket (hash of both
+    keys), so per-bucket user counts per day are disjoint partials that
+    a tiny final sum over ~365 day keys combines exactly. Nothing holds
+    the full distinct set in one place — the property that makes exact
+    distinct-count survive 10^12 rows where a naive
+    ``groupby(day).agg(nunique)`` ships every raw row to one reducer.
+    """
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        out = pd.DataFrame(
+            {"day_bucket": ts_ns // 86_400_000_000_000,
+             "user_id": batch["user_id"].to_numpy(dtype=np.int64)}
+        )
+        return (
+            out.groupby(["day_bucket", "user_id"], sort=False)
+            .size()
+            .reset_index(name="n_events")
+            .astype({"n_events": np.int64})
+        )
+
+    def per_user_day(bucket: pd.DataFrame) -> pd.DataFrame:
+        exact = (
+            bucket.groupby(["day_bucket", "user_id"], sort=False)["n_events"]
+            .sum()
+            .reset_index()
+        )
+        return (
+            exact.groupby("day_bucket", sort=False)
+            .agg(n_users=("user_id", "size"), n_events=("n_events", "sum"))
+            .reset_index()
+            .astype({"day_bucket": np.int64, "n_users": np.int64, "n_events": np.int64})
+        )
+
+    day_partials = grouped_aggregate(events, ["day_bucket", "user_id"], per_user_day, partial=partial)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("day_bucket", sort=False)
+            .agg(n_users=("n_users", "sum"), n_events=("n_events", "sum"))
+            .reset_index()
+            .astype({"day_bucket": np.int64, "n_users": np.int64, "n_events": np.int64})
+        )
+
+    return grouped_aggregate(day_partials, ["day_bucket"], final, num_partitions=16)
+
+
+EVENTS_DAILY_DISTINCT_ORACLE = """
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_bucket,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+EVENT_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_user_pivot(sf_dir: str):
+    """Crosstab: one row per user, one count column per event type
+    (fixed small vocabulary — the only regime where pivot-to-columns is
+    scale-sane; an unbounded pivot key belongs in long format). Users
+    are high-cardinality, so this is a bucketed two-phase aggregate
+    with the pivot done vectorized INSIDE the partial (unstack to
+    columns per batch) — the shuffle moves one short row per
+    (user, batch), never raw events."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in EVENT_PIVOT_TYPES]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(batch["user_id"], batch["event_type"])
+        ct = ct.reindex(columns=list(EVENT_PIVOT_TYPES), fill_value=0)
+        ct.columns = cols
+        out = ct.reset_index().rename(columns={"index": "user_id"})
+        out["user_id"] = out["user_id"].astype(np.int64)
+        return out.astype({c: np.int64 for c in cols})
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("user_id", sort=False)[cols]
+            .sum()
+            .reset_index()
+            .astype({"user_id": np.int64, **{c: np.int64 for c in cols}})
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine, partial=partial)
+
+
+EVENTS_USER_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""

@@ -295,3 +295,36 @@ class TestAntiJoin:
         )
         assert len(got) > 0  # non-degenerate on the test corpus
         pd.testing.assert_frame_equal(got, exp)
+
+
+class TestDailyDistinct:
+    def test_matches_duckdb_count_distinct(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_DAILY_DISTINCT_ORACLE,
+            events_daily_distinct,
+        )
+
+        got = _canon(events_daily_distinct(SF).to_pandas())
+        want = _canon(
+            _oracle({"events": f"{SF}/events.parquet"}, EVENTS_DAILY_DISTINCT_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+class TestEventPivot:
+    def test_matches_duckdb_filter_crosstab(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_USER_PIVOT_ORACLE,
+            events_user_pivot,
+        )
+
+        got = _canon(events_user_pivot(SF).to_pandas())
+        want = _canon(
+            _oracle({"events": f"{SF}/events.parquet"}, EVENTS_USER_PIVOT_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # every event is counted in exactly one pivot column
+        import pyarrow.parquet as pq
+
+        n_events = pq.read_table(f"{SF}/events.parquet", columns=["event_id"]).num_rows
+        assert int(got[[c for c in got.columns if c.startswith("n_")]].to_numpy().sum()) == n_events
