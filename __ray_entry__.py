@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_scores"] = textstats.quality_scores
     q["fingerprints"] = textstats.fingerprints
     q["lang_id"] = textstats.lang_id
+    q["top_terms_per_lang"] = textstats.top_terms_per_lang
     # --- dedup family --------------------------------------------------
     q["dedup_exact"] = dedupe.exact_dedup
     q["dedup_minhash_candidates"] = dedupe.minhash_candidates
@@ -141,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_sliding"] = relational.events_sliding
     q["events_sessionize"] = relational.events_sessionize
     q["events_daily_distinct"] = relational.events_daily_distinct
+    q["events_daily_users_approx"] = relational.events_daily_users_approx
     q["events_user_pivot"] = relational.events_user_pivot
     q["lineitem_pricing"] = relational.lineitem_pricing
     q["orders_customer_join"] = relational.orders_customer_join
@@ -175,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql = dict(simple_kg.oracle_sql())
     sql.update(textstats.TEXT_ORACLES)
+    sql["top_terms_per_lang"] = textstats.TOP_TERMS_ORACLE
     sql["dedup_exact"] = dedupe.EXACT_DEDUP_ORACLE
     sql["dedup_ngram_jaccard"] = dedupe.NGRAM_JACCARD_ORACLE
     sql["knn_brute"] = ann.knn_brute_oracle()

@@ -211,6 +211,90 @@ def doc_length_quantiles(sf_dir: str):
     return grouped_aggregate(docs, ["lang"], combine, partial=partial)
 
 
+def top_terms_per_lang(sf_dir: str, k: int = 10):
+    """Distributed wordcount + per-group top-k: the k most frequent
+    terms per language (count desc, term asc tie-break).
+
+    The canonical map-reduce, in its scale-correct Ray Data shape:
+    per-batch partial term counts (one short row per distinct term per
+    batch, never per token), an exact bucketed two-phase aggregate on
+    (lang, term) — term cardinality ≈ vocabulary size, far too many
+    groups for Ray's native reduce — then per-block partial top-k so
+    the final per-language selection sees at most k rows per (lang,
+    block). Tokenization is DuckDB's ``regexp_split_to_array(lower(t),
+    '[^a-z0-9]+')`` so the oracle shingled identically."""
+    import ray.data as rd
+
+    import re
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    split = re.compile(r"[^a-z0-9]+")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        langs: list[str] = []
+        terms: list[str] = []
+        for lang, text in zip(batch["lang"], batch["text"]):
+            toks = [t for t in split.split((text or "").lower()) if t]
+            langs.extend([lang] * len(toks))
+            terms.extend(toks)
+        flat = pd.DataFrame({"lang": langs, "term": terms})
+        return (
+            flat.groupby(["lang", "term"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+            .astype({"cnt": np.int64})
+        )
+
+    def sum_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["lang", "term"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+            .astype({"cnt": np.int64})
+        )
+
+    counts = grouped_aggregate(
+        docs.map_batches(partial_counts, batch_format="pandas"),
+        ["lang", "term"],
+        sum_counts,
+    )
+
+    def head_k(frame: pd.DataFrame) -> pd.DataFrame:
+        ordered = frame.sort_values(
+            ["lang", "cnt", "term"], ascending=[True, False, True], kind="stable"
+        )
+        kept = ordered.groupby("lang", sort=False).head(k).reset_index(drop=True)
+        kept["rank"] = kept.groupby("lang", sort=False).cumcount() + 1
+        return kept.astype({"cnt": np.int64, "rank": np.int64})
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return head_k(batch).drop(columns=["rank"])
+
+    return grouped_aggregate(counts, ["lang"], head_k, partial=partial_topk,
+                             num_partitions=8)
+
+
+TOP_TERMS_ORACLE = """
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(lower(COALESCE(text,'')),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), counts AS (
+  SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2
+)
+SELECT lang, term, cnt, rank FROM (
+  SELECT lang, term, cnt,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY cnt DESC, term) AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= 10
+"""
+
+
 TEXT_ORACLES = {
     "doc_length_quantiles": (
         "SELECT lang, count(*) AS n_docs, "

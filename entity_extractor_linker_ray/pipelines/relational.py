@@ -770,3 +770,90 @@ SELECT user_id,
        count(*) FILTER (event_type = 'view')     AS n_view
 FROM events GROUP BY user_id
 """
+
+
+HLL_P = 12  # 2^12 registers/day: ~1.6% standard error, 4 KiB per day
+
+
+def events_daily_users_approx(sf_dir: str, p: int = HLL_P):
+    """Approximate COUNT(DISTINCT user_id) per day via HyperLogLog —
+    the sketch path for when even the two-phase exact distinct
+    (`events_daily_distinct`) moves too many rows: the shuffle here
+    carries at most 2^p (day, register, rho) partials per (day, batch)
+    regardless of how many distinct users exist, and register-max is
+    associative so partials combine exactly like any other aggregate.
+
+    Vectorized per batch: one multiply-xor avalanche over the whole
+    user column, register = top p bits, rho = leading-zero count of
+    the rest (via log2 on the remaining 64-p bits). Final per-day
+    estimate is the standard HLL harmonic mean with the small-range
+    linear-counting correction. Deterministic — same input, same
+    estimate — so the rows-only driver check is stable; accuracy vs
+    the exact operator is asserted in pytest (within 5% at p=12).
+    """
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    m = 1 << p
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def _avalanche(x: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer — a full-period bijection, so distinct
+        # user ids map to distinct 64-bit hashes (no sketch-side
+        # collision term)
+        z = x.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            z = (z + np.uint64(0x9E3779B97F4A7C15))
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+        return z
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        day = ts_ns // 86_400_000_000_000
+        h = _avalanche(batch["user_id"].to_numpy(dtype=np.int64))
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel low bits
+        # rho = leading zeros of `rest` + 1, via the bit length of the
+        # value (log2 floor); rest is never 0 thanks to the sentinel
+        bits = np.floor(np.log2(rest.astype(np.float64) + 0.5)).astype(np.int64)
+        rho = 64 - bits  # in [1, 64-p+1]
+        out = pd.DataFrame({"day_bucket": day, "reg": reg, "rho": rho})
+        return (
+            out.groupby(["day_bucket", "reg"], sort=False)["rho"]
+            .max()
+            .reset_index()
+            .astype({"rho": np.int64})
+        )
+
+    def max_rho(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["day_bucket", "reg"], sort=False)["rho"]
+            .max()
+            .reset_index()
+            .astype({"rho": np.int64})
+        )
+
+    regs = grouped_aggregate(events, ["day_bucket", "reg"], max_rho, partial=partial)
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def estimate(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for day, g in bucket.groupby("day_bucket", sort=False):
+            registers = np.zeros(m, dtype=np.int64)
+            registers[g["reg"].to_numpy(dtype=np.int64)] = g["rho"].to_numpy(dtype=np.int64)
+            est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+            zeros = int(np.sum(registers == 0))
+            if est <= 2.5 * m and zeros > 0:
+                est = m * np.log(m / zeros)  # linear counting
+            rows.append((int(day), int(round(est))))
+        return pd.DataFrame(rows, columns=["day_bucket", "approx_users"]).astype(
+            {"day_bucket": np.int64, "approx_users": np.int64}
+        )
+
+    # ~365 day keys: the per-group python loop here is over DAYS, not
+    # users — bounded and final
+    return grouped_aggregate(regs, ["day_bucket"], estimate, num_partitions=16)

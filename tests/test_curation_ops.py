@@ -328,3 +328,50 @@ class TestEventPivot:
 
         n_events = pq.read_table(f"{SF}/events.parquet", columns=["event_id"]).num_rows
         assert int(got[[c for c in got.columns if c.startswith("n_")]].to_numpy().sum()) == n_events
+
+
+class TestTopTerms:
+    def test_matches_duckdb_wordcount_topk(self, ray_session):
+        from entity_extractor_linker_ray.ops.textstats import (
+            TOP_TERMS_ORACLE,
+            top_terms_per_lang,
+        )
+
+        got = _canon(top_terms_per_lang(SF).to_pandas())
+        want = _canon(
+            _oracle({"documents": f"{SF}/documents.parquet"}, TOP_TERMS_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+class TestHLLApproxDistinct:
+    def test_within_5pct_of_exact(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            events_daily_distinct,
+            events_daily_users_approx,
+        )
+
+        exact = (
+            events_daily_distinct(SF)
+            .to_pandas()
+            .set_index("day_bucket")["n_users"]
+            .sort_index()
+        )
+        approx = (
+            events_daily_users_approx(SF)
+            .to_pandas()
+            .set_index("day_bucket")["approx_users"]
+            .sort_index()
+        )
+        assert list(exact.index) == list(approx.index)
+        rel_err = (approx - exact).abs() / exact
+        assert rel_err.max() <= 0.05, rel_err.to_dict()
+
+    def test_deterministic_across_runs(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            events_daily_users_approx,
+        )
+
+        a = _canon(events_daily_users_approx(SF).to_pandas())
+        b = _canon(events_daily_users_approx(SF).to_pandas())
+        pd.testing.assert_frame_equal(a, b)
