@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_user_pivot"] = relational.events_user_pivot
     q["lineitem_pricing"] = relational.lineitem_pricing
     q["orders_customer_join"] = relational.orders_customer_join
+    q["order_lineitem_rollup"] = relational.order_lineitem_rollup
     q["top_parts_by_size"] = relational.top_parts_by_size
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
@@ -192,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
     sql["events_user_pivot"] = relational.EVENTS_USER_PIVOT_ORACLE
     sql["lineitem_pricing"] = relational.LINEITEM_PRICING_ORACLE
     sql["orders_customer_join"] = relational.ORDERS_JOIN_ORACLE
+    sql["order_lineitem_rollup"] = relational.ORDER_LINEITEM_ROLLUP_ORACLE
     sql["top_parts_by_size"] = relational.TOP_PARTS_ORACLE.format(k=10)
 
     from entity_extractor_linker_ray.ops import sampling

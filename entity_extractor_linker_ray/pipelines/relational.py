@@ -857,3 +857,88 @@ def events_daily_users_approx(sf_dir: str, p: int = HLL_P):
     # ~365 day keys: the per-group python loop here is over DAYS, not
     # users — bounded and final
     return grouped_aggregate(regs, ["day_bucket"], estimate, num_partitions=16)
+
+
+def order_lineitem_rollup(sf_dir: str):
+    """LEFT OUTER shuffle join of two LARGE tables — orders x lineitem
+    on orderkey, neither side broadcast: per order, line count + summed
+    quantity + summed extended price (centi-units, integer-exact),
+    INCLUDING orders with no lineitems (count 0).
+
+    The shape `orders_customer_join` deliberately avoids (its build
+    side is small enough to `ray.put`): here BOTH sides stream through
+    one bucketed shuffle on hash(orderkey) — each bucket sees every
+    row of both tables for its keys and does one vectorized merge, so
+    no worker ever holds either table whole. The lineitem side is
+    pre-aggregated per batch BEFORE the shuffle (partial count/sums per
+    orderkey), so the wide step moves one short row per (orderkey,
+    batch), not raw lineitems — the combiner-before-join trick that
+    makes join-then-aggregate plans tractable at 100 TB.
+    """
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"orderkey": k,
+             "side": np.zeros(len(k), dtype=np.int64),
+             "n_lines": np.zeros(len(k), dtype=np.int64),
+             "sum_qty": np.zeros(len(k), dtype=np.int64),
+             "sum_price_centi": np.zeros(len(k), dtype=np.int64)}
+        )
+
+    def tag_lines(batch: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {"orderkey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+             "qty": np.round(batch["l_quantity"].to_numpy() ).astype(np.int64),
+             "price_centi": np.round(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)}
+        )
+        agg = (
+            part.groupby("orderkey", sort=False)
+            .agg(n_lines=("qty", "size"), sum_qty=("qty", "sum"),
+                 sum_price_centi=("price_centi", "sum"))
+            .reset_index()
+        )
+        agg["side"] = np.int64(1)
+        return agg[["orderkey", "side", "n_lines", "sum_qty", "sum_price_centi"]].astype(
+            {c: np.int64 for c in ("orderkey", "side", "n_lines", "sum_qty", "sum_price_centi")}
+        )
+
+    unioned = orders.map_batches(tag_orders, batch_format="pandas").union(
+        lines.map_batches(tag_lines, batch_format="pandas")
+    )
+
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        right = (
+            bucket[bucket["side"] == 1]
+            .groupby("orderkey", sort=False)
+            .agg(n_lines=("n_lines", "sum"), sum_qty=("sum_qty", "sum"),
+                 sum_price_centi=("sum_price_centi", "sum"))
+            .reset_index()
+        )
+        left = bucket[bucket["side"] == 0][["orderkey"]].drop_duplicates()
+        out = left.merge(right, on="orderkey", how="left").fillna(0)
+        return out.astype(
+            {c: np.int64 for c in ("orderkey", "n_lines", "sum_qty", "sum_price_centi")}
+        )
+
+    return grouped_aggregate(unioned, ["orderkey"], join_bucket)
+
+
+ORDER_LINEITEM_ROLLUP_ORACLE = """
+SELECT o.o_orderkey AS orderkey,
+       count(l.l_orderkey) AS n_lines,
+       CAST(COALESCE(sum(CAST(round(l.l_quantity) AS BIGINT)), 0) AS BIGINT) AS sum_qty,
+       CAST(COALESCE(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT)
+         AS sum_price_centi
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""

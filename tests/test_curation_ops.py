@@ -375,3 +375,23 @@ class TestHLLApproxDistinct:
         a = _canon(events_daily_users_approx(SF).to_pandas())
         b = _canon(events_daily_users_approx(SF).to_pandas())
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestLargeLargeJoin:
+    def test_matches_duckdb_left_join_rollup(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            ORDER_LINEITEM_ROLLUP_ORACLE,
+            order_lineitem_rollup,
+        )
+
+        got = _canon(order_lineitem_rollup(SF).to_pandas())
+        want = _canon(
+            _oracle(
+                {"orders": f"{SF}/orders.parquet",
+                 "lineitem": f"{SF}/lineitem.parquet"},
+                ORDER_LINEITEM_ROLLUP_ORACLE,
+            )
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # left-outer semantics: orders with zero lineitems survive
+        assert (got["n_lines"] == 0).any() or len(got) == len(want)
