@@ -37,9 +37,21 @@ MAX_SHINGLE_CHUNK = 262_144
 
 
 def _read_docs(sf_dir: str):
+    """Documents read shared by the dedup family. Ray's read planner
+    sizes blocks for ~128 MB targets, which leaves a small corpus in a
+    handful of blocks — and map_batches parallelism is per BLOCK, so a
+    CPU-heavy stage (shingling, minhashing) would run 5-wide on 32
+    CPUs. Override to ~2 blocks per CPU; at production scale the file
+    count dominates and the override is a no-op cap."""
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=max(16, 2 * cpus),
+    )
 
 
 # ----------------------------------------------------------------------
@@ -164,9 +176,28 @@ class MinHasher:
         return out
 
 
+_MINHASHER: MinHasher | None = None
+
+
+def _minhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    # the hash family is deterministic from a fixed seed and cheap to
+    # build, so cache one per WORKER PROCESS instead of paying actor
+    # pool spin-up: a plain task-pool stage scales to every free CPU
+    # instantly, which matters because shingling is ~6 ms/doc of
+    # Python — the dominant cost of the whole MinHash path
+    global _MINHASHER
+    if _MINHASHER is None:
+        _MINHASHER = MinHasher()
+    return _MINHASHER(batch)
+
+
 def minhash_signatures(sf_dir: str):
+    # batch_size bounds the per-call transient alongside
+    # MAX_SHINGLE_CHUNK; keep it SMALL so the stage actually fans out
+    # (map_batches coalesces blocks up to batch_size — at 1024 a
+    # 5k-doc corpus became 5 tasks serialized onto 5 of 32 CPUs)
     return _read_docs(sf_dir).map_batches(
-        MinHasher, batch_format="pandas", concurrency=(1, 8), batch_size=1024
+        _minhash_batch, batch_format="pandas", batch_size=128
     )
 
 
