@@ -23,11 +23,9 @@ TOP_K = 5
 
 
 def _read_embeddings(sf_dir: str):
-    import ray.data as rd
+    from entity_extractor_linker_ray.ops.readers import read_split
 
-    return rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    return read_split(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
 def _query_matrix(sf_dir: str, n_queries: int = N_QUERIES):
@@ -86,7 +84,7 @@ def knn_brute(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K):
         )
 
     partials = _read_embeddings(sf_dir).map_batches(
-        PartialTopK, batch_format="pandas", concurrency=(1, 8)
+        PartialTopK, batch_format="pandas", concurrency=(1, 16)
     )
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
 
@@ -173,7 +171,7 @@ def knn_lsh(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
         )
 
     partials = _read_embeddings(sf_dir).map_batches(
-        BucketTopK, batch_format="pandas", concurrency=(1, 8)
+        BucketTopK, batch_format="pandas", concurrency=(1, 16)
     )
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
 
@@ -275,6 +273,6 @@ def knn_ivf(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
         )
 
     partials = _read_embeddings(sf_dir).map_batches(
-        IvfTopK, batch_format="pandas", concurrency=(1, 8)
+        IvfTopK, batch_format="pandas", concurrency=(1, 16)
     )
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")

@@ -37,21 +37,12 @@ MAX_SHINGLE_CHUNK = 262_144
 
 
 def _read_docs(sf_dir: str):
-    """Documents read shared by the dedup family. Ray's read planner
-    sizes blocks for ~128 MB targets, which leaves a small corpus in a
-    handful of blocks — and map_batches parallelism is per BLOCK, so a
-    CPU-heavy stage (shingling, minhashing) would run 5-wide on 32
-    CPUs. Override to ~2 blocks per CPU; at production scale the file
-    count dominates and the override is a no-op cap."""
-    import ray
-    import ray.data as rd
+    """Documents read shared by the dedup family — block count sized
+    to the cluster (see ``ops/readers.py``) because every consumer
+    runs a CPU-heavy per-doc kernel (shingling, minhashing)."""
+    from entity_extractor_linker_ray.ops.readers import read_split
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text"],
-        override_num_blocks=max(16, 2 * cpus),
-    )
+    return read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 # ----------------------------------------------------------------------
@@ -477,7 +468,9 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, seed: int = 29):
 
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from entity_extractor_linker_ray.ops.readers import read_split
+
+    ds = read_split(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     class BandBucketer:
         def __init__(self):
@@ -521,7 +514,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95, seed: int = 29):
             }
         )
 
-    rows = ds.map_batches(BandBucketer, batch_format="pandas", concurrency=(1, 4))
+    rows = ds.map_batches(BandBucketer, batch_format="pandas", concurrency=(1, 16))
     cand = grouped_aggregate(rows, ["band", "bucket"], pairs_in_bucket)
     cand = grouped_aggregate(
         cand, ["doc_a", "doc_b"], lambda b: b.drop_duplicates()

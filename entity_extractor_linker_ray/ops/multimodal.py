@@ -24,7 +24,9 @@ def attach_payload(sf_dir: str):
     Output: (doc_id, payload: binary, media_type, n_bytes)."""
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from entity_extractor_linker_ray.ops.readers import read_split
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def kernel(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()

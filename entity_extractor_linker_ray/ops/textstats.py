@@ -13,6 +13,8 @@ import pandas as pd
 
 from ray.data.aggregate import Sum
 
+from entity_extractor_linker_ray.ops.readers import read_split
+
 _STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been it this that".split()
 )
@@ -52,7 +54,7 @@ def doc_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
 def doc_stats(sf_dir: str):
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(doc_stats_batch, batch_format="pandas")
 
 
@@ -88,7 +90,7 @@ def quality_scores(sf_dir: str):
     """
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def kernel(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
@@ -138,8 +140,8 @@ class LangIdModel:
 def lang_id(sf_dir: str):
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return docs.map_batches(LangIdModel, batch_format="pandas", concurrency=(1, 4))
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(LangIdModel, batch_format="pandas", concurrency=(1, 16))
 
 
 def fingerprints(sf_dir: str):
@@ -148,7 +150,7 @@ def fingerprints(sf_dir: str):
     to a dataset operator; oracle = DuckDB ``md5()``)."""
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def kernel(batch: pd.DataFrame) -> pd.DataFrame:
         fps = [
@@ -230,7 +232,7 @@ def top_terms_per_lang(sf_dir: str, k: int = 10):
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
     split = re.compile(r"[^a-z0-9]+")
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
 
     def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
         langs: list[str] = []

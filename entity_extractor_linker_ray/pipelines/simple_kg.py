@@ -46,9 +46,9 @@ def vocab() -> list[dict]:
 
 
 def _read_documents(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data as rd
+    from entity_extractor_linker_ray.ops.readers import read_split
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_split(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 # ----------------------------------------------------------------------
