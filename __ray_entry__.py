@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_simhash"] = dedupe.simhash
     q["dedup_embedding_neardup"] = dedupe.embedding_neardup
     q["dedup_ngram_jaccard"] = dedupe.ngram_jaccard_pairs
+    from entity_extractor_linker_ray.ops import graph_algos
+
+    q["dedup_clusters"] = graph_algos.duplicate_clusters
     # --- sampling / per-group selection -------------------------------
     from entity_extractor_linker_ray.ops import sampling
 
@@ -181,6 +184,9 @@ def oracle_sql() -> dict[str, str]:
     sql["top_terms_per_lang"] = textstats.TOP_TERMS_ORACLE
     sql["dedup_exact"] = dedupe.EXACT_DEDUP_ORACLE
     sql["dedup_ngram_jaccard"] = dedupe.NGRAM_JACCARD_ORACLE
+    from entity_extractor_linker_ray.ops import graph_algos
+
+    sql["dedup_clusters"] = graph_algos.duplicate_clusters_oracle()
     sql["knn_brute"] = ann.knn_brute_oracle()
     sql["multimodal_meta"] = multimodal.MULTIMODAL_META_ORACLE
     sql["events_hourly"] = relational.EVENTS_HOURLY_ORACLE

@@ -252,3 +252,48 @@ class TestNgramJaccard:
             .astype("int64")
         )
         pd.testing.assert_frame_equal(got[list(want.columns)], want)
+
+
+class TestDuplicateClusters:
+    def test_matches_recursive_oracle_with_multihop_cluster(self, ray_session):
+        import duckdb
+
+        from entity_extractor_linker_ray.ops.graph_algos import (
+            duplicate_clusters,
+            duplicate_clusters_oracle,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            duplicate_clusters(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        want = (
+            con.execute(duplicate_clusters_oracle() + " ORDER BY doc_id")
+            .df()
+            .astype("int64")
+        )
+        pd.testing.assert_frame_equal(got[["doc_id", "cluster_id"]], want)
+        # sf0.001 contains a >2-node component (8-12-120-360): label
+        # propagation must run multiple rounds, not just copy pairs
+        sizes = got.groupby("cluster_id").size()
+        assert sizes.max() >= 3
+
+    def test_empty_corpus_keeps_schema(self, ray_session, tmp_path):
+        from entity_extractor_linker_ray.ops.graph_algos import duplicate_clusters
+
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                      "text": pd.Series([], dtype="object")}).to_parquet(
+            tmp_path / "documents.parquet"
+        )
+        out = duplicate_clusters(str(tmp_path))
+        # Dataset.to_pandas() drops columns on 0-row datasets in this
+        # Ray version, so assert on the Dataset schema itself
+        assert out.schema().names == ["doc_id", "cluster_id"]
+        assert out.count() == 0
