@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fingerprints"] = textstats.fingerprints
     q["lang_id"] = textstats.lang_id
     q["top_terms_per_lang"] = textstats.top_terms_per_lang
+    q["corpus_rollup"] = textstats.corpus_rollup
     # --- dedup family --------------------------------------------------
     q["dedup_exact"] = dedupe.exact_dedup
     q["dedup_minhash_candidates"] = dedupe.minhash_candidates
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
     sql = dict(simple_kg.oracle_sql())
     sql.update(textstats.TEXT_ORACLES)
     sql["top_terms_per_lang"] = textstats.TOP_TERMS_ORACLE
+    sql["corpus_rollup"] = textstats.CORPUS_ROLLUP_ORACLE
     sql["dedup_exact"] = dedupe.EXACT_DEDUP_ORACLE
     sql["dedup_ngram_jaccard"] = dedupe.NGRAM_JACCARD_ORACLE
     from entity_extractor_linker_ray.ops import graph_algos

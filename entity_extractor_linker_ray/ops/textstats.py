@@ -331,3 +331,89 @@ TEXT_ORACLES = {
     ),
     "fingerprints": "SELECT doc_id, md5(COALESCE(text,'')) AS fingerprint FROM documents",
 }
+
+
+ROLLUP_ALL = "<all>"
+
+
+def corpus_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) — per-(lang, source) doc counts
+    and char totals plus per-lang subtotals and a grand total, the
+    OLAP rollup shape. ONE pass over the corpus computes the finest
+    level (bucketed two-phase aggregate); the coarser levels re-
+    aggregate the finest RESULT (cardinality = distinct key combos,
+    tiny), never the base table — at 100 TB the corpus streams once
+    regardless of how many rollup levels are asked for. Rolled-up
+    positions use the '<all>' sentinel (COALESCE'd identically in the
+    oracle) so the result is hash-comparable without NULL-ordering
+    ambiguity."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby(["lang", "source"], sort=False)
+            .agg(n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+            .reset_index()
+            .astype({"n_docs": np.int64, "total_chars": np.int64})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["lang", "source"], sort=False)
+            .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+            .reset_index()
+            .astype({"n_docs": np.int64, "total_chars": np.int64})
+        )
+
+    fine = grouped_aggregate(docs, ["lang", "source"], combine, partial=partial,
+                             num_partitions=16).materialize()
+
+    def to_lang(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby("lang", sort=False)
+            .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+            .reset_index()
+        )
+        out["source"] = ROLLUP_ALL
+        return out[["lang", "source", "n_docs", "total_chars"]].astype(
+            {"n_docs": np.int64, "total_chars": np.int64}
+        )
+
+    def lang_combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["lang", "source"], sort=False)
+            .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+            .reset_index()
+            .astype({"n_docs": np.int64, "total_chars": np.int64})
+        )
+
+    lang_level = grouped_aggregate(
+        fine.map_batches(to_lang, batch_format="pandas"), ["lang", "source"],
+        lang_combine, num_partitions=4,
+    )
+
+    def to_total(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"lang": [ROLLUP_ALL], "source": [ROLLUP_ALL],
+             "n_docs": [np.int64(batch["n_docs"].sum())],
+             "total_chars": [np.int64(batch["total_chars"].sum())]}
+        )
+
+    total = grouped_aggregate(
+        fine.map_batches(to_total, batch_format="pandas"), ["lang", "source"],
+        lang_combine, num_partitions=1,
+    )
+
+    return fine.union(lang_level).union(total)
+
+
+CORPUS_ROLLUP_ORACLE = """
+SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(source, '<all>') AS source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+"""

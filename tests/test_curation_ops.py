@@ -395,3 +395,23 @@ class TestLargeLargeJoin:
         pd.testing.assert_frame_equal(got, want)
         # left-outer semantics: orders with zero lineitems survive
         assert (got["n_lines"] == 0).any() or len(got) == len(want)
+
+
+class TestCorpusRollup:
+    def test_matches_duckdb_rollup(self, ray_session):
+        from entity_extractor_linker_ray.ops.textstats import (
+            CORPUS_ROLLUP_ORACLE,
+            corpus_rollup,
+        )
+
+        got = _canon(corpus_rollup(SF).to_pandas())
+        want = _canon(
+            _oracle({"documents": f"{SF}/documents.parquet"}, CORPUS_ROLLUP_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # all three levels present and internally consistent
+        raw = corpus_rollup(SF).to_pandas()
+        grand = raw[(raw["lang"] == "<all>")]
+        assert len(grand) == 1
+        fine = raw[(raw["lang"] != "<all>") & (raw["source"] != "<all>")]
+        assert fine["n_docs"].sum() == grand["n_docs"].iloc[0]
