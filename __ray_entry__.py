@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_linker_ray.ops import graph_algos
 
     q["dedup_clusters"] = graph_algos.duplicate_clusters
+    q["kg_pagerank"] = graph_algos.kg_pagerank
     # --- sampling / per-group selection -------------------------------
     from entity_extractor_linker_ray.ops import sampling
 

@@ -297,3 +297,50 @@ class TestDuplicateClusters:
         # Ray version, so assert on the Dataset schema itself
         assert out.schema().names == ["doc_id", "cluster_id"]
         assert out.count() == 0
+
+
+class TestPageRank:
+    def test_distributed_matches_local_integer_replica(self, ray_session):
+        import ray.data as rd
+
+        from entity_extractor_linker_ray.ops.graph_algos import (
+            pagerank,
+            pagerank_reference,
+        )
+
+        rng = np.random.default_rng(7)
+        n = 60
+        src = rng.integers(0, n, 300)
+        dst = rng.integers(0, n, 300)
+        keep = src != dst
+        edges = pd.DataFrame(
+            {"src": [f"n{i}" for i in src[keep]],
+             "dst": [f"n{i}" for i in dst[keep]],
+             "weight": rng.integers(1, 5, keep.sum())}
+        ).groupby(["src", "dst"], as_index=False)["weight"].sum()
+        got = (
+            pagerank(rd.from_pandas(edges), iters=4, num_partitions=8)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        want = pagerank_reference(edges, iters=4).sort_values("node").reset_index(
+            drop=True
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_sink_node_gets_floor_and_hub_exceeds_it(self, ray_session):
+        import ray.data as rd
+
+        from entity_extractor_linker_ray.ops.graph_algos import PR_BASE, pagerank
+
+        # star: a,b,c -> hub; 'src_only' has no in-edges -> floor rank
+        edges = pd.DataFrame(
+            {"src": ["a", "b", "c", "src_only"],
+             "dst": ["hub", "hub", "hub", "a"],
+             "weight": [1, 1, 1, 1]}
+        )
+        ranks = pagerank(rd.from_pandas(edges), iters=8, num_partitions=4).to_pandas()
+        r = ranks.set_index("node")["rank"]
+        assert r["src_only"] == PR_BASE
+        assert r["hub"] > r["a"] > r["src_only"]
