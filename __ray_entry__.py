@@ -20,11 +20,19 @@ from typing import Any
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+_KG_OUT_CACHE: dict[str, dict] = {}
+
+
 def _kg_full_outputs(sf_dir: str, what: str):
     """Full stub-LLM KG pipeline over transcripts derived from the
     documents table (deterministic turn split, scrambled order within
     the synthesis is unnecessary — documents_to_transcripts emits
-    ordered turns; the assemble stage still groups + sorts)."""
+    ordered turns; the assemble stage still groups + sorts).
+
+    The built outputs are memoized per ``sf_dir``: `build_kg_datasets`
+    materializes the unified record stream, so the seven
+    ``kg_pipeline_*`` driver queries share ONE actor-pool pass and
+    each derives its own split/aggregate from the pinned records."""
     from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
     from entity_extractor_linker_ray.synthetic import transcripts_dataset_from_documents
 
@@ -38,7 +46,11 @@ def _kg_full_outputs(sf_dir: str, what: str):
         "RAY_KG_CONCURRENCY": 8,
         "RAY_DOC_BLOCKS": 16,
     }
-    out = build_kg_datasets(transcripts_dataset_from_documents(sf_dir), cfg)
+    if sf_dir not in _KG_OUT_CACHE:
+        _KG_OUT_CACHE[sf_dir] = build_kg_datasets(
+            transcripts_dataset_from_documents(sf_dir), cfg
+        )
+    out = _KG_OUT_CACHE[sf_dir]
     if what == "triples":
         return out["triples"]
     if what == "entities":
