@@ -415,3 +415,24 @@ class TestCorpusRollup:
         assert len(grand) == 1
         fine = raw[(raw["lang"] != "<all>") & (raw["source"] != "<all>")]
         assert fine["n_docs"].sum() == grand["n_docs"].iloc[0]
+
+
+class TestBlockCountInvariance:
+    """The driver's Ray session may have a different CPU count than
+    ours, so ops/readers.read_split will pick a different block count
+    there — results must be bit-identical regardless."""
+
+    @pytest.mark.parametrize("blocks", [3, 40])
+    def test_ngram_and_wordcount_invariant(self, ray_session, monkeypatch, blocks):
+        from entity_extractor_linker_ray.ops import readers
+        from entity_extractor_linker_ray.ops.dedupe import ngram_jaccard_pairs
+        from entity_extractor_linker_ray.ops.textstats import top_terms_per_lang
+
+        monkeypatch.setattr(readers, "_target_blocks", lambda: blocks)
+        ngrams = _canon(ngram_jaccard_pairs(SF).to_pandas())
+        terms = _canon(top_terms_per_lang(SF).to_pandas())
+        if not hasattr(type(self), "_ref"):
+            type(self)._ref = (ngrams, terms)
+        else:
+            pd.testing.assert_frame_equal(ngrams, type(self)._ref[0])
+            pd.testing.assert_frame_equal(terms, type(self)._ref[1])
