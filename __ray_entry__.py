@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- multimodal plumbing ------------------------------------------
     q["multimodal_meta"] = multimodal.multimodal_meta
     q["multimodal_decode"] = multimodal.decode_features
+    q["multimodal_resize"] = multimodal.resize_images
+    q["multimodal_frames"] = multimodal.sample_frames
     # --- relational / stream-shaped -----------------------------------
     q["events_hourly"] = relational.events_hourly
     q["events_orders_asof"] = relational.events_orders_asof

@@ -120,3 +120,82 @@ MULTIMODAL_META_ORACLE = (
     "SELECT doc_id, octet_length(encode(COALESCE(text,''))) AS n_bytes, "
     "sha256(COALESCE(text,'')) AS sha256 FROM documents"
 )
+
+
+class StubResizer:
+    """Resize plumbing: payload -> fixed-budget payload. The kernel is
+    a deterministic stand-in (truncate the byte stream to the target
+    pixel budget — a real impl calls PIL/cv2 here); the actor shape,
+    binary-in/binary-out schema, and the SMALL batch size (payloads
+    dominate memory, so batch x concurrency must fit the worker heap)
+    are the real contract."""
+
+    def __init__(self, width: int = 64, height: int = 64):
+        self.budget = width * height
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        resized = [(p or b"")[: self.budget] for p in payloads]
+        n = len(resized)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(resized, pa.binary()),
+                "width": pa.array([self.width] * n, pa.int64()),
+                "height": pa.array([self.height] * n, pa.int64()),
+                "n_bytes": pa.array([len(r) for r in resized], pa.int64()),
+            }
+        )
+
+
+def resize_images(sf_dir: str, width: int = 64, height: int = 64):
+    """payload → resized payload via the resizer actor pool."""
+    return attach_payload(sf_dir).map_batches(
+        lambda batch, _r=StubResizer(width, height): _r(batch),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+
+
+FRAME_BYTES = 256
+
+
+def sample_frames(sf_dir: str, n_frames: int = 4):
+    """Frame sampling plumbing: treat each payload as a stream of
+    fixed-size frames and emit ``n_frames`` evenly spaced ones as one
+    row per (doc, frame) — the explode direction of multimodal work
+    (rows OUT >> rows in), done inside map_batches with a bounded
+    batch size so the amplified output never exceeds
+    ``batch_size * n_frames * FRAME_BYTES`` per task. The frame
+    extraction itself is a deterministic byte-slice stand-in for an
+    ffmpeg keyframe pull."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        frames: list[bytes] = []
+        for doc_id, payload in zip(
+            batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            p = payload or b""
+            total = max(len(p) // FRAME_BYTES, 1)
+            take = min(n_frames, total)
+            for j in range(take):
+                # evenly spaced deterministic frame positions
+                pos = (j * total) // take
+                doc_ids.append(doc_id)
+                idxs.append(pos)
+                frames.append(p[pos * FRAME_BYTES : (pos + 1) * FRAME_BYTES])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+    return attach_payload(sf_dir).map_batches(
+        kernel, batch_format="pyarrow", batch_size=64
+    )

@@ -436,3 +436,35 @@ class TestBlockCountInvariance:
         else:
             pd.testing.assert_frame_equal(ngrams, type(self)._ref[0])
             pd.testing.assert_frame_equal(terms, type(self)._ref[1])
+
+
+class TestMultimodalPlumbing:
+    def test_resize_bounds_payloads_and_keeps_schema(self, ray_session):
+        from entity_extractor_linker_ray.ops.multimodal import resize_images
+
+        df = resize_images(SF, width=8, height=8).to_pandas()
+        assert list(df.columns) == ["doc_id", "payload", "width", "height", "n_bytes"]
+        assert (df["n_bytes"] <= 64).all()
+        assert (df["n_bytes"] == df["payload"].map(len)).all()
+
+    def test_frame_sample_explodes_with_even_spacing(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from entity_extractor_linker_ray.ops.multimodal import (
+            FRAME_BYTES,
+            sample_frames,
+        )
+
+        df = sample_frames(SF, n_frames=3).to_pandas()
+        n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+        assert df["doc_id"].nunique() == n_docs  # every doc yields >=1 frame
+        per_doc = df.groupby("doc_id").size()
+        assert per_doc.max() <= 3
+        assert (df["frame"].map(len) <= FRAME_BYTES).all()
+        # frame_idx strictly increasing within a doc (even spacing)
+        assert (
+            df.sort_values(["doc_id", "frame_idx"])
+            .groupby("doc_id")["frame_idx"]
+            .apply(lambda s: s.is_monotonic_increasing and s.is_unique)
+            .all()
+        )
