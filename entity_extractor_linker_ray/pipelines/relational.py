@@ -653,6 +653,68 @@ def customers_without_urgent_orders(sf_dir: str):
     return grouped_aggregate(unioned, ["key"], combine)
 
 
+def customers_with_urgent_orders(sf_dir: str):
+    """Semi join — the anti join's mirror: customers having at least
+    one URGENT order, without duplicating them per matching order (the
+    distinction from an inner join). Same bucketed shape as
+    `customers_without_urgent_orders`; only the bucket filter flips."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def tag_customers(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": batch["c_custkey"].to_numpy(dtype=np.int64),
+                "c_name": batch["c_name"].astype(str).to_numpy(),
+                "side": np.zeros(len(batch), dtype=np.int64),
+            }
+        )
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        urgent = batch[batch["o_orderpriority"] == "1-URGENT"]
+        keys = np.unique(urgent["o_custkey"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "key": keys,
+                "c_name": np.full(len(keys), "", dtype=object),
+                "side": np.ones(len(keys), dtype=np.int64),
+            }
+        )
+
+    unioned = customers.map_batches(tag_customers, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        cust = bucket[bucket["side"] == 0]
+        with_orders = bucket.loc[bucket["side"] == 1, "key"].to_numpy(dtype=np.int64)
+        kept = cust[cust["key"].isin(with_orders)]
+        return pd.DataFrame(
+            {
+                "c_custkey": kept["key"].to_numpy(dtype=np.int64),
+                "c_name": kept["c_name"].astype(str).to_numpy(),
+            }
+        )
+
+    return grouped_aggregate(unioned, ["key"], combine)
+
+
+CUSTOMERS_WITH_URGENT_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
 CUSTOMERS_WITHOUT_URGENT_ORACLE = """
 SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o

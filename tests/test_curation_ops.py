@@ -468,3 +468,23 @@ class TestMultimodalPlumbing:
             .apply(lambda s: s.is_monotonic_increasing and s.is_unique)
             .all()
         )
+
+
+class TestSemiJoin:
+    def test_matches_duckdb_exists(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            CUSTOMERS_WITH_URGENT_ORACLE,
+            customers_with_urgent_orders,
+        )
+
+        got = _canon(customers_with_urgent_orders(SF).to_pandas())
+        want = _canon(
+            _oracle(
+                {"customer": f"{SF}/customer.parquet",
+                 "orders": f"{SF}/orders.parquet"},
+                CUSTOMERS_WITH_URGENT_ORACLE,
+            )
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # no per-order duplication: keys unique (semi, not inner)
+        assert got["c_custkey"].is_unique
