@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["orders_events_range_join"] = relational.orders_events_range_join
     q["customers_without_urgent"] = relational.customers_without_urgent_orders
     q["customers_with_urgent"] = relational.customers_with_urgent_orders
+    q["customers_without_urgent_bloom"] = relational.customers_without_urgent_bloom
     q["events_sliding"] = relational.events_sliding
     q["events_sessionize"] = relational.events_sessionize
     q["events_daily_distinct"] = relational.events_daily_distinct
@@ -212,6 +213,8 @@ def oracle_sql() -> dict[str, str]:
     sql["orders_events_range_join"] = relational.ORDERS_EVENTS_RANGE_ORACLE
     sql["customers_without_urgent"] = relational.CUSTOMERS_WITHOUT_URGENT_ORACLE
     sql["customers_with_urgent"] = relational.CUSTOMERS_WITH_URGENT_ORACLE
+    # the bloom variant must be RESULT-identical to the exact anti join
+    sql["customers_without_urgent_bloom"] = relational.CUSTOMERS_WITHOUT_URGENT_ORACLE
     sql["events_sliding"] = relational.EVENTS_SLIDING_ORACLE
     sql["events_sessionize"] = relational.EVENTS_SESSIONIZE_ORACLE
     sql["events_daily_distinct"] = relational.EVENTS_DAILY_DISTINCT_ORACLE

@@ -1004,3 +1004,125 @@ SELECT o.o_orderkey AS orderkey,
 FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 """
+
+
+BLOOM_BITS = 1 << 20  # 128 KiB of bits; ~0.1% FP at 10^5 keys, k=7
+BLOOM_K = 7
+
+
+def _bloom_hashes(keys: np.ndarray) -> np.ndarray:
+    """(len(keys), BLOOM_K) bit positions via double hashing of two
+    independent splitmix-style streams — vectorized, no Python loop."""
+    x = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h1 ^= h1 >> np.uint64(33)
+        h2 = (x ^ (x >> np.uint64(29))) * np.uint64(0xC4CEB9FE1A85EC53)
+        h2 ^= h2 >> np.uint64(32)
+        h2 |= np.uint64(1)  # odd step so probes don't cycle
+        probes = h1[:, None] + np.arange(BLOOM_K, dtype=np.uint64)[None, :] * h2[:, None]
+    return (probes % np.uint64(BLOOM_BITS)).astype(np.int64)
+
+
+def customers_without_urgent_bloom(sf_dir: str):
+    """Anti join with a broadcast Bloom-filter pre-filter — the sketch
+    optimization for when the probe side is enormous: a 128 KiB bit
+    array summarizing the (distinct) filter-side keys is built with a
+    per-batch partial OR + one tiny reduce, broadcast via ``ray.put``,
+    and customers whose key is definitely-absent skip the shuffle
+    entirely. Bloom false positives pass through to the exact bucketed
+    anti join, so the result is IDENTICAL to
+    `customers_without_urgent_orders` (asserted in pytest and by
+    sharing its oracle) — the sketch only cuts shuffle volume, never
+    changes semantics. At a 0.1% FP rate the exact join sees ~1/1000
+    of the non-matching probe rows.
+    """
+    import ray
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def batch_bits(batch: pd.DataFrame) -> pd.DataFrame:
+        urgent = batch[batch["o_orderpriority"] == "1-URGENT"]
+        keys = np.unique(urgent["o_custkey"].to_numpy(dtype=np.int64))
+        bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+        if len(keys):
+            pos = _bloom_hashes(keys).ravel()
+            np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        return pd.DataFrame({"chunk": [bits.tobytes()]})
+
+    # tiny reduce: OR the per-batch bit arrays on the driver — the
+    # sketch is fixed-size (128 KiB) no matter how many orders exist,
+    # which is exactly why this is allowed to leave the cluster
+    bloom = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for row in orders.map_batches(batch_bits, batch_format="pandas").iter_rows():
+        bloom |= np.frombuffer(row["chunk"], dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    class Prefilter:
+        def __init__(self):
+            self.bits = ray.get(bloom_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            keys = batch["c_custkey"].to_numpy(dtype=np.int64)
+            pos = _bloom_hashes(keys)
+            hit = (
+                (self.bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+            ).all(axis=1)
+            definite_out = batch[~hit][["c_custkey", "c_name"]].copy()
+            definite_out["maybe"] = np.int64(0)
+            candidates = batch[hit][["c_custkey", "c_name"]].copy()
+            candidates["maybe"] = np.int64(1)
+            return pd.concat([definite_out, candidates], ignore_index=True)
+
+    marked = customers.map_batches(Prefilter, batch_format="pandas", concurrency=(1, 8))
+
+    # definite non-members are already final; only 'maybe' rows (true
+    # members + bloom FPs) go through the exact bucketed anti join
+    def tag_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch[batch["maybe"] == 1]
+        return pd.DataFrame(
+            {"key": c["c_custkey"].to_numpy(dtype=np.int64),
+             "c_name": c["c_name"].astype(str).to_numpy(),
+             "side": np.zeros(len(c), dtype=np.int64)}
+        )
+
+    def tag_urgent(batch: pd.DataFrame) -> pd.DataFrame:
+        urgent = batch[batch["o_orderpriority"] == "1-URGENT"]
+        keys = np.unique(urgent["o_custkey"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {"key": keys, "c_name": np.full(len(keys), "", dtype=object),
+             "side": np.ones(len(keys), dtype=np.int64)}
+        )
+
+    unioned = marked.map_batches(tag_candidates, batch_format="pandas").union(
+        orders.map_batches(tag_urgent, batch_format="pandas")
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        cust = bucket[bucket["side"] == 0]
+        members = bucket.loc[bucket["side"] == 1, "key"].to_numpy(dtype=np.int64)
+        kept = cust[~cust["key"].isin(members)]
+        return pd.DataFrame(
+            {"c_custkey": kept["key"].to_numpy(dtype=np.int64),
+             "c_name": kept["c_name"].astype(str).to_numpy()}
+        )
+
+    survivors = grouped_aggregate(unioned, ["key"], combine)
+
+    def passthrough(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[batch["maybe"] == 0]
+        return pd.DataFrame(
+            {"c_custkey": d["c_custkey"].to_numpy(dtype=np.int64),
+             "c_name": d["c_name"].astype(str).to_numpy()}
+        )
+
+    return survivors.union(marked.map_batches(passthrough, batch_format="pandas"))

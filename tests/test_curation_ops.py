@@ -488,3 +488,45 @@ class TestSemiJoin:
         pd.testing.assert_frame_equal(got, want)
         # no per-order duplication: keys unique (semi, not inner)
         assert got["c_custkey"].is_unique
+
+
+class TestBloomAntiJoin:
+    def test_identical_to_exact_anti_join_and_oracle(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            CUSTOMERS_WITHOUT_URGENT_ORACLE,
+            customers_without_urgent_bloom,
+            customers_without_urgent_orders,
+        )
+
+        bloom = _canon(customers_without_urgent_bloom(SF).to_pandas())
+        exact = _canon(customers_without_urgent_orders(SF).to_pandas())
+        pd.testing.assert_frame_equal(bloom, exact)
+        want = _canon(
+            _oracle(
+                {"customer": f"{SF}/customer.parquet",
+                 "orders": f"{SF}/orders.parquet"},
+                CUSTOMERS_WITHOUT_URGENT_ORACLE,
+            )
+        )
+        pd.testing.assert_frame_equal(bloom, want)
+
+    def test_bloom_filter_has_no_false_negatives(self, ray_session):
+        import numpy as np
+
+        from entity_extractor_linker_ray.pipelines.relational import _bloom_hashes
+
+        keys = np.arange(0, 50_000, dtype=np.int64)
+        from entity_extractor_linker_ray.pipelines.relational import BLOOM_BITS
+
+        bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+        pos = _bloom_hashes(keys).ravel()
+        np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        # every inserted key must hit
+        p = _bloom_hashes(keys)
+        hit = ((bits[p // 8] & (1 << (p % 8)).astype(np.uint8)) != 0).all(axis=1)
+        assert hit.all()
+        # false-positive rate on disjoint keys stays small
+        probe = np.arange(1_000_000, 1_050_000, dtype=np.int64)
+        p = _bloom_hashes(probe)
+        fp = ((bits[p // 8] & (1 << (p % 8)).astype(np.uint8)) != 0).all(axis=1)
+        assert fp.mean() < 0.02
