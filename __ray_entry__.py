@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customers_with_urgent"] = relational.customers_with_urgent_orders
     q["customers_without_urgent_bloom"] = relational.customers_without_urgent_bloom
     q["events_sliding"] = relational.events_sliding
+    q["events_running_count"] = relational.events_running_count
+    q["first_events_global"] = relational.first_events_global
     q["events_sessionize"] = relational.events_sessionize
     q["events_daily_distinct"] = relational.events_daily_distinct
     q["events_daily_users_approx"] = relational.events_daily_users_approx
@@ -216,6 +218,8 @@ def oracle_sql() -> dict[str, str]:
     # the bloom variant must be RESULT-identical to the exact anti join
     sql["customers_without_urgent_bloom"] = relational.CUSTOMERS_WITHOUT_URGENT_ORACLE
     sql["events_sliding"] = relational.EVENTS_SLIDING_ORACLE
+    sql["events_running_count"] = relational.EVENTS_RUNNING_COUNT_ORACLE
+    sql["first_events_global"] = relational.FIRST_EVENTS_ORACLE
     sql["events_sessionize"] = relational.EVENTS_SESSIONIZE_ORACLE
     sql["events_daily_distinct"] = relational.EVENTS_DAILY_DISTINCT_ORACLE
     sql["events_user_pivot"] = relational.EVENTS_USER_PIVOT_ORACLE

@@ -1126,3 +1126,94 @@ def customers_without_urgent_bloom(sf_dir: str):
         )
 
     return survivors.union(marked.map_batches(passthrough, batch_format="pandas"))
+
+
+def events_running_count(sf_dir: str):
+    """Cumulative window: for every event, that user's running event
+    count up to and including it (SQL ``ROWS UNBOUNDED PRECEDING``).
+    Same bucketed-shuffle-then-vectorized-segment shape as
+    ``events_sliding``: one cumcount over the sorted bucket, segment
+    boundaries by user change — no per-user Python groups."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy()
+        n = len(g)
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            starts = np.flatnonzero(
+                np.concatenate(([True], users[1:] != users[:-1]))
+            )
+            seg_start = starts[np.cumsum(np.concatenate(
+                ([True], users[1:] != users[:-1]))) - 1]
+        running = pos - seg_start + 1
+        return pd.DataFrame(
+            {"user_id": users,
+             "event_id": g["event_id"].to_numpy(dtype=np.int64),
+             "running_count": running}
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine)
+
+
+EVENTS_RUNNING_COUNT_ORACLE = """
+SELECT user_id, event_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_count
+FROM events
+"""
+
+
+def first_events_global(sf_dir: str, k: int = 100):
+    """Global sort + limit: the first ``k`` events corpus-wide by
+    (ts, event_id) — the one operator family where Ray Data's NATIVE
+    range-partitioned ``Dataset.sort`` is the right tool (a total
+    order genuinely needs the all-to-all; everything else in this repo
+    avoids it via bucketing). ``limit`` then streams only the head
+    blocks."""
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def to_ns(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"ts_ns": batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64),
+             "event_id": batch["event_id"].to_numpy(dtype=np.int64),
+             "user_id": batch["user_id"].to_numpy(dtype=np.int64)}
+        )
+        return out
+
+    ranked = events.map_batches(to_ns, batch_format="pandas").sort(
+        ["ts_ns", "event_id"]
+    ).limit(k)
+
+    # rank assignment needs a global offset; with k small the head is
+    # one narrow result — rank it in one final bounded kernel
+    def rank_all(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.sort_values(["ts_ns", "event_id"], kind="stable").reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["rank", "ts_ns", "event_id", "user_id"]]
+
+    return ranked.repartition(1).map_batches(
+        rank_all, batch_format="pandas", batch_size=k
+    )
+
+
+FIRST_EVENTS_ORACLE = """
+SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rank,
+       CAST(epoch_ns(ts) AS BIGINT) AS ts_ns,
+       event_id, user_id
+FROM events
+ORDER BY ts, event_id
+LIMIT 100
+"""

@@ -102,3 +102,42 @@ class TestSlidingWindow:
         )
         exp["n_in_window"] = exp["n_in_window"].astype("int64")
         pd.testing.assert_frame_equal(got, exp)
+
+
+class TestRunningCount:
+    def test_matches_duckdb_cumulative_window(self, ray_session):
+        import duckdb
+
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_RUNNING_COUNT_ORACLE,
+            events_running_count,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = events_running_count(sf).to_pandas()
+        got = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        want = con.execute(EVENTS_RUNNING_COUNT_ORACLE).df().astype("int64")
+        want = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+class TestGlobalSortLimit:
+    def test_matches_duckdb_order_by_limit(self, ray_session):
+        import duckdb
+
+        from entity_extractor_linker_ray.pipelines.relational import (
+            FIRST_EVENTS_ORACLE,
+            first_events_global,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = first_events_global(sf).to_pandas().astype("int64")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        want = con.execute(FIRST_EVENTS_ORACLE).df().astype("int64")
+        pd.testing.assert_frame_equal(
+            got.sort_values("rank").reset_index(drop=True),
+            want.sort_values("rank").reset_index(drop=True),
+        )
