@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customers_without_urgent_bloom"] = relational.customers_without_urgent_bloom
     q["events_sliding"] = relational.events_sliding
     q["events_running_count"] = relational.events_running_count
+    q["props_extract_stats"] = relational.props_extract_stats
     q["first_events_global"] = relational.first_events_global
     q["events_sessionize"] = relational.events_sessionize
     q["events_daily_distinct"] = relational.events_daily_distinct
@@ -219,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
     sql["customers_without_urgent_bloom"] = relational.CUSTOMERS_WITHOUT_URGENT_ORACLE
     sql["events_sliding"] = relational.EVENTS_SLIDING_ORACLE
     sql["events_running_count"] = relational.EVENTS_RUNNING_COUNT_ORACLE
+    sql["props_extract_stats"] = relational.PROPS_EXTRACT_ORACLE
     sql["first_events_global"] = relational.FIRST_EVENTS_ORACLE
     sql["events_sessionize"] = relational.EVENTS_SESSIONIZE_ORACLE
     sql["events_daily_distinct"] = relational.EVENTS_DAILY_DISTINCT_ORACLE

@@ -1217,3 +1217,56 @@ FROM events
 ORDER BY ts, event_id
 LIMIT 100
 """
+
+
+def props_extract_stats(sf_dir: str):
+    """Semi-structured column flattening: pull the integer field out of
+    the JSON-string ``props`` column (vectorized ``str.extract`` with a
+    compiled regex — no per-row json.loads in the hot path) and
+    aggregate per event_type. The extraction is a per-batch map; the
+    aggregate is the usual two-phase combine over a tiny key space."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            batch["props"]
+            .astype(str)
+            .str.extract(r"(\d+)", expand=False)
+            .fillna("0")
+            .astype(np.int64)
+        )
+        out = pd.DataFrame({"event_type": batch["event_type"], "k": k})
+        return (
+            out.groupby("event_type", sort=False)
+            .agg(n_events=("k", "size"), sum_k=("k", "sum"),
+                 min_k=("k", "min"), max_k=("k", "max"))
+            .reset_index()
+            .astype({c: np.int64 for c in ("n_events", "sum_k", "min_k", "max_k")})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("event_type", sort=False)
+            .agg(n_events=("n_events", "sum"), sum_k=("sum_k", "sum"),
+                 min_k=("min_k", "min"), max_k=("max_k", "max"))
+            .reset_index()
+            .astype({c: np.int64 for c in ("n_events", "sum_k", "min_k", "max_k")})
+        )
+
+    return grouped_aggregate(events, ["event_type"], combine, partial=partial,
+                             num_partitions=8)
+
+
+PROPS_EXTRACT_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(COALESCE(regexp_extract(props, '[0-9]+'), '0') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(COALESCE(regexp_extract(props, '[0-9]+'), '0') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(COALESCE(regexp_extract(props, '[0-9]+'), '0') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""

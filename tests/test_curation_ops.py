@@ -530,3 +530,17 @@ class TestBloomAntiJoin:
         p = _bloom_hashes(probe)
         fp = ((bits[p // 8] & (1 << (p % 8)).astype(np.uint8)) != 0).all(axis=1)
         assert fp.mean() < 0.02
+
+
+class TestPropsExtract:
+    def test_matches_duckdb_regexp_extract(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            PROPS_EXTRACT_ORACLE,
+            props_extract_stats,
+        )
+
+        got = _canon(props_extract_stats(SF).to_pandas())
+        want = _canon(
+            _oracle({"events": f"{SF}/events.parquet"}, PROPS_EXTRACT_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, want)
