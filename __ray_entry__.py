@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dedup_clusters"] = graph_algos.duplicate_clusters
     q["kg_pagerank"] = graph_algos.kg_pagerank
+    from entity_extractor_linker_ray.pipelines import curation
+
+    q["curate_documents"] = curation.curate_documents
     # --- sampling / per-group selection -------------------------------
     from entity_extractor_linker_ray.ops import sampling
 
@@ -209,6 +212,9 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_linker_ray.ops import graph_algos
 
     sql["dedup_clusters"] = graph_algos.duplicate_clusters_oracle()
+    from entity_extractor_linker_ray.pipelines import curation
+
+    sql["curate_documents"] = curation.curate_oracle()
     sql["knn_brute"] = ann.knn_brute_oracle()
     sql["multimodal_meta"] = multimodal.MULTIMODAL_META_ORACLE
     sql["events_hourly"] = relational.EVENTS_HOURLY_ORACLE

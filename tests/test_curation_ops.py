@@ -544,3 +544,36 @@ class TestPropsExtract:
             _oracle({"events": f"{SF}/events.parquet"}, PROPS_EXTRACT_ORACLE)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestCuratePipeline:
+    def test_composed_pipeline_matches_composed_oracle(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.curation import (
+            curate_documents,
+            curate_oracle,
+        )
+
+        got = _canon(curate_documents(SF).to_pandas())
+        want = _canon(_oracle({"documents": f"{SF}/documents.parquet"}, curate_oracle()))
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_each_stage_actually_drops_something(self, ray_session):
+        """On sf0.001 every stage must be live: exact dups exist, near-
+        dup clusters exist, and the sample keeps only a fraction."""
+        import pyarrow.parquet as pq
+
+        from entity_extractor_linker_ray.ops.dedupe import exact_dedup
+        from entity_extractor_linker_ray.ops.graph_algos import duplicate_clusters
+        from entity_extractor_linker_ray.pipelines.curation import curate_documents
+
+        n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+        n_exact = exact_dedup(SF).count()
+        clusters = duplicate_clusters(SF).to_pandas()
+        n_cluster_drops = int((clusters["cluster_id"] != clusters["doc_id"]).sum())
+        n_final = curate_documents(SF).count()
+        # the sf0.001 corpus has near-dups but no byte-identical dups,
+        # so exact dedup passes everything through here (its own drop
+        # behavior is covered by the planted-dup tests)
+        assert n_exact == n_docs
+        assert n_cluster_drops > 0       # near-dup removal dropped
+        assert n_final < n_exact - n_cluster_drops  # quality+sample dropped
