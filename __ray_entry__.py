@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_id"] = textstats.lang_id
     q["top_terms_per_lang"] = textstats.top_terms_per_lang
     q["corpus_rollup"] = textstats.corpus_rollup
+    q["inverted_index"] = textstats.inverted_index
+    q["tfidf_top_terms"] = textstats.tfidf_top_terms
+    q["heavy_hitters"] = textstats.heavy_hitters
     # --- dedup family --------------------------------------------------
     q["dedup_exact"] = dedupe.exact_dedup
     q["dedup_minhash_candidates"] = dedupe.minhash_candidates
@@ -164,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customers_with_urgent"] = relational.customers_with_urgent_orders
     q["customers_without_urgent_bloom"] = relational.customers_without_urgent_bloom
     q["events_sliding"] = relational.events_sliding
+    q["events_lag_gaps"] = relational.events_lag_gaps
+    q["redact_props"] = relational.redact_props
     q["events_running_count"] = relational.events_running_count
     q["props_extract_stats"] = relational.props_extract_stats
     q["first_events_global"] = relational.first_events_global
@@ -207,6 +212,8 @@ def oracle_sql() -> dict[str, str]:
     sql.update(textstats.TEXT_ORACLES)
     sql["top_terms_per_lang"] = textstats.TOP_TERMS_ORACLE
     sql["corpus_rollup"] = textstats.CORPUS_ROLLUP_ORACLE
+    sql["inverted_index"] = textstats.INVERTED_INDEX_ORACLE
+    sql["tfidf_top_terms"] = textstats.TFIDF_ORACLE
     sql["dedup_exact"] = dedupe.EXACT_DEDUP_ORACLE
     sql["dedup_ngram_jaccard"] = dedupe.NGRAM_JACCARD_ORACLE
     from entity_extractor_linker_ray.ops import graph_algos
@@ -225,6 +232,8 @@ def oracle_sql() -> dict[str, str]:
     # the bloom variant must be RESULT-identical to the exact anti join
     sql["customers_without_urgent_bloom"] = relational.CUSTOMERS_WITHOUT_URGENT_ORACLE
     sql["events_sliding"] = relational.EVENTS_SLIDING_ORACLE
+    sql["events_lag_gaps"] = relational.EVENTS_LAG_GAPS_ORACLE
+    sql["redact_props"] = relational.REDACT_PROPS_ORACLE
     sql["events_running_count"] = relational.EVENTS_RUNNING_COUNT_ORACLE
     sql["props_extract_stats"] = relational.PROPS_EXTRACT_ORACLE
     sql["first_events_global"] = relational.FIRST_EVENTS_ORACLE

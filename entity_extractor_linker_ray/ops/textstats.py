@@ -417,3 +417,243 @@ SELECT COALESCE(lang, '<all>') AS lang,
 FROM documents
 GROUP BY ROLLUP(lang, source)
 """
+
+
+def _term_tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-(doc, term) exact term frequencies for one batch. Each doc
+    lives in exactly one batch, so (doc_id, term) rows are globally
+    unique — downstream df counts are plain row counts per term.
+    Tokenization matches the oracle's ``regexp_split_to_array(lower(t),
+    '[^a-z0-9]+')``."""
+    import re
+
+    split = re.compile(r"[^a-z0-9]+")
+    doc_ids: list[int] = []
+    terms: list[str] = []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        toks = [t for t in split.split((text or "").lower()) if t]
+        doc_ids.extend([doc_id] * len(toks))
+        terms.extend(toks)
+    flat = pd.DataFrame({"doc_id": doc_ids, "term": terms})
+    return (
+        flat.groupby(["doc_id", "term"], sort=False)
+        .size()
+        .reset_index(name="tf")
+        .astype({"doc_id": np.int64, "tf": np.int64})
+    )
+
+
+def inverted_index(sf_dir: str, min_df: int = 2):
+    """Posting-list build — the index side of retrieval-augmented
+    curation: per term, document frequency, total term frequency and
+    the doc-id range of its postings, for terms appearing in at least
+    ``min_df`` documents.
+
+    Scale shape: the per-batch partial collapses raw tokens to one
+    (doc, term, tf) row per distinct term per document, then ONE
+    bucketed two-phase aggregate on ``term`` (vocabulary-cardinality —
+    far beyond Ray's native reduce) sums df/tf and min/maxes the
+    posting range. The corpus streams once; the shuffle moves short
+    partial rows, never tokens."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _term_tf_rows(batch)
+        return (
+            tf.groupby("term", sort=False)
+            .agg(df=("doc_id", "size"), total_tf=("tf", "sum"),
+                 first_doc=("doc_id", "min"), last_doc=("doc_id", "max"))
+            .reset_index()
+            .astype({c: np.int64 for c in ("df", "total_tf", "first_doc", "last_doc")})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket.groupby("term", sort=False)
+            .agg(df=("df", "sum"), total_tf=("total_tf", "sum"),
+                 first_doc=("first_doc", "min"), last_doc=("last_doc", "max"))
+            .reset_index()
+        )
+        out = out[out["df"] >= min_df]
+        return out.astype(
+            {c: np.int64 for c in ("df", "total_tf", "first_doc", "last_doc")}
+        )
+
+    return grouped_aggregate(docs, ["term"], combine, partial=partial,
+                             num_partitions=16)
+
+
+INVERTED_INDEX_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(COALESCE(text,'')),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM tf GROUP BY term HAVING count(*) >= 2
+"""
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Per-document top-k terms by tf-idf — the 'most characteristic
+    terms' curation feature. The score is integer-exact so the oracle
+    hash is bit-stable: ``score_ppm = tf * 1_000_000 // df`` (floor
+    division in both pandas and DuckDB), ranked score desc / term asc.
+
+    Scale shape — two bucketed shuffles, no broadcast of the
+    vocabulary: (1) (doc, term, tf) partials shuffle on ``term``; each
+    term-bucket holds ALL postings for its terms, so df is a local
+    ``transform('size')`` and the tf↔df join costs nothing; (2) the
+    scored rows shuffle on ``doc_id`` for per-doc selection, with
+    partial top-k inside every block (each block surrenders ≤ k rows
+    per doc) so the wide step moves O(k) rows per doc per block."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tf_rows = docs.map_batches(_term_tf_rows, batch_format="pandas")
+
+    def score_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.copy()
+        # (doc_id, term) rows are globally unique -> df = postings count
+        out["df"] = out.groupby("term", sort=False)["term"].transform("size")
+        out["score_ppm"] = (out["tf"] * 1_000_000) // out["df"]
+        return out.astype({c: np.int64 for c in ("doc_id", "tf", "df", "score_ppm")})
+
+    scored = grouped_aggregate(tf_rows, ["term"], score_bucket, num_partitions=16)
+
+    def head_k(frame: pd.DataFrame) -> pd.DataFrame:
+        ordered = frame.sort_values(
+            ["doc_id", "score_ppm", "term"], ascending=[True, False, True],
+            kind="stable",
+        )
+        kept = ordered.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
+        kept["rank"] = kept.groupby("doc_id", sort=False).cumcount() + 1
+        return kept[["doc_id", "term", "tf", "df", "score_ppm", "rank"]].astype(
+            {c: np.int64 for c in ("doc_id", "tf", "df", "score_ppm", "rank")}
+        )
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return head_k(batch).drop(columns=["rank"])
+
+    return grouped_aggregate(scored, ["doc_id"], head_k, partial=partial_topk)
+
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(COALESCE(text,'')),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         (tf.tf * 1000000) // df.df AS score_ppm
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, score_ppm, rank FROM (
+  SELECT doc_id, term, tf, df, score_ppm,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_ppm DESC, term) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+_HH_SENTINEL = ""  # impossible term (tokenizer drops empties)
+
+
+def heavy_hitters(sf_dir: str, k: int = 20, capacity: int = 512):
+    """Approximate global heavy hitters (most frequent terms) with
+    Misra-Gries-style deterministic error bounds — the sketch answer
+    when the vocabulary itself is too large to aggregate exactly.
+
+    Every batch computes exact local counts, keeps its ``capacity``
+    largest terms and records the largest count it DROPPED as that
+    batch's error bound. For a term T: ``count_lower`` sums the counts
+    of batches that kept T; any batch that dropped T undercounts it by
+    at most that batch's bound, so ``count_upper = count_lower +
+    (E_total - err_kept(T))``. Terms with true count > E_total are
+    guaranteed candidates (the MG property, proven in
+    ``tests/test_curation_ops.py``).
+
+    Scale shape: the shuffle moves at most ``capacity`` rows per batch
+    (sketch-sized, corpus-independent); the final top-k runs over the
+    merged sketch in one bucket — bounded by capacity x blocks rows,
+    never by the vocabulary."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    import re
+
+    split = re.compile(r"[^a-z0-9]+")
+
+    def sketch_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        terms: list[str] = []
+        for text in batch["text"]:
+            terms.extend(t for t in split.split((text or "").lower()) if t)
+        counts = (
+            pd.Series(terms, dtype=object).value_counts().rename_axis("term")
+            .reset_index(name="cnt")
+        )
+        counts = counts.sort_values(["cnt", "term"], ascending=[False, True],
+                                    kind="stable")
+        kept, dropped = counts.iloc[:capacity], counts.iloc[capacity:]
+        err = np.int64(dropped["cnt"].max()) if len(dropped) else np.int64(0)
+        out = pd.DataFrame(
+            {"term": kept["term"].to_numpy(),
+             "cnt": kept["cnt"].to_numpy(dtype=np.int64)}
+        )
+        out["err_kept"] = np.int64(err)
+        sentinel = pd.DataFrame(
+            {"term": [_HH_SENTINEL], "cnt": [np.int64(0)], "err_kept": [err]}
+        )
+        return pd.concat([out, sentinel], ignore_index=True)
+
+    sketches = docs.map_batches(sketch_batch, batch_format="pandas")
+
+    def merge_terms(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("term", sort=False)
+            .agg(cnt=("cnt", "sum"), err_kept=("err_kept", "sum"))
+            .reset_index()
+            .astype({"cnt": np.int64, "err_kept": np.int64})
+        )
+
+    merged = grouped_aggregate(sketches, ["term"], merge_terms, num_partitions=16)
+
+    def finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        agg = merge_terms(bucket.drop(columns=["_const"]))
+        sent = agg["term"] == _HH_SENTINEL
+        e_total = np.int64(agg.loc[sent, "err_kept"].sum())
+        cand = agg[~sent].copy()
+        cand["count_lower"] = cand["cnt"]
+        cand["count_upper"] = cand["cnt"] + (e_total - cand["err_kept"])
+        cand = cand.sort_values(["count_lower", "term"], ascending=[False, True],
+                                kind="stable").head(k).reset_index(drop=True)
+        cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+        return cand[["rank", "term", "count_lower", "count_upper"]].astype(
+            {"rank": np.int64, "count_lower": np.int64, "count_upper": np.int64}
+        )
+
+    def add_const(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["_const"] = np.int64(0)
+        return out
+
+    # final single-bucket pass over the merged sketch (sketch-sized)
+    return grouped_aggregate(
+        merged.map_batches(add_const, batch_format="pandas"),
+        ["_const"], finalize, num_partitions=1,
+    )

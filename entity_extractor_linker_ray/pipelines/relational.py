@@ -1270,3 +1270,91 @@ SELECT event_type, count(*) AS n_events,
        CAST(max(CAST(COALESCE(regexp_extract(props, '[0-9]+'), '0') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """
+
+
+def events_lag_gaps(sf_dir: str):
+    """Per-user LAG window: for every event, the exact time (in
+    microseconds) since that user's previous event, -1 for the user's
+    first event — the inter-arrival feature behind sessionization and
+    bot detection.
+
+    Row-wise windows (LAG/LEAD) need every row of a partition
+    co-located and ordered; Ray Data has no window operator, so this is
+    the bucketed shuffle on ``hash(user_id)`` + ONE vectorized
+    sort-and-diff per bucket (sort by (user, ts, event_id), ``np.diff``
+    on the epoch-microsecond column, mask the first row of each user
+    segment) — no per-user Python, the same segment-kernel shape as
+    ``events_sliding``. Integer microseconds end-to-end so the oracle
+    (``LAG`` + ``epoch_us``) hashes exactly."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.copy()
+        df["ts_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        ts = df["ts_us"].to_numpy()
+        users = df["user_id"].to_numpy(dtype=np.int64)
+        gaps = np.empty(len(df), dtype=np.int64)
+        if len(df):
+            gaps[0] = -1
+            gaps[1:] = ts[1:] - ts[:-1]
+            gaps[np.flatnonzero(users[1:] != users[:-1]) + 1] = -1
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(dtype=np.int64),
+             "user_id": users,
+             "gap_us": gaps}
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine, num_partitions=32)
+
+
+EVENTS_LAG_GAPS_ORACLE = """
+SELECT event_id, user_id,
+       CAST(COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT)
+         AS gap_us
+FROM events
+"""
+
+
+def redact_props(sf_dir: str):
+    """PII-shaped scrubbing: replace every digit run in the ``props``
+    payload with ``<NUM>`` and count the redactions — the vectorized
+    regex-redaction stage of a training-data pipeline (the synthetic
+    corpus has no real PII; digit runs in the JSON props stand in for
+    IDs/phone numbers).
+
+    Pure ``map_batches`` — zero shuffle, embarrassingly parallel,
+    pandas ``str.replace``/``str.count`` (compiled regex, C loop).
+    The redacted text itself is returned so downstream stages consume
+    the scrubbed corpus, not a report about it."""
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        props = batch["props"].fillna("")
+        return pd.DataFrame(
+            {"event_id": batch["event_id"].to_numpy(dtype=np.int64),
+             "n_redactions": props.str.count(r"[0-9]+").to_numpy(dtype=np.int64),
+             "redacted": props.str.replace(r"[0-9]+", "<NUM>", regex=True)}
+        )
+
+    return events.map_batches(kernel, batch_format="pandas")
+
+
+REDACT_PROPS_ORACLE = """
+SELECT event_id,
+       CAST(len(regexp_extract_all(COALESCE(props, ''), '[0-9]+')) AS BIGINT)
+         AS n_redactions,
+       regexp_replace(COALESCE(props, ''), '[0-9]+', '<NUM>', 'g') AS redacted
+FROM events
+"""

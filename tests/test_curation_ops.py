@@ -577,3 +577,194 @@ class TestCuratePipeline:
         assert n_exact == n_docs
         assert n_cluster_drops > 0       # near-dup removal dropped
         assert n_final < n_exact - n_cluster_drops  # quality+sample dropped
+
+
+class TestInvertedIndex:
+    def test_matches_duckdb_postings(self, ray_session):
+        from entity_extractor_linker_ray.ops.textstats import (
+            INVERTED_INDEX_ORACLE,
+            inverted_index,
+        )
+
+        got = _canon(inverted_index(SF).to_pandas())
+        want = _canon(
+            _oracle({"documents": f"{SF}/documents.parquet"}, INVERTED_INDEX_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_min_df_filter(self, ray_session, tmp_path):
+        """A term in a single document is excluded at min_df=2 and
+        included at min_df=1; df/tf/posting-range are exact."""
+        import ray.data as rd
+
+        from entity_extractor_linker_ray.ops.textstats import inverted_index
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["alpha beta alpha", "beta gamma", "beta"],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet", index=False)
+        out = inverted_index(str(tmp_path)).to_pandas().set_index("term")
+        assert "alpha" not in out.index and "gamma" not in out.index
+        assert out.loc["beta", "df"] == 3
+        assert out.loc["beta", "total_tf"] == 3
+        assert out.loc["beta", "first_doc"] == 1
+        assert out.loc["beta", "last_doc"] == 3
+        all_terms = inverted_index(str(tmp_path), min_df=1).to_pandas()
+        assert set(all_terms["term"]) == {"alpha", "beta", "gamma"}
+        row = all_terms.set_index("term").loc["alpha"]
+        assert row["df"] == 1 and row["total_tf"] == 2
+
+
+class TestTfIdf:
+    def test_matches_duckdb_tfidf(self, ray_session):
+        from entity_extractor_linker_ray.ops.textstats import (
+            TFIDF_ORACLE,
+            tfidf_top_terms,
+        )
+
+        got = _canon(tfidf_top_terms(SF).to_pandas())
+        want = _canon(
+            _oracle({"documents": f"{SF}/documents.parquet"}, TFIDF_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_rare_term_outranks_common(self, ray_session, tmp_path):
+        """A term unique to one doc scores above a corpus-wide term
+        with the same tf (integer score tf*1e6//df)."""
+        from entity_extractor_linker_ray.ops.textstats import tfidf_top_terms
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["common rare", "common", "common"],
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet", index=False)
+        out = tfidf_top_terms(str(tmp_path), k=2).to_pandas()
+        doc1 = out[out["doc_id"] == 1].sort_values("rank")
+        assert list(doc1["term"]) == ["rare", "common"]
+        assert doc1.iloc[0]["score_ppm"] == 1_000_000  # tf 1 / df 1
+        assert doc1.iloc[1]["score_ppm"] == 333_333  # tf 1 / df 3
+
+
+class TestHeavyHitters:
+    def test_exact_when_capacity_exceeds_vocab(self, ray_session):
+        """With capacity far above the vocabulary, the sketch is exact:
+        bounds collapse (lower == upper) and the top-k equals the exact
+        wordcount top-k (count desc, term asc)."""
+        from entity_extractor_linker_ray.ops.textstats import heavy_hitters
+
+        got = heavy_hitters(SF, k=10, capacity=100_000).to_pandas()
+        assert (got["count_lower"] == got["count_upper"]).all()
+        exact = _oracle(
+            {"documents": f"{SF}/documents.parquet"},
+            """
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(
+                         lower(COALESCE(text,'')), '[^a-z0-9]+'),
+                         x -> x <> '')) AS term
+              FROM documents
+            )
+            SELECT term, count(*) AS cnt FROM toks GROUP BY 1
+            ORDER BY cnt DESC, term LIMIT 10
+            """,
+        )
+        assert list(got.sort_values("rank")["term"]) == list(exact["term"])
+        assert list(got.sort_values("rank")["count_lower"]) == list(exact["cnt"])
+
+    def test_bounds_bracket_exact_under_truncation(self, ray_session):
+        """With a tiny capacity (forced drops every batch) the exact
+        count of every returned term still lies in [lower, upper], and
+        the true heaviest terms survive as candidates."""
+        from entity_extractor_linker_ray.ops.textstats import heavy_hitters
+
+        got = heavy_hitters(SF, k=20, capacity=8).to_pandas()
+        exact = (
+            _oracle(
+                {"documents": f"{SF}/documents.parquet"},
+                """
+                WITH toks AS (
+                  SELECT unnest(list_filter(regexp_split_to_array(
+                             lower(COALESCE(text,'')), '[^a-z0-9]+'),
+                             x -> x <> '')) AS term
+                  FROM documents
+                )
+                SELECT term, count(*) AS cnt FROM toks GROUP BY 1
+                """,
+            )
+            .set_index("term")["cnt"]
+        )
+        for _, row in got.iterrows():
+            true = int(exact.get(row["term"], 0))
+            assert row["count_lower"] <= true <= row["count_upper"], row.to_dict()
+        top5 = set(exact.sort_values(ascending=False).head(5).index)
+        assert top5 <= set(got["term"])
+
+
+class TestLagGaps:
+    def test_matches_duckdb_lag(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_LAG_GAPS_ORACLE,
+            events_lag_gaps,
+        )
+
+        got = _canon(events_lag_gaps(SF).to_pandas())
+        want = _canon(
+            _oracle({"events": f"{SF}/events.parquet"}, EVENTS_LAG_GAPS_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_first_event_sentinel_and_ties(self, ray_session, tmp_path):
+        """Each user's first event gets -1; simultaneous events order
+        by event_id, so the tie pair gets gap 0."""
+        from entity_extractor_linker_ray.pipelines.relational import events_lag_gaps
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        events = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "user_id": [7, 7, 7, 8],
+                "ts": [t0, t0, t0 + pd.Timedelta(seconds=5), t0],
+            }
+        )
+        events.to_parquet(tmp_path / "events.parquet", index=False)
+        out = (
+            events_lag_gaps(str(tmp_path))
+            .to_pandas()
+            .set_index("event_id")["gap_us"]
+        )
+        assert out[1] == -1 and out[2] == 0 and out[3] == 5_000_000
+        assert out[4] == -1
+
+
+class TestRedactProps:
+    def test_matches_duckdb_regexp_replace(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            REDACT_PROPS_ORACLE,
+            redact_props,
+        )
+
+        got = _canon(redact_props(SF).to_pandas())
+        want = _canon(
+            _oracle({"events": f"{SF}/events.parquet"}, REDACT_PROPS_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_multiple_runs_and_nulls(self, ray_session, tmp_path):
+        from entity_extractor_linker_ray.pipelines.relational import redact_props
+
+        events = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3],
+                "props": ['{"a": 12, "b": 345}', None, "no digits"],
+            }
+        )
+        events.to_parquet(tmp_path / "events.parquet", index=False)
+        out = redact_props(str(tmp_path)).to_pandas().set_index("event_id")
+        assert out.loc[1, "n_redactions"] == 2
+        assert out.loc[1, "redacted"] == '{"a": <NUM>, "b": <NUM>}'
+        assert out.loc[2, "n_redactions"] == 0 and out.loc[2, "redacted"] == ""
+        assert out.loc[3, "n_redactions"] == 0 and out.loc[3, "redacted"] == "no digits"
