@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["stratified_sample"] = sampling.stratified_sample
     q["top_docs_per_lang"] = sampling.top_docs_per_lang
+    q["uniform_fixed_sample"] = sampling.uniform_fixed_sample
     # --- similarity search --------------------------------------------
     q["knn_brute"] = ann.knn_brute
     q["knn_lsh"] = ann.knn_lsh
@@ -180,6 +181,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["orders_customer_join"] = relational.orders_customer_join
     q["order_lineitem_rollup"] = relational.order_lineitem_rollup
     q["top_parts_by_size"] = relational.top_parts_by_size
+    q["top_revenue_orders"] = relational.top_revenue_orders
+    q["users_lapsed"] = relational.users_lapsed
+    q["users_retained"] = relational.users_retained
+    q["events_moving_window"] = relational.events_moving_window
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -244,9 +249,15 @@ def oracle_sql() -> dict[str, str]:
     sql["orders_customer_join"] = relational.ORDERS_JOIN_ORACLE
     sql["order_lineitem_rollup"] = relational.ORDER_LINEITEM_ROLLUP_ORACLE
     sql["top_parts_by_size"] = relational.TOP_PARTS_ORACLE.format(k=10)
+    sql["top_revenue_orders"] = relational.TOP_REVENUE_ORDERS_ORACLE
+    sql["users_lapsed"] = relational.USERS_LAPSED_ORACLE
+    sql["users_retained"] = relational.USERS_RETAINED_ORACLE
+    sql["events_moving_window"] = relational.EVENTS_MOVING_WINDOW_ORACLE
+    sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
 
     from entity_extractor_linker_ray.ops import sampling
 
     sql["stratified_sample"] = sampling.STRATIFIED_SAMPLE_ORACLE
     sql["top_docs_per_lang"] = sampling.TOP_DOCS_PER_LANG_ORACLE.format(k=5)
+    sql["uniform_fixed_sample"] = sampling.UNIFORM_FIXED_SAMPLE_ORACLE.format(n=100)
     return sql

@@ -368,3 +368,45 @@ def kg_pagerank(sf_dir: str, iters: int = 5):
 
     edges = kg_edges(sf_dir).map_batches(to_src_dst, batch_format="pandas")
     return pagerank(edges, iters=iters, num_partitions=8)
+
+
+def kg_pagerank_oracle(iters: int = 5) -> str:
+    """Exact SQL mirror of :func:`kg_pagerank` — possible only because
+    the distributed PageRank is deterministic INTEGER fixed-point: each
+    round is plain joins + integer floor division, so it unrolls into
+    one CTE per iteration over the same co-occurrence edge list the
+    ``kg_edges`` oracle defines. All operands are non-negative, so
+    DuckDB's ``//`` and numpy's floor division agree bit for bit."""
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    edges_sql = simple_kg.oracle_sql()["kg_edges"]
+    parts = [
+        f"""WITH edges AS (
+  SELECT subject AS src, object AS dst, CAST(weight AS BIGINT) AS weight
+  FROM ({edges_sql}) kg_e
+),
+outw AS (SELECT src, SUM(weight) AS ow FROM edges GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) u
+),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT n.node,
+         CAST({PR_BASE} + ({PR_DAMP_NUM} * COALESCE(c.inc, 0)) // {PR_SCALE}
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((r.rank * e.weight) // o.ow) AS inc
+    FROM edges e
+    JOIN r{i - 1} r ON r.node = e.src
+    JOIN outw o ON o.src = e.src
+    GROUP BY 1
+  ) c ON c.node = n.node
+)"""
+        )
+    parts.append(f"\nSELECT node, rank FROM r{iters}")
+    return "".join(parts)

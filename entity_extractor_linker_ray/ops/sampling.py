@@ -120,3 +120,45 @@ SELECT doc_id, lang, n_chars, rank FROM (
   FROM documents
 ) WHERE rank <= {k}
 """
+
+
+def uniform_fixed_sample(sf_dir: str, n: int = 100):
+    """Exactly-``n`` uniform sample of the documents table, without an
+    RNG and without a full shuffle: every doc gets a deterministic
+    pseudo-random PRIORITY (the same Knuth multiplicative hash the rate
+    sampler uses) and the sample is the global ``n`` smallest
+    priorities — the hash-priority formulation of reservoir sampling,
+    which distributes as partial top-n per batch (each batch surrenders
+    ≤ n rows) + one tiny final sort over ≤ n·blocks rows. Reproducible
+    run-to-run, machine-count-independent, and SQL-mirrorable
+    (``ORDER BY hash LIMIT n``), unlike an actual streaming reservoir.
+    Ties are impossible while doc_id is unique (the map is injective on
+    [0, 2^32)), but doc_id stays the secondary key for belt and braces.
+    """
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {"priority": (ids * _KNUTH) % _MOD,
+             "doc_id": ids,
+             "lang": batch["lang"].to_numpy(),
+             "n_chars": batch["n_chars"].to_numpy(dtype=np.int64)}
+        )
+        return out.sort_values(["priority", "doc_id"]).head(n)
+
+    pruned = docs.map_batches(partial, batch_format="pandas")
+    return pruned.sort(["priority", "doc_id"]).limit(n)
+
+
+UNIFORM_FIXED_SAMPLE_ORACLE = """
+SELECT (doc_id * 2654435761) % 4294967296 AS priority,
+       doc_id, lang, n_chars
+FROM documents
+ORDER BY priority ASC, doc_id ASC
+LIMIT {n}
+"""

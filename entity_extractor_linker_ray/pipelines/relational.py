@@ -1358,3 +1358,304 @@ SELECT event_id,
        regexp_replace(COALESCE(props, ''), '[0-9]+', '<NUM>', 'g') AS redacted
 FROM events
 """
+
+
+# --------------------------------------------------------------------
+# Three-table join chain (TPC-H Q3 shape): broadcast semi-join on the
+# small filtered side, ONE bucketed shuffle for the large-large join,
+# partial top-k before the final sort.
+# --------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-01"
+
+
+def top_revenue_orders(sf_dir: str, k: int = 10):
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with filters on all
+    three tables, revenue aggregation, and a global top-k.
+
+    Scale plan (the interesting part — three joins, ONE shuffle):
+
+    * ``customer`` filtered on mktsegment collapses to a bare custkey
+      set — the classic small side. It is collected once, ``ray.put``,
+      and applied to ``orders`` as a broadcast **semi-join filter**
+      (``np.isin`` per batch), so the customer table never enters a
+      shuffle. At 100 TB the filtered-key set for one segment is a few
+      GB of int64 at most; if a segment ever outgrew worker heaps the
+      fallback is tagging custkeys into the same bucketed exchange as
+      the orders side (the ``order_lineitem_rollup`` shape).
+    * ``orders`` x ``lineitem`` — both large — go through ONE bucketed
+      exchange on hash(orderkey), with the lineitem side pre-aggregated
+      per batch (partial revenue sums per orderkey) so the shuffle
+      moves one short row per (orderkey, batch), not raw lineitems.
+    * top-k: each bucket emits only its local top ``k``; the final
+      ``sort().limit(k)`` sees ≤ k·P rows — never the full join result.
+
+    Revenue is per-line ``round(extendedprice·(1-discount)·100)`` summed
+    as int64 centi-units, so the hash matches the oracle bit-exactly
+    regardless of accumulation order.
+    """
+    import ray
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def cust_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch.loc[batch["c_mktsegment"] == Q3_SEGMENT, ["c_custkey"]]
+        return keep.astype({"c_custkey": np.int64})
+
+    keys = np.unique(
+        cust.map_batches(cust_keys, batch_format="pandas")
+        .to_pandas()["c_custkey"]
+        .to_numpy(dtype=np.int64)
+    )
+    keys_ref = ray.put(keys)
+
+    cutoff = np.datetime64(Q3_DATE, "us")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        wanted = np.asarray(ray.get(keys_ref))
+        ok = batch["o_custkey"].to_numpy(dtype=np.int64)
+        dates = batch["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        m = (dates < cutoff) & np.isin(ok, wanted)
+        kept = batch.loc[m]
+        return pd.DataFrame(
+            {"orderkey": kept["o_orderkey"].to_numpy(dtype=np.int64),
+             "side": np.zeros(int(m.sum()), dtype=np.int64),
+             "orderdate": kept["o_orderdate"].dt.strftime("%Y-%m-%d"),
+             "orderpriority": kept["o_orderpriority"].astype(str),
+             "revenue_centi": np.zeros(int(m.sum()), dtype=np.int64)}
+        )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def tag_lines(batch: pd.DataFrame) -> pd.DataFrame:
+        ship = batch["l_shipdate"].to_numpy(dtype="datetime64[us]")
+        kept = batch.loc[ship > cutoff]
+        rev = np.round(
+            kept["l_extendedprice"].to_numpy()
+            * (1.0 - kept["l_discount"].to_numpy())
+            * 100.0
+        ).astype(np.int64)
+        part = (
+            pd.DataFrame(
+                {"orderkey": kept["l_orderkey"].to_numpy(dtype=np.int64),
+                 "revenue_centi": rev}
+            )
+            .groupby("orderkey", sort=False)["revenue_centi"]
+            .sum()
+            .reset_index()
+        )
+        n = len(part)
+        return pd.DataFrame(
+            {"orderkey": part["orderkey"].to_numpy(dtype=np.int64),
+             "side": np.ones(n, dtype=np.int64),
+             "orderdate": np.full(n, "", dtype=object),
+             "orderpriority": np.full(n, "", dtype=object),
+             "revenue_centi": part["revenue_centi"].to_numpy(dtype=np.int64)}
+        )
+
+    unioned = orders.map_batches(tag_orders, batch_format="pandas").union(
+        lines.map_batches(tag_lines, batch_format="pandas")
+    )
+
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        left = bucket[bucket["side"] == 0][
+            ["orderkey", "orderdate", "orderpriority"]
+        ].drop_duplicates("orderkey")
+        rev = (
+            bucket[bucket["side"] == 1]
+            .groupby("orderkey", sort=False)["revenue_centi"]
+            .sum()
+            .reset_index()
+        )
+        out = left.merge(rev, on="orderkey", how="inner")
+        out = out.astype({"orderkey": np.int64, "revenue_centi": np.int64})
+        # local top-k: only k rows per bucket reach the final sort
+        return out.sort_values(
+            ["revenue_centi", "orderkey"], ascending=[False, True]
+        ).head(k)
+
+    joined = grouped_aggregate(unioned, ["orderkey"], join_bucket)
+    return joined.sort(["revenue_centi", "orderkey"], descending=[True, False]).limit(k)
+
+
+TOP_REVENUE_ORDERS_ORACLE = f"""
+SELECT o.o_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority AS orderpriority,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+         AS revenue_centi
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l.l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_centi DESC, orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------
+# Set operations (EXCEPT / INTERSECT) as one tagged-flag aggregation.
+# --------------------------------------------------------------------
+
+_WINDOW_A = ("2024-01-01", "2024-01-02")
+_WINDOW_B = ("2024-01-02", "2024-01-03")
+
+
+def _user_window_flags(sf_dir: str):
+    """Per user: was the user active in window A / window B? ONE pass
+    over events, per-batch partial OR of the two flags, one bucketed
+    combine — both set operations below are filters over this, so
+    EXCEPT and INTERSECT cost a single narrow shuffle of (user, 2 bits)
+    rather than two distinct scans + a distributed set-difference."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    a_lo, a_hi = (np.datetime64(t, "us") for t in _WINDOW_A)
+    b_lo, b_hi = (np.datetime64(t, "us") for t in _WINDOW_B)
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["ts"].to_numpy(dtype="datetime64[us]")
+        df = pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(dtype=np.int64),
+             "in_a": ((ts >= a_lo) & (ts < a_hi)).astype(np.int64),
+             "in_b": ((ts >= b_lo) & (ts < b_hi)).astype(np.int64)}
+        )
+        return (
+            df.groupby("user_id", sort=False)
+            .agg(in_a=("in_a", "max"), in_b=("in_b", "max"))
+            .reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("user_id", sort=False)
+            .agg(in_a=("in_a", "max"), in_b=("in_b", "max"))
+            .reset_index()
+            .astype({"user_id": np.int64, "in_a": np.int64, "in_b": np.int64})
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine, partial=partial,
+                             num_partitions=32)
+
+
+def _pick_users(flags_ds, want_b: int):
+    """Filter the per-user flag table; a result can legitimately be
+    EMPTY (every day-1 user returned on day 2), so each output batch is
+    an Arrow table with an explicit schema — empty pandas blocks drop
+    their columns and would leave a schemaless dataset."""
+    import pyarrow as pa
+
+    schema = pa.schema([("user_id", pa.int64())])
+
+    def pick(batch: pd.DataFrame) -> pa.Table:
+        m = (batch["in_a"] == 1) & (batch["in_b"] == want_b)
+        kept = batch.loc[m, "user_id"].to_numpy(dtype=np.int64)
+        return pa.Table.from_arrays([pa.array(kept, type=pa.int64())], schema=schema)
+
+    return flags_ds.map_batches(pick, batch_format="pandas")
+
+
+def users_lapsed(sf_dir: str):
+    """Set EXCEPT: users active on day 1 but not day 2 (churn list)."""
+    return _pick_users(_user_window_flags(sf_dir), want_b=0)
+
+
+def users_retained(sf_dir: str):
+    """Set INTERSECT: users active on both day 1 and day 2."""
+    return _pick_users(_user_window_flags(sf_dir), want_b=1)
+
+
+_SETOP_WINDOWS_SQL = (
+    "SELECT DISTINCT user_id FROM events "
+    f"WHERE ts >= TIMESTAMP '{_WINDOW_A[0]}' AND ts < TIMESTAMP '{_WINDOW_A[1]}' "
+    "{setop} "
+    "SELECT DISTINCT user_id FROM events "
+    f"WHERE ts >= TIMESTAMP '{_WINDOW_B[0]}' AND ts < TIMESTAMP '{_WINDOW_B[1]}'"
+)
+
+USERS_LAPSED_ORACLE = _SETOP_WINDOWS_SQL.format(setop="EXCEPT")
+USERS_RETAINED_ORACLE = _SETOP_WINDOWS_SQL.format(setop="INTERSECT")
+
+
+# --------------------------------------------------------------------
+# Rolling row-frame window (moving sum over the last 4 events/user).
+# --------------------------------------------------------------------
+
+
+def events_moving_window(sf_dir: str, frame: int = 4):
+    """ROWS-frame window: for every event, the sum of ``value`` over
+    that user's last ``frame`` events (including this one) — the
+    moving-average feature behind anomaly scoring.
+
+    Same partition-and-segment-kernel shape as ``events_lag_gaps``:
+    bucketed shuffle on hash(user_id), then per bucket ONE stable sort
+    by (user, ts, event_id) and a fully vectorized windowed sum —
+    cumsum minus the cumsum ``frame`` rows back, clamped at each user
+    segment's start (``np.maximum.accumulate`` over segment-start
+    indices). No per-user Python, no pandas ``rolling`` per group.
+    Values are summed as centi-unit int64 so the oracle hash is exact.
+    """
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.copy()
+        df["ts_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        users = df["user_id"].to_numpy(dtype=np.int64)
+        v = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {"event_id": np.array([], dtype=np.int64),
+                 "user_id": np.array([], dtype=np.int64),
+                 "w_sum_centi": np.array([], dtype=np.int64)}
+            )
+        cum = np.cumsum(v)
+        idx = np.arange(n)
+        is_start = np.empty(n, dtype=bool)
+        is_start[0] = True
+        is_start[1:] = users[1:] != users[:-1]
+        seg_start = np.maximum.accumulate(np.where(is_start, idx, 0))
+        lo = np.maximum(idx - (frame - 1), seg_start)
+        w = cum - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(dtype=np.int64),
+             "user_id": users,
+             "w_sum_centi": w.astype(np.int64)}
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine, num_partitions=32)
+
+
+EVENTS_MOVING_WINDOW_ORACLE = """
+SELECT event_id, user_id,
+       SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w_sum_centi
+FROM events
+"""

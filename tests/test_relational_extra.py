@@ -1,0 +1,267 @@
+"""Round-2 additions: three-table join chain (Q3 shape), set operations
+(EXCEPT / INTERSECT), ROWS-frame moving window, fixed-size uniform
+sample, and the PageRank SQL oracle — each value-exact against DuckDB
+plus the edge cases SQL can't isolate (segment boundaries, inner-join
+drop semantics, parallelism invariance of the sample)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(views: dict[str, str], sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name, path in views.items():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        if pd.api.types.is_integer_dtype(df[col]) or pd.api.types.is_float_dtype(df[col]):
+            df[col] = df[col].astype(np.int64)
+        else:
+            df[col] = df[col].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+class TestTopRevenueOrders:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            TOP_REVENUE_ORDERS_ORACLE,
+            top_revenue_orders,
+        )
+
+        got = _canon(top_revenue_orders(SF).to_pandas())
+        exp = _canon(
+            _oracle(
+                {t: f"{SF}/{t}.parquet" for t in ("customer", "orders", "lineitem")},
+                TOP_REVENUE_ORDERS_ORACLE,
+            )
+        )
+        assert len(got) == 10
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_inner_join_semantics(self, ray_session, tmp_path):
+        """Orders with no post-cutoff lineitems are DROPPED (inner
+        join), customers outside the segment never contribute, and the
+        top-k tie-break is ascending orderkey."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            Q3_SEGMENT,
+            top_revenue_orders,
+        )
+
+        pd.DataFrame(
+            {"c_custkey": [1, 2], "c_mktsegment": [Q3_SEGMENT, "OTHER"]}
+        ).to_parquet(tmp_path / "customer.parquet")
+        pd.DataFrame(
+            {
+                "o_orderkey": [10, 11, 12, 13],
+                # 13: right segment but no qualifying lines; 12: wrong cust
+                "o_custkey": [1, 1, 2, 1],
+                "o_orderdate": pd.to_datetime(["1997-01-01"] * 3 + ["1997-06-01"]),
+                "o_orderpriority": ["1-URGENT"] * 4,
+            }
+        ).to_parquet(tmp_path / "orders.parquet")
+        pd.DataFrame(
+            {
+                "l_orderkey": [10, 11, 12, 13],
+                "l_extendedprice": [100.0, 100.0, 999.0, 50.0],
+                "l_discount": [0.0, 0.0, 0.0, 0.0],
+                # 13 ships BEFORE the cutoff -> excluded -> order dropped
+                "l_shipdate": pd.to_datetime(
+                    ["1999-01-01", "1999-01-01", "1999-01-01", "1997-01-01"]
+                ),
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+
+        got = top_revenue_orders(str(tmp_path)).to_pandas()
+        # equal revenue 10000 centi for orders 10 and 11 -> orderkey asc
+        assert got["orderkey"].tolist() == [10, 11]
+        assert got["revenue_centi"].tolist() == [10000, 10000]
+
+
+class TestSetOps:
+    def test_lapsed_matches_except(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            USERS_LAPSED_ORACLE,
+            users_lapsed,
+        )
+
+        got = _canon(users_lapsed(SF).to_pandas())
+        exp = _canon(_oracle({"events": f"{SF}/events.parquet"}, USERS_LAPSED_ORACLE))
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_retained_matches_intersect(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            USERS_RETAINED_ORACLE,
+            users_retained,
+        )
+
+        got = _canon(users_retained(SF).to_pandas())
+        exp = _canon(_oracle({"events": f"{SF}/events.parquet"}, USERS_RETAINED_ORACLE))
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_planted_membership(self, ray_session, tmp_path):
+        """user 1: day1 only (lapsed); user 2: both (retained);
+        user 3: day2 only (neither); user 4: outside both windows."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            users_lapsed,
+            users_retained,
+        )
+
+        pd.DataFrame(
+            {
+                "user_id": [1, 2, 2, 3, 4],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 10:00",
+                        "2024-01-01 11:00",
+                        "2024-01-02 09:00",
+                        "2024-01-02 12:00",
+                        "2024-01-20 12:00",
+                    ]
+                ),
+            }
+        ).to_parquet(tmp_path / "events.parquet")
+
+        assert users_lapsed(str(tmp_path)).to_pandas()["user_id"].tolist() == [1]
+        assert users_retained(str(tmp_path)).to_pandas()["user_id"].tolist() == [2]
+
+    def test_empty_result_keeps_schema(self, ray_session, tmp_path):
+        """A lapsed-set that is legitimately empty still declares its
+        column/type at the Dataset level (the typed-empty-batch trick;
+        ``to_pandas`` itself drops columns on 0-row datasets in this
+        Ray version, so the assertion is on ``ds.schema()``)."""
+        from entity_extractor_linker_ray.pipelines.relational import users_lapsed
+
+        pd.DataFrame(
+            {"user_id": [7, 7],
+             "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-02 10:00"])}
+        ).to_parquet(tmp_path / "events.parquet")
+        ds = users_lapsed(str(tmp_path))
+        schema = ds.schema()
+        assert schema.names == ["user_id"]
+        assert ds.count() == 0
+
+
+class TestMovingWindow:
+    def test_matches_duckdb_window(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_MOVING_WINDOW_ORACLE,
+            events_moving_window,
+        )
+
+        got = _canon(events_moving_window(SF).to_pandas())
+        exp = _canon(
+            _oracle({"events": f"{SF}/events.parquet"}, EVENTS_MOVING_WINDOW_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_segment_boundary_clamp(self, ray_session, tmp_path):
+        """The frame never reaches across users: user 2's first event
+        must not include user 1's values even when both land in one
+        bucket and are adjacent after the sort."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            events_moving_window,
+        )
+
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6],
+                "user_id": [1, 1, 1, 1, 1, 2],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00"] * 0
+                    + [f"2024-01-01 00:0{i}" for i in range(6)]
+                ),
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0, 100.0],
+            }
+        ).to_parquet(tmp_path / "events.parquet")
+
+        out = (
+            events_moving_window(str(tmp_path))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # user 1: 100, 300, 600, 1000 (full), then window slides: 2+3+4+5
+        assert out["w_sum_centi"].tolist() == [100, 300, 600, 1000, 1400, 10000]
+
+
+class TestUniformFixedSample:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.ops.sampling import (
+            UNIFORM_FIXED_SAMPLE_ORACLE,
+            uniform_fixed_sample,
+        )
+
+        got = _canon(uniform_fixed_sample(SF).to_pandas())
+        exp = _canon(
+            _oracle(
+                {"documents": f"{SF}/documents.parquet"},
+                UNIFORM_FIXED_SAMPLE_ORACLE.format(n=100),
+            )
+        )
+        assert len(got) == 100
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_parallelism_invariant(self, ray_session, tmp_path):
+        """The sample is a pure function of doc_id — rewriting the
+        input as many small files (more read blocks, different batch
+        boundaries) must not change the selected set."""
+        import pyarrow.parquet as pq
+
+        from entity_extractor_linker_ray.ops.sampling import uniform_fixed_sample
+
+        import os
+
+        base = uniform_fixed_sample(SF, n=50).to_pandas()
+        t = pq.read_table(f"{SF}/documents.parquet")
+        # exact 8-way partition of the same rows, as a parquet directory
+        os.mkdir(tmp_path / "documents.parquet")
+        bounds = [len(t) * i // 8 for i in range(9)]
+        for i in range(8):
+            pq.write_table(
+                t.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                tmp_path / "documents.parquet" / f"part_{i}.parquet",
+            )
+        split = uniform_fixed_sample(str(tmp_path), n=50).to_pandas()
+        pd.testing.assert_frame_equal(_canon(base), _canon(split))
+
+
+class TestPagerankOracle:
+    def test_sql_mirror_equals_reference_replica(self):
+        """Validate the unrolled fixed-point SQL against the local
+        integer replica (no Ray): same edges in, bit-identical ranks
+        out. The distributed pipeline is already asserted equal to the
+        replica elsewhere, so equality here closes the triangle."""
+        from entity_extractor_linker_ray.ops.graph_algos import (
+            kg_pagerank_oracle,
+            pagerank_reference,
+        )
+        from entity_extractor_linker_ray.pipelines import simple_kg
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+        )
+        edges = con.execute(simple_kg.oracle_sql()["kg_edges"]).df()
+        edges = edges.rename(columns={"subject": "src", "object": "dst"})[
+            ["src", "dst", "weight"]
+        ]
+        exp = pagerank_reference(edges, iters=5).sort_values("node").reset_index(drop=True)
+        got = (
+            con.execute(kg_pagerank_oracle(iters=5))
+            .df()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"rank": np.int64}), exp.astype({"rank": np.int64})
+        )
