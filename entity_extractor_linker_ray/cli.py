@@ -33,12 +33,21 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--text", "-t", help="Text to extract entities from")
     src.add_argument("--file", "-f", help="File containing text to process")
     src.add_argument(
-        "--transcripts", help="Parquet file/dir of conversation transcripts"
+        "--transcripts",
+        help="File/dir of conversation transcripts (Parquet, JSONL or CSV)",
+    )
+    src.add_argument(
+        "--input-format", choices=["auto", "parquet", "jsonl", "csv"],
+        default="auto", help="Transcripts format (default: by extension)",
     )
     out = parser.add_argument_group("output")
     out.add_argument("--output", "-o", help="Output file for results (JSON)")
     out.add_argument(
-        "--output-dir", help="Directory for Parquet outputs (corpus mode)"
+        "--output-dir", help="Directory for corpus-mode outputs"
+    )
+    out.add_argument(
+        "--output-format", choices=["parquet", "jsonl"], default="parquet",
+        help="Corpus output format (partitioned parquet or JSONL)",
     )
     parser.add_argument("--language", "-l", choices=["de", "en"], default="en")
     parser.add_argument("--model", "-m", default="stub", help="LLM model to use")
@@ -172,18 +181,22 @@ def _single_text_result(text: str, cfg: dict) -> dict:
     return result
 
 
-def _corpus_run(transcripts_path: str, output_dir: str, cfg: dict) -> dict:
+def _corpus_run(transcripts_path: str, output_dir: str, cfg: dict,
+                input_format: str = "auto", output_format: str = "parquet") -> dict:
     import os
     import shutil
 
     import ray.data as rd
 
     from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
+    from entity_extractor_linker_ray.sources import read_transcripts, write_output
     from entity_extractor_linker_ray.stages.graph import build_edges, build_nodes
 
-    ds = rd.read_parquet(transcripts_path)
+    fmt = None if input_format == "auto" else input_format
+    ds = read_transcripts(transcripts_path, fmt)
     out = build_kg_datasets(ds, cfg)
     counts = {}
+    suffix = ".parquet" if output_format == "parquet" else ".json"
     for name, sub_ds in (
         ("entities", out["entities"]),
         ("triples", out["triples"]),
@@ -192,15 +205,20 @@ def _corpus_run(transcripts_path: str, output_dir: str, cfg: dict) -> dict:
     ):
         target = f"{output_dir.rstrip('/')}/{name}"
         # a rerun must not mix this run's part files with a previous
-        # run's (write_parquet only ever adds files)
+        # run's (the writers only ever add files)
         shutil.rmtree(target, ignore_errors=True)
-        sub_ds.write_parquet(target)
+        write_output(sub_ds, target, output_format)
         # an empty dataset (e.g. triples with relation extraction off)
         # writes no files and may not even create the directory
         wrote = os.path.isdir(target) and any(
-            f.endswith(".parquet") for f in os.listdir(target)
+            f.endswith(suffix) for f in os.listdir(target)
         )
-        counts[name] = rd.read_parquet(target).count() if wrote else 0
+        if not wrote:
+            counts[name] = 0
+        elif output_format == "parquet":
+            counts[name] = rd.read_parquet(target).count()
+        else:
+            counts[name] = rd.read_json(target).count()
     return counts
 
 
@@ -226,7 +244,8 @@ def main(argv: list[str] | None = None) -> int:
             if not args.output_dir:
                 print("Corpus mode needs --output-dir.")
                 return 1
-            counts = _corpus_run(args.transcripts, args.output_dir, cfg)
+            counts = _corpus_run(args.transcripts, args.output_dir, cfg,
+                                 args.input_format, args.output_format)
             summary = json.dumps(
                 {"output_dir": args.output_dir, "rows": counts}, indent=2
             )
