@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["order_lineitem_rollup"] = relational.order_lineitem_rollup
     q["top_parts_by_size"] = relational.top_parts_by_size
     q["top_revenue_orders"] = relational.top_revenue_orders
+    q["local_supplier_revenue"] = relational.local_supplier_revenue
     q["users_lapsed"] = relational.users_lapsed
     q["users_retained"] = relational.users_retained
     q["events_moving_window"] = relational.events_moving_window
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
     sql["order_lineitem_rollup"] = relational.ORDER_LINEITEM_ROLLUP_ORACLE
     sql["top_parts_by_size"] = relational.TOP_PARTS_ORACLE.format(k=10)
     sql["top_revenue_orders"] = relational.TOP_REVENUE_ORDERS_ORACLE
+    sql["local_supplier_revenue"] = relational.LOCAL_SUPPLIER_REVENUE_ORACLE
     sql["users_lapsed"] = relational.USERS_LAPSED_ORACLE
     sql["users_retained"] = relational.USERS_RETAINED_ORACLE
     sql["events_moving_window"] = relational.EVENTS_MOVING_WINDOW_ORACLE

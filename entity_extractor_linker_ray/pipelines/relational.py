@@ -1360,6 +1360,13 @@ FROM events
 """
 
 
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """DuckDB-compatible rounding for non-negative floats: half away
+    from zero (``floor(x+0.5)``), not numpy's banker's rounding — the
+    two differ on exact .5 products like extendedprice*(1-discount)."""
+    return np.floor(x + 0.5).astype(np.int64)
+
+
 # --------------------------------------------------------------------
 # Three-table join chain (TPC-H Q3 shape): broadcast semi-join on the
 # small filtered side, ONE bucketed shuffle for the large-large join,
@@ -1443,11 +1450,11 @@ def top_revenue_orders(sf_dir: str, k: int = 10):
     def tag_lines(batch: pd.DataFrame) -> pd.DataFrame:
         ship = batch["l_shipdate"].to_numpy(dtype="datetime64[us]")
         kept = batch.loc[ship > cutoff]
-        rev = np.round(
+        rev = _round_half_up(
             kept["l_extendedprice"].to_numpy()
             * (1.0 - kept["l_discount"].to_numpy())
             * 100.0
-        ).astype(np.int64)
+        )
         part = (
             pd.DataFrame(
                 {"orderkey": kept["l_orderkey"].to_numpy(dtype=np.int64),
@@ -1658,4 +1665,189 @@ SELECT event_id, user_id,
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w_sum_centi
 FROM events
+"""
+
+
+# --------------------------------------------------------------------
+# Five-table join chain (TPC-H Q5 shape): dimension broadcast ladder +
+# ONE fact shuffle.
+# --------------------------------------------------------------------
+
+Q5_REGION = "EUROPE"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1998-01-01"
+
+
+def _np_lookup(sorted_keys: np.ndarray, values: np.ndarray, queries: np.ndarray,
+               missing: np.int64 = np.int64(-1)) -> np.ndarray:
+    """Vectorized key→value map: searchsorted over the sorted key array
+    (no Python dict, no per-row hashing). Absent keys get ``missing``."""
+    if len(sorted_keys) == 0:
+        return np.full(len(queries), missing, dtype=np.int64)
+    pos = np.searchsorted(sorted_keys, queries)
+    pos = np.clip(pos, 0, len(sorted_keys) - 1)
+    hit = sorted_keys[pos] == queries
+    out = np.where(hit, values[pos], missing)
+    return out.astype(np.int64)
+
+
+def local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation from lineitems whose SUPPLIER
+    sits in the same nation as the order's CUSTOMER, region- and
+    date-filtered — five joins, ONE shuffle.
+
+    The dimension ladder (region → nation → customer / supplier)
+    collapses into two broadcast int64 lookup arrays built once on the
+    driver: custkey→nationkey (region-filtered — doubles as the
+    semi-join) and suppkey→nationkey. Orders tag their customer's
+    nation per batch; lineitems tag their supplier's nation and
+    pre-aggregate revenue per (orderkey, supp_nation) per batch; both
+    sides meet in ONE bucketed exchange on hash(orderkey) where the
+    equality ``cust_nation == supp_nation`` is applied as a vectorized
+    merge filter, and each bucket emits per-nation partials — the final
+    aggregate is 25 rows. At 100 TB the customer map is the one side
+    that could outgrow worker heaps; the fallback is tagging custkeys
+    into the same exchange (``order_lineitem_rollup`` shape) — the
+    supplier and nation maps stay broadcast at any realistic scale.
+    """
+    import ray
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    # dimension ladder: tiny tables, read once, broadcast as arrays
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    region = rd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    rkeys = region.loc[region["r_name"] == Q5_REGION, "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nat_keys = set(nat["n_nationkey"].astype(int))
+    nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust = cust[cust["c_nationkey"].astype(int).isin(nat_keys)]
+    order_c = np.argsort(cust["c_custkey"].to_numpy())
+    cust_map = ray.put(
+        (cust["c_custkey"].to_numpy(dtype=np.int64)[order_c],
+         cust["c_nationkey"].to_numpy(dtype=np.int64)[order_c])
+    )
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    order_s = np.argsort(supp["s_suppkey"].to_numpy())
+    supp_map = ray.put(
+        (supp["s_suppkey"].to_numpy(dtype=np.int64)[order_s],
+         supp["s_nationkey"].to_numpy(dtype=np.int64)[order_s])
+    )
+
+    lo = np.datetime64(Q5_DATE_LO, "us")
+    hi = np.datetime64(Q5_DATE_HI, "us")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, nations = ray.get(cust_map)
+        dates = batch["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        kept = batch.loc[(dates >= lo) & (dates < hi)]
+        cnat = _np_lookup(keys, nations,
+                          kept["o_custkey"].to_numpy(dtype=np.int64))
+        kept = kept.loc[cnat >= 0]
+        n = len(kept)
+        return pd.DataFrame(
+            {"orderkey": kept["o_orderkey"].to_numpy(dtype=np.int64),
+             "side": np.zeros(n, dtype=np.int64),
+             "nationkey": cnat[cnat >= 0],
+             "revenue_centi": np.zeros(n, dtype=np.int64)}
+        )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_lines(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, nations = ray.get(supp_map)
+        snat = _np_lookup(keys, nations,
+                          batch["l_suppkey"].to_numpy(dtype=np.int64))
+        rev = _round_half_up(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy())
+            * 100.0
+        )
+        part = (
+            pd.DataFrame(
+                {"orderkey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+                 "nationkey": snat, "revenue_centi": rev}
+            )
+            .groupby(["orderkey", "nationkey"], sort=False)["revenue_centi"]
+            .sum()
+            .reset_index()
+        )
+        part["side"] = np.int64(1)
+        return part[["orderkey", "side", "nationkey", "revenue_centi"]].astype(
+            {c: np.int64 for c in ("orderkey", "side", "nationkey", "revenue_centi")}
+        )
+
+    unioned = orders.map_batches(tag_orders, batch_format="pandas").union(
+        lines.map_batches(tag_lines, batch_format="pandas")
+    )
+
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        left = bucket[bucket["side"] == 0][["orderkey", "nationkey"]]
+        right = bucket[bucket["side"] == 1][
+            ["orderkey", "nationkey", "revenue_centi"]
+        ]
+        # local-supplier condition: same nation on both sides of the
+        # merge key, so join on (orderkey, nationkey) directly
+        m = left.merge(right, on=["orderkey", "nationkey"], how="inner")
+        out = (
+            m.groupby("nationkey", sort=False)["revenue_centi"]
+            .sum()
+            .reset_index()
+            .astype({"nationkey": np.int64, "revenue_centi": np.int64})
+        )
+        return out
+
+    partials = grouped_aggregate(unioned, ["orderkey"], join_bucket)
+
+    def finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket.groupby("nationkey", sort=False)["revenue_centi"]
+            .sum()
+            .reset_index()
+        )
+        out["n_name"] = out["nationkey"].astype(int).map(nat_names)
+        return out[["n_name", "revenue_centi"]].astype(
+            {"revenue_centi": np.int64}
+        )
+
+    final = grouped_aggregate(partials, ["nationkey"], finalize, num_partitions=8)
+    return final.sort("revenue_centi", descending=True)
+
+
+LOCAL_SUPPLIER_REVENUE_ORACLE = f"""
+SELECT n.n_name,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+         AS revenue_centi
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY 1
+ORDER BY revenue_centi DESC
 """

@@ -265,3 +265,62 @@ class TestPagerankOracle:
         pd.testing.assert_frame_equal(
             got.astype({"rank": np.int64}), exp.astype({"rank": np.int64})
         )
+
+
+class TestLocalSupplierRevenue:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            LOCAL_SUPPLIER_REVENUE_ORACLE,
+            local_supplier_revenue,
+        )
+
+        got = _canon(local_supplier_revenue(SF).to_pandas())
+        exp = _canon(
+            _oracle(
+                {t: f"{SF}/{t}.parquet"
+                 for t in ("region", "nation", "customer", "supplier",
+                           "orders", "lineitem")},
+                LOCAL_SUPPLIER_REVENUE_ORACLE,
+            )
+        )
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_local_condition_and_region_filter(self, ray_session, tmp_path):
+        """Only lineitems whose supplier nation equals the order
+        customer's nation count, and only customers in the filtered
+        region participate at all."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            Q5_REGION,
+            local_supplier_revenue,
+        )
+
+        pd.DataFrame({"r_regionkey": [0, 1],
+                      "r_name": [Q5_REGION, "ELSEWHERE"]}).to_parquet(
+            tmp_path / "region.parquet")
+        pd.DataFrame({"n_nationkey": [10, 11, 20],
+                      "n_name": ["A", "B", "OUT"],
+                      "n_regionkey": [0, 0, 1]}).to_parquet(
+            tmp_path / "nation.parquet")
+        pd.DataFrame({"c_custkey": [1, 2], "c_nationkey": [10, 20]}).to_parquet(
+            tmp_path / "customer.parquet")
+        pd.DataFrame({"s_suppkey": [5, 6], "s_nationkey": [10, 11]}).to_parquet(
+            tmp_path / "supplier.parquet")
+        pd.DataFrame(
+            {"o_orderkey": [100, 101],
+             "o_custkey": [1, 2],
+             "o_orderdate": pd.to_datetime(["1996-06-01", "1996-06-01"])}
+        ).to_parquet(tmp_path / "orders.parquet")
+        pd.DataFrame(
+            {  # 100/s5: local (nation 10); 100/s6: non-local (11 != 10);
+               # 101: customer outside the region entirely
+                "l_orderkey": [100, 100, 101],
+                "l_suppkey": [5, 6, 5],
+                "l_extendedprice": [10.0, 99.0, 77.0],
+                "l_discount": [0.0, 0.0, 0.0],
+            }
+        ).to_parquet(tmp_path / "lineitem.parquet")
+
+        got = local_supplier_revenue(str(tmp_path)).to_pandas()
+        assert got["n_name"].tolist() == ["A"]
+        assert got["revenue_centi"].tolist() == [1000]
