@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lang_id"] = textstats.lang_id
     q["top_terms_per_lang"] = textstats.top_terms_per_lang
     q["corpus_rollup"] = textstats.corpus_rollup
+    q["corpus_cube"] = textstats.corpus_cube
+    q["doc_length_quantiles_approx"] = textstats.doc_length_quantiles_approx
     q["inverted_index"] = textstats.inverted_index
     q["tfidf_top_terms"] = textstats.tfidf_top_terms
     q["heavy_hitters"] = textstats.heavy_hitters
@@ -218,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(textstats.TEXT_ORACLES)
     sql["top_terms_per_lang"] = textstats.TOP_TERMS_ORACLE
     sql["corpus_rollup"] = textstats.CORPUS_ROLLUP_ORACLE
+    sql["corpus_cube"] = textstats.CORPUS_CUBE_ORACLE
     sql["inverted_index"] = textstats.INVERTED_INDEX_ORACLE
     sql["tfidf_top_terms"] = textstats.TFIDF_ORACLE
     sql["dedup_exact"] = dedupe.EXACT_DEDUP_ORACLE

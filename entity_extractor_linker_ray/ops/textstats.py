@@ -657,3 +657,153 @@ def heavy_hitters(sf_dir: str, k: int = 20, capacity: int = 512):
         merged.map_batches(add_const, batch_format="pandas"),
         ["_const"], finalize, num_partitions=1,
     )
+
+
+def corpus_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source) — every grouping set: the finest
+    (lang, source) level, per-lang and per-source subtotals, and the
+    grand total. Same one-corpus-pass shape as :func:`corpus_rollup`
+    (the base table streams ONCE into the finest bucketed two-phase
+    aggregate; every coarser grouping set re-aggregates the finest
+    RESULT, whose cardinality is distinct key combos, not rows), plus
+    the CUBE-only (source) subtotal the rollup lattice omits. At 100 TB
+    adding grouping sets costs re-aggregations of a tiny table, never
+    another corpus scan."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = read_split(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby(["lang", "source"], sort=False)
+            .agg(n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+            .reset_index()
+            .astype({"n_docs": np.int64, "total_chars": np.int64})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["lang", "source"], sort=False)
+            .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+            .reset_index()
+            .astype({"n_docs": np.int64, "total_chars": np.int64})
+        )
+
+    fine = grouped_aggregate(docs, ["lang", "source"], combine, partial=partial,
+                             num_partitions=16).materialize()
+
+    def level(keep: list[str]):
+        """Re-aggregate the finest result onto one grouping set; rolled
+        -up positions take the '<all>' sentinel (COALESCE'd identically
+        in the oracle)."""
+
+        def to_level(batch: pd.DataFrame) -> pd.DataFrame:
+            if keep:
+                out = (
+                    batch.groupby(keep, sort=False)
+                    .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+                    .reset_index()
+                )
+            else:
+                out = pd.DataFrame(
+                    {"n_docs": [np.int64(batch["n_docs"].sum())],
+                     "total_chars": [np.int64(batch["total_chars"].sum())]}
+                )
+            for col in ("lang", "source"):
+                if col not in keep:
+                    out[col] = ROLLUP_ALL
+            return out[["lang", "source", "n_docs", "total_chars"]].astype(
+                {"n_docs": np.int64, "total_chars": np.int64}
+            )
+
+        return grouped_aggregate(
+            fine.map_batches(to_level, batch_format="pandas"),
+            ["lang", "source"], combine, num_partitions=4,
+        )
+
+    out = fine
+    for keep in (["lang"], ["source"], []):
+        out = out.union(level(keep))
+    return out
+
+
+CORPUS_CUBE_ORACLE = """
+SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(source, '<all>') AS source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE(lang, source)
+"""
+
+
+HIST_BINS = 2048
+HIST_LO, HIST_HI = 1.0, 1e9  # n_chars domain; log-spaced bins
+
+
+def doc_length_quantiles_approx(sf_dir: str):
+    """Approximate per-language length quantiles via a FIXED log-spaced
+    histogram sketch — the scale path next to the exact
+    :func:`doc_length_quantiles`.
+
+    The exact operator's shuffle is bounded by the distinct-VALUE
+    domain, which for lengths is benign but for heavy-tailed or
+    floating measures can approach the row count. The sketch bounds it
+    by construction: every batch histograms its values into the same
+    2048 log-spaced bins (pure ``np.searchsorted``), the shuffle moves
+    only (lang, bin, count) rows — ≤ langs x 2048 regardless of corpus
+    size — and the final walks each language's cumulative bin counts.
+    Reported value = the bin's inclusive upper edge, so the relative
+    error is one log step, (hi/lo)^(1/bins) - 1 ≈ 1.0%; deterministic
+    (no sampling), mergeable (counts add), no oracle by nature —
+    accuracy vs the exact quantiles is asserted in pytest."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    edges = np.logspace(np.log10(HIST_LO), np.log10(HIST_HI), HIST_BINS + 1)
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["n_chars"].to_numpy(dtype=np.float64)
+        # right-closed bins: bin i covers (edges[i], edges[i+1]]
+        b = np.searchsorted(edges, v, side="left") - 1
+        b = np.clip(b, 0, HIST_BINS - 1)
+        df = pd.DataFrame({"lang": batch["lang"].to_numpy(), "bin": b})
+        return (
+            df.groupby(["lang", "bin"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+            .astype({"bin": np.int64, "cnt": np.int64})
+        )
+
+    quantiles = (("p50_n_chars", 0.5), ("p90_n_chars", 0.9), ("p99_n_chars", 0.99))
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        vc = (
+            bucket.groupby(["lang", "bin"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+            .sort_values(["lang", "bin"], kind="stable")
+        )
+        rows = []
+        for lang, grp in vc.groupby("lang", sort=False):
+            cum = grp["cnt"].cumsum().to_numpy()
+            n = cum[-1]
+            row = {"lang": lang}
+            for name, q in quantiles:
+                target = max(int(np.ceil(q * n)), 1)
+                idx = int(np.searchsorted(cum, target))
+                row[name] = np.int64(np.ceil(edges[grp["bin"].to_numpy()[idx] + 1]))
+            rows.append(row)
+        return pd.DataFrame(rows).astype({name: np.int64 for name, _ in quantiles})
+
+    # buckets on lang: per-language bin vectors are tiny, the per-lang
+    # loop in the final runs over ≤ langs-per-bucket groups of ≤ 2048
+    return grouped_aggregate(docs, ["lang"], combine, partial=partial,
+                             num_partitions=8)

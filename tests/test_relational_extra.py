@@ -324,3 +324,59 @@ class TestLocalSupplierRevenue:
         got = local_supplier_revenue(str(tmp_path)).to_pandas()
         assert got["n_name"].tolist() == ["A"]
         assert got["revenue_centi"].tolist() == [1000]
+
+
+class TestCube:
+    def test_matches_duckdb_cube(self, ray_session):
+        from entity_extractor_linker_ray.ops.textstats import (
+            CORPUS_CUBE_ORACLE,
+            corpus_cube,
+        )
+
+        got = _canon(corpus_cube(SF).to_pandas())
+        exp = _canon(
+            _oracle({"documents": f"{SF}/documents.parquet"}, CORPUS_CUBE_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_cube_is_rollup_plus_source_level(self, ray_session):
+        """CUBE = ROLLUP ∪ the (source)-only grouping set — the lattice
+        relationship, asserted on actual results."""
+        from entity_extractor_linker_ray.ops.textstats import (
+            ROLLUP_ALL,
+            corpus_cube,
+            corpus_rollup,
+        )
+
+        cube = _canon(corpus_cube(SF).to_pandas())
+        rollup = _canon(corpus_rollup(SF).to_pandas())
+        only_in_cube = (
+            cube.merge(rollup, how="left", indicator=True)
+            .query("_merge == 'left_only'")
+            .drop(columns="_merge")
+        )
+        assert (only_in_cube["lang"] == ROLLUP_ALL).all()
+        assert (only_in_cube["source"] != ROLLUP_ALL).all()
+        assert len(cube) == len(rollup) + len(only_in_cube)
+
+
+class TestApproxQuantiles:
+    def test_within_one_log_step_of_exact(self, ray_session):
+        """The histogram sketch's p50/p90/p99 land within one log-bin
+        width (~1%, plus the integer ceil) of the exact distributed
+        quantiles, per language."""
+        from entity_extractor_linker_ray.ops.textstats import (
+            doc_length_quantiles,
+            doc_length_quantiles_approx,
+        )
+
+        approx = (
+            doc_length_quantiles_approx(SF).to_pandas().set_index("lang").sort_index()
+        )
+        exact = doc_length_quantiles(SF).to_pandas().set_index("lang").sort_index()
+        assert list(approx.index) == list(exact.index)
+        for col in ("p50_n_chars", "p90_n_chars", "p99_n_chars"):
+            rel = (approx[col] - exact[col]).abs() / exact[col]
+            assert rel.max() <= 0.02, (col, rel.max())
+            # the sketch reports the bin's UPPER edge: never below exact
+            assert (approx[col] >= exact[col]).all()
