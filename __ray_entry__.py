@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["uniform_fixed_sample"] = sampling.uniform_fixed_sample
     # --- similarity search --------------------------------------------
     q["knn_brute"] = ann.knn_brute
+    q["label_centroids"] = ann.label_centroids
     q["knn_lsh"] = ann.knn_lsh
     q["knn_ivf"] = ann.knn_ivf
     # --- multimodal plumbing ------------------------------------------
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["curate_documents"] = curation.curate_oracle()
     sql["knn_brute"] = ann.knn_brute_oracle()
+    sql["label_centroids"] = ann.LABEL_CENTROIDS_ORACLE
     sql["multimodal_meta"] = multimodal.MULTIMODAL_META_ORACLE
     sql["events_hourly"] = relational.EVENTS_HOURLY_ORACLE
     sql["events_orders_asof"] = relational.EVENTS_ASOF_ORACLE

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 N_QUERIES = 4
 TOP_K = 5
@@ -276,3 +277,78 @@ def knn_ivf(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
         IvfTopK, batch_format="pandas", concurrency=(1, 16)
     )
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroids as integer-exact partial sums —
+    the vector-aggregate building block behind IVF training, class
+    prototypes, and dedup-cluster representatives.
+
+    Per batch the Arrow ``list<float>`` column is consumed zero-copy as
+    its flat value buffer + offsets (no per-row Python, no ragged
+    object arrays): labels repeat via ``np.repeat`` over the list
+    lengths, positions come from one arange minus the repeated row
+    starts, and a single vectorized groupby collapses the batch to
+    (label, pos, sum_milli, n_vecs) rows — at most labels x dim per
+    batch, independent of row count. Elements are rounded to milli
+    units (half away from zero, matching SQL ``round``) BEFORE summing
+    so the result is bit-exact under any accumulation order; the final
+    bucketed combine just adds the integer partials. The division into
+    an actual mean is left to the consumer — partials keep the operator
+    mergeable and oracle-exact."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    embs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("embedding").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        flat = col.values.to_numpy(zero_copy_only=False)
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(offsets)
+        labels = np.repeat(
+            batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64),
+            lengths,
+        )
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offsets[:-1], lengths
+        )
+        milli = np.copysign(np.floor(np.abs(flat) * 1000.0 + 0.5), flat).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"label": labels, "pos": pos, "sum_milli": milli})
+        out = (
+            df.groupby(["label", "pos"], sort=False)
+            .agg(sum_milli=("sum_milli", "sum"), n_vecs=("sum_milli", "size"))
+            .reset_index()
+        )
+        return out.astype({c: np.int64 for c in out.columns})
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["label", "pos"], sort=False)
+            .agg(sum_milli=("sum_milli", "sum"), n_vecs=("n_vecs", "sum"))
+            .reset_index()
+            .astype({c: np.int64 for c in ("label", "pos", "sum_milli", "n_vecs")})
+        )
+
+    bucketed = embs.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(bucketed, ["label", "pos"], combine,
+                             num_partitions=16)
+
+
+LABEL_CENTROIDS_ORACLE = """
+SELECT label, pos, SUM(milli) AS sum_milli, COUNT(*) AS n_vecs
+FROM (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+         CAST(round(unnest(embedding) * 1000) AS BIGINT) AS milli
+  FROM embeddings
+) t
+GROUP BY 1, 2
+"""

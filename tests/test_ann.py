@@ -87,3 +87,48 @@ class TestIvf:
         df = knn_ivf(SF).to_pandas()
         assert len(df) > 0
         assert set(df.columns) == {"query_id", "neighbor_id", "rank"}
+
+
+class TestLabelCentroids:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from entity_extractor_linker_ray.ops.ann import (
+            LABEL_CENTROIDS_ORACLE,
+            label_centroids,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = label_centroids(sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        exp = con.execute(LABEL_CENTROIDS_ORACLE).df()
+        key = ["label", "pos"]
+
+        def canon(df):
+            cols = sorted(df.columns)
+            return (
+                df[cols].astype(np.int64).sort_values(key).reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(canon(got), canon(exp), check_dtype=False)
+
+    def test_partials_reconstruct_mean(self, ray_session):
+        """sum_milli / n_vecs must reproduce the per-label mean vector
+        computed locally with numpy (within milli-unit rounding)."""
+        import pyarrow.parquet as pq
+
+        from entity_extractor_linker_ray.ops.ann import label_centroids
+
+        sf = "/root/testdata/sf0.001"
+        got = label_centroids(sf).to_pandas()
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        emb = np.vstack(t.column("embedding").to_pylist())
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        for label in np.unique(labels)[:3]:
+            mean = emb[labels == label].mean(axis=0)
+            rows = got[got["label"] == label].sort_values("pos")
+            approx = rows["sum_milli"].to_numpy() / 1000.0 / rows["n_vecs"].to_numpy()
+            assert np.allclose(approx, mean, atol=6e-4)
