@@ -173,6 +173,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "stratified_sample",
         "doc_length_quantiles",
         "lineitem_pricing",
+        "top_revenue_orders",
+        "local_supplier_revenue",
+        "label_centroids",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1715,12 +1715,17 @@ def local_supplier_revenue(sf_dir: str):
 
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
-    # dimension ladder: tiny tables, read once, broadcast as arrays
-    nation = rd.read_parquet(
+    # dimension ladder: nation/region are CONSTANT-size tables (25/5
+    # rows at any scale factor) — read them with plain pyarrow on the
+    # driver; spinning a distributed dataset execution per tiny file
+    # costs ~1 s of pure overhead each (measured at sf0.1)
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
         f"{sf_dir}/nation.parquet",
         columns=["n_nationkey", "n_name", "n_regionkey"],
     ).to_pandas()
-    region = rd.read_parquet(
+    region = pq.read_table(
         f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
     ).to_pandas()
     rkeys = region.loc[region["r_name"] == Q5_REGION, "r_regionkey"]
@@ -1827,12 +1832,13 @@ def local_supplier_revenue(sf_dir: str):
             .reset_index()
         )
         out["n_name"] = out["nationkey"].astype(int).map(nat_names)
-        return out[["n_name", "revenue_centi"]].astype(
-            {"revenue_centi": np.int64}
-        )
+        out = out[["n_name", "revenue_centi"]].astype({"revenue_centi": np.int64})
+        return out.sort_values("revenue_centi", ascending=False)
 
-    final = grouped_aggregate(partials, ["nationkey"], finalize, num_partitions=8)
-    return final.sort("revenue_centi", descending=True)
+    # the partials are ≤ nations-per-bucket rows per bucket (tiny): one
+    # narrow repartition(1) + a single vectorized final beats a second
+    # full bucketed shuffle + distributed sort by ~2 s of stage latency
+    return partials.repartition(1).map_batches(finalize, batch_format="pandas")
 
 
 LOCAL_SUPPLIER_REVENUE_ORACLE = f"""
