@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lineitem_pricing"] = relational.lineitem_pricing
     q["orders_customer_join"] = relational.orders_customer_join
     q["order_lineitem_rollup"] = relational.order_lineitem_rollup
+    q["lineitem_enriched"] = relational.lineitem_enriched
     q["top_parts_by_size"] = relational.top_parts_by_size
     q["top_revenue_orders"] = relational.top_revenue_orders
     q["local_supplier_revenue"] = relational.local_supplier_revenue
@@ -254,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
     sql["lineitem_pricing"] = relational.LINEITEM_PRICING_ORACLE
     sql["orders_customer_join"] = relational.ORDERS_JOIN_ORACLE
     sql["order_lineitem_rollup"] = relational.ORDER_LINEITEM_ROLLUP_ORACLE
+    sql["lineitem_enriched"] = relational.LINEITEM_ENRICHED_ORACLE
     sql["top_parts_by_size"] = relational.TOP_PARTS_ORACLE.format(k=10)
     sql["top_revenue_orders"] = relational.TOP_REVENUE_ORDERS_ORACLE
     sql["local_supplier_revenue"] = relational.LOCAL_SUPPLIER_REVENUE_ORACLE

@@ -70,3 +70,84 @@ def grouped_aggregate(
 
     bucketed = ds.map_batches(add_bucket, batch_format="pandas")
     return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def salted_join(
+    left_ds,
+    right_ds,
+    key: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    *,
+    defaults: dict | None = None,
+    num_salts: int = 8,
+    num_partitions: int = DEFAULT_PARTITIONS,
+):
+    """Skew-resilient INNER equi-join for ENRICHMENT shapes — output is
+    one row per left row, so the combiner-before-shuffle trick that
+    protects the aggregation joins can't absorb a hot key here: every
+    probe row must physically reach a reducer.
+
+    Mitigation is classic salting: the build side (``right_ds``,
+    expected unique on ``key``) is REPLICATED ``num_salts`` times, once
+    per salt; each probe row draws a deterministic salt from its own
+    batch position, so a key with millions of probe rows spreads over
+    ``num_salts`` buckets instead of melting one reducer. The exchange
+    shuffles on hash(key, salt); within each bucket one vectorized
+    merge emits the enriched rows. Replication cost is
+    ``num_salts × |right|`` — size ``num_salts`` to the observed skew
+    (hot-key rows / target bucket size), not to taste; for uniform keys
+    use 1 (plain bucketed join) and this degrades to zero overhead.
+
+    ``defaults`` maps each column to the value used to pad the side
+    that lacks it (keeps the union's per-column dtype consistent —
+    "" for strings, 0 for numerics).
+    """
+    keys = [key, "_salt"]
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[list(dict.fromkeys([key, *left_cols]))].copy()
+        # per-row deterministic salt: position within the batch cycles
+        # through the salt space, so a hot key's rows split evenly
+        out["_salt"] = (np.arange(len(batch)) % num_salts).astype(np.int64)
+        out["_side"] = np.int64(0)
+        return out
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch[list(dict.fromkeys([key, *right_cols]))]
+        reps = pd.concat([base] * num_salts, ignore_index=True)
+        reps["_salt"] = np.repeat(
+            np.arange(num_salts, dtype=np.int64), len(base)
+        )
+        reps["_side"] = np.int64(1)
+        return reps
+
+    left_tagged = left_ds.map_batches(tag_left, batch_format="pandas")
+    right_tagged = right_ds.map_batches(tag_right, batch_format="pandas")
+
+    out_cols = list(dict.fromkeys([key, *left_cols, *right_cols]))
+
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        probe = bucket[bucket["_side"] == 0]
+        build = bucket[bucket["_side"] == 1][
+            list(dict.fromkeys([key, *right_cols]))
+        ].drop_duplicates(key)
+        merged = probe.merge(build, on=key, how="inner",
+                             suffixes=("_probe", ""))
+        return merged[out_cols]
+
+    fills = defaults or {}
+
+    # union schemas must line up: fill the columns each side lacks
+    # with a TYPE-CORRECT default so the union's dtypes are stable
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        for col in out_cols + ["_salt", "_side"]:
+            if col not in df.columns:
+                df[col] = fills.get(col, np.int64(0))
+        return df[out_cols + ["_salt", "_side"]]
+
+    unioned = left_tagged.map_batches(widen, batch_format="pandas").union(
+        right_tagged.map_batches(widen, batch_format="pandas")
+    )
+    return grouped_aggregate(unioned, keys, join_bucket,
+                             num_partitions=num_partitions)

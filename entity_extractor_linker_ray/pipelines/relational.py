@@ -1857,3 +1857,70 @@ WHERE r.r_name = '{Q5_REGION}'
 GROUP BY 1
 ORDER BY revenue_centi DESC
 """
+
+
+# --------------------------------------------------------------------
+# Skew-resilient enrichment join (salted shuffle).
+# --------------------------------------------------------------------
+
+
+def lineitem_enriched(sf_dir: str, num_salts: int = 8):
+    """Enrichment join: every lineitem row annotated with its order's
+    priority — output is ONE ROW PER LINEITEM, so unlike
+    ``order_lineitem_rollup`` there is no per-key partial that can
+    absorb a hot orderkey before the shuffle; a single key with
+    millions of lines would melt one reducer in a plain bucketed join.
+
+    Runs on :func:`ops.shuffle.salted_join`: the orders (build) side is
+    replicated once per salt, each lineitem draws a deterministic salt
+    from its batch position, and the exchange keys on (orderkey, salt)
+    — the hot key's probe rows spread across ``num_salts`` buckets.
+    Replication cost is num_salts × |orders-projection|, the standard
+    trade for skewed enrichment joins. Exactness under a forced 90%%
+    hot key is asserted in pytest."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import salted_join
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def project_lines(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"orderkey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+             "linenumber": batch["l_linenumber"].to_numpy(dtype=np.int64),
+             "price_centi": _round_half_up(
+                 batch["l_extendedprice"].to_numpy() * 100.0
+             )}
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def project_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"orderkey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+             "orderpriority": batch["o_orderpriority"].astype(str)}
+        )
+
+    return salted_join(
+        lines.map_batches(project_lines, batch_format="pandas"),
+        orders.map_batches(project_orders, batch_format="pandas"),
+        "orderkey",
+        ["linenumber", "price_centi"],
+        ["orderpriority"],
+        defaults={"orderpriority": ""},
+        num_salts=num_salts,
+    )
+
+
+LINEITEM_ENRICHED_ORACLE = """
+SELECT l.l_orderkey AS orderkey,
+       CAST(l.l_linenumber AS BIGINT) AS linenumber,
+       CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_centi,
+       o.o_orderpriority AS orderpriority
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+"""

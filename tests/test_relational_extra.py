@@ -380,3 +380,70 @@ class TestApproxQuantiles:
             assert rel.max() <= 0.02, (col, rel.max())
             # the sketch reports the bin's UPPER edge: never below exact
             assert (approx[col] >= exact[col]).all()
+
+
+class TestSaltedJoin:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            LINEITEM_ENRICHED_ORACLE,
+            lineitem_enriched,
+        )
+
+        got = _canon(lineitem_enriched(SF).to_pandas())
+        exp = _canon(
+            _oracle(
+                {t: f"{SF}/{t}.parquet" for t in ("orders", "lineitem")},
+                LINEITEM_ENRICHED_ORACLE,
+            )
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_exact_under_forced_hot_key(self, ray_session, tmp_path):
+        """90% of probe rows share ONE orderkey; the salted exchange
+        must still produce the exact pandas-merge result (row
+        multiplicity included), and an orphan lineitem whose order is
+        missing is dropped (inner join)."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            lineitem_enriched,
+        )
+
+        rng = np.random.default_rng(7)
+        n = 5000
+        hot = rng.random(n) < 0.9
+        orderkeys = np.where(hot, 1, rng.integers(2, 50, n))
+        lines = pd.DataFrame(
+            {"l_orderkey": orderkeys,
+             "l_linenumber": np.arange(n, dtype=np.int32),
+             "l_extendedprice": np.round(rng.random(n) * 100, 2)}
+        )
+        # orphan rows: orderkey 999 has no order
+        lines.loc[:4, "l_orderkey"] = 999
+        lines.to_parquet(tmp_path / "lineitem.parquet")
+        orders = pd.DataFrame(
+            {"o_orderkey": np.arange(1, 50),
+             "o_orderpriority": [f"P{i % 5}" for i in range(1, 50)]}
+        )
+        orders.to_parquet(tmp_path / "orders.parquet")
+
+        got = (
+            lineitem_enriched(str(tmp_path), num_salts=8)
+            .to_pandas()
+            .sort_values(["orderkey", "linenumber"], kind="stable")
+            .reset_index(drop=True)
+        )
+        exp = (
+            lines.rename(columns={"l_orderkey": "orderkey",
+                                  "l_linenumber": "linenumber"})
+            .assign(price_centi=lambda d: np.floor(
+                d["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64))
+            .merge(orders.rename(columns={"o_orderkey": "orderkey",
+                                          "o_orderpriority": "orderpriority"}),
+                   on="orderkey", how="inner")
+            [["orderkey", "linenumber", "price_centi", "orderpriority"]]
+            .sort_values(["orderkey", "linenumber"], kind="stable")
+            .reset_index(drop=True)
+        )
+        exp["orderkey"] = exp["orderkey"].astype(np.int64)
+        exp["linenumber"] = exp["linenumber"].astype(np.int64)
+        assert (got["orderkey"] == 1).sum() >= 0.85 * len(got)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
