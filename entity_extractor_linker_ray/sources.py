@@ -112,3 +112,55 @@ def write_output(ds, path: str, fmt: str = "parquet") -> None:
         ds.write_json(path)
     else:
         raise ValueError(f"unsupported output format {fmt!r}")
+
+
+def write_partitioned(ds, path: str, partition_cols: list[str]) -> None:
+    """Resumable corpus sink: hive-partitioned Parquet
+    (``path/col=value/…``), one directory per partition value — a
+    failed run reprocesses only missing partitions, and downstream
+    readers prune whole directories instead of row-group-filtering
+    every file. Thin wrapper over the Ray-native writer (one file per
+    block per partition; no driver materialization) so callers don't
+    hand-roll the layout."""
+    ds.write_parquet(path, partition_cols=partition_cols)
+
+
+def read_partition(path: str, columns: list[str] | None = None, **equals):
+    """Partition-pruned read: only the matching ``col=value``
+    directories are listed and scanned — the complement of
+    :func:`write_partitioned`. At 100 TB this is the difference
+    between scanning one language's shard and scanning the corpus.
+
+    Pruning happens at the PATH level — matching ``col=value``
+    directories are selected before any reader task is scheduled, so
+    non-matching partitions are never listed into the scan (Ray's
+    fragment-level ``filter`` can't see hive columns; directory
+    selection is also what object-store listings make cheap).
+    Hive-partition values come back as strings; callers needing typed
+    columns cast downstream."""
+    import os
+
+    import ray.data as rd
+    from ray.data.datasource.partitioning import Partitioning
+
+    def select(base: str) -> list[str]:
+        entries = sorted(os.listdir(base))
+        subdirs = [e for e in entries if os.path.isdir(os.path.join(base, e))]
+        if not subdirs:
+            return [base]
+        out: list[str] = []
+        for entry in subdirs:
+            col, _, value = entry.partition("=")
+            if col in equals and str(equals[col]) != value:
+                continue
+            out.extend(select(os.path.join(base, entry)))
+        return out
+
+    paths = select(path)
+    if not paths:
+        raise FileNotFoundError(
+            f"no partition of {path!r} matches {equals!r}"
+        )
+    return rd.read_parquet(
+        paths, columns=columns, partitioning=Partitioning("hive", base_dir=path)
+    )

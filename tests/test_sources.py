@@ -112,3 +112,35 @@ class TestCliFormats:
         assert got_j["triples"] > 0
         files = os.listdir(tmp_path / "out_j" / "triples")
         assert files and all(f.endswith(".json") for f in files)
+
+
+class TestPartitionedSink:
+    def test_hive_layout_and_pruned_read(self, ray_session, tmp_path):
+        """Documents written partitioned by lang land in one directory
+        per language, and a pruned read of a single partition returns
+        exactly the filtered full-read rows without touching the other
+        directories."""
+        import ray.data as rd
+
+        from entity_extractor_linker_ray.sources import (
+            read_partition,
+            write_partitioned,
+        )
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        ds = rd.read_parquet(src)
+        out = str(tmp_path / "by_lang")
+        write_partitioned(ds, out, ["lang"])
+
+        langs = sorted(
+            d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("lang=")
+        )
+        full = rd.read_parquet(src).to_pandas()
+        assert langs == sorted(full["lang"].unique())
+
+        one = read_partition(out, lang=langs[0]).to_pandas()
+        exp = full[full["lang"] == langs[0]]
+        assert len(one) == len(exp)
+        assert sorted(one["doc_id"]) == sorted(exp["doc_id"])
+        # the partition column survives the round trip (hive-encoded)
+        assert set(one["lang"].astype(str)) == {langs[0]}
