@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["users_lapsed"] = relational.users_lapsed
     q["users_retained"] = relational.users_retained
     q["events_moving_window"] = relational.events_moving_window
+    q["latest_event_per_user"] = relational.latest_event_per_user
+    q["events_ntile"] = relational.events_ntile
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -262,6 +264,8 @@ def oracle_sql() -> dict[str, str]:
     sql["users_lapsed"] = relational.USERS_LAPSED_ORACLE
     sql["users_retained"] = relational.USERS_RETAINED_ORACLE
     sql["events_moving_window"] = relational.EVENTS_MOVING_WINDOW_ORACLE
+    sql["latest_event_per_user"] = relational.LATEST_EVENT_PER_USER_ORACLE
+    sql["events_ntile"] = relational.EVENTS_NTILE_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

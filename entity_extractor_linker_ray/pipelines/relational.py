@@ -1924,3 +1924,125 @@ SELECT l.l_orderkey AS orderkey,
        o.o_orderpriority AS orderpriority
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 """
+
+
+# --------------------------------------------------------------------
+# Groupwise latest-record selection and NTILE bucketing.
+# --------------------------------------------------------------------
+
+
+def latest_event_per_user(sf_dir: str):
+    """Latest record per key — the recency-dedup shape every CDC /
+    upsert-compaction pipeline runs: for each user, the single event
+    with the greatest (ts, event_id).
+
+    Per-batch partial argmax first (each batch surrenders ONE row per
+    user it saw), so the shuffle moves at most users×blocks rows, never
+    raw events; the bucketed final repeats the same vectorized
+    sort+drop_duplicates argmax. Tie-break on event_id makes the row
+    choice total, so the oracle (ROW_NUMBER() = 1) hashes exactly."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def argmax_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        out = df.drop_duplicates("user_id", keep="last")
+        return out[["user_id", "event_id", "ts_us", "event_type"]].astype(
+            {"user_id": np.int64, "event_id": np.int64, "ts_us": np.int64}
+        )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch.copy()
+        df["ts_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return argmax_rows(df)
+
+    return grouped_aggregate(events, ["user_id"], argmax_rows, partial=partial,
+                             num_partitions=32)
+
+
+LATEST_EVENT_PER_USER_ORACLE = """
+SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+def events_ntile(sf_dir: str, tiles: int = 4):
+    """NTILE(4): every event assigned its user's value-quartile — the
+    per-group equal-frequency bucketing behind feature binning.
+
+    All rows of a partition must be ranked together (no partial can
+    shrink this — assignment depends on the group's total size), so
+    this is the bucketed user shuffle + ONE vectorized pass per bucket:
+    stable sort by (user, value, event_id), per-segment index via a
+    global arange minus each segment's start, then SQL NTILE's exact
+    split arithmetic (first ``size % tiles`` tiles get the extra row)
+    computed with integer vector math — no per-user Python."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.copy()
+        df["value_centi"] = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        df = df.sort_values(["user_id", "value_centi", "event_id"], kind="stable")
+        users = df["user_id"].to_numpy(dtype=np.int64)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {"event_id": np.array([], dtype=np.int64),
+                 "user_id": np.array([], dtype=np.int64),
+                 "tile": np.array([], dtype=np.int64)}
+            )
+        idx = np.arange(n, dtype=np.int64)
+        is_start = np.empty(n, dtype=bool)
+        is_start[0] = True
+        is_start[1:] = users[1:] != users[:-1]
+        seg_start = np.maximum.accumulate(np.where(is_start, idx, 0))
+        starts = idx[is_start]
+        sizes = np.diff(np.append(starts, n))
+        seg_size = np.repeat(sizes, sizes)
+        pos = idx - seg_start  # 0-based rank within the user
+        # NTILE: big tiles (size // tiles + 1) first, `size % tiles` of
+        # them; remaining rows fall into small tiles of size // tiles
+        big = seg_size // tiles + 1
+        n_big = seg_size % tiles
+        big_span = n_big * big
+        in_big = pos < big_span
+        # avoid div-by-zero when size < tiles (small tile size 0): those
+        # groups put every row in a big tile, so the else-branch value
+        # is never selected for them
+        small = np.maximum(seg_size // tiles, 1)
+        tile = np.where(
+            in_big, pos // np.maximum(big, 1), n_big + (pos - big_span) // small
+        ) + 1
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(dtype=np.int64),
+             "user_id": users,
+             "tile": tile.astype(np.int64)}
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine, num_partitions=32)
+
+
+EVENTS_NTILE_ORACLE = """
+SELECT event_id, user_id,
+       CAST(NTILE(4) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+       ) AS BIGINT) AS tile
+FROM events
+"""

@@ -447,3 +447,68 @@ class TestSaltedJoin:
         exp["linenumber"] = exp["linenumber"].astype(np.int64)
         assert (got["orderkey"] == 1).sum() >= 0.85 * len(got)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestLatestPerUser:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            LATEST_EVENT_PER_USER_ORACLE,
+            latest_event_per_user,
+        )
+
+        got = _canon(latest_event_per_user(SF).to_pandas())
+        exp = _canon(
+            _oracle({"events": f"{SF}/events.parquet"},
+                    LATEST_EVENT_PER_USER_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_tiebreak_on_event_id(self, ray_session, tmp_path):
+        """Two events at the identical timestamp: the greater event_id
+        wins, including when the rows arrive in separate batches (the
+        partial argmax must not pre-commit to batch order)."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            latest_event_per_user,
+        )
+
+        ts = pd.to_datetime(["2024-01-05 12:00"] * 2 + ["2024-01-04 00:00"])
+        pd.DataFrame(
+            {"event_id": [20, 21, 99], "user_id": [1, 1, 1], "ts": ts,
+             "event_type": ["a", "b", "c"]}
+        ).to_parquet(tmp_path / "events.parquet")
+        out = latest_event_per_user(str(tmp_path)).to_pandas()
+        assert out["event_id"].tolist() == [21]
+        assert out["event_type"].tolist() == ["b"]
+
+
+class TestNtile:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_NTILE_ORACLE,
+            events_ntile,
+        )
+
+        got = _canon(events_ntile(SF).to_pandas())
+        exp = _canon(
+            _oracle({"events": f"{SF}/events.parquet"}, EVENTS_NTILE_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_uneven_and_tiny_groups(self, ray_session, tmp_path):
+        """SQL NTILE split semantics on the awkward sizes: 6 rows into
+        4 tiles -> (2,2,1,1); 2 rows into 4 tiles -> tiles 1 and 2."""
+        from entity_extractor_linker_ray.pipelines.relational import events_ntile
+
+        pd.DataFrame(
+            {"event_id": list(range(1, 9)),
+             "user_id": [1] * 6 + [2] * 2,
+             "value": [float(i) for i in range(1, 9)]}
+        ).to_parquet(tmp_path / "events.parquet")
+        out = (
+            events_ntile(str(tmp_path))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert out[out["user_id"] == 1]["tile"].tolist() == [1, 1, 2, 2, 3, 4]
+        assert out[out["user_id"] == 2]["tile"].tolist() == [1, 2]
