@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dedup_clusters"] = graph_algos.duplicate_clusters
     q["kg_pagerank"] = graph_algos.kg_pagerank
+    q["kg_triangles"] = graph_algos.kg_triangles
     from entity_extractor_linker_ray.pipelines import curation
 
     q["curate_documents"] = curation.curate_documents
@@ -192,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_moving_window"] = relational.events_moving_window
     q["latest_event_per_user"] = relational.latest_event_per_user
     q["events_ntile"] = relational.events_ntile
+    q["events_value_stats"] = relational.events_value_stats
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -266,7 +268,9 @@ def oracle_sql() -> dict[str, str]:
     sql["events_moving_window"] = relational.EVENTS_MOVING_WINDOW_ORACLE
     sql["latest_event_per_user"] = relational.LATEST_EVENT_PER_USER_ORACLE
     sql["events_ntile"] = relational.EVENTS_NTILE_ORACLE
+    sql["events_value_stats"] = relational.EVENTS_VALUE_STATS_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
+    sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
 
     from entity_extractor_linker_ray.ops import sampling
 

@@ -410,3 +410,125 @@ r{i} AS (
         )
     parts.append(f"\nSELECT node, rank FROM r{iters}")
     return "".join(parts)
+
+
+def kg_triangles(sf_dir: str, num_partitions: int = 8):
+    """Triangle count over the co-occurrence KG — the graph-motif
+    aggregate behind clustering coefficients and community features.
+
+    Standard distributed plan, two bucketed equi-joins and no driver
+    graph state: canonicalize to undirected edges with src < dst
+    (dedup), JOIN edges⋈edges on the shared middle vertex to build
+    wedges (u < v < w ordering makes each triangle counted exactly
+    once), then semi-join wedges against the edge set on (u, w). Both
+    joins are the tagged-union + ``grouped_aggregate`` shape. Skew
+    note: wedge count is Σ deg(v)², so a celebrity vertex explodes the
+    intermediate — production graphs cap or sample high-degree
+    vertices' wedge lists (documented trade; the KG's degrees are
+    bounded by the vocabulary here)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.pipelines.simple_kg import kg_edges
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["subject"].astype(str)
+        v = batch["object"].astype(str)
+        lo = np.where(u < v, u, v)
+        hi = np.where(u < v, v, u)
+        return pd.DataFrame({"u": lo, "v": hi})[lo != hi]
+
+    edges = grouped_aggregate(
+        kg_edges(sf_dir).map_batches(canon, batch_format="pandas"),
+        ["u", "v"],
+        lambda b: b[["u", "v"]].drop_duplicates(),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    # wedges: for middle vertex m, all ordered pairs (a, c) of its
+    # neighbors with a < c — join edges to edges on the middle vertex.
+    # Tag both endpoint roles of every edge into one exchange on the
+    # candidate middle vertex.
+    def tag_roles(batch: pd.DataFrame) -> pd.DataFrame:
+        # role 0: (m=v, other=u)  — edge arrives at its higher end
+        # role 1: (m=u, other=v)  — edge arrives at its lower end
+        return pd.DataFrame(
+            {"m": pd.concat([batch["v"], batch["u"]], ignore_index=True),
+             "other": pd.concat([batch["u"], batch["v"]], ignore_index=True)}
+        )
+
+    def wedges(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for m, grp in bucket.groupby("m", sort=False):
+            # only neighbors ABOVE the middle: each triangle {x<y<z}
+            # then forms a counted wedge ONLY at its smallest vertex x
+            # (pair y,z) — the node-iterator ordering that makes the
+            # count exactly-once instead of once per middle
+            nbrs = np.sort(grp.loc[grp["other"] > m, "other"].unique())
+            if len(nbrs) < 2:
+                continue
+            ia, ic = np.triu_indices(len(nbrs), k=1)
+            outs.append(pd.DataFrame({"a": nbrs[ia], "c": nbrs[ic]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype=str),
+                                 "c": pd.Series([], dtype=str)})
+        return pd.concat(outs, ignore_index=True)
+
+    wedge_ds = grouped_aggregate(
+        edges.map_batches(tag_roles, batch_format="pandas"),
+        ["m"], wedges, num_partitions=num_partitions,
+    )
+
+    # close the wedges: count (a, c) pairs that are also edges
+    def tag_wedge(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": batch["a"], "v": batch["c"],
+                             "n": np.ones(len(batch), dtype=np.int64)})
+
+    def tag_edge(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": batch["u"], "v": batch["v"],
+                             "n": np.full(len(batch), -1, dtype=np.int64)})
+
+    def close(bucket: pd.DataFrame) -> pd.DataFrame:
+        is_edge = bucket[bucket["n"] < 0][["u", "v"]].drop_duplicates()
+        cnt = bucket[bucket["n"] > 0]
+        closed = cnt.merge(is_edge, on=["u", "v"], how="inner")
+        return pd.DataFrame({"n_triangles": [np.int64(len(closed))]})
+
+    counts = grouped_aggregate(
+        wedge_ds.map_batches(tag_wedge, batch_format="pandas").union(
+            edges.map_batches(tag_edge, batch_format="pandas")
+        ),
+        ["u", "v"], close, num_partitions=num_partitions,
+    )
+
+    def total(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_triangles": [np.int64(batch["n_triangles"].sum())]})
+
+    # every bucket emitted exactly one per-bucket count, so the final
+    # reduce is one narrow repartition + a single vectorized sum; the
+    # typed empty union pins the schema for a zero-edge corpus
+    out_schema = pa.schema([("n_triangles", pa.int64())])
+    return counts.repartition(1).map_batches(total, batch_format="pandas").union(
+        rd.from_arrow(out_schema.empty_table())
+    )
+
+
+def kg_triangles_oracle() -> str:
+    """Plain-SQL triangle count over the same canonical edge set."""
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    edges_sql = simple_kg.oracle_sql()["kg_edges"]
+    return f"""
+WITH raw AS (
+  SELECT subject AS s, object AS o FROM ({edges_sql}) kg_e
+),
+edges AS (
+  SELECT DISTINCT LEAST(s, o) AS u, GREATEST(s, o) AS v
+  FROM raw WHERE s <> o
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+"""

@@ -2046,3 +2046,61 @@ SELECT event_id, user_id,
        ) AS BIGINT) AS tile
 FROM events
 """
+
+
+def events_value_stats(sf_dir: str):
+    """Per-user distribution moments (count, sum, sum of squares) in
+    EXACT integer arithmetic — the mergeable form of mean/variance:
+    var = (n·Σx² − (Σx)²) / n², computable downstream from these
+    partials without a second corpus pass. Floating-point accumulation
+    would hash differently per accumulation order; centi-unit int64
+    sums are associative, so the partial/combine split is lossless and
+    the oracle matches bit-for-bit. (Σx² of centi values fits int64 up
+    to ~9·10¹⁴ value²-units per user — bound documented rather than
+    discovered in production.)"""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(dtype=np.int64),
+             "n_events": np.ones(len(v), dtype=np.int64),
+             "sum_centi": v,
+             "sumsq_centi2": v * v}
+        )
+        return (
+            df.groupby("user_id", sort=False)
+            .agg(n_events=("n_events", "sum"), sum_centi=("sum_centi", "sum"),
+                 sumsq_centi2=("sumsq_centi2", "sum"))
+            .reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("user_id", sort=False)
+            .agg(n_events=("n_events", "sum"), sum_centi=("sum_centi", "sum"),
+                 sumsq_centi2=("sumsq_centi2", "sum"))
+            .reset_index()
+            .astype({c: np.int64 for c in
+                     ("user_id", "n_events", "sum_centi", "sumsq_centi2")})
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine, partial=partial,
+                             num_partitions=32)
+
+
+EVENTS_VALUE_STATS_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_centi,
+       SUM(CAST(round(value * 100) AS BIGINT)
+           * CAST(round(value * 100) AS BIGINT)) AS sumsq_centi2
+FROM events
+GROUP BY 1
+"""

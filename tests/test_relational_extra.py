@@ -512,3 +512,82 @@ class TestNtile:
         )
         assert out[out["user_id"] == 1]["tile"].tolist() == [1, 1, 2, 2, 3, 4]
         assert out[out["user_id"] == 2]["tile"].tolist() == [1, 2]
+
+
+class TestValueStats:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_VALUE_STATS_ORACLE,
+            events_value_stats,
+        )
+
+        got = _canon(events_value_stats(SF).to_pandas())
+        exp = _canon(
+            _oracle({"events": f"{SF}/events.parquet"}, EVENTS_VALUE_STATS_ORACLE)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_variance_reconstructs(self, ray_session):
+        """The integer partials must reproduce numpy's population
+        variance of the rounded centi values exactly."""
+        import pyarrow.parquet as pq
+
+        from entity_extractor_linker_ray.pipelines.relational import (
+            events_value_stats,
+        )
+
+        got = events_value_stats(SF).to_pandas().set_index("user_id")
+        t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "value"])
+        df = t.to_pandas()
+        df["centi"] = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        for user, grp in list(df.groupby("user_id"))[:5]:
+            row = got.loc[user]
+            n, s, ss = int(row["n_events"]), int(row["sum_centi"]), int(row["sumsq_centi2"])
+            var = (n * ss - s * s) / (n * n)
+            assert abs(var - grp["centi"].to_numpy().var()) < 1e-6
+
+
+class TestTriangles:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from entity_extractor_linker_ray.ops.graph_algos import (
+            kg_triangles,
+            kg_triangles_oracle,
+        )
+
+        got = kg_triangles(SF).to_pandas()["n_triangles"].tolist()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+        )
+        exp = con.execute(kg_triangles_oracle()).df()["n_triangles"].tolist()
+        assert got == exp
+        assert got[0] > 0
+
+    def test_counts_exactly_once(self, ray_session, tmp_path, monkeypatch):
+        """A hand-built graph with known motifs: K4 has 4 triangles, a
+        square (4-cycle) has none, and direction/duplication of the raw
+        edge list must not change the count."""
+        import ray.data as rd
+
+        from entity_extractor_linker_ray.ops import graph_algos
+
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+              ("c", "d")]
+        square = [("p", "q"), ("q", "r"), ("r", "s"), ("s", "p")]
+        # duplicates + reversed directions on purpose
+        raw = k4 + square + [(v, u) for u, v in k4] + k4[:2]
+        edges = pd.DataFrame(raw, columns=["subject", "object"])
+        monkeypatch.setattr(
+            graph_algos, "kg_edges",
+            lambda sf_dir: rd.from_pandas(edges),
+            raising=False,
+        )
+        # kg_triangles imports kg_edges from simple_kg inside the call
+        from entity_extractor_linker_ray.pipelines import simple_kg
+
+        monkeypatch.setattr(simple_kg, "kg_edges",
+                            lambda sf_dir: rd.from_pandas(edges))
+        out = graph_algos.kg_triangles("unused").to_pandas()
+        assert out["n_triangles"].tolist() == [4]
