@@ -694,12 +694,14 @@ def corpus_cube(sf_dir: str):
     fine = grouped_aggregate(docs, ["lang", "source"], combine, partial=partial,
                              num_partitions=16).materialize()
 
-    def level(keep: list[str]):
-        """Re-aggregate the finest result onto one grouping set; rolled
-        -up positions take the '<all>' sentinel (COALESCE'd identically
-        in the oracle)."""
-
-        def to_level(batch: pd.DataFrame) -> pd.DataFrame:
+    # one batch -> its partial rows for EVERY coarser grouping set; the
+    # '<all>' sentinel makes the sets key-disjoint, so a SINGLE
+    # bucketed aggregate finishes all of them at once — one shuffle for
+    # the whole lattice instead of one per grouping set (7.5 s -> ~3 s
+    # at sf0.1/32: the per-set executions were pure stage latency)
+    def all_levels(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for keep in (["lang"], ["source"], []):
             if keep:
                 out = (
                     batch.groupby(keep, sort=False)
@@ -714,19 +716,16 @@ def corpus_cube(sf_dir: str):
             for col in ("lang", "source"):
                 if col not in keep:
                     out[col] = ROLLUP_ALL
-            return out[["lang", "source", "n_docs", "total_chars"]].astype(
-                {"n_docs": np.int64, "total_chars": np.int64}
-            )
-
-        return grouped_aggregate(
-            fine.map_batches(to_level, batch_format="pandas"),
-            ["lang", "source"], combine, num_partitions=4,
+            outs.append(out[["lang", "source", "n_docs", "total_chars"]])
+        return pd.concat(outs, ignore_index=True).astype(
+            {"n_docs": np.int64, "total_chars": np.int64}
         )
 
-    out = fine
-    for keep in (["lang"], ["source"], []):
-        out = out.union(level(keep))
-    return out
+    coarse = grouped_aggregate(
+        fine.map_batches(all_levels, batch_format="pandas"),
+        ["lang", "source"], combine, num_partitions=4,
+    )
+    return fine.union(coarse)
 
 
 CORPUS_CUBE_ORACLE = """
