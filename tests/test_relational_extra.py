@@ -589,5 +589,7 @@ class TestTriangles:
 
         monkeypatch.setattr(simple_kg, "kg_edges",
                             lambda sf_dir: rd.from_pandas(edges))
+        # the memoized edge cache must not serve a stale graph
+        graph_algos._KG_EDGES_CACHE.clear()
         out = graph_algos.kg_triangles("unused").to_pandas()
         assert out["n_triangles"].tolist() == [4]
