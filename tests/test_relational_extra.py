@@ -7,6 +7,7 @@ drop semantics, parallelism invariance of the sample)."""
 from __future__ import annotations
 
 import duckdb
+import os
 import numpy as np
 import pandas as pd
 
@@ -593,3 +594,39 @@ class TestTriangles:
         graph_algos._KG_EDGES_CACHE.clear()
         out = graph_algos.kg_triangles("unused").to_pandas()
         assert out["n_triangles"].tolist() == [4]
+
+
+class TestInvariances:
+    def test_salted_join_salt_count_invariant(self, ray_session):
+        """num_salts is a pure performance knob: 1 (plain bucketed
+        join) and 8 must produce identical enriched rows."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            lineitem_enriched,
+        )
+
+        a = _canon(lineitem_enriched(SF, num_salts=1).to_pandas())
+        b = _canon(lineitem_enriched(SF, num_salts=8).to_pandas())
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_moving_window_block_count_invariant(self, ray_session, tmp_path):
+        """Splitting the input into many small files (different batch
+        boundaries inside the bucketed shuffle) must not change any
+        window sum — the segment kernel may only depend on the sorted
+        bucket contents."""
+        import pyarrow.parquet as pq
+
+        from entity_extractor_linker_ray.pipelines.relational import (
+            events_moving_window,
+        )
+
+        base = _canon(events_moving_window(SF).to_pandas())
+        t = pq.read_table(f"{SF}/events.parquet")
+        os.mkdir(tmp_path / "events.parquet")
+        bounds = [len(t) * i // 7 for i in range(8)]
+        for i in range(7):
+            pq.write_table(
+                t.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                tmp_path / "events.parquet" / f"part_{i}.parquet",
+            )
+        split = _canon(events_moving_window(str(tmp_path)).to_pandas())
+        pd.testing.assert_frame_equal(base, split)
