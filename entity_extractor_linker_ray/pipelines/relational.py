@@ -1642,14 +1642,7 @@ def events_moving_window(sf_dir: str, frame: int = 4):
                  "user_id": np.array([], dtype=np.int64),
                  "w_sum_centi": np.array([], dtype=np.int64)}
             )
-        cum = np.cumsum(v)
-        idx = np.arange(n)
-        is_start = np.empty(n, dtype=bool)
-        is_start[0] = True
-        is_start[1:] = users[1:] != users[:-1]
-        seg_start = np.maximum.accumulate(np.where(is_start, idx, 0))
-        lo = np.maximum(idx - (frame - 1), seg_start)
-        w = cum - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        w = windowed_sum(users, v, frame)
         return pd.DataFrame(
             {"event_id": df["event_id"].to_numpy(dtype=np.int64),
              "user_id": users,
@@ -2007,32 +2000,11 @@ def events_ntile(sf_dir: str, tiles: int = 4):
                  "user_id": np.array([], dtype=np.int64),
                  "tile": np.array([], dtype=np.int64)}
             )
-        idx = np.arange(n, dtype=np.int64)
-        is_start = np.empty(n, dtype=bool)
-        is_start[0] = True
-        is_start[1:] = users[1:] != users[:-1]
-        seg_start = np.maximum.accumulate(np.where(is_start, idx, 0))
-        starts = idx[is_start]
-        sizes = np.diff(np.append(starts, n))
-        seg_size = np.repeat(sizes, sizes)
-        pos = idx - seg_start  # 0-based rank within the user
-        # NTILE: big tiles (size // tiles + 1) first, `size % tiles` of
-        # them; remaining rows fall into small tiles of size // tiles
-        big = seg_size // tiles + 1
-        n_big = seg_size % tiles
-        big_span = n_big * big
-        in_big = pos < big_span
-        # avoid div-by-zero when size < tiles (small tile size 0): those
-        # groups put every row in a big tile, so the else-branch value
-        # is never selected for them
-        small = np.maximum(seg_size // tiles, 1)
-        tile = np.where(
-            in_big, pos // np.maximum(big, 1), n_big + (pos - big_span) // small
-        ) + 1
+        tile = ntile_assign(users, tiles)
         return pd.DataFrame(
             {"event_id": df["event_id"].to_numpy(dtype=np.int64),
              "user_id": users,
-             "tile": tile.astype(np.int64)}
+             "tile": tile}
         )
 
     return grouped_aggregate(events, ["user_id"], combine, num_partitions=32)
@@ -2046,6 +2018,57 @@ SELECT event_id, user_id,
        ) AS BIGINT) AS tile
 FROM events
 """
+
+
+def segment_starts(keys_sorted: np.ndarray) -> np.ndarray:
+    """For a SORTED key array: each row's index of its segment's first
+    row — the shared primitive behind every per-partition window kernel
+    here (moving frames, NTILE, LAG). Pure integer vector math."""
+    n = len(keys_sorted)
+    idx = np.arange(n, dtype=np.int64)
+    is_start = np.empty(n, dtype=bool)
+    if n == 0:
+        return idx
+    is_start[0] = True
+    is_start[1:] = keys_sorted[1:] != keys_sorted[:-1]
+    return np.maximum.accumulate(np.where(is_start, idx, 0))
+
+
+def windowed_sum(keys_sorted: np.ndarray, values: np.ndarray, frame: int) -> np.ndarray:
+    """ROWS-frame sum over the last ``frame`` rows per segment
+    (inclusive), clamped at each segment's start: cumsum minus the
+    cumsum ``frame`` rows back."""
+    n = len(values)
+    if n == 0:
+        return np.zeros(0, dtype=values.dtype)
+    cum = np.cumsum(values)
+    idx = np.arange(n, dtype=np.int64)
+    lo = np.maximum(idx - (frame - 1), segment_starts(keys_sorted))
+    return cum - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+
+
+def ntile_assign(keys_sorted: np.ndarray, tiles: int) -> np.ndarray:
+    """SQL NTILE over pre-sorted segments: the first ``size % tiles``
+    tiles get ``size // tiles + 1`` rows, the rest ``size // tiles`` —
+    computed for every row at once with integer vector math."""
+    n = len(keys_sorted)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    seg_start = segment_starts(keys_sorted)
+    starts = idx[np.append(True, keys_sorted[1:] != keys_sorted[:-1])]
+    sizes = np.diff(np.append(starts, n))
+    seg_size = np.repeat(sizes, sizes)
+    pos = idx - seg_start
+    big = seg_size // tiles + 1
+    n_big = seg_size % tiles
+    big_span = n_big * big
+    in_big = pos < big_span
+    small = np.maximum(seg_size // tiles, 1)
+    tile = np.where(
+        in_big, pos // np.maximum(big, 1), n_big + (pos - big_span) // small
+    ) + 1
+    return tile.astype(np.int64)
 
 
 def events_value_stats(sf_dir: str):
