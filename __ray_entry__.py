@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["inverted_index"] = textstats.inverted_index
     q["tfidf_top_terms"] = textstats.tfidf_top_terms
     q["heavy_hitters"] = textstats.heavy_hitters
+    from entity_extractor_linker_ray.ops import profile
+
+    q["table_profile"] = profile.table_profile
     # --- dedup family --------------------------------------------------
     q["dedup_exact"] = dedupe.exact_dedup
     q["dedup_minhash_candidates"] = dedupe.minhash_candidates
@@ -229,6 +232,9 @@ def oracle_sql() -> dict[str, str]:
     sql["corpus_cube"] = textstats.CORPUS_CUBE_ORACLE
     sql["inverted_index"] = textstats.INVERTED_INDEX_ORACLE
     sql["tfidf_top_terms"] = textstats.TFIDF_ORACLE
+    from entity_extractor_linker_ray.ops import profile
+
+    sql["table_profile"] = profile.table_profile_oracle()
     sql["dedup_exact"] = dedupe.EXACT_DEDUP_ORACLE
     sql["dedup_ngram_jaccard"] = dedupe.NGRAM_JACCARD_ORACLE
     from entity_extractor_linker_ray.ops import graph_algos

@@ -630,3 +630,46 @@ class TestInvariances:
             )
         split = _canon(events_moving_window(str(tmp_path)).to_pandas())
         pd.testing.assert_frame_equal(base, split)
+
+
+class TestTableProfile:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.ops.profile import (
+            table_profile,
+            table_profile_oracle,
+        )
+
+        got = _canon(table_profile(SF).to_pandas())
+        exp = _canon(
+            _oracle({"documents": f"{SF}/documents.parquet"},
+                    table_profile_oracle())
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_nulls_and_typed_extremes(self, ray_session, tmp_path):
+        """Nulls are excluded from min/max/distinct but counted in
+        n_nulls; integer extremes compare numerically (95 < 499 even
+        though '95' > '499' lexicographically), string extremes
+        lexicographically."""
+        from entity_extractor_linker_ray.ops.profile import table_profile
+
+        pd.DataFrame(
+            {"doc_id": [95, 499, 7, None],
+             "text": ["b", None, "a", "a"],
+             "lang": ["en", "en", "de", "de"],
+             "source": ["s", "s", "s", "s"],
+             "n_chars": [1, 2, 3, 4]}
+        ).to_parquet(tmp_path / "documents.parquet")
+        out = (
+            table_profile(str(tmp_path))
+            .to_pandas()
+            .set_index("column")
+        )
+        assert out.loc["doc_id", "n_nulls"] == 1
+        assert out.loc["doc_id", "min_val"] == "7"
+        assert out.loc["doc_id", "max_val"] == "499"
+        assert out.loc["doc_id", "n_distinct"] == 3
+        assert out.loc["text", "n_nulls"] == 1
+        assert out.loc["text", "n_distinct"] == 2
+        assert out.loc["text", "min_val"] == "a"
+        assert out.loc["lang", "n_distinct"] == 2
