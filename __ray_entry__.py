@@ -148,6 +148,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_clusters"] = graph_algos.duplicate_clusters
     q["kg_pagerank"] = graph_algos.kg_pagerank
     q["kg_triangles"] = graph_algos.kg_triangles
+    from entity_extractor_linker_ray.ops import cluster
+
+    q["kmeans_clusters"] = cluster.kmeans_clusters
+    from entity_extractor_linker_ray.pipelines import incremental
+
+    q["kg_nodes_incremental"] = incremental.kg_nodes_incremental
+    q["kg_edges_incremental"] = incremental.kg_edges_incremental
     from entity_extractor_linker_ray.pipelines import curation
 
     q["curate_documents"] = curation.curate_documents
@@ -196,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_moving_window"] = relational.events_moving_window
     q["latest_event_per_user"] = relational.latest_event_per_user
     q["events_ntile"] = relational.events_ntile
+    q["events_rank"] = relational.events_rank
     q["events_value_stats"] = relational.events_value_stats
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
@@ -274,9 +282,17 @@ def oracle_sql() -> dict[str, str]:
     sql["events_moving_window"] = relational.EVENTS_MOVING_WINDOW_ORACLE
     sql["latest_event_per_user"] = relational.LATEST_EVENT_PER_USER_ORACLE
     sql["events_ntile"] = relational.EVENTS_NTILE_ORACLE
+    sql["events_rank"] = relational.EVENTS_RANK_ORACLE
     sql["events_value_stats"] = relational.EVENTS_VALUE_STATS_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
+    from entity_extractor_linker_ray.ops import cluster
+
+    sql["kmeans_clusters"] = cluster.kmeans_oracle()
+    # incremental builds must be value-identical to the from-scratch
+    # builds — they share the simple_kg oracles verbatim
+    sql["kg_nodes_incremental"] = sql["kg_nodes"]
+    sql["kg_edges_incremental"] = sql["kg_edges"]
 
     from entity_extractor_linker_ray.ops import sampling
 

@@ -1,0 +1,237 @@
+"""Distributed k-means clustering over the ``embeddings`` table.
+
+Lloyd's algorithm in the canonical Ray Data shape: centroids are a
+k x dim array broadcast once per iteration (``ray.put``), every batch
+does ONE vectorized assignment (int64 distance expansion, no Python
+per-row work) and collapses itself to k x dim integer partial sums, so
+the per-iteration exchange is bounded by ``blocks * k * dim`` rows —
+independent of corpus size. The driver only ever touches those partials
+(the same bounded-collect pattern as ``kg_linked_counts``); vectors
+never leave their blocks.
+
+All arithmetic is integer fixed-point so the result is bit-identical
+at any parallelism AND replayable in SQL:
+
+* input elements are rounded to milli units half away from zero
+  (matching DuckDB ``round``), as in ``ann.label_centroids``;
+* assignment minimizes the exact integer squared L2 distance with ties
+  broken toward the lowest cluster id (``np.argmin`` first-occurrence
+  == ``row_number() ... ORDER BY d2, cluster``);
+* the centroid update is ``floor(sum / n + 0.5)`` (half-up), mirrored
+  in SQL as ``CAST(floor(s * 1.0 / n + 0.5) AS BIGINT)`` — sums stay
+  far below 2^53 so the float division is exact;
+* empty clusters keep their previous centroid (SQL ``LEFT JOIN`` +
+  ``CASE``).
+
+That makes the whole iteration SQL-expressible: :func:`kmeans_oracle`
+unrolls the fixed iteration count into one CTE pair (assign, update)
+per round — the same construction as ``graph_algos.kg_pagerank_oracle``
+— so the operator is value-hash-gated by the driver, not rows-only.
+
+Scale notes: each iteration is one streaming pass over the embeddings
+(re-read from parquet — at 100 TB you re-scan or pin a milli-encoded
+copy; both keep the exchange at k x dim partials). Initialisation is
+deterministic: cluster j starts at the embedding of ``vec_id == j``
+(k x dim values read driver-side with plain pyarrow — a distributed
+read for k rows is pure overhead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+K_CLUSTERS = 8
+N_ITERS = 3
+
+
+def _milli_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, n x dim int64 milli matrix) from an Arrow batch —
+    zero-copy flat values + offsets, reshaped (embeddings are
+    fixed-dim, asserted via the offsets)."""
+    col = batch.column("embedding").combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0)
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = np.diff(offsets)
+    dim = int(lengths[0])
+    if not (lengths == dim).all():  # ragged input is a data bug
+        raise ValueError("embeddings must be fixed-dimension")
+    milli = np.copysign(np.floor(np.abs(flat) * 1000.0 + 0.5), flat).astype(np.int64)
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, milli.reshape(len(ids), dim)
+
+
+def _assign(vecs: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact integer argmin assignment: ||v-c||^2 expanded as
+    vv - 2 v.c + cc, all int64 (elements ≲ 3e3 milli, dim 64 →
+    products ≲ 6e8, far from overflow). First-occurrence argmin is the
+    lowest-cluster-id tiebreak."""
+    vv = np.einsum("ij,ij->i", vecs, vecs)
+    cc = np.einsum("ij,ij->i", centroids, centroids)
+    d2 = vv[:, None] - 2 * (vecs @ centroids.T) + cc[None, :]
+    assign = np.argmin(d2, axis=1)
+    return assign, d2[np.arange(len(vecs)), assign]
+
+
+def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    table = table.filter(pc.less(table.column("vec_id"), k))
+    table = table.take(pc.sort_indices(table, sort_keys=[("vec_id", "ascending")]))
+    _, milli = _milli_matrix(table)
+    return milli
+
+
+def kmeans_clusters(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS):
+    """(vec_id, cluster, dist2) under the final centroids after
+    ``iters`` Lloyd iterations. ``dist2`` is the exact integer squared
+    L2 distance in milli units."""
+    import ray
+
+    from entity_extractor_linker_ray.ops.readers import read_split
+
+    embs = read_split(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    centroids = _init_centroids(sf_dir, k)
+    dim = centroids.shape[1]
+
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+
+        class UpdatePartials:
+            def __init__(self):
+                self.centroids = ray.get(c_ref)
+
+            def __call__(self, batch: pa.Table) -> pd.DataFrame:
+                _, vecs = _milli_matrix(batch)
+                assign, _ = _assign(vecs, self.centroids)
+                kk, dd = self.centroids.shape
+                sums = np.zeros((kk, dd), dtype=np.int64)
+                np.add.at(sums, assign, vecs)
+                counts = np.bincount(assign, minlength=kk).astype(np.int64)
+                return pd.DataFrame(
+                    {
+                        "cluster": np.repeat(np.arange(kk, dtype=np.int64), dd),
+                        "pos": np.tile(np.arange(dd, dtype=np.int64), kk),
+                        "s": sums.ravel(),
+                        "n": np.repeat(counts, dd),
+                    }
+                )
+
+        parts = embs.map_batches(
+            UpdatePartials, batch_format="pyarrow", concurrency=(1, 16)
+        ).to_pandas()  # ≤ blocks * k * dim short integer rows — bounded
+        agg = parts.groupby(["cluster", "pos"], sort=True).agg(
+            s=("s", "sum"), n=("n", "sum")
+        )
+        s = agg["s"].to_numpy().reshape(k, dim)
+        n = agg["n"].to_numpy().reshape(k, dim)
+        new = centroids.copy()
+        mask = n > 0
+        new[mask] = np.floor(s[mask] / n[mask] + 0.5).astype(np.int64)
+        centroids = new
+
+    final_ref = ray.put(centroids)
+
+    class FinalAssign:
+        def __init__(self):
+            self.centroids = ray.get(final_ref)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            ids, vecs = _milli_matrix(batch)
+            assign, d2 = _assign(vecs, self.centroids)
+            return pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cluster": assign.astype(np.int64),
+                    "dist2": d2.astype(np.int64),
+                }
+            )
+
+    return embs.map_batches(FinalAssign, batch_format="pyarrow", concurrency=(1, 16))
+
+
+def kmeans_local(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS) -> pd.DataFrame:
+    """Single-machine replica of :func:`kmeans_clusters` (same integer
+    rules, no Ray) — the third corner of the distributed ≡ local ≡ SQL
+    triangle asserted in tests."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    table = table.take(pc.sort_indices(table, sort_keys=[("vec_id", "ascending")]))
+    ids, vecs = _milli_matrix(table)
+    centroids = vecs[np.searchsorted(ids, np.arange(k))]
+    for _ in range(iters):
+        assign, _ = _assign(vecs, centroids)
+        new = centroids.copy()
+        for c in range(k):
+            members = vecs[assign == c]
+            if len(members):
+                new[c] = np.floor(
+                    members.sum(axis=0) / len(members) + 0.5
+                ).astype(np.int64)
+        centroids = new
+    assign, d2 = _assign(vecs, centroids)
+    return pd.DataFrame(
+        {"vec_id": ids, "cluster": assign.astype(np.int64), "dist2": d2.astype(np.int64)}
+    )
+
+
+def kmeans_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS) -> str:
+    """Unrolled-CTE DuckDB replay of the fixed-point iteration (one
+    assign/update CTE pair per round, as in ``kg_pagerank_oracle``)."""
+    parts = [
+        f"""v AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+         CAST(round(unnest(embedding) * 1000) AS BIGINT) AS milli
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cluster, pos, milli FROM v WHERE vec_id < {k})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY SUM((v.milli - c.milli) * (v.milli - c.milli)), c.cluster
+           ) AS rn
+    FROM v JOIN c{i - 1} c USING (pos)
+    GROUP BY v.vec_id, c.cluster
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT p.cluster, p.pos,
+         CASE WHEN m.n IS NULL THEN p.milli
+              ELSE CAST(floor(m.s * 1.0 / m.n + 0.5) AS BIGINT) END AS milli
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT a.cluster, v.pos, SUM(v.milli) AS s, COUNT(*) AS n
+    FROM a{i} a JOIN v USING (vec_id)
+    GROUP BY 1, 2
+  ) m ON m.cluster = p.cluster AND m.pos = p.pos
+)"""
+        )
+    final = f"""SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2 FROM (
+  SELECT v.vec_id, c.cluster,
+         SUM((v.milli - c.milli) * (v.milli - c.milli)) AS d2,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY SUM((v.milli - c.milli) * (v.milli - c.milli)), c.cluster
+         ) AS rn
+  FROM v JOIN c{iters} c USING (pos)
+  GROUP BY v.vec_id, c.cluster
+) WHERE rn = 1"""
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -2020,6 +2020,75 @@ FROM events
 """
 
 
+def events_rank(sf_dir: str):
+    """RANK + DENSE_RANK per user over value (descending) — the
+    leaderboard/window-ranking shape.  Like NTILE, a partition must be
+    ranked whole (a row's rank depends on every tied/greater row in its
+    partition), so the shape is ONE bucketed user shuffle + a single
+    vectorized pass per bucket: stable sort by
+    (user, -value_centi, event_id), tie runs found via
+    :func:`segment_starts` over the composite (user, value) key, then
+
+    * ``rank``       = run_start_index − user_segment_start + 1
+    * ``dense_rank`` = #runs since the user segment started
+
+    both as pure integer vector math (no per-user Python).  Ties share
+    a rank in BOTH engines by construction, so the output is
+    order-independent and hash-stable; value→centi uses half-up
+    ``floor(x*100+0.5)`` mirrored literally in the oracle."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"event_id": np.array([], dtype=np.int64),
+                 "user_id": np.array([], dtype=np.int64),
+                 "rnk": np.array([], dtype=np.int64),
+                 "rnk_dense": np.array([], dtype=np.int64)}
+            )
+        df = bucket.copy()
+        df["neg_centi"] = -_round_half_up(df["value"].to_numpy() * 100.0)
+        df = df.sort_values(["user_id", "neg_centi", "event_id"], kind="stable")
+        users = df["user_id"].to_numpy(dtype=np.int64)
+        neg = df["neg_centi"].to_numpy(dtype=np.int64)
+        idx = np.arange(len(df), dtype=np.int64)
+        useg = segment_starts(users)
+        # composite (user, value) runs: a run starts where either changes
+        run_start = np.empty(len(df), dtype=bool)
+        run_start[0] = True
+        run_start[1:] = (users[1:] != users[:-1]) | (neg[1:] != neg[:-1])
+        vstart = np.maximum.accumulate(np.where(run_start, idx, 0))
+        runs = np.cumsum(run_start.astype(np.int64))
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(dtype=np.int64),
+             "user_id": users,
+             "rnk": vstart - useg + 1,
+             "rnk_dense": runs - runs[useg] + 1}
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine, num_partitions=32)
+
+
+EVENTS_RANK_ORACLE = """
+SELECT event_id, user_id,
+       RANK() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC
+       ) AS rnk,
+       DENSE_RANK() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC
+       ) AS rnk_dense
+FROM events
+"""
+
+
 def segment_starts(keys_sorted: np.ndarray) -> np.ndarray:
     """For a SORTED key array: each row's index of its segment's first
     row — the shared primitive behind every per-partition window kernel
