@@ -176,6 +176,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "top_revenue_orders",
         "local_supplier_revenue",
         "label_centroids",
+        "kmeans_clusters",
+        "kg_nodes_incremental",
+        "events_rank",
     ]
     times: dict[str, float] = {}
     for name in names:

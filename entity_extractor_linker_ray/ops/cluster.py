@@ -1,7 +1,8 @@
 """Distributed k-means clustering over the ``embeddings`` table.
 
 Lloyd's algorithm in the canonical Ray Data shape: centroids are a
-k x dim array broadcast once per iteration (``ray.put``), every batch
+k x dim array shipped per iteration in the task closure (tiny state —
+an actor pool would pay spin-up per iteration for nothing), every batch
 does ONE vectorized assignment (int64 distance expansion, no Python
 per-row work) and collapses itself to k x dim integer partial sums, so
 the per-iteration exchange is bounded by ``blocks * k * dim`` rows —
@@ -93,39 +94,44 @@ def kmeans_clusters(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS):
     """(vec_id, cluster, dist2) under the final centroids after
     ``iters`` Lloyd iterations. ``dist2`` is the exact integer squared
     L2 distance in milli units."""
-    import ray
+    import ray.data as rd
 
-    from entity_extractor_linker_ray.ops.readers import read_split
-
-    embs = read_split(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # One read, pinned for the iteration loop: k-means makes iters+1
+    # passes over the SAME data, so the working set is materialized
+    # once (the canonical iterative-ML cache, as Spark MLlib does) —
+    # re-reading parquet per pass costs a full scan + decode each
+    # round. Default block sizing: the assignment kernel is one cheap
+    # matmul per batch, so forcing read_split's 2-blocks-per-CPU here
+    # just buys scheduling overhead.
+    embs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
     centroids = _init_centroids(sf_dir, k)
     dim = centroids.shape[1]
 
+    # Plain task functions, NOT actor pools: the per-iteration state is
+    # one k x dim int64 array (~4 KB) — closure capture ships it with
+    # each task for free, while an actor pool would pay pool spin-up
+    # once per iteration (measured: the pools dominated the wall).
+    def update_partials(batch: pa.Table, *, c: np.ndarray) -> pd.DataFrame:
+        _, vecs = _milli_matrix(batch)
+        assign, _ = _assign(vecs, c)
+        kk, dd = c.shape
+        sums = np.zeros((kk, dd), dtype=np.int64)
+        np.add.at(sums, assign, vecs)
+        counts = np.bincount(assign, minlength=kk).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "cluster": np.repeat(np.arange(kk, dtype=np.int64), dd),
+                "pos": np.tile(np.arange(dd, dtype=np.int64), kk),
+                "s": sums.ravel(),
+                "n": np.repeat(counts, dd),
+            }
+        )
+
     for _ in range(iters):
-        c_ref = ray.put(centroids)
-
-        class UpdatePartials:
-            def __init__(self):
-                self.centroids = ray.get(c_ref)
-
-            def __call__(self, batch: pa.Table) -> pd.DataFrame:
-                _, vecs = _milli_matrix(batch)
-                assign, _ = _assign(vecs, self.centroids)
-                kk, dd = self.centroids.shape
-                sums = np.zeros((kk, dd), dtype=np.int64)
-                np.add.at(sums, assign, vecs)
-                counts = np.bincount(assign, minlength=kk).astype(np.int64)
-                return pd.DataFrame(
-                    {
-                        "cluster": np.repeat(np.arange(kk, dtype=np.int64), dd),
-                        "pos": np.tile(np.arange(dd, dtype=np.int64), kk),
-                        "s": sums.ravel(),
-                        "n": np.repeat(counts, dd),
-                    }
-                )
-
         parts = embs.map_batches(
-            UpdatePartials, batch_format="pyarrow", concurrency=(1, 16)
+            update_partials, batch_format="pyarrow", fn_kwargs={"c": centroids}
         ).to_pandas()  # ≤ blocks * k * dim short integer rows — bounded
         agg = parts.groupby(["cluster", "pos"], sort=True).agg(
             s=("s", "sum"), n=("n", "sum")
@@ -137,24 +143,20 @@ def kmeans_clusters(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS):
         new[mask] = np.floor(s[mask] / n[mask] + 0.5).astype(np.int64)
         centroids = new
 
-    final_ref = ray.put(centroids)
+    def final_assign(batch: pa.Table, *, c: np.ndarray) -> pd.DataFrame:
+        ids, vecs = _milli_matrix(batch)
+        assign, d2 = _assign(vecs, c)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": assign.astype(np.int64),
+                "dist2": d2.astype(np.int64),
+            }
+        )
 
-    class FinalAssign:
-        def __init__(self):
-            self.centroids = ray.get(final_ref)
-
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            ids, vecs = _milli_matrix(batch)
-            assign, d2 = _assign(vecs, self.centroids)
-            return pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "cluster": assign.astype(np.int64),
-                    "dist2": d2.astype(np.int64),
-                }
-            )
-
-    return embs.map_batches(FinalAssign, batch_format="pyarrow", concurrency=(1, 16))
+    return embs.map_batches(
+        final_assign, batch_format="pyarrow", fn_kwargs={"c": centroids}
+    )
 
 
 def kmeans_local(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS) -> pd.DataFrame:
