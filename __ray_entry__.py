@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_linker_ray.ops import cluster
 
     q["kmeans_clusters"] = cluster.kmeans_clusters
+    q["dedup_semantic_pairs"] = cluster.semantic_dup_pairs
     from entity_extractor_linker_ray.pipelines import incremental
 
     q["kg_nodes_incremental"] = incremental.kg_nodes_incremental
@@ -204,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["latest_event_per_user"] = relational.latest_event_per_user
     q["events_ntile"] = relational.events_ntile
     q["events_rank"] = relational.events_rank
+    q["events_funnel"] = relational.events_funnel
     q["events_value_stats"] = relational.events_value_stats
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
@@ -283,12 +285,14 @@ def oracle_sql() -> dict[str, str]:
     sql["latest_event_per_user"] = relational.LATEST_EVENT_PER_USER_ORACLE
     sql["events_ntile"] = relational.EVENTS_NTILE_ORACLE
     sql["events_rank"] = relational.EVENTS_RANK_ORACLE
+    sql["events_funnel"] = relational.EVENTS_FUNNEL_ORACLE
     sql["events_value_stats"] = relational.EVENTS_VALUE_STATS_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     from entity_extractor_linker_ray.ops import cluster
 
     sql["kmeans_clusters"] = cluster.kmeans_oracle()
+    sql["dedup_semantic_pairs"] = cluster.semantic_dup_oracle()
     # incremental builds must be value-identical to the from-scratch
     # builds — they share the simple_kg oracles verbatim
     sql["kg_nodes_incremental"] = sql["kg_nodes"]

@@ -179,6 +179,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "kmeans_clusters",
         "kg_nodes_incremental",
         "events_rank",
+        "dedup_semantic_pairs",
+        "events_funnel",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -90,10 +90,10 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
     return milli
 
 
-def kmeans_clusters(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS):
-    """(vec_id, cluster, dist2) under the final centroids after
-    ``iters`` Lloyd iterations. ``dist2`` is the exact integer squared
-    L2 distance in milli units."""
+def _fit(sf_dir: str, k: int, iters: int):
+    """(pinned embeddings Dataset, final centroids) after ``iters``
+    Lloyd rounds — shared by :func:`kmeans_clusters` and
+    :func:`semantic_dup_pairs`."""
     import ray.data as rd
 
     # One read, pinned for the iteration loop: k-means makes iters+1
@@ -143,6 +143,15 @@ def kmeans_clusters(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS):
         new[mask] = np.floor(s[mask] / n[mask] + 0.5).astype(np.int64)
         centroids = new
 
+    return embs, centroids
+
+
+def kmeans_clusters(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS):
+    """(vec_id, cluster, dist2) under the final centroids after
+    ``iters`` Lloyd iterations. ``dist2`` is the exact integer squared
+    L2 distance in milli units."""
+    embs, centroids = _fit(sf_dir, k, iters)
+
     def final_assign(batch: pa.Table, *, c: np.ndarray) -> pd.DataFrame:
         ids, vecs = _milli_matrix(batch)
         assign, d2 = _assign(vecs, c)
@@ -156,6 +165,116 @@ def kmeans_clusters(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS):
 
     return embs.map_batches(
         final_assign, batch_format="pyarrow", fn_kwargs={"c": centroids}
+    )
+
+
+SEMANTIC_DUP_THRESHOLD = 1_300_000  # milli^2; vectors are unit-norm (median
+# pairwise dist2 ≈ 2e6), so this keeps roughly the closest ~0.2% of pairs
+
+
+def semantic_dup_pairs(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS,
+                       threshold: int = SEMANTIC_DUP_THRESHOLD,
+                       max_cell: int | None = None):
+    """Clustering-assisted embedding near-dup: all pairs within the
+    SAME k-means cell at squared L2 distance ≤ ``threshold`` — the
+    exact-within-cell variant of ``dedupe.embedding_neardup``. The
+    k-means cells bound the all-pairs blow-up to Σ|cell|² instead of
+    n² (choose k ∝ n/target_cell for a constant per-cell cost), and
+    because the fixed-point clustering is SQL-replayable this near-dup
+    IS oracle-gated, unlike the LSH variants. Caveat shared with every
+    bucketed near-dup (IVF, LSH): a pair straddling a cell boundary is
+    missed; the planted-pair test plants INSIDE a cell.
+
+    One extra exchange after the fit: vectors shuffle by final cell,
+    each bucket runs one vectorized distance expansion per cell.
+    ``max_cell`` (off by default — the oracle has no cap) truncates
+    oversized cells defensively at scale, logging what was dropped."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    embs, centroids = _fit(sf_dir, k, iters)
+
+    def tag(batch: pa.Table, *, c: np.ndarray) -> pd.DataFrame:
+        ids, vecs = _milli_matrix(batch)
+        assign, _ = _assign(vecs, c)
+        return pd.DataFrame(
+            {
+                "cluster": assign.astype(np.int64),
+                "vec_id": ids,
+                "milli": list(vecs),  # int64 rows; Arrow list column
+            }
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        for _, g in bucket.groupby("cluster", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("vec_id")
+            if max_cell is not None and len(g) > max_cell:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "semantic_dup_pairs: truncating cell of %d to %d",
+                    len(g), max_cell,
+                )
+                g = g.head(max_cell)
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack(g["milli"].to_numpy())
+            vv = np.einsum("ij,ij->i", m, m)
+            d2 = vv[:, None] - 2 * (m @ m.T) + vv[None, :]
+            ai, bi = np.triu_indices(len(g), 1)
+            keep = d2[ai, bi] <= threshold
+            out_a.append(ids[ai[keep]])
+            out_b.append(ids[bi[keep]])
+            out_d.append(d2[ai[keep], bi[keep]])
+        if not out_a:
+            return pd.DataFrame(
+                {"a_id": np.array([], dtype=np.int64),
+                 "b_id": np.array([], dtype=np.int64),
+                 "dist2": np.array([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"a_id": np.concatenate(out_a),
+             "b_id": np.concatenate(out_b),
+             "dist2": np.concatenate(out_d)}
+        ).astype({"a_id": np.int64, "b_id": np.int64, "dist2": np.int64})
+
+    tagged = embs.map_batches(tag, batch_format="pyarrow", fn_kwargs={"c": centroids})
+    return grouped_aggregate(tagged, ["cluster"], combine, num_partitions=8)
+
+
+def semantic_dup_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS,
+                        threshold: int = SEMANTIC_DUP_THRESHOLD) -> str:
+    """Same unrolled CTEs as :func:`kmeans_oracle`, then a same-cell
+    self-join with the exact integer pair distance."""
+    base = kmeans_oracle(k, iters)
+    # reuse everything up to the final SELECT, which we rename into a
+    # CTE and extend with the pair join
+    with_part, final_select = base.rsplit("SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2 FROM (", 1)
+    return (
+        with_part
+        + f""",
+af AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY SUM((v.milli - c.milli) * (v.milli - c.milli)), c.cluster
+           ) AS rn
+    FROM v JOIN c{iters} c USING (pos)
+    GROUP BY v.vec_id, c.cluster
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM af x JOIN af y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+)
+SELECT p.a_id, p.b_id, CAST(SUM((va.milli - vb.milli) * (va.milli - vb.milli)) AS BIGINT) AS dist2
+FROM p
+JOIN v va ON va.vec_id = p.a_id
+JOIN v vb ON vb.vec_id = p.b_id AND vb.pos = va.pos
+GROUP BY 1, 2
+HAVING SUM((va.milli - vb.milli) * (va.milli - vb.milli)) <= {threshold}"""
     )
 
 

@@ -2089,6 +2089,90 @@ FROM events
 """
 
 
+FUNNEL_FROM = "click"
+FUNNEL_TO = "purchase"
+FUNNEL_WINDOW_US = 14_400_000_000  # 4 hours
+
+
+def events_funnel(sf_dir: str):
+    """Two-step funnel conversion: for every user who ever clicked,
+    did a purchase follow their FIRST click within four hours — the
+    sequence-analytics shape (funnel/retention/attribution) that needs
+    a user's whole event stream co-located.
+
+    One bucketed user shuffle; the per-batch partial drops every row
+    that is neither funnel step and projects to (user, ts_us, step)
+    BEFORE the exchange, so the shuffle moves only funnel-relevant
+    integers. The per-bucket combine is three vectorized groupbys
+    (min-click per user, window test on purchase rows, any() per
+    user) — no per-user Python. Integer epoch-microseconds end-to-end
+    so the EXISTS-window oracle hashes exactly."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = batch["event_type"].isin([FUNNEL_FROM, FUNNEL_TO])
+        b = batch[mask]
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(dtype=np.int64),
+                "ts_us": b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64),
+                "step": (b["event_type"] == FUNNEL_TO).to_numpy(dtype=np.int64),
+            }
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"user_id": np.array([], dtype=np.int64),
+                 "first_click_us": np.array([], dtype=np.int64),
+                 "converted": np.array([], dtype=np.int64)}
+            )
+        first = (
+            bucket[bucket["step"] == 0]
+            .groupby("user_id", sort=True)["ts_us"]
+            .min()
+            .rename("first_click_us")
+        )
+        to_rows = bucket[bucket["step"] == 1].merge(
+            first, left_on="user_id", right_index=True
+        )
+        in_window = to_rows[
+            (to_rows["ts_us"] > to_rows["first_click_us"])
+            & (to_rows["ts_us"] <= to_rows["first_click_us"] + FUNNEL_WINDOW_US)
+        ]
+        converted = set(in_window["user_id"].to_numpy())
+        out = first.reset_index()
+        out["converted"] = out["user_id"].isin(converted).to_numpy(dtype=np.int64)
+        return out.astype(
+            {"user_id": np.int64, "first_click_us": np.int64, "converted": np.int64}
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine, partial=partial,
+                             num_partitions=32)
+
+
+EVENTS_FUNNEL_ORACLE = f"""
+WITH fa AS (
+  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS first_click_us
+  FROM events WHERE event_type = '{FUNNEL_FROM}' GROUP BY 1
+)
+SELECT fa.user_id, fa.first_click_us,
+       CAST(CASE WHEN EXISTS (
+         SELECT 1 FROM events e
+         WHERE e.user_id = fa.user_id AND e.event_type = '{FUNNEL_TO}'
+           AND epoch_us(e.ts) > fa.first_click_us
+           AND epoch_us(e.ts) <= fa.first_click_us + {FUNNEL_WINDOW_US}
+       ) THEN 1 ELSE 0 END AS BIGINT) AS converted
+FROM fa
+"""
+
+
 def segment_starts(keys_sorted: np.ndarray) -> np.ndarray:
     """For a SORTED key array: each row's index of its segment's first
     row — the shared primitive behind every per-partition window kernel

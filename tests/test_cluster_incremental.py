@@ -71,6 +71,72 @@ class TestKMeans:
         assert (out["dist2"] >= 0).all()
 
 
+class TestSemanticDupPairs:
+    def test_planted_pair_found_and_oracle_matches(self, ray_session, tmp_path):
+        import duckdb
+
+        rng = np.random.default_rng(11)
+        dim, per = 16, 20
+        centers = rng.standard_normal((2, dim)) * 10
+        vecs = []
+        for c in range(2):
+            vecs.extend(centers[c] + 0.5 * rng.standard_normal((per, dim)))
+        vecs = np.stack(vecs)
+        # plant a near-duplicate of vector 5 deep inside blob 0
+        vecs[7] = vecs[5] + 0.001 * rng.standard_normal(dim)
+        # seed rows for k=2: vec_id 0 (blob 0) and 1 -> move one blob-1
+        # member to position 1
+        vecs[[1, per]] = vecs[[per, 1]]
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(vecs), dtype=np.int64),
+                "embedding": list(np.asarray(vecs, dtype=np.float32)),
+            }
+        ).to_parquet(tmp_path / "embeddings.parquet")
+
+        from entity_extractor_linker_ray.ops.cluster import (
+            semantic_dup_oracle,
+            semantic_dup_pairs,
+        )
+
+        thresh = 10_000  # milli^2 — catches only the planted near-pair
+        got = _canon(
+            semantic_dup_pairs(str(tmp_path), k=2, iters=2, threshold=thresh)
+            .to_pandas()
+        )
+        assert (5, 7) in set(zip(got["a_id"], got["b_id"]))
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/embeddings.parquet')"
+        )
+        want = _canon(
+            con.execute(semantic_dup_oracle(k=2, iters=2, threshold=thresh)).fetchdf()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestEventsFunnel:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_FUNNEL_ORACLE,
+            events_funnel,
+        )
+
+        sf = "/root/testdata/sf0.01"  # sf0.001 has zero conversions
+        got = _canon(events_funnel(sf).to_pandas())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        want = _canon(con.execute(EVENTS_FUNNEL_ORACLE).fetchdf())
+        assert len(got) > 0 and got["converted"].sum() > 0  # non-degenerate
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 class TestIncrementalGraph:
     def test_three_way_merge_equals_direct(self, ray_session):
         from entity_extractor_linker_ray.pipelines.incremental import (
