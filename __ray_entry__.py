@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_linker_ray.ops import graph_algos
 
     q["dedup_clusters"] = graph_algos.duplicate_clusters
+    q["dedup_survivors"] = graph_algos.dedup_survivors
     q["kg_pagerank"] = graph_algos.kg_pagerank
     q["kg_triangles"] = graph_algos.kg_triangles
     from entity_extractor_linker_ray.ops import cluster
@@ -192,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_daily_distinct"] = relational.events_daily_distinct
     q["events_daily_users_approx"] = relational.events_daily_users_approx
     q["events_user_pivot"] = relational.events_user_pivot
+    q["events_unpivot"] = relational.events_unpivot
+    q["user_journeys"] = relational.user_journeys
     q["lineitem_pricing"] = relational.lineitem_pricing
     q["orders_customer_join"] = relational.orders_customer_join
     q["order_lineitem_rollup"] = relational.order_lineitem_rollup
@@ -250,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_linker_ray.ops import graph_algos
 
     sql["dedup_clusters"] = graph_algos.duplicate_clusters_oracle()
+    sql["dedup_survivors"] = graph_algos.dedup_survivors_oracle()
     from entity_extractor_linker_ray.pipelines import curation
 
     sql["curate_documents"] = curation.curate_oracle()
@@ -272,6 +276,8 @@ def oracle_sql() -> dict[str, str]:
     sql["events_sessionize"] = relational.EVENTS_SESSIONIZE_ORACLE
     sql["events_daily_distinct"] = relational.EVENTS_DAILY_DISTINCT_ORACLE
     sql["events_user_pivot"] = relational.EVENTS_USER_PIVOT_ORACLE
+    sql["events_unpivot"] = relational.EVENTS_UNPIVOT_ORACLE
+    sql["user_journeys"] = relational.USER_JOURNEYS_ORACLE
     sql["lineitem_pricing"] = relational.LINEITEM_PRICING_ORACLE
     sql["orders_customer_join"] = relational.ORDERS_JOIN_ORACLE
     sql["order_lineitem_rollup"] = relational.ORDER_LINEITEM_ROLLUP_ORACLE

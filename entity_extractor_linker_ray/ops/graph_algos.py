@@ -142,6 +142,106 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 25):
     )
 
 
+def dedup_survivors(sf_dir: str):
+    """Survivorship policy over the near-dup components: per cluster,
+    keep the doc with the MOST tokens (doc_id tiebreak) and report the
+    member count — the canonical-record-selection step that turns a
+    duplicate clustering into an actual deduped corpus.
+
+    Join shape: cluster rows and per-doc token counts meet in ONE
+    bucketed exchange keyed on hash(doc_id) (tagged union, vectorized
+    merge per bucket — the `_pair_payload_join` shape, never a driver
+    collect or corpus broadcast even though clusters are usually the
+    small side), then the per-cluster argmax is a second, tiny
+    exchange bounded by pair-involved docs. Token counts use the same
+    space-count formula as the ``doc_stats`` oracle."""
+    from entity_extractor_linker_ray.ops.readers import read_split
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    clusters = duplicate_clusters(sf_dir)
+
+    def tag_clusters(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+             "cluster_id": batch["cluster_id"].to_numpy(dtype=np.int64),
+             "n_tokens": np.full(len(batch), -1, dtype=np.int64)}
+        )
+
+    def tag_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        n = text.str.len().to_numpy(dtype=np.int64)
+        spaces = (n - text.str.replace(" ", "", regex=False).str.len().to_numpy(
+            dtype=np.int64))
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+             "cluster_id": np.full(len(batch), -1, dtype=np.int64),
+             "n_tokens": np.where(n == 0, 0, spaces + 1).astype(np.int64)}
+        )
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tagged = clusters.map_batches(tag_clusters, batch_format="pandas").union(
+        docs.map_batches(tag_tokens, batch_format="pandas")
+    )
+
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = bucket[bucket["cluster_id"] >= 0][["doc_id", "cluster_id"]]
+        t = bucket[bucket["cluster_id"] < 0][["doc_id", "n_tokens"]]
+        out = c.merge(t, on="doc_id")
+        return out.astype(
+            {"doc_id": np.int64, "cluster_id": np.int64, "n_tokens": np.int64}
+        )
+
+    joined = grouped_aggregate(tagged, ["doc_id"], join_bucket, num_partitions=16)
+
+    def pick(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"cluster_id": np.array([], dtype=np.int64),
+                 "survivor_id": np.array([], dtype=np.int64),
+                 "survivor_tokens": np.array([], dtype=np.int64),
+                 "n_members": np.array([], dtype=np.int64)}
+            )
+        df = bucket.copy()
+        df["neg_tokens"] = -df["n_tokens"].to_numpy(dtype=np.int64)
+        df = df.sort_values(["cluster_id", "neg_tokens", "doc_id"], kind="stable")
+        sizes = df.groupby("cluster_id", sort=True).size()
+        first = df.drop_duplicates("cluster_id", keep="first").sort_values(
+            "cluster_id"
+        )
+        return pd.DataFrame(
+            {"cluster_id": first["cluster_id"].to_numpy(dtype=np.int64),
+             "survivor_id": first["doc_id"].to_numpy(dtype=np.int64),
+             "survivor_tokens": first["n_tokens"].to_numpy(dtype=np.int64),
+             "n_members": sizes.to_numpy(dtype=np.int64)}
+        )
+
+    return grouped_aggregate(joined, ["cluster_id"], pick, num_partitions=8)
+
+
+def dedup_survivors_oracle() -> str:
+    return f"""
+WITH clus AS ({duplicate_clusters_oracle().strip()}),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN length(COALESCE(text, '')) = 0 THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens
+  FROM documents
+),
+j AS (SELECT c.cluster_id, c.doc_id, t.n_tokens FROM clus c JOIN tok t USING (doc_id)),
+r AS (
+  SELECT cluster_id, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tokens DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM j
+)
+SELECT cluster_id, doc_id AS survivor_id,
+       CAST(n_tokens AS BIGINT) AS survivor_tokens,
+       CAST(n_members AS BIGINT) AS n_members
+FROM r WHERE rn = 1
+"""
+
+
 def duplicate_clusters_oracle() -> str:
     from entity_extractor_linker_ray.ops.dedupe import NGRAM_JACCARD_ORACLE
 

@@ -834,6 +834,102 @@ FROM events GROUP BY user_id
 """
 
 
+def events_unpivot(sf_dir: str):
+    """Wide-to-long (UNPIVOT/melt): the per-user crosstab back to one
+    (user_id, event_type, n) row per cell, zeros included — the
+    inverse of :func:`events_user_pivot` and the shape feature stores
+    want. Melting is embarrassingly row-local, so it rides the pivot's
+    bucketed aggregate and adds ONE stateless vectorized map (np.repeat
+    the key column, np.tile the type labels, ravel the count block) —
+    no extra shuffle, no per-row Python."""
+    cols = [f"n_{t}" for t in EVENT_PIVOT_TYPES]
+    types = np.array(list(EVENT_PIVOT_TYPES))
+
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = batch[cols].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(batch["user_id"].to_numpy(np.int64), len(cols)),
+                "event_type": np.tile(types, len(batch)),
+                "n": counts.ravel(),
+            }
+        )
+
+    return events_user_pivot(sf_dir).map_batches(melt, batch_format="pandas")
+
+
+EVENTS_UNPIVOT_ORACLE = f"""
+WITH p AS ({EVENTS_USER_PIVOT_ORACLE})
+SELECT user_id, 'click' AS event_type, CAST(n_click AS BIGINT) AS n FROM p
+UNION ALL SELECT user_id, 'error', CAST(n_error AS BIGINT) FROM p
+UNION ALL SELECT user_id, 'purchase', CAST(n_purchase AS BIGINT) FROM p
+UNION ALL SELECT user_id, 'signup', CAST(n_signup AS BIGINT) FROM p
+UNION ALL SELECT user_id, 'view', CAST(n_view AS BIGINT) FROM p
+"""
+
+
+def user_journeys(sf_dir: str):
+    """Ordered string aggregation: each user's full event sequence as
+    a string of event-type initials in (ts, event_id) order — the
+    "customer journey" / session-path feature behind sequence mining.
+
+    Ordered STRING_AGG needs the whole partition ordered in one place,
+    so: bucketed user shuffle, then per bucket one stable sort, one
+    C-level join of ALL initials into a single buffer, and per-user
+    slices at the segment boundaries — O(users) cheap slice operations,
+    never a per-row Python loop. Order ties broken by event_id exactly
+    as in the oracle's ``ORDER BY ts, event_id``."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(dtype=np.int64),
+                "ts_us": batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64),
+                "event_id": batch["event_id"].to_numpy(dtype=np.int64),
+                "initial": batch["event_type"].str[0],
+            }
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"user_id": np.array([], dtype=np.int64),
+                 "n_events": np.array([], dtype=np.int64),
+                 "journey": pd.Series([], dtype=str)}
+            )
+        df = bucket.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        users = df["user_id"].to_numpy(dtype=np.int64)
+        big = "".join(df["initial"].tolist())
+        starts = np.flatnonzero(
+            np.concatenate(([True], users[1:] != users[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(users)]))
+        return pd.DataFrame(
+            {
+                "user_id": users[starts],
+                "n_events": (ends - starts).astype(np.int64),
+                "journey": [big[s:e] for s, e in zip(starts, ends)],
+            }
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine, partial=partial,
+                             num_partitions=32)
+
+
+USER_JOURNEYS_ORACLE = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+FROM events GROUP BY user_id
+"""
+
+
 HLL_P = 12  # 2^12 registers/day: ~1.6% standard error, 4 KiB per day
 
 

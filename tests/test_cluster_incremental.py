@@ -215,3 +215,31 @@ class TestEventsRank:
         df = con.execute(EVENTS_RANK_ORACLE).fetchdf().sort_values("event_id")
         assert list(df["rnk"]) == [1, 1, 3, 1]
         assert list(df["rnk_dense"]) == [1, 1, 2, 1]
+
+
+class TestDedupSurvivors:
+    def test_matches_duckdb_and_policy(self, ray_session):
+        import duckdb
+
+        from entity_extractor_linker_ray.ops.graph_algos import (
+            dedup_survivors,
+            dedup_survivors_oracle,
+            duplicate_clusters,
+        )
+
+        sf = "/root/testdata/sf0.01"  # sf0.001 may have no dup pairs
+        got = _canon(dedup_survivors(sf).to_pandas())
+        assert len(got) > 0 and (got["n_members"] >= 2).all()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = _canon(con.execute(dedup_survivors_oracle()).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # every survivor is a member of its own cluster
+        clus = duplicate_clusters(sf).to_pandas()
+        members = set(zip(clus["cluster_id"], clus["doc_id"]))
+        assert all(
+            (c, s) in members
+            for c, s in zip(got["cluster_id"], got["survivor_id"])
+        )

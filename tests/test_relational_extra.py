@@ -673,3 +673,43 @@ class TestTableProfile:
         assert out.loc["text", "n_distinct"] == 2
         assert out.loc["text", "min_val"] == "a"
         assert out.loc["lang", "n_distinct"] == 2
+
+
+class TestUnpivotAndJourneys:
+    def test_unpivot_matches_duckdb_and_inverts_pivot(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_UNPIVOT_ORACLE,
+            events_unpivot,
+        )
+
+        got = _canon(events_unpivot(SF).to_pandas())
+        exp = _canon(_oracle({"events": f"{SF}/events.parquet"},
+                             EVENTS_UNPIVOT_ORACLE))
+        pd.testing.assert_frame_equal(got, exp)
+        # long form re-aggregates to the raw counts (zeros included)
+        raw = _oracle(
+            {"events": f"{SF}/events.parquet"},
+            "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1, 2",
+        )
+        merged = got.merge(
+            raw, on=["event_type", "user_id"], how="left", suffixes=("", "_raw")
+        )
+        merged["n_raw"] = merged["n_raw"].fillna(0).astype(np.int64)
+        assert (merged["n"] == merged["n_raw"]).all()
+
+    def test_journeys_match_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            USER_JOURNEYS_ORACLE,
+            user_journeys,
+        )
+
+        got = user_journeys(SF).to_pandas().sort_values("user_id").reset_index(drop=True)
+        exp = (
+            _oracle({"events": f"{SF}/events.parquet"}, USER_JOURNEYS_ORACLE)
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["journey"]) == list(exp["journey"])
+        assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+        assert (got["journey"].str.len() == got["n_events"]).all()
