@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_totals"] = textstats.token_totals
     q["quality_scores"] = textstats.quality_scores
     q["fingerprints"] = textstats.fingerprints
+    q["kgram_fingerprints"] = textstats.kgram_fingerprints
     q["lang_id"] = textstats.lang_id
     q["top_terms_per_lang"] = textstats.top_terms_per_lang
     q["corpus_rollup"] = textstats.corpus_rollup
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql = dict(simple_kg.oracle_sql())
     sql.update(textstats.TEXT_ORACLES)
+    sql["kgram_fingerprints"] = textstats.kgram_fingerprints_oracle()
     sql["top_terms_per_lang"] = textstats.TOP_TERMS_ORACLE
     sql["corpus_rollup"] = textstats.CORPUS_ROLLUP_ORACLE
     sql["corpus_cube"] = textstats.CORPUS_CUBE_ORACLE

@@ -162,6 +162,77 @@ def fingerprints(sf_dir: str):
     return docs.map_batches(kernel, batch_format="pandas")
 
 
+FP_K = 8  # k-gram width
+FP_BASE = 257  # polynomial base (> any code point byte)
+FP_MOD = 2_147_483_647  # 2^31 - 1; keeps every intermediate in int64
+FP_SELECT = 16  # keep grams with h % 16 == 0 (~1/16 of positions)
+_FP_POWERS = np.array(
+    [pow(FP_BASE, j, FP_MOD) for j in range(FP_K)], dtype=np.int64
+)
+
+
+def kgram_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints (the winnowing-family
+    scheme): every k-character gram gets a polynomial hash
+    ``Σ code[i+j]·B^j mod M`` and the document keeps the DISTINCT
+    hashes with ``h % 16 == 0`` — the classic 0-mod-p selection, so two
+    documents sharing long substrings share fingerprints regardless of
+    alignment. Output is (doc_id, fp) — a few selected integers per
+    document, the index rows a copy-detection / containment system
+    stores.
+
+    Vectorized per batch: code points via one ``utf-32`` reinterpret
+    (bit-identical to SQL ``unicode()``), all gram hashes in one
+    sliding-window int64 matmul (intermediates ≤ 2^44, far from
+    overflow), selection + dedup via numpy. Embarrassingly row-local —
+    zero shuffle; the oracle replays the same arithmetic through
+    ``unnest(range(...))``."""
+    import ray.data as rd
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_fps = [], []
+        for doc_id, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            if len(t) < FP_K:
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            windows = np.lib.stride_tricks.sliding_window_view(codes, FP_K)
+            h = (windows @ _FP_POWERS) % FP_MOD
+            sel = np.unique(h[h % FP_SELECT == 0])
+            out_ids.append(np.full(len(sel), doc_id, dtype=np.int64))
+            out_fps.append(sel)
+        if not out_ids:
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "fp": np.array([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"doc_id": np.concatenate(out_ids), "fp": np.concatenate(out_fps)}
+        )
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+def kgram_fingerprints_oracle() -> str:
+    terms = " + ".join(
+        f"CAST(unicode(substr(text, CAST(i + {j} AS INT), 1)) AS BIGINT) * {int(p)}"
+        for j, p in enumerate(_FP_POWERS)
+    )
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(COALESCE(text, '')) - {FP_K - 2}, 1))) AS i
+  FROM documents
+),
+g AS (SELECT doc_id, ({terms}) % {FP_MOD} AS h FROM pos)
+SELECT doc_id, CAST(h AS BIGINT) AS fp
+FROM g WHERE h % {FP_SELECT} = 0 GROUP BY 1, 2
+"""
+
+
 def doc_length_quantiles(sf_dir: str):
     """Exact per-language length quantiles (p50/p90/p99 of ``n_chars``)
     via distributed value counting: the per-batch partial collapses

@@ -243,3 +243,41 @@ class TestDedupSurvivors:
             (c, s) in members
             for c, s in zip(got["cluster_id"], got["survivor_id"])
         )
+
+
+class TestKgramFingerprints:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from entity_extractor_linker_ray.ops.textstats import (
+            kgram_fingerprints,
+            kgram_fingerprints_oracle,
+        )
+
+        got = _canon(kgram_fingerprints(SF).to_pandas())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        want = _canon(con.execute(kgram_fingerprints_oracle()).fetchdf())
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_shared_substring_shares_fingerprints(self, ray_session, tmp_path):
+        # alignment-independence: the same long substring embedded at
+        # different offsets must contribute identical fingerprints
+        shared = "the quick brown fox jumps over the lazy dog again and again"
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3],
+             "text": ["AAAA " + shared + " BBBB",
+                      "completely different prefix words here " + shared,
+                      "nothing in common with the others at all zzz qqq"]}
+        ).to_parquet(tmp_path / "documents.parquet")
+        from entity_extractor_linker_ray.ops.textstats import kgram_fingerprints
+
+        df = kgram_fingerprints(str(tmp_path)).to_pandas()
+        fps = {d: set(g["fp"]) for d, g in df.groupby("doc_id")}
+        common12 = fps[1] & fps[2]
+        assert common12, "shared substring must produce shared fingerprints"
+        # docs 1 and 3 share no 8-gram; overlap should be empty
+        assert not (fps[1] & fps.get(3, set()))
