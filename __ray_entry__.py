@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_simhash"] = dedupe.simhash
     q["dedup_embedding_neardup"] = dedupe.embedding_neardup
     q["dedup_ngram_jaccard"] = dedupe.ngram_jaccard_pairs
+    q["fp_containment"] = dedupe.fp_containment
     from entity_extractor_linker_ray.ops import graph_algos
 
     q["dedup_clusters"] = graph_algos.duplicate_clusters
@@ -167,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["stratified_sample"] = sampling.stratified_sample
     q["top_docs_per_lang"] = sampling.top_docs_per_lang
     q["uniform_fixed_sample"] = sampling.uniform_fixed_sample
+    q["weighted_sample"] = sampling.weighted_sample
     # --- similarity search --------------------------------------------
     q["knn_brute"] = ann.knn_brute
     q["label_centroids"] = ann.label_centroids
@@ -252,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
     sql["table_profile"] = profile.table_profile_oracle()
     sql["dedup_exact"] = dedupe.EXACT_DEDUP_ORACLE
     sql["dedup_ngram_jaccard"] = dedupe.NGRAM_JACCARD_ORACLE
+    sql["fp_containment"] = dedupe.fp_containment_oracle()
     from entity_extractor_linker_ray.ops import graph_algos
 
     sql["dedup_clusters"] = graph_algos.duplicate_clusters_oracle()
@@ -311,4 +314,5 @@ def oracle_sql() -> dict[str, str]:
     sql["stratified_sample"] = sampling.STRATIFIED_SAMPLE_ORACLE
     sql["top_docs_per_lang"] = sampling.TOP_DOCS_PER_LANG_ORACLE.format(k=5)
     sql["uniform_fixed_sample"] = sampling.UNIFORM_FIXED_SAMPLE_ORACLE.format(n=100)
+    sql["weighted_sample"] = sampling.WEIGHTED_SAMPLE_ORACLE.format(n=100)
     return sql

@@ -585,62 +585,37 @@ def _word_ngrams(text: str, k: int = NGRAM_K) -> list[str]:
     return list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
 
 
-def ngram_jaccard_pairs(
-    sf_dir: str,
-    threshold_pct: int = 60,
-    k: int = NGRAM_K,
-    df_cap: int = NGRAM_DF_CAP,
-):
-    """EXACT word-n-gram Jaccard similarity pairs — the deterministic,
-    SQL-mirrorable sibling of the MinHash estimate: every doc pair with
-    Jaccard >= threshold over its distinct word k-grams, restricted to
-    grams whose document frequency is in [2, df_cap] (a gram in only
-    one doc can't intersect; a near-ubiquitous gram would generate
-    O(df^2) pairs — the cap bounds per-gram pair fan-out and is applied
-    identically in the DuckDB oracle, so results still hash-match).
+def _inverted_pair_stats(key_rows, df_lo: int, df_cap: int, finalize,
+                         out_schema):
+    """Shared inverted-index pair machinery: from (g, doc_id) posting
+    rows to per-pair intersection counts with both docs' kept-key
+    totals attached — ONE linear stream through four bucketed
+    two-phase shuffles (`ops/shuffle.grouped_aggregate`), no branch
+    consumed twice, nothing on the driver:
 
-    Scale shape: ONE linear stream through four bucketed two-phase
-    shuffles (`ops/shuffle.grouped_aggregate`) — no branch is consumed
-    twice, nothing lands on the driver:
-
-    1. key ``g`` (gram string): document frequency is exact per gram
-       (all rows of a gram share its bucket), kept grams emit both
-       intersection-pair partials (bounded self-merge, <= df_cap^2 rows
-       per gram) and per-doc size partials in one pass;
+    1. key ``g``: document frequency is exact per key (all rows of a
+       key share its bucket); keys with df in [df_lo, df_cap] emit
+       intersection-pair partials (bounded self-merge, <= df_cap^2
+       rows per key) and per-doc size partials in one pass;
     2. key ``(doc_a, doc_b)``: sum partials -> exact n_common per pair
-       and exact kept-gram count per doc (size rows ride along tagged
+       and exact kept-key count per doc (size rows ride along tagged
        ``doc_b = -1``);
-    3. key ``doc_a``: bucketed hash join attaching n_a to each pair
-       (size rows pass through for the next join);
-    4. key ``doc_b``: attach n_b, then a final vectorized filter
-       computes n_union and the integer jaccard_pct — all-integer
-       arithmetic so the driver's value hash is exact, no float drift.
+    3. key ``doc_a``: bucketed hash join attaching n_a;
+    4. key ``doc_b``: attach n_b, then ``finalize(pairs_frame)`` maps
+       (doc_a, doc_b, n_common, n_a, n_b) to the operator's output —
+       all-integer arithmetic keeps the driver's value hash exact.
+
+    Backs both :func:`ngram_jaccard_pairs` (string gram keys, Jaccard)
+    and :func:`fp_containment` (int64 fingerprint keys, containment).
     """
     import pyarrow as pa
     import ray.data as rd
 
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        ids: list[int] = []
-        grams: list[str] = []
-        for d, t in zip(batch["doc_id"], batch["text"]):
-            gs = _word_ngrams(t, k)
-            ids.extend([int(d)] * len(gs))
-            grams.extend(gs)
-        # emit Arrow so the gram column is a typed string column even
-        # when a batch yields zero grams (object-dtype empties break
-        # Ray's block size estimation)
-        return pa.table(
-            {"g": pa.array(grams, pa.string()),
-             "doc_id": pa.array(ids, pa.int64())}
-        )
-
-    gram_rows = _read_docs(sf_dir).map_batches(explode, batch_format="pandas")
-
     def pairs_and_sizes(bucket: pd.DataFrame) -> pd.DataFrame:
         df = bucket.groupby("g", sort=False)["doc_id"].transform("size").to_numpy()
-        kept = bucket[(df >= 2) & (df <= df_cap)]
+        kept = bucket[(df >= df_lo) & (df <= df_cap)]
         if kept.empty:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype=np.int64),
@@ -672,7 +647,7 @@ def ngram_jaccard_pairs(
             }
         )
 
-    partials = grouped_aggregate(gram_rows, ["g"], pairs_and_sizes)
+    partials = grouped_aggregate(key_rows, ["g"], pairs_and_sizes)
 
     def sum_cnt(bucket: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -715,36 +690,150 @@ def ngram_jaccard_pairs(
         sizes = bucket[bucket["doc_b"] < 0][["key", "cnt"]].rename(columns={"cnt": "sz"})
         pairs = bucket[bucket["doc_b"] >= 0].merge(sizes, on="key", how="left")
         if pairs.empty:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype=np.int64),
-                 "doc_b": pd.Series([], dtype=np.int64),
-                 "n_common": pd.Series([], dtype=np.int64),
-                 "n_union": pd.Series([], dtype=np.int64),
-                 "jaccard_pct": pd.Series([], dtype=np.int64)}
-            )
-        n_common = pairs["cnt"].to_numpy(dtype=np.int64)
-        n_a = pairs["n_a"].to_numpy(dtype=np.int64)
-        n_b = pairs["sz"].fillna(0).to_numpy(dtype=np.int64)
-        n_union = n_a + n_b - n_common
-        ok = (n_union > 0) & (100 * n_common >= threshold_pct * n_union)
-        return pd.DataFrame(
+            return pa.Table.from_pylist([], schema=out_schema).to_pandas()
+        frame = pd.DataFrame(
             {
-                "doc_a": pairs["doc_a"].to_numpy(dtype=np.int64)[ok],
-                "doc_b": pairs["doc_b"].to_numpy(dtype=np.int64)[ok],
-                "n_common": n_common[ok],
-                "n_union": n_union[ok],
-                "jaccard_pct": (100 * n_common[ok]) // n_union[ok],
+                "doc_a": pairs["doc_a"].to_numpy(dtype=np.int64),
+                "doc_b": pairs["doc_b"].to_numpy(dtype=np.int64),
+                "n_common": pairs["cnt"].to_numpy(dtype=np.int64),
+                "n_a": pairs["n_a"].to_numpy(dtype=np.int64),
+                "n_b": pairs["sz"].fillna(0).to_numpy(dtype=np.int64),
             }
         )
+        return finalize(frame)
 
     result = grouped_aggregate(
         with_a.map_batches(key_on_b, batch_format="pandas"), ["key"], attach_b
     )
+    return result.union(rd.from_arrow(out_schema.empty_table()))
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold_pct: int = 60,
+    k: int = NGRAM_K,
+    df_cap: int = NGRAM_DF_CAP,
+):
+    """EXACT word-n-gram Jaccard similarity pairs — the deterministic,
+    SQL-mirrorable sibling of the MinHash estimate: every doc pair with
+    Jaccard >= threshold over its distinct word k-grams, restricted to
+    grams whose document frequency is in [2, df_cap] (a gram in only
+    one doc can't intersect; a near-ubiquitous gram would generate
+    O(df^2) pairs — the cap bounds per-gram pair fan-out and is applied
+    identically in the DuckDB oracle, so results still hash-match).
+    Pair machinery: :func:`_inverted_pair_stats`."""
+    import pyarrow as pa
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        grams: list[str] = []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            gs = _word_ngrams(t, k)
+            ids.extend([int(d)] * len(gs))
+            grams.extend(gs)
+        # emit Arrow so the gram column is a typed string column even
+        # when a batch yields zero grams (object-dtype empties break
+        # Ray's block size estimation)
+        return pa.table(
+            {"g": pa.array(grams, pa.string()),
+             "doc_id": pa.array(ids, pa.int64())}
+        )
+
+    gram_rows = _read_docs(sf_dir).map_batches(explode, batch_format="pandas")
+
+    def finalize(pairs: pd.DataFrame) -> pd.DataFrame:
+        n_union = pairs["n_a"] + pairs["n_b"] - pairs["n_common"]
+        ok = (n_union > 0) & (100 * pairs["n_common"] >= threshold_pct * n_union)
+        kept = pairs[ok]
+        n_union = n_union[ok].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_a": kept["doc_a"].to_numpy(dtype=np.int64),
+                "doc_b": kept["doc_b"].to_numpy(dtype=np.int64),
+                "n_common": kept["n_common"].to_numpy(dtype=np.int64),
+                "n_union": n_union,
+                "jaccard_pct": (100 * kept["n_common"].to_numpy(dtype=np.int64))
+                // n_union,
+            }
+        )
+
     out_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_common", pa.int64()),
          ("n_union", pa.int64()), ("jaccard_pct", pa.int64())]
     )
-    return result.union(rd.from_arrow(out_schema.empty_table()))
+    return _inverted_pair_stats(gram_rows, 2, df_cap, finalize, out_schema)
+
+
+FP_DF_CAP = 8  # fingerprint document-frequency cap (skew guard, in SQL too)
+FP_MIN_SHARED = 3
+
+
+def fp_containment(sf_dir: str, min_shared: int = FP_MIN_SHARED,
+                   df_cap: int = FP_DF_CAP):
+    """Containment pairs over the rolling-hash fingerprint index
+    (`textstats.kgram_fingerprints`): doc pairs sharing >= min_shared
+    selected k-gram hashes, scored by ``100 * shared // min(n_a, n_b)``
+    — the asymmetric copy-detection measure (a small doc fully
+    contained in a big one scores 100 where Jaccard would dilute).
+    Same four-exchange inverted-index stream as the n-gram op, but the
+    postings key is an int64 hash — the shuffle moves 8-byte keys
+    instead of gram strings."""
+    import pyarrow as pa
+
+    from entity_extractor_linker_ray.ops.textstats import kgram_fingerprints
+
+    def rekey(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"g": batch["fp"].to_numpy(dtype=np.int64),
+             "doc_id": batch["doc_id"].to_numpy(dtype=np.int64)}
+        )
+
+    fp_rows = kgram_fingerprints(sf_dir).map_batches(rekey, batch_format="pandas")
+
+    def finalize(pairs: pd.DataFrame) -> pd.DataFrame:
+        kept = pairs[pairs["n_common"] >= min_shared]
+        shared = kept["n_common"].to_numpy(dtype=np.int64)
+        smaller = np.minimum(
+            kept["n_a"].to_numpy(dtype=np.int64),
+            kept["n_b"].to_numpy(dtype=np.int64),
+        )
+        return pd.DataFrame(
+            {
+                "doc_a": kept["doc_a"].to_numpy(dtype=np.int64),
+                "doc_b": kept["doc_b"].to_numpy(dtype=np.int64),
+                "n_shared": shared,
+                "containment_pct": (100 * shared) // np.maximum(smaller, 1),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_shared", pa.int64()),
+         ("containment_pct", pa.int64())]
+    )
+    return _inverted_pair_stats(fp_rows, 2, df_cap, finalize, out_schema)
+
+
+def fp_containment_oracle(min_shared: int = FP_MIN_SHARED,
+                          df_cap: int = FP_DF_CAP) -> str:
+    from entity_extractor_linker_ray.ops.textstats import kgram_fingerprints_oracle
+
+    return f"""
+WITH f AS ({kgram_fingerprints_oracle().strip()}),
+df AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND {df_cap}),
+kept AS (SELECT doc_id, fp FROM f JOIN df USING (fp)),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM kept a JOIN kept b USING (fp)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST((100 * n_shared) // least(sa.n, sb.n) AS BIGINT) AS containment_pct
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_shared >= {min_shared}
+"""
 
 
 NGRAM_JACCARD_ORACLE = """

@@ -162,3 +162,48 @@ FROM documents
 ORDER BY priority ASC, doc_id ASC
 LIMIT {n}
 """
+
+
+def weighted_sample(sf_dir: str, n: int = 100):
+    """Exactly-``n`` weighted sample, probability ∝ document length
+    (the PPS — probability-proportional-to-size — sampling a
+    token-budgeted training mix needs): each doc's priority is
+    ``hash(doc_id) / n_chars``, so doubling a doc's length halves its
+    priority and doubles its selection odds; the sample is the global
+    ``n`` smallest priorities. Same partial-top-n-per-batch shape as
+    :func:`uniform_fixed_sample` — each batch surrenders ≤ n rows, one
+    tiny final sort. The priority is an int/int division: numpy float64
+    and SQL DOUBLE are both IEEE-754, so the ordering (and therefore
+    the sample) is bit-identical to the oracle; doc_id breaks the
+    (practically impossible) exact-ratio ties."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        chars = batch["n_chars"].to_numpy(dtype=np.int64)
+        pri = ((ids * _KNUTH) % _MOD).astype(np.float64) / np.maximum(
+            chars, 1
+        ).astype(np.float64)
+        out = pd.DataFrame(
+            {"priority": pri, "doc_id": ids,
+             "lang": batch["lang"].to_numpy(),
+             "n_chars": chars}
+        )
+        return out.sort_values(["priority", "doc_id"]).head(n)
+
+    pruned = docs.map_batches(partial, batch_format="pandas")
+    return pruned.sort(["priority", "doc_id"]).limit(n)
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+SELECT CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+         / greatest(n_chars, 1) AS priority,
+       doc_id, lang, n_chars
+FROM documents
+ORDER BY priority ASC, doc_id ASC
+LIMIT {n}
+"""

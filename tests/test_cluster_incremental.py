@@ -281,3 +281,38 @@ class TestKgramFingerprints:
         assert common12, "shared substring must produce shared fingerprints"
         # docs 1 and 3 share no 8-gram; overlap should be empty
         assert not (fps[1] & fps.get(3, set()))
+
+
+class TestFpContainment:
+    def test_contained_doc_scores_100(self, ray_session, tmp_path):
+        import duckdb
+
+        # doc 2 is a verbatim excerpt of doc 1 (plus nothing else):
+        # containment must be 100 even though Jaccard vs the long doc
+        # is far below any dedup threshold.
+        rng = np.random.default_rng(3)
+        words = ["w%04d" % i for i in rng.integers(0, 9999, size=400)]
+        big = " ".join(words)
+        excerpt = " ".join(words[100:140])
+        other = " ".join("q%04d" % i for i in rng.integers(0, 9999, size=200))
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [big, excerpt, other]}
+        ).to_parquet(tmp_path / "documents.parquet")
+
+        from entity_extractor_linker_ray.ops.dedupe import (
+            fp_containment,
+            fp_containment_oracle,
+        )
+
+        got = _canon(fp_containment(str(tmp_path)).to_pandas())
+        row = got[(got["doc_a"] == 1) & (got["doc_b"] == 2)]
+        assert len(row) == 1 and int(row["containment_pct"].iloc[0]) == 100
+        assert not ((got["doc_a"] == 3) | (got["doc_b"] == 3)).any()
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        want = _canon(con.execute(fp_containment_oracle()).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -713,3 +713,24 @@ class TestUnpivotAndJourneys:
         assert list(got["journey"]) == list(exp["journey"])
         assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
         assert (got["journey"].str.len() == got["n_events"]).all()
+
+
+class TestWeightedSample:
+    def test_matches_duckdb_and_biases_long_docs(self, ray_session):
+        from entity_extractor_linker_ray.ops.sampling import (
+            WEIGHTED_SAMPLE_ORACLE,
+            weighted_sample,
+        )
+
+        got = weighted_sample(SF, n=100).to_pandas()
+        exp = _oracle({"documents": f"{SF}/documents.parquet"},
+                      WEIGHTED_SAMPLE_ORACLE.format(n=100))
+        pd.testing.assert_frame_equal(
+            _canon(got.drop(columns=["priority"])),
+            _canon(exp.drop(columns=["priority"])),
+        )
+        # PPS property: the length-weighted sample must skew longer
+        # than the corpus mean
+        corpus = _oracle({"documents": f"{SF}/documents.parquet"},
+                         "SELECT avg(n_chars) AS m FROM documents")["m"][0]
+        assert got["n_chars"].mean() > corpus
