@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kmeans_clusters"] = cluster.kmeans_clusters
     q["dedup_semantic_pairs"] = cluster.semantic_dup_pairs
+    q["kmeans_exemplars"] = cluster.kmeans_exemplars
     from entity_extractor_linker_ray.pipelines import incremental
 
     q["kg_nodes_incremental"] = incremental.kg_nodes_incremental
@@ -304,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["kmeans_clusters"] = cluster.kmeans_oracle()
     sql["dedup_semantic_pairs"] = cluster.semantic_dup_oracle()
+    sql["kmeans_exemplars"] = cluster.kmeans_exemplars_oracle()
     # incremental builds must be value-identical to the from-scratch
     # builds — they share the simple_kg oracles verbatim
     sql["kg_nodes_incremental"] = sql["kg_nodes"]

@@ -356,3 +356,82 @@ c0 AS (SELECT vec_id AS cluster, pos, milli FROM v WHERE vec_id < {k})"""
   GROUP BY v.vec_id, c.cluster
 ) WHERE rn = 1"""
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def kmeans_exemplars(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS):
+    """One exemplar per cluster: the member closest to its final
+    centroid (vec_id tiebreak) plus the cluster size — the
+    representative-selection step behind cluster labeling and
+    coreset construction. Rides the assignment pass: per batch a
+    partial argmin per cluster (≤ k rows leave each batch), then one
+    tiny final argmin + size merge — the same partial/final shape as
+    the top-k ops, shuffle bounded by k·blocks."""
+    import pyarrow as pa
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    assigned = kmeans_clusters(sf_dir, k, iters)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df.sort_values(["cluster", "dist2", "vec_id"], kind="stable")
+        best = df.drop_duplicates("cluster", keep="first")
+        sizes = df.groupby("cluster", sort=True).size()
+        best = best.sort_values("cluster")
+        return pd.DataFrame(
+            {"cluster": best["cluster"].to_numpy(dtype=np.int64),
+             "exemplar_id": best["vec_id"].to_numpy(dtype=np.int64),
+             "dist2": best["dist2"].to_numpy(dtype=np.int64),
+             "n_members": sizes.to_numpy(dtype=np.int64)}
+        )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"cluster": np.array([], dtype=np.int64),
+                 "exemplar_id": np.array([], dtype=np.int64),
+                 "dist2": np.array([], dtype=np.int64),
+                 "n_members": np.array([], dtype=np.int64)}
+            )
+        df = bucket.sort_values(["cluster", "dist2", "exemplar_id"], kind="stable")
+        sizes = df.groupby("cluster", sort=True)["n_members"].sum()
+        best = df.drop_duplicates("cluster", keep="first").sort_values("cluster")
+        return pd.DataFrame(
+            {"cluster": best["cluster"].to_numpy(dtype=np.int64),
+             "exemplar_id": best["exemplar_id"].to_numpy(dtype=np.int64),
+             "dist2": best["dist2"].to_numpy(dtype=np.int64),
+             "n_members": sizes.to_numpy(dtype=np.int64)}
+        )
+
+    parts = assigned.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(parts, ["cluster"], final, num_partitions=4)
+
+
+def kmeans_exemplars_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS) -> str:
+    """The kmeans final-assignment CTEs + one ROW_NUMBER medoid pick."""
+    base = kmeans_oracle(k, iters)
+    with_part, _ = base.rsplit("SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2 FROM (", 1)
+    return (
+        with_part
+        + f""",
+fin AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT v.vec_id, c.cluster,
+           SUM((v.milli - c.milli) * (v.milli - c.milli)) AS d2,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY SUM((v.milli - c.milli) * (v.milli - c.milli)), c.cluster
+           ) AS rn
+    FROM v JOIN c{iters} c USING (pos)
+    GROUP BY v.vec_id, c.cluster
+  ) WHERE rn = 1
+)
+SELECT cluster, vec_id AS exemplar_id, CAST(d2 AS BIGINT) AS dist2,
+       CAST(n_members AS BIGINT) AS n_members
+FROM (
+  SELECT cluster, vec_id, d2,
+         row_number() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS n_members
+  FROM fin
+) WHERE rn = 1"""
+    )

@@ -316,3 +316,21 @@ class TestFpContainment:
         )
         want = _canon(con.execute(fp_containment_oracle()).fetchdf())
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestKmeansExemplars:
+    def test_exemplar_is_closest_member(self, ray_session):
+        from entity_extractor_linker_ray.ops.cluster import (
+            kmeans_clusters,
+            kmeans_exemplars,
+        )
+
+        assigned = kmeans_clusters(SF).to_pandas()
+        ex = kmeans_exemplars(SF).to_pandas().sort_values("cluster")
+        for _, row in ex.iterrows():
+            members = assigned[assigned["cluster"] == row["cluster"]]
+            assert row["n_members"] == len(members)
+            best = members.sort_values(["dist2", "vec_id"]).iloc[0]
+            assert row["exemplar_id"] == best["vec_id"]
+            assert row["dist2"] == best["dist2"]
+        assert ex["n_members"].sum() == len(assigned)
