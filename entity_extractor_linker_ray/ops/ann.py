@@ -318,9 +318,9 @@ def label_centroids(sf_dir: str):
         pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
             offsets[:-1], lengths
         )
-        milli = np.copysign(np.floor(np.abs(flat) * 1000.0 + 0.5), flat).astype(
-            np.int64
-        )
+        from entity_extractor_linker_ray.ops.cluster import milli_round
+
+        milli = milli_round(flat)
         df = pd.DataFrame({"label": labels, "pos": pos, "sum_milli": milli})
         out = (
             df.groupby(["label", "pos"], sort=False)

@@ -47,6 +47,14 @@ K_CLUSTERS = 8
 N_ITERS = 3
 
 
+def milli_round(x: np.ndarray) -> np.ndarray:
+    """float → int64 milli units, half away from zero — THE rounding
+    rule every embedding oracle depends on (DuckDB
+    ``round(x * 1000)``). One definition, shared with
+    ``ann.label_centroids``; keep the two SQL copies in sync with it."""
+    return np.copysign(np.floor(np.abs(x) * 1000.0 + 0.5), x).astype(np.int64)
+
+
 def _milli_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(vec_ids, n x dim int64 milli matrix) from an Arrow batch —
     zero-copy flat values + offsets, reshaped (embeddings are
@@ -60,7 +68,7 @@ def _milli_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     dim = int(lengths[0])
     if not (lengths == dim).all():  # ragged input is a data bug
         raise ValueError("embeddings must be fixed-dimension")
-    milli = np.copysign(np.floor(np.abs(flat) * 1000.0 + 0.5), flat).astype(np.int64)
+    milli = milli_round(flat)
     ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     return ids, milli.reshape(len(ids), dim)
 
@@ -86,7 +94,16 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
     )
     table = table.filter(pc.less(table.column("vec_id"), k))
     table = table.take(pc.sort_indices(table, sort_keys=[("vec_id", "ascending")]))
-    _, milli = _milli_matrix(table)
+    ids, milli = _milli_matrix(table)
+    # seeds are BY CONTRACT the embeddings of vec_id 0..k-1 (the SQL
+    # oracle's c0 does `WHERE vec_id < k`); a sparse or offset id space
+    # must fail loudly here, identically on every path — silently
+    # seeding from other rows would break distributed ≡ local ≡ SQL
+    if len(ids) != k or not (ids == np.arange(k)).all():
+        raise ValueError(
+            f"k-means seeding requires vec_ids 0..{k - 1} to exist; "
+            f"found {ids.tolist()}"
+        )
     return milli
 
 
@@ -245,29 +262,14 @@ def semantic_dup_pairs(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS,
 
 def semantic_dup_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS,
                         threshold: int = SEMANTIC_DUP_THRESHOLD) -> str:
-    """Same unrolled CTEs as :func:`kmeans_oracle`, then a same-cell
-    self-join with the exact integer pair distance."""
-    base = kmeans_oracle(k, iters)
-    # reuse everything up to the final SELECT, which we rename into a
-    # CTE and extend with the pair join
-    with_part, final_select = base.rsplit("SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2 FROM (", 1)
+    """The shared kmeans WITH-block, then a same-cell self-join with
+    the exact integer pair distance."""
     return (
-        with_part
+        _kmeans_with_block(k, iters)
         + f""",
-af AS (
-  SELECT vec_id, cluster FROM (
-    SELECT v.vec_id, c.cluster,
-           row_number() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY SUM((v.milli - c.milli) * (v.milli - c.milli)), c.cluster
-           ) AS rn
-    FROM v JOIN c{iters} c USING (pos)
-    GROUP BY v.vec_id, c.cluster
-  ) WHERE rn = 1
-),
 p AS (
   SELECT x.vec_id AS a_id, y.vec_id AS b_id
-  FROM af x JOIN af y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  FROM fin x JOIN fin y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
 )
 SELECT p.a_id, p.b_id, CAST(SUM((va.milli - vb.milli) * (va.milli - vb.milli)) AS BIGINT) AS dist2
 FROM p
@@ -290,7 +292,14 @@ def kmeans_local(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS) -> pd.D
     )
     table = table.take(pc.sort_indices(table, sort_keys=[("vec_id", "ascending")]))
     ids, vecs = _milli_matrix(table)
-    centroids = vecs[np.searchsorted(ids, np.arange(k))]
+    seed_idx = np.searchsorted(ids, np.arange(k))
+    if seed_idx.max(initial=0) >= len(ids) or not (
+        ids[seed_idx] == np.arange(k)
+    ).all():
+        raise ValueError(
+            f"k-means seeding requires vec_ids 0..{k - 1} to exist"
+        )
+    centroids = vecs[seed_idx]
     for _ in range(iters):
         assign, _ = _assign(vecs, centroids)
         new = centroids.copy()
@@ -307,9 +316,29 @@ def kmeans_local(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS) -> pd.D
     )
 
 
-def kmeans_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS) -> str:
-    """Unrolled-CTE DuckDB replay of the fixed-point iteration (one
-    assign/update CTE pair per round, as in ``kg_pagerank_oracle``)."""
+def _assignment_sql(centroid_cte: str) -> str:
+    """The one assignment subquery (exact integer argmin with
+    lowest-cluster tiebreak) against a given centroid CTE — the single
+    source for the per-iteration a{i} CTEs AND the final assignment
+    every derived oracle consumes."""
+    return f"""  SELECT vec_id, cluster, d2 FROM (
+    SELECT v.vec_id, c.cluster,
+           SUM((v.milli - c.milli) * (v.milli - c.milli)) AS d2,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY SUM((v.milli - c.milli) * (v.milli - c.milli)), c.cluster
+           ) AS rn
+    FROM v JOIN {centroid_cte} c USING (pos)
+    GROUP BY v.vec_id, c.cluster
+  ) WHERE rn = 1"""
+
+
+def _kmeans_with_block(k: int, iters: int) -> str:
+    """``WITH v, c0, a1, c1, ..., c{iters}, fin`` — the complete
+    unrolled fixed-point iteration (one assign/update CTE pair per
+    round, as in ``kg_pagerank_oracle``) ending in ``fin`` =
+    (vec_id, cluster, d2) under the final centroids. Every kmeans-
+    family oracle appends its own final SELECT to this block."""
     parts = [
         f"""v AS (
   SELECT vec_id,
@@ -320,19 +349,7 @@ def kmeans_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS) -> str:
 c0 AS (SELECT vec_id AS cluster, pos, milli FROM v WHERE vec_id < {k})"""
     ]
     for i in range(1, iters + 1):
-        parts.append(
-            f"""a{i} AS (
-  SELECT vec_id, cluster FROM (
-    SELECT v.vec_id, c.cluster,
-           row_number() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY SUM((v.milli - c.milli) * (v.milli - c.milli)), c.cluster
-           ) AS rn
-    FROM v JOIN c{i - 1} c USING (pos)
-    GROUP BY v.vec_id, c.cluster
-  ) WHERE rn = 1
-)"""
-        )
+        parts.append(f"a{i} AS (\n{_assignment_sql(f'c{i - 1}')}\n)")
         parts.append(
             f"""c{i} AS (
   SELECT p.cluster, p.pos,
@@ -345,17 +362,16 @@ c0 AS (SELECT vec_id AS cluster, pos, milli FROM v WHERE vec_id < {k})"""
   ) m ON m.cluster = p.cluster AND m.pos = p.pos
 )"""
         )
-    final = f"""SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2 FROM (
-  SELECT v.vec_id, c.cluster,
-         SUM((v.milli - c.milli) * (v.milli - c.milli)) AS d2,
-         row_number() OVER (
-           PARTITION BY v.vec_id
-           ORDER BY SUM((v.milli - c.milli) * (v.milli - c.milli)), c.cluster
-         ) AS rn
-  FROM v JOIN c{iters} c USING (pos)
-  GROUP BY v.vec_id, c.cluster
-) WHERE rn = 1"""
-    return "WITH " + ",\n".join(parts) + "\n" + final
+    parts.append(f"fin AS (\n{_assignment_sql(f'c{iters}')}\n)")
+    return "WITH " + ",\n".join(parts)
+
+
+def kmeans_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS) -> str:
+    """Unrolled-CTE DuckDB replay of the fixed-point iteration."""
+    return (
+        _kmeans_with_block(k, iters)
+        + "\nSELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2 FROM fin"
+    )
 
 
 def kmeans_exemplars(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS):
@@ -408,24 +424,10 @@ def kmeans_exemplars(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS):
 
 
 def kmeans_exemplars_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS) -> str:
-    """The kmeans final-assignment CTEs + one ROW_NUMBER medoid pick."""
-    base = kmeans_oracle(k, iters)
-    with_part, _ = base.rsplit("SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2 FROM (", 1)
+    """The shared kmeans WITH-block + one ROW_NUMBER medoid pick."""
     return (
-        with_part
-        + f""",
-fin AS (
-  SELECT vec_id, cluster, d2 FROM (
-    SELECT v.vec_id, c.cluster,
-           SUM((v.milli - c.milli) * (v.milli - c.milli)) AS d2,
-           row_number() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY SUM((v.milli - c.milli) * (v.milli - c.milli)), c.cluster
-           ) AS rn
-    FROM v JOIN c{iters} c USING (pos)
-    GROUP BY v.vec_id, c.cluster
-  ) WHERE rn = 1
-)
+        _kmeans_with_block(k, iters)
+        + """
 SELECT cluster, vec_id AS exemplar_id, CAST(d2 AS BIGINT) AS dist2,
        CAST(n_members AS BIGINT) AS n_members
 FROM (
