@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_survivors"] = graph_algos.dedup_survivors
     q["kg_pagerank"] = graph_algos.kg_pagerank
     q["kg_triangles"] = graph_algos.kg_triangles
+    q["kg_two_hop"] = graph_algos.kg_two_hop
     from entity_extractor_linker_ray.ops import cluster
 
     q["kmeans_clusters"] = cluster.kmeans_clusters
@@ -301,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
     sql["events_value_stats"] = relational.EVENTS_VALUE_STATS_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
+    sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
     from entity_extractor_linker_ray.ops import cluster
 
     sql["kmeans_clusters"] = cluster.kmeans_oracle()

@@ -648,3 +648,156 @@ FROM edges e1
 JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
 JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
 """
+
+
+def kg_two_hop(sf_dir: str, num_partitions: int = 8, edges_ds=None):
+    """Per-entity neighborhood profile: ``n_direct`` distinct
+    neighbors and ``n_two_hop`` STRICT two-hop neighbors (reachable in
+    exactly two hops, neither self nor already direct) — the
+    friend-of-friend candidate count behind link prediction. One row
+    per connected entity; on a dense graph n_two_hop is legitimately 0.
+
+    Three bucketed exchanges, no driver graph state:
+
+    1. key (a, b): the undirected DISTINCT neighbor-pair list (both
+       directions of every edge, deduped across predicates);
+    2. key mid: the self-join on the shared middle vertex — each
+       bucket merges its incoming (ent -> mid) rows with its outgoing
+       (mid -> nb) rows in one vectorized merge, emitting deduped
+       (ent, nb) two-hop candidates (Σ deg(mid)² wedge-explosion trade
+       as in :func:`kg_triangles`);
+    3. key ent: candidates and direct pairs meet in one bucket; two
+       groupby-nuniques give n_direct and n_within-two, whose
+       difference is the strict count — set arithmetic instead of an
+       anti join.
+
+    ``edges_ds`` overrides the corpus KG edge list (columns
+    subject/object) for testing on planted graphs."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["subject"].astype(str).to_numpy()
+        o = batch["object"].astype(str).to_numpy()
+        keep = s != o
+        return pd.DataFrame(
+            {"a": np.concatenate([s[keep], o[keep]]),
+             "b": np.concatenate([o[keep], s[keep]])}
+        ).drop_duplicates()
+
+    def dedup_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    base_edges = edges_ds if edges_ds is not None else _kg_edges_materialized(sf_dir)
+    undirected = grouped_aggregate(
+        base_edges.map_batches(both_dirs, batch_format="pandas"),
+        ["a", "b"], dedup_pairs, num_partitions=num_partitions,
+    )
+
+    def tag_for_mid(batch: pd.DataFrame) -> pd.DataFrame:
+        # each undirected pair plays both roles: (ent -> mid) keyed by
+        # its b, and (mid -> nb) keyed by its a
+        return pd.DataFrame(
+            {"key": np.concatenate([batch["b"].to_numpy(), batch["a"].to_numpy()]),
+             "node": np.concatenate([batch["a"].to_numpy(), batch["b"].to_numpy()]),
+             "side": np.repeat(np.array([0, 1], dtype=np.int64), len(batch))}
+        )
+
+    def join_mid(bucket: pd.DataFrame) -> pd.DataFrame:
+        inc = bucket[bucket["side"] == 0][["key", "node"]].rename(
+            columns={"node": "entity"}
+        )
+        out = bucket[bucket["side"] == 1][["key", "node"]].rename(
+            columns={"node": "nb"}
+        )
+        pairs = inc.merge(out, on="key")[["entity", "nb"]]
+        pairs = pairs[pairs["entity"] != pairs["nb"]]
+        return pairs.drop_duplicates()
+
+    two_hop = grouped_aggregate(
+        undirected.map_batches(tag_for_mid, batch_format="pandas"),
+        ["key"], join_mid, num_partitions=num_partitions,
+    )
+
+    def tag_two(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"entity": batch["entity"].to_numpy(), "nb": batch["nb"].to_numpy(),
+             "direct": np.zeros(len(batch), dtype=np.int64)}
+        )
+
+    def tag_direct(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"entity": batch["a"].to_numpy(), "nb": batch["b"].to_numpy(),
+             "direct": np.ones(len(batch), dtype=np.int64)}
+        )
+
+    tagged = two_hop.map_batches(tag_two, batch_format="pandas").union(
+        undirected.map_batches(tag_direct, batch_format="pandas")
+    )
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    # one row per CONNECTED entity — n_two_hop is 0 (not an absent
+    # row) on a graph dense enough that every neighbor-of-neighbor is
+    # already direct, so the result never degrades to an empty frame
+    out_schema = pa.schema(
+        [("entity", pa.string()), ("n_direct", pa.int64()),
+         ("n_two_hop", pa.int64())]
+    )
+
+    def finalize(bucket: pd.DataFrame) -> pa.Table:
+        cand = bucket[bucket["direct"] == 0][["entity", "nb"]]
+        direct = bucket[bucket["direct"] == 1][["entity", "nb"]]
+        n_direct = direct.groupby("entity", sort=True)["nb"].nunique()
+        within = (
+            pd.concat([direct, cand], ignore_index=True)
+            .groupby("entity", sort=True)["nb"]
+            .nunique()
+        )
+        # every candidate's entity also has >= 1 direct edge (two-hop
+        # paths start on an edge), so the indexes align
+        counts = pd.DataFrame(
+            {"n_direct": n_direct, "n_two_hop": within - n_direct}
+        ).reset_index()
+        return pa.Table.from_arrays(
+            [pa.array(counts["entity"].astype(str), pa.string()),
+             pa.array(counts["n_direct"].to_numpy(dtype=np.int64), pa.int64()),
+             pa.array(counts["n_two_hop"].to_numpy(dtype=np.int64), pa.int64())],
+            schema=out_schema,
+        )
+
+    result = grouped_aggregate(tagged, ["entity"], finalize,
+                               num_partitions=num_partitions)
+    return result.union(rd.from_arrow(out_schema.empty_table()))
+
+
+def kg_two_hop_oracle() -> str:
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    edges_sql = simple_kg.oracle_sql()["kg_edges"]
+    return f"""
+WITH raw AS (SELECT subject AS s, object AS o FROM ({edges_sql}) kg_e),
+u AS (
+  SELECT DISTINCT s AS a, o AS b FROM raw WHERE s <> o
+  UNION
+  SELECT DISTINCT o, s FROM raw WHERE s <> o
+),
+two AS (
+  SELECT DISTINCT x.a AS entity, y.b AS nb
+  FROM u x JOIN u y ON x.b = y.a
+  WHERE y.b <> x.a
+),
+d AS (SELECT a AS entity, count(DISTINCT b) AS n_direct FROM u GROUP BY 1),
+w AS (
+  SELECT entity, count(DISTINCT nb) AS n_within FROM (
+    SELECT a AS entity, b AS nb FROM u
+    UNION
+    SELECT entity, nb FROM two
+  ) GROUP BY entity
+)
+SELECT d.entity, CAST(d.n_direct AS BIGINT) AS n_direct,
+       CAST(w.n_within - d.n_direct AS BIGINT) AS n_two_hop
+FROM d JOIN w USING (entity)
+"""

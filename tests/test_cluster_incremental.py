@@ -334,3 +334,67 @@ class TestKmeansExemplars:
             assert row["exemplar_id"] == best["vec_id"]
             assert row["dist2"] == best["dist2"]
         assert ex["n_members"].sum() == len(assigned)
+
+
+class TestKMeansSeedValidation:
+    def test_sparse_ids_fail_loudly_on_every_path(self, tmp_path):
+        # vec_ids 2..7 with k=4: silently seeding from the wrong rows
+        # would break distributed ≡ local ≡ SQL — all paths must raise.
+        rng = np.random.default_rng(0)
+        pd.DataFrame(
+            {"vec_id": np.arange(2, 8, dtype=np.int64),
+             "embedding": list(rng.standard_normal((6, 4)).astype(np.float32))}
+        ).to_parquet(tmp_path / "embeddings.parquet")
+        from entity_extractor_linker_ray.ops.cluster import (
+            _init_centroids,
+            kmeans_local,
+        )
+
+        with pytest.raises(ValueError, match="vec_ids 0..3"):
+            kmeans_local(str(tmp_path), k=4)
+        with pytest.raises(ValueError, match="vec_ids 0..3"):
+            _init_centroids(str(tmp_path), 4)
+
+
+class TestKgTwoHop:
+    def test_planted_graphs(self, ray_session):
+        import ray.data as rd
+
+        from entity_extractor_linker_ray.ops.graph_algos import kg_two_hop
+
+        # path a-b-c-d: strict two-hop of a={c}, b={d}, c={a}, d={b}
+        path = rd.from_pandas(pd.DataFrame(
+            {"subject": ["a", "b", "c"], "object": ["b", "c", "d"]}
+        ))
+        got = (
+            kg_two_hop("unused", edges_ds=path)
+            .to_pandas()
+            .set_index("entity")
+            .sort_index()
+        )
+        assert got["n_direct"].to_dict() == {"a": 1, "b": 2, "c": 2, "d": 1}
+        assert got["n_two_hop"].to_dict() == {"a": 1, "b": 1, "c": 1, "d": 1}
+
+        # triangle a-b-c: dense — every 2-hop neighbor is direct
+        tri = rd.from_pandas(pd.DataFrame(
+            {"subject": ["a", "b", "c"], "object": ["b", "c", "a"]}
+        ))
+        got = kg_two_hop("unused", edges_ds=tri).to_pandas()
+        assert (got["n_two_hop"] == 0).all() and (got["n_direct"] == 2).all()
+
+    def test_matches_duckdb_on_corpus(self, ray_session):
+        import duckdb
+
+        from entity_extractor_linker_ray.ops.graph_algos import (
+            kg_two_hop,
+            kg_two_hop_oracle,
+        )
+
+        got = _canon(kg_two_hop(SF).to_pandas())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        want = _canon(con.execute(kg_two_hop_oracle()).fetchdf())
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
