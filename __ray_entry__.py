@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_ntile"] = relational.events_ntile
     q["events_rank"] = relational.events_rank
     q["events_funnel"] = relational.events_funnel
+    q["events_percentiles"] = relational.events_percentiles
     q["events_value_stats"] = relational.events_value_stats
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
@@ -299,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
     sql["events_ntile"] = relational.EVENTS_NTILE_ORACLE
     sql["events_rank"] = relational.EVENTS_RANK_ORACLE
     sql["events_funnel"] = relational.EVENTS_FUNNEL_ORACLE
+    sql["events_percentiles"] = relational.EVENTS_PERCENTILES_ORACLE
     sql["events_value_stats"] = relational.EVENTS_VALUE_STATS_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()

@@ -2185,6 +2185,86 @@ FROM events
 """
 
 
+def events_percentiles(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per user over value (descending) —
+    the normalized-position windows behind percentile features. Same
+    single bucketed shuffle + one vectorized pass as
+    :func:`events_rank`; both outputs are ratios of small exact
+    integers ((rank−1)/(n−1) and run_end/n), and IEEE-754 division of
+    identical ints is bit-identical in numpy and SQL, so the floats
+    hash-match. Single-row partitions define pct_rank = 0 exactly as
+    SQL does."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"event_id": np.array([], dtype=np.int64),
+                 "user_id": np.array([], dtype=np.int64),
+                 "pct_rank": np.array([], dtype=np.float64),
+                 "cume": np.array([], dtype=np.float64)}
+            )
+        df = bucket.copy()
+        df["neg_centi"] = -_round_half_up(df["value"].to_numpy() * 100.0)
+        df = df.sort_values(["user_id", "neg_centi", "event_id"], kind="stable")
+        users = df["user_id"].to_numpy(dtype=np.int64)
+        neg = df["neg_centi"].to_numpy(dtype=np.int64)
+        n = len(df)
+        idx = np.arange(n, dtype=np.int64)
+        useg = segment_starts(users)
+        # segment end per row = nearest following index whose row is
+        # its user's last (reverse maximum-accumulate trick)
+        is_last = np.empty(n, dtype=bool)
+        is_last[-1] = True
+        is_last[:-1] = users[1:] != users[:-1]
+        seg_end = n - 1 - np.maximum.accumulate(
+            np.where(is_last[::-1], idx, 0)
+        )[::-1]
+        # value-run boundaries within each user segment
+        run_start = np.empty(n, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = (users[1:] != users[:-1]) | (neg[1:] != neg[:-1])
+        run_last = np.empty(n, dtype=bool)
+        run_last[-1] = True
+        run_last[:-1] = run_start[1:]
+        run_end = n - 1 - np.maximum.accumulate(
+            np.where(run_last[::-1], idx, 0)
+        )[::-1]
+        vstart = np.maximum.accumulate(np.where(run_start, idx, 0))
+        n_user = (seg_end - useg + 1).astype(np.float64)
+        rnk = (vstart - useg + 1).astype(np.float64)
+        pct = np.where(n_user > 1, (rnk - 1.0) / (n_user - 1.0), 0.0)
+        cume = (run_end - useg + 1).astype(np.float64) / n_user
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(dtype=np.int64),
+             "user_id": users,
+             "pct_rank": pct,
+             "cume": cume}
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine, num_partitions=32)
+
+
+EVENTS_PERCENTILES_ORACLE = """
+SELECT event_id, user_id,
+       PERCENT_RANK() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC
+       ) AS pct_rank,
+       CUME_DIST() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC
+       ) AS cume
+FROM events
+"""
+
+
 FUNNEL_FROM = "click"
 FUNNEL_TO = "purchase"
 FUNNEL_WINDOW_US = 14_400_000_000  # 4 hours

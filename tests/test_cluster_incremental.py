@@ -398,3 +398,50 @@ class TestKgTwoHop:
         want = _canon(con.execute(kg_two_hop_oracle()).fetchdf())
         assert len(got) > 0
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestEventsPercentiles:
+    def test_matches_duckdb_bit_exact(self, ray_session):
+        import duckdb
+
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_PERCENTILES_ORACLE,
+            events_percentiles,
+        )
+
+        got = (
+            events_percentiles(SF)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+        )
+        want = (
+            con.execute(EVENTS_PERCENTILES_ORACLE)
+            .fetchdf()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # bit-exact float equality, not approx — same int ratios
+        assert (got["pct_rank"].to_numpy() == want["pct_rank"].to_numpy()).all()
+        assert (got["cume"].to_numpy() == want["cume"].to_numpy()).all()
+
+    def test_tie_and_single_row_semantics(self):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT * FROM (VALUES "
+            "(1, 7, 5.0), (2, 7, 5.0), (3, 7, 3.0), (4, 8, 1.0)"
+            ") t(event_id, user_id, value)"
+        )
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_PERCENTILES_ORACLE,
+        )
+
+        df = con.execute(EVENTS_PERCENTILES_ORACLE).fetchdf().sort_values("event_id")
+        assert list(df["pct_rank"]) == [0.0, 0.0, 1.0, 0.0]
+        assert list(df["cume"]) == [2 / 3, 2 / 3, 1.0, 1.0]
