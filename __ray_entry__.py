@@ -164,6 +164,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_linker_ray.pipelines import curation
 
     q["curate_documents"] = curation.curate_documents
+    # --- pretraining-corpus preparation --------------------------------
+    from entity_extractor_linker_ray.ops import pretrain
+
+    q["decontaminate"] = pretrain.decontaminate
+    q["repetition_signals"] = pretrain.repetition_signals
+    q["pack_sequences"] = pretrain.pack_sequences
+    q["lang_rebalance"] = pretrain.lang_rebalance
     # --- sampling / per-group selection -------------------------------
     from entity_extractor_linker_ray.ops import sampling
 
@@ -314,6 +321,13 @@ def oracle_sql() -> dict[str, str]:
     # builds — they share the simple_kg oracles verbatim
     sql["kg_nodes_incremental"] = sql["kg_nodes"]
     sql["kg_edges_incremental"] = sql["kg_edges"]
+
+    from entity_extractor_linker_ray.ops import pretrain
+
+    sql["decontaminate"] = pretrain.DECONTAMINATE_ORACLE
+    sql["repetition_signals"] = pretrain.REPETITION_ORACLE
+    sql["pack_sequences"] = pretrain.pack_sequences_oracle()
+    sql["lang_rebalance"] = pretrain.LANG_REBALANCE_ORACLE
 
     from entity_extractor_linker_ray.ops import sampling
 

@@ -1,0 +1,443 @@
+"""Pretraining-corpus preparation operators: eval-set decontamination,
+repetition-quality signals, sequence packing, and language rebalancing.
+
+These are the four standard corpus-shaping steps an LLM training-data
+pipeline runs between dedup and tokenization (decontamination and
+repetition filtering per the GPT-3 / Gopher data recipes; packing and
+mixture rebalancing per every major pretraining run). Each one is
+expressed Ray-Data-first and oracle-verified against DuckDB:
+
+* :func:`decontaminate` — flag training documents that share any word
+  ``n``-gram with a held-out evaluation split. The eval side is
+  benchmark-suite-sized BY DEFINITION (fixed eval sets, independent of
+  corpus scale), so it is the broadcast build side: its distinct grams
+  are collected once and shipped to every map task, and the train scan
+  is a zero-shuffle ``map_batches`` membership probe. A corpus-sized
+  contamination source would instead use the bucketed inverted-index
+  join in ``ops/dedupe._inverted_pair_stats``.
+* :func:`repetition_signals` — per-document duplicate-bigram fraction
+  and top-word fraction (the Gopher repetition filters, adapted to the
+  newline-free documents table). Row-local, zero shuffle.
+* :func:`pack_sequences` — concat-and-chunk packing: documents are
+  laid end-to-end in ``doc_id`` order and cut into fixed-capacity
+  bins; each doc gets its global token offset, bin id and offset
+  within the bin. A global ordered prefix sum over a distributed
+  table is computed as a two-level scan (per-range sums → tiny driver
+  prefix → in-range vectorized cumsum), never a serial pass.
+* :func:`lang_rebalance` — deterministic down-sampling to a uniform
+  language mixture: per-language keep thresholds are exact integer
+  ratios of the language counts, the keep decision is the same Knuth
+  multiplicative hash ``ops/sampling`` uses, so the sample is
+  reproducible, machine-count-independent, and bit-identical to SQL.
+
+Reference analogy: the reference pipeline curates per-conversation
+text before extraction (``entityextractor/core/api.py`` mode flags);
+these operators are the corpus-level analogue this engine adds for
+100 TB training-data preparation.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+import numpy as np
+import pandas as pd
+
+from entity_extractor_linker_ray.ops.readers import read_split
+
+# same Knuth multiplicative hash as ops/sampling.py — one portable
+# sampling primitive across the repo
+_KNUTH = np.int64(2654435761)
+_MOD_BITS = 32
+_MOD = np.int64(1) << np.int64(_MOD_BITS)
+
+DECON_NGRAM = 5
+EVAL_MOD = 10
+EVAL_REM = 7
+PACK_CAPACITY = 256
+PACK_RANGE_WIDTH = 4096
+
+
+def _split_words(texts) -> tuple[list[list[str]], np.ndarray]:
+    """Split each text on single spaces (exactly SQL ``string_split``:
+    ``''`` → ``['']``), returning per-doc word lists + lengths."""
+    words = [(t or "").split(" ") for t in texts]
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=len(words))
+    return words, lens
+
+
+def _word_ngram_frame(doc_ids: np.ndarray, texts, n: int) -> pd.DataFrame:
+    """All word ``n``-grams of a batch as (doc_id, gram) rows, grams as
+    space-joined strings (identical to the oracle's
+    ``array_to_string(words[i:i+n-1], ' ')``). Vectorized: one flat
+    word array, doc boundaries enforced by comparing the repeated
+    doc-index at window start vs window end, gram strings built by
+    ``n`` elementwise object-array concats — no per-doc Python loop."""
+    words, lens = _split_words(texts)
+    if len(words) == 0 or int(lens.sum()) < n:
+        return pd.DataFrame(
+            {"doc_id": np.array([], dtype=np.int64),
+             "gram": np.array([], dtype=object)}
+        )
+    flat = np.array(list(chain.from_iterable(words)), dtype=object)
+    owner = np.repeat(np.arange(len(words), dtype=np.int64), lens)
+    # window [s, s+n-1] stays inside one doc iff both ends share an owner
+    valid = owner[: len(flat) - n + 1] == owner[n - 1 :]
+    gram = flat[: len(flat) - n + 1].copy()
+    for j in range(1, n):
+        gram = gram + " "
+        gram = gram + flat[j : len(flat) - n + 1 + j]
+    return pd.DataFrame(
+        {"doc_id": doc_ids[owner[: len(flat) - n + 1][valid]],
+         "gram": gram[valid]}
+    )
+
+
+def decontaminate(sf_dir: str, n: int = DECON_NGRAM):
+    """Per-training-document eval-overlap counts: ``n_grams`` distinct
+    word ``n``-grams, ``n_hit`` of them appearing anywhere in the
+    held-out split (``doc_id % 10 == 7``), and a ``contaminated``
+    flag — the GPT-3-style n-gram decontamination check.
+
+    Shape at 100 TB: the eval grams are built with one filtered scan
+    and collected to the driver — legitimate because eval suites are
+    fixed-size regardless of corpus scale (this is the same
+    small-side-broadcast rule as the KB snapshot in ``state/kb.py``).
+    The training scan is then a single zero-shuffle ``map_batches``
+    whose per-batch work is a vectorized hash-set membership probe
+    (``pd.Series.isin`` — a C hash join against the broadcast set)."""
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def eval_gram_batch(batch: pd.DataFrame):
+        import pyarrow as pa
+
+        sub = batch[batch["doc_id"].to_numpy() % EVAL_MOD == EVAL_REM]
+        grams = _word_ngram_frame(
+            sub["doc_id"].to_numpy(dtype=np.int64), sub["text"].tolist(), n
+        )
+        # explicit Arrow string type so an all-train (empty) batch does
+        # not produce a null-typed column that breaks block unification
+        return pa.table(
+            {"gram": pa.array(grams["gram"].drop_duplicates(), type=pa.string())}
+        )
+
+    eval_grams = set(
+        read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(eval_gram_batch, batch_format="pandas")
+        .to_pandas()["gram"]
+    )
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        train = batch[batch["doc_id"].to_numpy() % EVAL_MOD != EVAL_REM]
+        ids = train["doc_id"].to_numpy(dtype=np.int64)
+        grams = _word_ngram_frame(ids, train["text"].tolist(), n)
+        distinct = grams.drop_duplicates()
+        hit = distinct["gram"].isin(eval_grams)
+        stats = (
+            pd.DataFrame({"doc_id": distinct["doc_id"], "hit": hit.to_numpy()})
+            .groupby("doc_id", sort=False)
+            .agg(n_grams=("hit", "size"), n_hit=("hit", "sum"))
+            .reset_index()
+        )
+        out = pd.DataFrame({"doc_id": ids}).merge(stats, on="doc_id", how="left")
+        n_grams = out["n_grams"].fillna(0).to_numpy(dtype=np.int64)
+        n_hit = out["n_hit"].fillna(0).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": ids,
+             "n_grams": n_grams,
+             "n_hit": n_hit,
+             "contaminated": (n_hit > 0).astype(np.int64)}
+        )
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(words[CAST(i AS BIGINT):CAST(i AS BIGINT)+{DECON_NGRAM - 1}],
+                         ' ') AS gram
+  FROM w, unnest(range(1, len(words) - {DECON_NGRAM - 2})) AS t(i)
+  WHERE len(words) >= {DECON_NGRAM}
+),
+eval_grams AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+train AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}),
+stats AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM train t LEFT JOIN eval_grams e USING (gram)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(s.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(CASE WHEN COALESCE(s.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM documents d LEFT JOIN stats s USING (doc_id)
+WHERE d.doc_id % {EVAL_MOD} <> {EVAL_REM}
+"""
+
+
+def repetition_signals(sf_dir: str):
+    """Gopher-style per-document repetition features: word count,
+    duplicate-bigram fraction (``(total − distinct) / total`` word
+    bigrams) and most-frequent-word share, with the top word itself
+    (ties → lexicographically smallest, as the oracle's
+    ``ORDER BY cnt DESC, word ASC``). Both ratios are single IEEE-754
+    divisions of small exact integers, so the floats hash-match SQL
+    bit-for-bit. Row-local — zero shuffle; one vectorized pass per
+    batch (flat token frame → two C-level groupbys), no per-doc
+    Python loop."""
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def kernel(batch: pd.DataFrame):
+        import pyarrow as pa
+
+        if len(batch) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_words": pa.array([], pa.int64()),
+                 "n_bigrams": pa.array([], pa.int64()),
+                 "dup_bigram_ratio": pa.array([], pa.float64()),
+                 "top_word": pa.array([], pa.string()),
+                 "top_word_cnt": pa.array([], pa.int64()),
+                 "top_word_ratio": pa.array([], pa.float64())}
+            )
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        words, lens = _split_words(batch["text"].tolist())
+        flat = np.array(list(chain.from_iterable(words)), dtype=object)
+        owner = np.repeat(np.arange(len(words), dtype=np.int64), lens)
+        tok = pd.DataFrame({"row": owner, "word": flat})
+
+        counts = tok.groupby(["row", "word"], sort=False).size().reset_index(name="cnt")
+        counts = counts.sort_values(
+            ["row", "cnt", "word"], ascending=[True, False, True], kind="stable"
+        )
+        top = counts.drop_duplicates("row", keep="first").set_index("row")
+
+        bigrams = _word_ngram_frame(np.arange(len(words), dtype=np.int64),
+                                    batch["text"].tolist(), 2)
+        n_bigrams = np.maximum(lens - 1, 0)
+        n_distinct = np.zeros(len(words), dtype=np.int64)
+        if len(bigrams):
+            dist = bigrams.drop_duplicates().groupby("doc_id", sort=False).size()
+            n_distinct[dist.index.to_numpy()] = dist.to_numpy()
+
+        rows = np.arange(len(words), dtype=np.int64)
+        top_cnt = top["cnt"].reindex(rows).to_numpy(dtype=np.int64)
+        top_word = top["word"].reindex(rows).to_numpy(dtype=object)
+        dup_ratio = np.where(
+            n_bigrams > 0,
+            (n_bigrams - n_distinct).astype(np.float64)
+            / np.maximum(n_bigrams, 1).astype(np.float64),
+            0.0,
+        )
+        return pd.DataFrame(
+            {"doc_id": ids,
+             "n_words": lens,
+             "n_bigrams": n_bigrams,
+             "dup_bigram_ratio": dup_ratio,
+             "top_word": top_word,
+             "top_word_cnt": top_cnt,
+             "top_word_ratio": top_cnt.astype(np.float64) / lens.astype(np.float64)}
+        )
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+REPETITION_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words FROM documents
+),
+tok AS (
+  SELECT doc_id, words[CAST(i AS BIGINT)] AS word
+  FROM w, unnest(range(1, len(words) + 1)) AS t(i)
+),
+wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, word AS top_word, cnt AS top_cnt
+  FROM (SELECT doc_id, word, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, word ASC) AS rn
+        FROM wc)
+  WHERE rn = 1
+),
+bg AS (
+  SELECT doc_id,
+         array_to_string(words[CAST(i AS BIGINT):CAST(i AS BIGINT)+1], ' ') AS gram
+  FROM w, unnest(range(1, len(words))) AS t(i)
+  WHERE len(words) >= 2
+),
+bstats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+  FROM bg GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(string_split(COALESCE(d.text, ''), ' ')) AS BIGINT) AS n_words,
+       CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+            THEN CAST(b.n_bigrams - b.n_distinct AS DOUBLE) / b.n_bigrams
+            ELSE 0.0 END AS dup_bigram_ratio,
+       t.top_word,
+       CAST(t.top_cnt AS BIGINT) AS top_word_cnt,
+       CAST(t.top_cnt AS DOUBLE)
+         / len(string_split(COALESCE(d.text, ''), ' ')) AS top_word_ratio
+FROM documents d
+JOIN top t USING (doc_id)
+LEFT JOIN bstats b USING (doc_id)
+"""
+
+
+def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
+                   range_width: int = PACK_RANGE_WIDTH):
+    """Concat-and-chunk sequence packing: documents laid end-to-end in
+    ``doc_id`` order and cut into fixed ``capacity``-token bins; each
+    document reports its global token offset (``cum_before``), its bin
+    id and its offset within the bin — the layout table a packed
+    pretraining dataloader materializes.
+
+    The global ordered prefix sum is the distributed-scan pattern, not
+    a serial driver pass: (1) the tiny per-doc token-count table is
+    computed once and pinned (16 bytes/doc — at 10^10 docs this is the
+    one working set an iterative/multi-pass op may hold, the same call
+    ``ops/graph_algos`` makes); (2) per-coarse-range sums (range =
+    ``doc_id // range_width``) aggregate to one small frame whose
+    exclusive prefix the driver computes in microseconds; (3) a
+    bucketed shuffle on the range key finishes with an in-range
+    vectorized sort + cumsum. No stage ever sees more than one range's
+    rows plus a scalar offset."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        _, lens = _split_words(batch["text"].tolist())
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": ids, "n_tokens": lens, "_range": ids // np.int64(range_width)}
+        )
+
+    tok = docs.map_batches(count_tokens, batch_format="pandas").materialize()
+
+    def range_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("_range", sort=False)["n_tokens"].sum().reset_index()
+        )
+
+    range_sums = (
+        tok.map_batches(range_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("_range", sort=True)["n_tokens"]
+        .sum()
+    )
+    # exclusive prefix over the (tiny) ordered range sums; shipped by
+    # closure — a few bytes per range, the cheap path for small state
+    # (actor pools / ray.put only pay off for MB-scale payloads)
+    off = {
+        int(r): int(v)
+        for r, v in zip(range_sums.index, range_sums.cumsum() - range_sums)
+    }
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        ordered = bucket.sort_values(["_range", "doc_id"], kind="stable")
+        n = ordered["n_tokens"].to_numpy(dtype=np.int64)
+        cum_in_range = (
+            ordered.groupby("_range", sort=False)["n_tokens"].cumsum().to_numpy(
+                dtype=np.int64
+            )
+            - n
+        )
+        base = ordered["_range"].map(off).to_numpy(dtype=np.int64)
+        cum_before = base + cum_in_range
+        return pd.DataFrame(
+            {"doc_id": ordered["doc_id"].to_numpy(dtype=np.int64),
+             "n_tokens": n,
+             "cum_before": cum_before,
+             "bin_id": cum_before // np.int64(capacity),
+             "bin_offset": cum_before % np.int64(capacity)}
+        )
+
+    return grouped_aggregate(tok, ["_range"], combine)
+
+
+def pack_sequences_oracle(capacity: int = PACK_CAPACITY) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM tok
+)
+SELECT doc_id, n_tokens, cum_before,
+       cum_before // {capacity} AS bin_id,
+       cum_before % {capacity} AS bin_offset
+FROM c
+"""
+
+
+def lang_rebalance(sf_dir: str):
+    """Deterministic down-sample to a uniform language mixture: every
+    language keeps ``min_count / count_lang`` of its documents, chosen
+    by the repo's Knuth-hash rule, so the output is an unbiased,
+    reproducible rebalanced corpus (the mixture-reweighting step of a
+    pretraining data recipe).
+
+    Per-language counts are a tiny aggregate (|langs| ≪ rows: partial
+    per-batch counts, final sum on the driver); the thresholds are
+    EXACT integer arithmetic (``(min_cnt << 32) // cnt`` — arbitrary-
+    precision in Python, HUGEINT in the oracle), so no float rounding
+    can flip a keep decision; the filter itself is one zero-shuffle
+    ``map_batches``."""
+    docs = read_split(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("lang", sort=False).size().reset_index(name="c")
+
+    counts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang")["c"]
+        .sum()
+    )
+    mc = int(counts.min())
+    thresholds = {lang: (mc << _MOD_BITS) // int(c) for lang, c in counts.items()}
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        h = (ids * _KNUTH) % _MOD
+        thr = batch["lang"].map(thresholds).to_numpy(dtype=np.int64)
+        kept = batch[h < thr]
+        return pd.DataFrame(
+            {"doc_id": kept["doc_id"].to_numpy(dtype=np.int64),
+             "lang": kept["lang"].to_numpy(),
+             "source": kept["source"].to_numpy(),
+             "n_chars": kept["n_chars"].to_numpy(dtype=np.int64)}
+        )
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+LANG_REBALANCE_ORACLE = """
+WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+m AS (SELECT MIN(c) AS mc FROM cnt),
+thr AS (SELECT lang, CAST((CAST(mc AS HUGEINT) * 4294967296) // c AS BIGINT)
+               AS threshold
+        FROM cnt, m)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN thr t USING (lang)
+WHERE (d.doc_id * 2654435761) % 4294967296 < t.threshold
+"""
