@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_embedding_neardup"] = dedupe.embedding_neardup
     q["dedup_ngram_jaccard"] = dedupe.ngram_jaccard_pairs
     q["fp_containment"] = dedupe.fp_containment
+    from entity_extractor_linker_ray.ops import fuzzy
+
+    q["fuzzy_neighbors"] = fuzzy.fuzzy_neighbors
     from entity_extractor_linker_ray.ops import graph_algos
 
     q["dedup_clusters"] = graph_algos.duplicate_clusters
@@ -265,6 +268,9 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_exact"] = dedupe.EXACT_DEDUP_ORACLE
     sql["dedup_ngram_jaccard"] = dedupe.NGRAM_JACCARD_ORACLE
     sql["fp_containment"] = dedupe.fp_containment_oracle()
+    from entity_extractor_linker_ray.ops import fuzzy
+
+    sql["fuzzy_neighbors"] = fuzzy.fuzzy_neighbors_oracle()
     from entity_extractor_linker_ray.ops import graph_algos
 
     sql["dedup_clusters"] = graph_algos.duplicate_clusters_oracle()

@@ -208,6 +208,84 @@ def kg_entity_connections(sf_dir: str):
     return grouped_aggregate(partials, ["entity"], final)
 
 
+def kg_entity_lift(sf_dir: str):
+    """Association score per co-occurring entity pair (a < b):
+    document co-occurrence count ``n_ab`` and lift
+    ``n_ab·N / (n_a·n_b)`` — the PMI-family normalization a KG builder
+    applies before thresholding spurious co-occurrence edges (lift 1 =
+    independent, ≫1 = genuinely associated).
+
+    Scale shape: pair partials are generated DOC-LOCALLY inside the
+    fused mention kernel (fan-out bounded by |vocab|² per doc, never
+    corpus-sized) and summed through one bucketed exchange; the
+    per-entity doc counts (≤ |vocab| rows) and the corpus size N are
+    tiny driver-collected broadcast sides, exactly the small-side rule
+    of the KB join (J5). The lift itself is ONE IEEE-754 division of
+    exact int64 products, so the float column hash-matches the SQL
+    oracle bit-for-bit."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def pair_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _mentions_batch(batch)[["doc_id", "name"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"entity_a": pd.Series([], dtype=str),
+                 "entity_b": pd.Series([], dtype=str),
+                 "n_ab": pd.Series([], dtype=np.int64)}
+            )
+        pairs = m.merge(m, on="doc_id")
+        pairs = pairs[pairs["name_x"] < pairs["name_y"]]
+        return (
+            pairs.groupby(["name_x", "name_y"], sort=False)
+            .size()
+            .reset_index(name="n_ab")
+            .rename(columns={"name_x": "entity_a", "name_y": "entity_b"})
+            .astype({"n_ab": np.int64})
+        )
+
+    def name_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _mentions_batch(batch)
+        return (
+            m.groupby("name", sort=False)
+            .size()
+            .reset_index(name="n_docs")
+            .astype({"n_docs": np.int64})
+        )
+
+    # per-entity doc counts: ≤ |vocab| × blocks partial rows — driver sum
+    name_counts = (
+        _read_documents(sf_dir)
+        .map_batches(name_partials, batch_format="pandas")
+        .to_pandas()
+        .groupby("name")["n_docs"]
+        .sum()
+        .to_dict()
+    )
+    n_total = rd.read_parquet(f"{sf_dir}/documents.parquet").count()
+
+    def finish(bucket: pd.DataFrame) -> pd.DataFrame:
+        summed = (
+            bucket.groupby(["entity_a", "entity_b"], sort=False)["n_ab"]
+            .sum()
+            .reset_index()
+            .astype({"n_ab": np.int64})
+        )
+        n_a = summed["entity_a"].map(name_counts).to_numpy(dtype=np.int64)
+        n_b = summed["entity_b"].map(name_counts).to_numpy(dtype=np.int64)
+        n_ab = summed["n_ab"].to_numpy(dtype=np.int64)
+        summed["lift"] = (n_ab * np.int64(n_total)).astype(np.float64) / (
+            n_a * n_b
+        ).astype(np.float64)
+        return summed
+
+    partials = _read_documents(sf_dir).map_batches(
+        pair_partials, batch_format="pandas"
+    )
+    return grouped_aggregate(partials, ["entity_a", "entity_b"], finish)
+
+
 def kg_type_distribution(sf_dir: str):
     partials = kg_entities(sf_dir).map_batches(
         lambda b: b.groupby("type", sort=False).size().reset_index(name="n")
@@ -374,6 +452,20 @@ ORACLES: dict[str, str] = {
         "UNION SELECT object, subject FROM p) "
         "SELECT entity, count(DISTINCT neighbor) AS n_neighbors FROM u GROUP BY entity"
     ),
+    "kg_entity_lift": (
+        "WITH {vocab}, {m}, "
+        "e AS (SELECT DISTINCT doc_id, name FROM m), "
+        "cnt AS (SELECT name, CAST(COUNT(*) AS BIGINT) AS n_docs FROM e GROUP BY 1), "
+        "pairs AS (SELECT a.name AS entity_a, b.name AS entity_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_ab "
+        "FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.name < b.name "
+        "GROUP BY 1, 2) "
+        "SELECT p.entity_a, p.entity_b, p.n_ab, "
+        "CAST(p.n_ab * (SELECT COUNT(*) FROM documents) AS DOUBLE) "
+        "/ (ca.n_docs * cb.n_docs) AS lift "
+        "FROM pairs p JOIN cnt ca ON ca.name = p.entity_a "
+        "JOIN cnt cb ON cb.name = p.entity_b"
+    ),
     "kg_type_distribution": (
         "WITH {vocab}, {m} SELECT type, count(*) AS n FROM m GROUP BY type"
     ),
@@ -422,6 +514,7 @@ QUERIES = {
     "kg_edges": kg_edges,
     "kg_nodes": kg_nodes,
     "kg_entity_connections": kg_entity_connections,
+    "kg_entity_lift": kg_entity_lift,
     "kg_type_distribution": kg_type_distribution,
     "kg_linked_counts": kg_linked_counts,
     "kg_top_categories": kg_top_categories,
