@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_pagerank"] = graph_algos.kg_pagerank
     q["kg_triangles"] = graph_algos.kg_triangles
     q["kg_two_hop"] = graph_algos.kg_two_hop
+    q["kg_kcore"] = graph_algos.kg_kcore
     from entity_extractor_linker_ray.ops import cluster
 
     q["kmeans_clusters"] = cluster.kmeans_clusters
@@ -206,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["first_events_global"] = relational.first_events_global
     q["events_sessionize"] = relational.events_sessionize
     q["events_daily_distinct"] = relational.events_daily_distinct
+    q["user_retention_cohorts"] = relational.user_retention_cohorts
     q["events_daily_users_approx"] = relational.events_daily_users_approx
     q["events_user_pivot"] = relational.events_user_pivot
     q["events_unpivot"] = relational.events_unpivot
@@ -296,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
     sql["first_events_global"] = relational.FIRST_EVENTS_ORACLE
     sql["events_sessionize"] = relational.EVENTS_SESSIONIZE_ORACLE
     sql["events_daily_distinct"] = relational.EVENTS_DAILY_DISTINCT_ORACLE
+    sql["user_retention_cohorts"] = relational.USER_RETENTION_ORACLE
     sql["events_user_pivot"] = relational.EVENTS_USER_PIVOT_ORACLE
     sql["events_unpivot"] = relational.EVENTS_UNPIVOT_ORACLE
     sql["user_journeys"] = relational.USER_JOURNEYS_ORACLE
@@ -318,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
+    sql["kg_kcore"] = graph_algos.kg_kcore_oracle()
     from entity_extractor_linker_ray.ops import cluster
 
     sql["kmeans_clusters"] = cluster.kmeans_oracle()

@@ -181,6 +181,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_rank",
         "dedup_semantic_pairs",
         "events_funnel",
+        "decontaminate",
+        "fuzzy_neighbors",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -801,3 +801,305 @@ SELECT d.entity, CAST(d.n_direct AS BIGINT) AS n_direct,
        CAST(w.n_within - d.n_direct AS BIGINT) AS n_two_hop
 FROM d JOIN w USING (entity)
 """
+
+
+# ----------------------------------------------------------------------
+# k-core decomposition (iterative degree pruning)
+# ----------------------------------------------------------------------
+
+KCORE_K = 4
+KCORE_ROUNDS = 4
+
+
+def _kcore_degrees(bi, alive, num_partitions: int):
+    """Degrees restricted to the alive set: count, per alive node, its
+    edges whose OTHER endpoint is also alive. Three bucketed exchanges
+    (semi-join on s, semi-join on d, per-node sum) — the distributed
+    shape; no driver-side node set, so it holds when the node table
+    itself is sharded."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def tag_alive(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["node"].astype(str).to_numpy()
+        return pd.DataFrame(
+            {"key": n, "other": np.full(len(n), "", dtype=object),
+             "side": np.zeros(len(n), dtype=np.int64)}
+        )
+
+    def tag_edge_s(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": batch["s"].astype(str).to_numpy(),
+             "other": batch["d"].astype(str).to_numpy(),
+             "side": np.ones(len(batch), dtype=np.int64)}
+        )
+
+    def keep_s_alive(bucket: pd.DataFrame) -> pd.DataFrame:
+        alive_keys = set(bucket.loc[bucket["side"] == 0, "key"])
+        e = bucket[bucket["side"] == 1]
+        kept = e[e["key"].isin(alive_keys)]
+        # re-key the surviving edges on their OTHER endpoint (d) for
+        # the second semi-join; the original s rides in `other`
+        return pd.DataFrame(
+            {"key": kept["other"].to_numpy(),
+             "other": kept["key"].to_numpy(),
+             "side": np.ones(len(kept), dtype=np.int64)}
+        )
+
+    def count_per_s(bucket: pd.DataFrame) -> pd.DataFrame:
+        alive_keys = set(bucket.loc[bucket["side"] == 0, "key"])
+        e = bucket[bucket["side"] == 1]
+        kept = e[e["key"].isin(alive_keys)]
+        return (
+            kept.groupby("other", sort=False)
+            .size()
+            .reset_index(name="deg")
+            .rename(columns={"other": "node"})
+            .astype({"deg": np.int64})
+        )
+
+    def sum_deg(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("node", sort=False)["deg"]
+            .sum()
+            .reset_index()
+            .astype({"deg": np.int64})
+        )
+
+    stage1 = grouped_aggregate(
+        bi.map_batches(tag_edge_s, batch_format="pandas").union(
+            alive.map_batches(tag_alive, batch_format="pandas")
+        ),
+        ["key"], keep_s_alive, num_partitions=num_partitions,
+    )
+    partial = grouped_aggregate(
+        stage1.union(alive.map_batches(tag_alive, batch_format="pandas")),
+        ["key"], count_per_s, num_partitions=num_partitions,
+    )
+    return grouped_aggregate(partial, ["node"], sum_deg,
+                             num_partitions=num_partitions)
+
+
+def kcore(edges_ds, k: int, rounds: int, num_partitions: int = 8):
+    """k-core decomposition by iterative degree pruning over an
+    undirected DISTINCT edge Dataset (columns ``x``/``y``, one row per
+    unordered pair): each round drops every node whose degree within
+    the surviving subgraph is < ``k``; after ``rounds`` rounds (or a
+    provably reached fixpoint — the alive set shrinks monotonically,
+    so an unchanged COUNT certifies convergence with one scalar
+    aggregate, same trick as :func:`duplicate_clusters`), every
+    remaining node is reported with its degree inside the core.
+
+    Exactly mirrors the unrolled-CTE oracle: both run AT MOST
+    ``rounds`` pruning rounds, and the early exit fires only when an
+    extra round is the identity, so the results agree whether or not
+    the fixpoint is reached. Returns (entity, degree)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    out_schema = pa.schema([("entity", pa.string()), ("degree", pa.int64())])
+    empty = rd.from_arrow(out_schema.empty_table())
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["x"].astype(str).to_numpy()
+        y = batch["y"].astype(str).to_numpy()
+        return pd.DataFrame(
+            {"s": np.concatenate([x, y]), "d": np.concatenate([y, x])}
+        )
+
+    bi = _compact(edges_ds.map_batches(both_dirs, batch_format="pandas"),
+                  num_partitions)
+
+    def to_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": batch["s"]}).drop_duplicates()
+
+    def dedup_nodes(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates(["node"])[["node"]]
+
+    alive = _compact(
+        grouped_aggregate(
+            bi.map_batches(to_nodes, batch_format="pandas"), ["node"],
+            dedup_nodes, num_partitions=num_partitions,
+        ),
+        num_partitions,
+    )
+    n_alive = alive.count()
+    if n_alive == 0:
+        return empty
+
+    def survivors(batch: pd.DataFrame):
+        kept = batch[batch["deg"].to_numpy(dtype=np.int64) >= k]
+        # explicit Arrow string type: an all-pruned batch must not
+        # produce a null-typed column (block-unification + size probes)
+        return pa.table(
+            {"node": pa.array(kept["node"].astype(str), type=pa.string())}
+        )
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"entity": batch["node"].astype(str).to_numpy(),
+             "degree": batch["deg"].to_numpy(dtype=np.int64)}
+        )
+
+    def surviving_degrees(batch: pd.DataFrame) -> pd.DataFrame:
+        return rename(batch[batch["deg"].to_numpy(dtype=np.int64) >= k])
+
+    for _ in range(rounds):
+        # materialized: the round's degrees feed BOTH the survivor
+        # filter and (at the fixpoint) the final answer — one
+        # execution, not two
+        deg = _kcore_degrees(bi, alive, num_partitions).materialize()
+        alive = _compact(
+            deg.map_batches(survivors, batch_format="pandas"), num_partitions
+        )
+        n_new = alive.count()
+        if n_new == 0:
+            return empty
+        if n_new == n_alive:
+            # monotone-shrinking set + equal count == identical set:
+            # this round was the identity, so the surviving nodes'
+            # degrees w.r.t. the previous alive set ARE their
+            # within-core degrees — no extra degree pass needed
+            return deg.map_batches(
+                surviving_degrees, batch_format="pandas"
+            ).union(empty)
+        n_alive = n_new
+
+    # rounds exhausted without a fixpoint: report degrees within the
+    # final alive set (nodes below k would be pruned in round R+1 —
+    # kept here, exactly as the oracle's unfiltered dfin)
+    final_deg = _kcore_degrees(bi, alive, num_partitions)
+    return final_deg.map_batches(rename, batch_format="pandas").union(empty)
+
+
+def kg_kcore(sf_dir: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS,
+             num_partitions: int = 8):
+    """k-core of the co-occurrence KG over its STRONG edges: directed
+    predicate-summed weights are folded into undirected unordered
+    pairs, an edge is strong when its weight reaches the CEILING MEAN
+    weight (exact integer arithmetic on both sides — no float
+    quantile to disagree over), and the ``k``-core of the strong graph
+    is reported as (entity, degree-within-core). The
+    dense-subgraph extraction step of KG cleanup: hubs survive,
+    weakly-attached entities fall away round by round."""
+    def undirected(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["subject"] != batch["object"]]
+        s = b["subject"].astype(str).to_numpy()
+        o = b["object"].astype(str).to_numpy()
+        lo = np.where(s < o, s, o)
+        hi = np.where(s < o, o, s)
+        return pd.DataFrame(
+            {"x": lo, "y": hi, "w": b["weight"].to_numpy(dtype=np.int64)}
+        )
+
+    def sum_w(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["x", "y"], sort=False)["w"]
+            .sum()
+            .reset_index()
+            .astype({"w": np.int64})
+        )
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    und = grouped_aggregate(
+        _kg_edges_materialized(sf_dir).map_batches(
+            undirected, batch_format="pandas"
+        ),
+        ["x", "y"], sum_w, num_partitions=num_partitions,
+    ).materialize()
+
+    n_edges = und.count()
+    if n_edges == 0:
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema([("entity", pa.string()), ("degree", pa.int64())])
+            .empty_table()
+        )
+    total_w = int(und.sum("w") or 0)
+    thr = (total_w + n_edges - 1) // n_edges  # ceiling mean, exact ints
+
+    def strong(batch: pd.DataFrame) -> pd.DataFrame:
+        kept = batch[batch["w"].to_numpy(dtype=np.int64) >= thr]
+        return kept[["x", "y"]]
+
+    return kcore(und.map_batches(strong, batch_format="pandas"), k, rounds,
+                 num_partitions)
+
+
+def kcore_reference(edges: pd.DataFrame, k: int, rounds: int) -> pd.DataFrame:
+    """Single-machine replica of :func:`kcore` (tests: distributed ==
+    local). ``edges``: columns x, y — distinct unordered pairs."""
+    pairs = {(str(a), str(b)) for a, b in edges[["x", "y"]].itertuples(index=False)}
+    alive = {n for p in pairs for n in p}
+
+    def degrees(nodes):
+        deg: dict[str, int] = {}
+        for a, b in pairs:
+            if a in nodes and b in nodes:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        return deg
+
+    for _ in range(rounds):
+        deg = degrees(alive)
+        new_alive = {n for n in alive if deg.get(n, 0) >= k}
+        if new_alive == alive:
+            break
+        alive = new_alive
+        if not alive:
+            break
+    deg = degrees(alive)
+    rows = sorted((n, d) for n, d in deg.items())
+    return pd.DataFrame(
+        {"entity": [r[0] for r in rows],
+         "degree": np.array([r[1] for r in rows], dtype=np.int64)}
+    )
+
+
+def kg_kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled-CTE mirror of :func:`kg_kcore` (same scheme as the
+    PageRank oracle): one degree-filter CTE pair per pruning round
+    over the ceiling-mean-thresholded strong edge set, then the final
+    within-core degree. Integer arithmetic throughout."""
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    edges_sql = simple_kg.oracle_sql()["kg_edges"]
+    parts = [
+        f"""WITH e AS (
+  SELECT subject AS a, object AS b, CAST(weight AS BIGINT) AS w
+  FROM ({edges_sql}) q WHERE subject <> object
+),
+u AS (
+  SELECT CASE WHEN a < b THEN a ELSE b END AS x,
+         CASE WHEN a < b THEN b ELSE a END AS y,
+         CAST(SUM(w) AS BIGINT) AS w
+  FROM e GROUP BY 1, 2
+),
+t AS (SELECT CAST((CAST(SUM(w) AS HUGEINT) + COUNT(*) - 1) // COUNT(*)
+              AS BIGINT) AS thr FROM u),
+keep AS (SELECT x, y FROM u, t WHERE w >= thr),
+bi AS (SELECT x AS s, y AS d FROM keep UNION ALL SELECT y, x FROM keep),
+a0 AS (SELECT DISTINCT s AS node FROM bi)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{i} AS (SELECT bi.s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM bi JOIN a{i - 1} sa ON bi.s = sa.node
+                 JOIN a{i - 1} da ON bi.d = da.node
+         GROUP BY 1),
+a{i} AS (SELECT node FROM d{i} WHERE deg >= {k})"""
+        )
+    parts.append(
+        f""",
+dfin AS (SELECT bi.s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+         FROM bi JOIN a{rounds} sa ON bi.s = sa.node
+                 JOIN a{rounds} da ON bi.d = da.node
+         GROUP BY 1)
+SELECT node AS entity, degree FROM dfin"""
+    )
+    return "".join(parts)

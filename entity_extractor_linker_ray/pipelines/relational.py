@@ -2456,3 +2456,79 @@ SELECT user_id,
 FROM events
 GROUP BY 1
 """
+
+
+def user_retention_cohorts(sf_dir: str, max_offset: int = 7):
+    """Retention cohort matrix: users cohorted by their FIRST active
+    day; for each (cohort_day, day_offset ≤ ``max_offset``) the number
+    of cohort members active on that offset day — the day-N retention
+    table every growth dashboard draws.
+
+    Two bucketed exchanges, partials combined before each: (1) keyed
+    by user — batches pre-dedupe (user, day) locally, each bucket then
+    derives the user's cohort (vectorized ``transform('min')``) and
+    emits one (cohort_day, day_offset) row per user-day in the window,
+    pre-counted per bucket; (2) keyed by the tiny (cohort_day, offset)
+    pair — a final sum over ~days × offsets keys. Distinctness of
+    (user, day) inside one bucket makes the partial counts disjoint,
+    so no step ships raw events twice and no reducer ever sees a
+    corpus-sized group. Day = epoch-days from the event timestamp, the
+    same integer bucketing as :func:`events_daily_distinct`."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"user_id": batch["user_id"].to_numpy(dtype=np.int64),
+                 "day": ts_ns // 86_400_000_000_000}
+            )
+            .drop_duplicates()
+        )
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        a = bucket.drop_duplicates(["user_id", "day"])
+        cohort = a.groupby("user_id", sort=False)["day"].transform("min")
+        offset = a["day"].to_numpy(dtype=np.int64) - cohort.to_numpy(dtype=np.int64)
+        rows = pd.DataFrame(
+            {"cohort_day": cohort.to_numpy(dtype=np.int64), "day_offset": offset}
+        )
+        rows = rows[(rows["day_offset"] >= 0) & (rows["day_offset"] <= max_offset)]
+        return (
+            rows.groupby(["cohort_day", "day_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+            .astype({"n_users": np.int64})
+        )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["cohort_day", "day_offset"], sort=False)["n_users"]
+            .sum()
+            .reset_index()
+            .astype({"cohort_day": np.int64, "day_offset": np.int64,
+                     "n_users": np.int64})
+        )
+
+    per_user_rows = grouped_aggregate(events, ["user_id"], per_user,
+                                      partial=partial)
+    return grouped_aggregate(per_user_rows, ["cohort_day", "day_offset"], final)
+
+
+USER_RETENTION_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN c USING (user_id)
+WHERE a.day - c.cohort_day BETWEEN 0 AND 7
+GROUP BY 1, 2
+"""
