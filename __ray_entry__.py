@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_funnel"] = relational.events_funnel
     q["events_percentiles"] = relational.events_percentiles
     q["events_value_stats"] = relational.events_value_stats
+    q["customer_event_activity"] = relational.customer_event_activity
+    q["events_value_histogram"] = relational.events_value_histogram
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -318,6 +320,8 @@ def oracle_sql() -> dict[str, str]:
     sql["events_funnel"] = relational.EVENTS_FUNNEL_ORACLE
     sql["events_percentiles"] = relational.EVENTS_PERCENTILES_ORACLE
     sql["events_value_stats"] = relational.EVENTS_VALUE_STATS_ORACLE
+    sql["customer_event_activity"] = relational.CUSTOMER_EVENT_ACTIVITY_ORACLE
+    sql["events_value_histogram"] = relational.EVENTS_VALUE_HISTOGRAM_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()

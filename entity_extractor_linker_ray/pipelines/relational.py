@@ -2532,3 +2532,123 @@ FROM a JOIN c USING (user_id)
 WHERE a.day - c.cohort_day BETWEEN 0 AND 7
 GROUP BY 1, 2
 """
+
+
+def customer_event_activity(sf_dir: str):
+    """FULL OUTER join of two independently-aggregated activity
+    tables — per-customer order counts vs per-user event counts on the
+    shared integer key — keeping every key present on EITHER side with
+    zero-filled gaps (the reconciliation shape: 'which customers
+    ordered but never produced events, and vice versa').
+
+    Distributed outer join without a join operator: both sides
+    pre-aggregate per batch (the combiner bound: at most one row per
+    key per batch reaches the wire), the partials meet in ONE bucketed
+    hash exchange as a tagged union, and each bucket does a vectorized
+    outer merge + zero fill. No side is broadcast — both aggregates
+    scale with their key cardinality, and a key's rows from both
+    tables land in the same bucket by construction."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def order_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby("o_custkey", sort=False)
+            .size()
+            .reset_index(name="n_orders")
+        )
+        return pd.DataFrame(
+            {"custkey": g["o_custkey"].to_numpy(dtype=np.int64),
+             "n_orders": g["n_orders"].to_numpy(dtype=np.int64),
+             "n_events": np.zeros(len(g), dtype=np.int64)}
+        )
+
+    def event_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("user_id", sort=False).size().reset_index(name="n_events")
+        return pd.DataFrame(
+            {"custkey": g["user_id"].to_numpy(dtype=np.int64),
+             "n_orders": np.zeros(len(g), dtype=np.int64),
+             "n_events": g["n_events"].to_numpy(dtype=np.int64)}
+        )
+
+    unioned = orders.map_batches(order_partials, batch_format="pandas").union(
+        events.map_batches(event_partials, batch_format="pandas")
+    )
+
+    def outer_merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("custkey", sort=False)[["n_orders", "n_events"]]
+            .sum()
+            .reset_index()
+            .astype({"custkey": np.int64, "n_orders": np.int64,
+                     "n_events": np.int64})
+        )
+
+    return grouped_aggregate(unioned, ["custkey"], outer_merge)
+
+
+CUSTOMER_EVENT_ACTIVITY_ORACLE = """
+WITH o AS (SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1),
+e AS (SELECT user_id AS custkey, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1)
+SELECT custkey,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events
+FROM o FULL OUTER JOIN e USING (custkey)
+"""
+
+
+HIST_BIN_WIDTH = 50.0
+
+
+def events_value_histogram(sf_dir: str, bin_width: float = HIST_BIN_WIDTH):
+    """Per-event-type value histogram with fixed-width bins
+    (``bin = floor(value / width)``) — the grouped-distribution view a
+    monitoring pipeline materializes. Bin assignment is one float64
+    division + floor, identical IEEE operations in numpy and SQL, so
+    even bin EDGES agree bit-for-bit; counting is the standard
+    combiner-then-bucketed-sum over the tiny (type × bin) key space."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bins = np.floor(
+            batch["value"].to_numpy(dtype=np.float64) / bin_width
+        ).astype(np.int64)
+        return (
+            pd.DataFrame({"event_type": batch["event_type"].to_numpy(),
+                          "bin": bins})
+            .groupby(["event_type", "bin"], sort=False)
+            .size()
+            .reset_index(name="n_events")
+            .astype({"bin": np.int64, "n_events": np.int64})
+        )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["event_type", "bin"], sort=False)["n_events"]
+            .sum()
+            .reset_index()
+            .astype({"bin": np.int64, "n_events": np.int64})
+        )
+
+    return grouped_aggregate(events, ["event_type", "bin"], final,
+                             partial=partial)
+
+
+EVENTS_VALUE_HISTOGRAM_ORACLE = f"""
+SELECT event_type,
+       CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
