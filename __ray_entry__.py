@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["stratified_sample"] = sampling.stratified_sample
     q["top_docs_per_lang"] = sampling.top_docs_per_lang
     q["uniform_fixed_sample"] = sampling.uniform_fixed_sample
+    q["hash_sample_per_group"] = sampling.hash_sample_per_group
     q["weighted_sample"] = sampling.weighted_sample
     # --- similarity search --------------------------------------------
     q["knn_brute"] = ann.knn_brute
@@ -230,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_value_stats"] = relational.events_value_stats
     q["customer_event_activity"] = relational.customer_event_activity
     q["events_value_histogram"] = relational.events_value_histogram
+    q["events_transitions"] = relational.events_transitions
+    q["user_event_mode"] = relational.user_event_mode
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -322,6 +325,8 @@ def oracle_sql() -> dict[str, str]:
     sql["events_value_stats"] = relational.EVENTS_VALUE_STATS_ORACLE
     sql["customer_event_activity"] = relational.CUSTOMER_EVENT_ACTIVITY_ORACLE
     sql["events_value_histogram"] = relational.EVENTS_VALUE_HISTOGRAM_ORACLE
+    sql["events_transitions"] = relational.EVENTS_TRANSITIONS_ORACLE
+    sql["user_event_mode"] = relational.USER_EVENT_MODE_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
@@ -348,5 +353,6 @@ def oracle_sql() -> dict[str, str]:
     sql["stratified_sample"] = sampling.STRATIFIED_SAMPLE_ORACLE
     sql["top_docs_per_lang"] = sampling.TOP_DOCS_PER_LANG_ORACLE.format(k=5)
     sql["uniform_fixed_sample"] = sampling.UNIFORM_FIXED_SAMPLE_ORACLE.format(n=100)
+    sql["hash_sample_per_group"] = sampling.HASH_SAMPLE_PER_GROUP_ORACLE.format(k=3)
     sql["weighted_sample"] = sampling.WEIGHTED_SAMPLE_ORACLE.format(n=100)
     return sql

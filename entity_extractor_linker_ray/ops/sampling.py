@@ -207,3 +207,56 @@ FROM documents
 ORDER BY priority ASC, doc_id ASC
 LIMIT {n}
 """
+
+
+def hash_sample_per_group(sf_dir: str, k: int = 3):
+    """Exactly-``k`` deterministic pseudo-random documents per
+    language — the stratified cousin of :func:`uniform_fixed_sample`
+    (per-group reservoir sampling via hash priorities instead of an
+    RNG): every doc gets the Knuth multiplicative-hash priority, and
+    each language keeps its ``k`` smallest.
+
+    RNG-free reservoirs are the only reservoir that is reproducible,
+    machine-count-independent, AND SQL-mirrorable. Distribution is the
+    partial-top-k-per-stratum shape of ``top_docs_per_lang``: each
+    batch surrenders at most ``k`` rows per language it contains, the
+    bucketed shuffle co-locates a language's survivors, and the final
+    selection sorts ≤ k x n_blocks rows per language. Priority ties
+    are impossible while doc_id < 2^32 (injective map); doc_id stays
+    the secondary sort key regardless."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def head_k(frame: pd.DataFrame) -> pd.DataFrame:
+        ordered = frame.sort_values(["lang", "priority", "doc_id"], kind="stable")
+        kept = ordered.groupby("lang", sort=False).head(k).reset_index(drop=True)
+        kept["sample_rank"] = kept.groupby("lang", sort=False).cumcount() + 1
+        return kept.astype({"doc_id": np.int64, "priority": np.int64,
+                            "sample_rank": np.int64})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        frame = pd.DataFrame(
+            {"lang": batch["lang"].to_numpy(),
+             "priority": (ids * _KNUTH) % _MOD,
+             "doc_id": ids}
+        )
+        return head_k(frame).drop(columns=["sample_rank"])
+
+    return grouped_aggregate(docs, ["lang"], head_k, partial=partial)
+
+
+HASH_SAMPLE_PER_GROUP_ORACLE = """
+SELECT lang, priority, doc_id, sample_rank FROM (
+  SELECT lang, (doc_id * 2654435761) % 4294967296 AS priority, doc_id,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY (doc_id * 2654435761) % 4294967296,
+                                          doc_id) AS BIGINT) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {k}
+"""

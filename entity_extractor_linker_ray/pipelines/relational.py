@@ -2652,3 +2652,136 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2
 """
+
+
+def events_transitions(sf_dir: str):
+    """Markov transition-count matrix over per-user event streams: for
+    every consecutive pair of events (ordered by ``(ts, event_id)``
+    within a user), count occurrences of ``event_type -> next_type`` —
+    the behavioral-model input a recommendation/anomaly pipeline
+    derives from clickstreams.
+
+    LEAD needs each user's rows co-located and ordered, so phase one is
+    the bucketed shuffle on ``hash(user_id)`` with ONE vectorized
+    sort-and-shift per bucket (the ``events_lag_gaps`` segment-kernel
+    shape: sort by (user, ts, event_id), compare ``arr[1:]`` against
+    ``arr[:-1]``, mask user boundaries) that emits per-bucket partial
+    pair counts; phase two sums the partials over the tiny
+    ``(type x type)`` key space. The wire between phases carries at
+    most ``buckets x |types|^2`` rows regardless of event count."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def pair_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.copy()
+        df["ts_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        users = df["user_id"].to_numpy(dtype=np.int64)
+        types = df["event_type"].to_numpy(dtype=object)
+        if len(df) < 2:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "next_type": pd.Series([], dtype=object),
+                                 "n_pairs": pd.Series([], dtype=np.int64)})
+        same_user = users[1:] == users[:-1]
+        return (
+            pd.DataFrame({"event_type": types[:-1][same_user],
+                          "next_type": types[1:][same_user]})
+            .groupby(["event_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n_pairs")
+            .astype({"n_pairs": np.int64})
+        )
+
+    partials = grouped_aggregate(events, ["user_id"], pair_counts)
+
+    def total(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["event_type", "next_type"], sort=False)["n_pairs"]
+            .sum()
+            .reset_index()
+            .astype({"n_pairs": np.int64})
+        )
+
+    return grouped_aggregate(partials, ["event_type", "next_type"], total,
+                             num_partitions=8)
+
+
+EVENTS_TRANSITIONS_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM s WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def user_event_mode(sf_dir: str):
+    """Per-user modal event type (most frequent; ties broken by the
+    alphabetically-first type) plus its count — the grouped-mode /
+    argmax-per-key aggregate SQL spells as a ROW_NUMBER-over-counts
+    subquery and Ray Data has no operator for.
+
+    Two-phase: per-batch partial counts on ``(user_id, event_type)``
+    (the combiner bound — at most ``|types|`` rows per user per batch
+    cross the wire), bucketed on ``hash(user_id)`` so each user's
+    partials meet exactly once, then ONE vectorized
+    sum -> sort -> drop_duplicates per bucket. No per-user Python even
+    with user-cardinality keys."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n_mode")
+            .astype({"user_id": np.int64, "n_mode": np.int64})
+        )
+
+    def argmax(bucket: pd.DataFrame) -> pd.DataFrame:
+        summed = (
+            bucket.groupby(["user_id", "event_type"], sort=False)["n_mode"]
+            .sum()
+            .reset_index()
+        )
+        best = (
+            summed.sort_values(["user_id", "n_mode", "event_type"],
+                               ascending=[True, False, True], kind="stable")
+            .drop_duplicates("user_id")
+            .rename(columns={"event_type": "mode_type"})
+        )
+        return best.astype({"user_id": np.int64, "n_mode": np.int64})[
+            ["user_id", "mode_type", "n_mode"]
+        ]
+
+    return grouped_aggregate(events, ["user_id"], argmax, partial=partial)
+
+
+USER_EVENT_MODE_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n_mode
+FROM r WHERE rn = 1
+"""
