@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_value_histogram"] = relational.events_value_histogram
     q["events_transitions"] = relational.events_transitions
     q["user_event_mode"] = relational.user_event_mode
+    q["events_running_total"] = relational.events_running_total
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -327,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
     sql["events_value_histogram"] = relational.EVENTS_VALUE_HISTOGRAM_ORACLE
     sql["events_transitions"] = relational.EVENTS_TRANSITIONS_ORACLE
     sql["user_event_mode"] = relational.USER_EVENT_MODE_ORACLE
+    sql["events_running_total"] = relational.EVENTS_RUNNING_TOTAL_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()

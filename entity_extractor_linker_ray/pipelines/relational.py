@@ -2785,3 +2785,91 @@ r AS (
 SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n_mode
 FROM r WHERE rn = 1
 """
+
+
+def events_running_total(sf_dir: str):
+    """GLOBAL running total of event value (milli fixed-point) over the
+    whole stream ordered by ``(ts, event_id)`` — the distributed prefix
+    scan (SQL ``SUM(...) OVER (ORDER BY ...)`` with no PARTITION BY),
+    the one window shape that cannot hide behind a partition key.
+
+    Scan at scale = three bounded steps, never a single-node sort:
+
+    1. bucket rows by a RANGE prefix of the order key (the UTC hour of
+       ``ts`` — order within an hour implies order across hours), and
+       two-phase-aggregate exact per-hour totals: output is one row per
+       hour (~10^5 rows for years of data), safe to bring to the
+       driver;
+    2. exclusive prefix scan of the hour totals ON THE DRIVER (tiny)
+       → ``{hour: offset}``, shipped back inside the map closure;
+    3. one bucketed shuffle on the hour key; each bucket does a
+       vectorized sort + per-hour-segment ``cumsum`` + offset add.
+
+    Values go through :func:`~entity_extractor_linker_ray.ops.cluster.
+    milli_round` (int64 milli, half away from zero) so the cumulative
+    sums are integer-exact and hash identically to the oracle
+    regardless of summation order."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.cluster import milli_round
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    US_PER_HOUR = 3_600_000_000
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"]
+    )
+
+    def milli_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {"event_id": batch["event_id"].to_numpy(dtype=np.int64),
+             "ts_us": ts_us,
+             "hour": ts_us // US_PER_HOUR,
+             "milli": milli_round(batch["value"].to_numpy(dtype=np.float64))}
+        )
+
+    rows = events.map_batches(milli_rows, batch_format="pandas")
+
+    def hour_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("hour", sort=False)["milli"].sum().reset_index(
+            name="total"
+        )
+        return out.astype({"hour": np.int64, "total": np.int64})
+
+    def hour_final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return hour_partial(bucket.rename(columns={"total": "milli"}))
+
+    hour_totals = (
+        grouped_aggregate(rows.select_columns(["hour", "milli"]), ["hour"],
+                          hour_final, partial=hour_partial, num_partitions=8)
+        .to_pandas()  # one row per hour — bounded, driver-safe
+        .sort_values("hour")
+    )
+    totals = hour_totals["total"].to_numpy(dtype=np.int64)
+    offsets = dict(
+        zip(hour_totals["hour"].tolist(),
+            (np.cumsum(totals) - totals).tolist())
+    )
+
+    def scan_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.sort_values(["hour", "ts_us", "event_id"], kind="stable")
+        running = (
+            df.groupby("hour", sort=False)["milli"].cumsum().to_numpy(np.int64)
+            + df["hour"].map(offsets).to_numpy(dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(dtype=np.int64),
+             "running_milli": running}
+        )
+
+    return grouped_aggregate(rows, ["hour"], scan_bucket)
+
+
+EVENTS_RUNNING_TOTAL_ORACLE = """
+SELECT event_id,
+       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) OVER (
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_milli
+FROM events
+"""

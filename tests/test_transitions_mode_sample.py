@@ -152,3 +152,50 @@ class TestHashSamplePerGroup:
             a.sort_values(key).reset_index(drop=True),
             b.sort_values(key).reset_index(drop=True),
         )
+
+
+class TestEventsRunningTotal:
+    def test_oracle_parity(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_RUNNING_TOTAL_ORACLE,
+            events_running_total,
+        )
+
+        exp = (
+            _oracle({"events": f"{SF}/events.parquet"},
+                    EVENTS_RUNNING_TOTAL_ORACLE)
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        got = (
+            events_running_total(SF)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+    def test_crosses_hour_boundaries(self, ray_session, tmp_path):
+        """The scan is GLOBAL: the first event of hour 2 carries hour
+        0+1's full total as its offset, and ts ties order by event_id."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            events_running_total,
+        )
+
+        pd.DataFrame(
+            {
+                "event_id": [2, 1, 3, 4],
+                "ts": pd.to_datetime([30, 30, 3700, 7300], unit="s"),
+                "value": [1.0, 10.0, 100.0, 0.5],
+            }
+        ).to_parquet(tmp_path / "events.parquet")
+        out = (
+            events_running_total(str(tmp_path))
+            .to_pandas()
+            .set_index("event_id")["running_milli"]
+        )
+        # order: id1 (10.0), id2 (1.0) [ts tie], id3 (100.0), id4 (0.5)
+        assert out.loc[1] == 10_000
+        assert out.loc[2] == 11_000
+        assert out.loc[3] == 111_000
+        assert out.loc[4] == 111_500
