@@ -199,3 +199,42 @@ class TestEventsRunningTotal:
         assert out.loc[2] == 11_000
         assert out.loc[3] == 111_000
         assert out.loc[4] == 111_500
+
+
+class TestBlockCountInvariance:
+    """Batch boundaries are an execution detail: splitting the input
+    into 7 unequal files (different partial/combine boundaries inside
+    every bucketed shuffle) must not change one output row of the new
+    operators."""
+
+    def _split_events(self, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/events.parquet")
+        os.mkdir(tmp_path / "events.parquet")
+        bounds = [len(t) * i // 7 for i in range(8)]
+        for i in range(7):
+            pq.write_table(
+                t.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                tmp_path / "events.parquet" / f"part_{i}.parquet",
+            )
+        return str(tmp_path)
+
+    def test_transitions_mode_scan_invariant(self, ray_session, tmp_path):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            events_running_total,
+            events_transitions,
+            user_event_mode,
+        )
+
+        split = self._split_events(tmp_path)
+        for fn, key in [
+            (events_transitions, ["event_type", "next_type"]),
+            (user_event_mode, ["user_id"]),
+            (events_running_total, ["event_id"]),
+        ]:
+            base = fn(SF).to_pandas().sort_values(key).reset_index(drop=True)
+            got = fn(split).to_pandas().sort_values(key).reset_index(drop=True)
+            pd.testing.assert_frame_equal(base, got)
