@@ -29,10 +29,22 @@ def to_pandas(result) -> pd.DataFrame:
 
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns/rows and normalize dtypes the way the driver's
+    value-hash does: integral floats render as ints (DuckDB fetchdf
+    returns SUM(BIGINT) as float64 — a dtype artifact, not a value
+    difference), non-integral floats round to 9 places."""
     df = df[sorted(df.columns)].copy()
     for col in df.columns:
         if pd.api.types.is_float_dtype(df[col]):
-            df[col] = np.round(df[col].astype(float), 9)
+            vals = df[col].astype(float)
+            finite = vals[np.isfinite(vals)]
+            # integral check BEFORE np.round: round(x, 9) computes
+            # x*1e9, which exceeds 2^53 for |x| > ~9e6 and corrupts
+            # exact integers (4991067627.0 -> 4991067627.000001)
+            if len(finite) == len(vals) and (finite == np.floor(finite)).all():
+                df[col] = vals.astype(np.int64)
+            else:
+                df[col] = np.round(vals, 9)
         elif pd.api.types.is_integer_dtype(df[col]):
             df[col] = df[col].astype(np.int64)
         else:
