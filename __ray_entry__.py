@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_transitions"] = relational.events_transitions
     q["user_event_mode"] = relational.user_event_mode
     q["events_running_total"] = relational.events_running_total
+    q["user_active_span"] = relational.user_active_span
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -329,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
     sql["events_transitions"] = relational.EVENTS_TRANSITIONS_ORACLE
     sql["user_event_mode"] = relational.USER_EVENT_MODE_ORACLE
     sql["events_running_total"] = relational.EVENTS_RUNNING_TOTAL_ORACLE
+    sql["user_active_span"] = relational.USER_ACTIVE_SPAN_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()

@@ -2873,3 +2873,97 @@ SELECT event_id,
          AS running_milli
 FROM events
 """
+
+
+ACTIVE_WINDOW_US = 300_000_000  # each event opens a 5-minute window
+
+
+def user_active_span(sf_dir: str, window_us: int = ACTIVE_WINDOW_US):
+    """Interval-union coverage: each event opens a ``[ts, ts+window)``
+    activity interval; per user, merge overlapping intervals into
+    islands and report total covered time + island count — the
+    'distinct active time' metric (billing, engagement) that naive
+    ``count * window`` double-counts.
+
+    The sweep line is fully vectorized inside one bucketed shuffle on
+    ``hash(user_id)``: sort by (user, start, event_id), running
+    ``np.maximum.accumulate`` of interval ends per user segment, an
+    island starts where ``start > prev_running_max``, island ids by
+    cumsum of those flags, then ONE pandas groupby over (user, island)
+    for min(start)/max(end) and a second over user for the totals —
+    integer microseconds end-to-end so the oracle (the MAX ... OVER
+    (ROWS ... 1 PRECEDING) island idiom) hashes exactly."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def sweep(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.copy()
+        df["start_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        df = df.sort_values(["user_id", "start_us", "event_id"], kind="stable")
+        users = df["user_id"].to_numpy(dtype=np.int64)
+        start = df["start_us"].to_numpy()
+        end = start + window_us
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "active_us": pd.Series([], dtype=np.int64),
+                                 "n_islands": pd.Series([], dtype=np.int64)})
+        # running max of ends, restarted at each user boundary —
+        # per-segment cummax is a single C pass in pandas
+        seg_id = np.cumsum(
+            np.concatenate(([0], (users[1:] != users[:-1]).astype(np.int64)))
+        )
+        run_max = pd.Series(end).groupby(seg_id).cummax().to_numpy(np.int64)
+        prev_max = np.concatenate(([np.int64(-1)], run_max[:-1]))
+        new_island = np.concatenate(
+            ([True], (users[1:] != users[:-1]) | (start[1:] > prev_max[1:]))
+        )
+        island = np.cumsum(new_island)
+        grouped = pd.DataFrame(
+            {"user_id": users, "island": island, "start_us": start, "end_us": end}
+        ).groupby(["user_id", "island"], sort=False).agg(
+            s=("start_us", "min"), e=("end_us", "max")
+        ).reset_index()
+        grouped["len_us"] = grouped["e"] - grouped["s"]
+        out = grouped.groupby("user_id", sort=False).agg(
+            active_us=("len_us", "sum"), n_islands=("island", "size")
+        ).reset_index()
+        return out.astype({"user_id": np.int64, "active_us": np.int64,
+                           "n_islands": np.int64})
+
+    return grouped_aggregate(events, ["user_id"], sweep)
+
+
+USER_ACTIVE_SPAN_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + {ACTIVE_WINDOW_US} AS end_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, start_us, end_us,
+         CASE WHEN start_us > COALESCE(MAX(end_us) OVER (
+                  PARTITION BY user_id ORDER BY start_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, start_us, end_us,
+         SUM(new_island) OVER (PARTITION BY user_id
+                               ORDER BY start_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island, MAX(end_us) - MIN(start_us) AS len_us
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(len_us) AS BIGINT) AS active_us,
+       CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM merged GROUP BY 1
+"""

@@ -238,3 +238,52 @@ class TestBlockCountInvariance:
             base = fn(SF).to_pandas().sort_values(key).reset_index(drop=True)
             got = fn(split).to_pandas().sort_values(key).reset_index(drop=True)
             pd.testing.assert_frame_equal(base, got)
+
+
+class TestUserActiveSpan:
+    def test_oracle_parity(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            USER_ACTIVE_SPAN_ORACLE,
+            user_active_span,
+        )
+
+        exp = (
+            _oracle({"events": f"{SF}/events.parquet"}, USER_ACTIVE_SPAN_ORACLE)
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        got = (
+            user_active_span(SF)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+    def test_merge_semantics(self, ray_session, tmp_path):
+        """Overlapping and back-to-back intervals merge; a gap >= the
+        5-min window starts a new island; users never merge."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            user_active_span,
+        )
+
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "user_id": [1, 1, 1, 2, 2],
+                # user 1: events at 0 s and 100 s overlap (one island
+                # of 400 s); event at 1000 s is a second island (300 s)
+                # user 2: 0 s and exactly 300 s touch end-to-start ->
+                # merged single island of 600 s (start > prev_end is
+                # strict: 300_000_000 > 300_000_000 is false)
+                "ts": pd.to_datetime([0, 100, 1000, 0, 300], unit="s"),
+            }
+        ).to_parquet(tmp_path / "events.parquet")
+        out = (
+            user_active_span(str(tmp_path))
+            .to_pandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        assert out.loc[1].tolist() == [700_000_000, 2]
+        assert out.loc[2].tolist() == [600_000_000, 1]
