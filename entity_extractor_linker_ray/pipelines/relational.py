@@ -2878,6 +2878,42 @@ FROM events
 ACTIVE_WINDOW_US = 300_000_000  # each event opens a 5-minute window
 
 
+def interval_union_sweep(
+    users: np.ndarray, start: np.ndarray, end: np.ndarray
+) -> pd.DataFrame:
+    """Vectorized interval-union sweep: merge overlapping/touching
+    ``[start, end)`` intervals per user and return one row per user
+    with total covered length + island count. Inputs must already be
+    sorted by (user, start). Property-tested against a brute-force
+    union in ``tests/test_window_kernels.py``."""
+    if not len(users):
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "active_us": pd.Series([], dtype=np.int64),
+                             "n_islands": pd.Series([], dtype=np.int64)})
+    # running max of ends, restarted at each user boundary —
+    # per-segment cummax is a single C pass in pandas
+    seg_id = np.cumsum(
+        np.concatenate(([0], (users[1:] != users[:-1]).astype(np.int64)))
+    )
+    run_max = pd.Series(end).groupby(seg_id).cummax().to_numpy(np.int64)
+    prev_max = np.concatenate(([np.int64(-1)], run_max[:-1]))
+    new_island = np.concatenate(
+        ([True], (users[1:] != users[:-1]) | (start[1:] > prev_max[1:]))
+    )
+    island = np.cumsum(new_island)
+    grouped = pd.DataFrame(
+        {"user_id": users, "island": island, "start_us": start, "end_us": end}
+    ).groupby(["user_id", "island"], sort=False).agg(
+        s=("start_us", "min"), e=("end_us", "max")
+    ).reset_index()
+    grouped["len_us"] = grouped["e"] - grouped["s"]
+    out = grouped.groupby("user_id", sort=False).agg(
+        active_us=("len_us", "sum"), n_islands=("island", "size")
+    ).reset_index()
+    return out.astype({"user_id": np.int64, "active_us": np.int64,
+                       "n_islands": np.int64})
+
+
 def user_active_span(sf_dir: str, window_us: int = ACTIVE_WINDOW_US):
     """Interval-union coverage: each event opens a ``[ts, ts+window)``
     activity interval; per user, merge overlapping intervals into
@@ -2905,35 +2941,10 @@ def user_active_span(sf_dir: str, window_us: int = ACTIVE_WINDOW_US):
         df = bucket.copy()
         df["start_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
         df = df.sort_values(["user_id", "start_us", "event_id"], kind="stable")
-        users = df["user_id"].to_numpy(dtype=np.int64)
         start = df["start_us"].to_numpy()
-        end = start + window_us
-        if not len(df):
-            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
-                                 "active_us": pd.Series([], dtype=np.int64),
-                                 "n_islands": pd.Series([], dtype=np.int64)})
-        # running max of ends, restarted at each user boundary —
-        # per-segment cummax is a single C pass in pandas
-        seg_id = np.cumsum(
-            np.concatenate(([0], (users[1:] != users[:-1]).astype(np.int64)))
+        return interval_union_sweep(
+            df["user_id"].to_numpy(dtype=np.int64), start, start + window_us
         )
-        run_max = pd.Series(end).groupby(seg_id).cummax().to_numpy(np.int64)
-        prev_max = np.concatenate(([np.int64(-1)], run_max[:-1]))
-        new_island = np.concatenate(
-            ([True], (users[1:] != users[:-1]) | (start[1:] > prev_max[1:]))
-        )
-        island = np.cumsum(new_island)
-        grouped = pd.DataFrame(
-            {"user_id": users, "island": island, "start_us": start, "end_us": end}
-        ).groupby(["user_id", "island"], sort=False).agg(
-            s=("start_us", "min"), e=("end_us", "max")
-        ).reset_index()
-        grouped["len_us"] = grouped["e"] - grouped["s"]
-        out = grouped.groupby("user_id", sort=False).agg(
-            active_us=("len_us", "sum"), n_islands=("island", "size")
-        ).reset_index()
-        return out.astype({"user_id": np.int64, "active_us": np.int64,
-                           "n_islands": np.int64})
 
     return grouped_aggregate(events, ["user_id"], sweep)
 

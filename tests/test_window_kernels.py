@@ -97,3 +97,57 @@ class TestNtileAssign:
             nonzero = [c for c in counts if c > 0]
             assert max(nonzero) - min(nonzero) <= 1
             assert counts == sorted(counts, reverse=True)
+
+
+class TestIntervalUnionSweep:
+    """Property test for the vectorized sweep behind
+    ``user_active_span``: for any multiset of per-user intervals, the
+    covered length and island count must equal a brute-force union."""
+
+    intervals = st.lists(
+        st.tuples(
+            st.integers(0, 4),        # user
+            st.integers(0, 50),       # start
+            st.integers(1, 20),       # length
+        ),
+        min_size=0,
+        max_size=40,
+    )
+
+    @given(intervals)
+    @settings(max_examples=200, deadline=None)
+    def test_matches_bruteforce(self, rows):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            interval_union_sweep,
+        )
+
+        rows = sorted((u, s, s + ln) for u, s, ln in rows)
+        users = np.array([r[0] for r in rows], dtype=np.int64)
+        start = np.array([r[1] for r in rows], dtype=np.int64)
+        end = np.array([r[2] for r in rows], dtype=np.int64)
+        got = (
+            interval_union_sweep(users, start, end)
+            .set_index("user_id")
+            .sort_index()
+        )
+
+        # brute force: per user, mark covered integer points [s, e)
+        exp: dict[int, tuple[int, int]] = {}
+        for u in sorted(set(users.tolist())):
+            pts = set()
+            for uu, s, e in rows:
+                if uu == u:
+                    pts.update(range(s, e))
+            # islands = maximal runs of consecutive covered points
+            islands = 0
+            prev = None
+            for p in sorted(pts):
+                if prev is None or p > prev + 1:
+                    islands += 1
+                prev = p
+            exp[u] = (len(pts), islands)
+
+        assert len(got) == len(exp)
+        for u, (cov, isl) in exp.items():
+            assert got.loc[u, "active_us"] == cov, (u, rows)
+            assert got.loc[u, "n_islands"] == isl, (u, rows)
