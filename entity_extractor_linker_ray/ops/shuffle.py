@@ -36,6 +36,22 @@ def _with_bucket(batch: pd.DataFrame, keys: Sequence[str], num_partitions: int) 
     return out
 
 
+def exchange_blocks() -> int:
+    """Target block count for an all-to-all exchange over ALREADY
+    COMBINED partials: half a block per cluster CPU. The sort-based
+    shuffle's wall is dominated by per-task coordination (#input
+    blocks x #output blocks tasks, ~10-30 ms each on this object
+    store), not bytes, once partials are combiner-bounded — so a
+    union of wide reads (2 x 64 blocks of short partial rows) pays
+    2-4x the sort wall of the same bytes in 16 blocks. Scaling with
+    cluster CPUs keeps it cluster-proportional: a 256-node x 64-core
+    cluster coalesces to ~8k blocks, never to a fixed constant."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, cpus // 2)
+
+
 def grouped_aggregate(
     ds,
     keys: Sequence[str],
@@ -43,6 +59,7 @@ def grouped_aggregate(
     *,
     partial: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     num_partitions: int = DEFAULT_PARTITIONS,
+    coalesce: bool = False,
 ):
     """Two-phase hash aggregation over ``keys``.
 
@@ -55,6 +72,16 @@ def grouped_aggregate(
     ``combine`` knows how to merge (sum of counts, min of mins, ...).
     Always worth it when groups repeat within a batch; skip it when
     groups are near-unique per row (it would only burn CPU).
+
+    ``coalesce``: repartition the (small, combiner-bounded) partials
+    down to :func:`exchange_blocks` blocks before the exchange. Use it
+    when the upstream block count is inflated relative to the partial
+    volume — typically a UNION of several wide reads feeding short
+    tagged partial rows (the distributed-join shapes): the sort's
+    per-task coordination, not bytes, dominates there (measured ~25%
+    off the Q3 join chain at sf0.1). Leave it off when partials are
+    row-proportional (window/scan shapes) — coalescing those just
+    funnels full-size data through few tasks.
     """
     keys = list(keys)
 
@@ -78,6 +105,8 @@ def grouped_aggregate(
     DataContext.get_current().use_polars_sort = True
 
     bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    if coalesce:
+        bucketed = bucketed.repartition(exchange_blocks())
     return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 

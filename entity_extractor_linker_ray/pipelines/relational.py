@@ -650,7 +650,7 @@ def customers_without_urgent_orders(sf_dir: str):
             }
         )
 
-    return grouped_aggregate(unioned, ["key"], combine)
+    return grouped_aggregate(unioned, ["key"], combine, coalesce=True)
 
 
 def customers_with_urgent_orders(sf_dir: str):
@@ -704,7 +704,7 @@ def customers_with_urgent_orders(sf_dir: str):
             }
         )
 
-    return grouped_aggregate(unioned, ["key"], combine)
+    return grouped_aggregate(unioned, ["key"], combine, coalesce=True)
 
 
 CUSTOMERS_WITH_URGENT_ORACLE = """
@@ -1088,7 +1088,7 @@ def order_lineitem_rollup(sf_dir: str):
             {c: np.int64 for c in ("orderkey", "n_lines", "sum_qty", "sum_price_centi")}
         )
 
-    return grouped_aggregate(unioned, ["orderkey"], join_bucket)
+    return grouped_aggregate(unioned, ["orderkey"], join_bucket, coalesce=True)
 
 
 ORDER_LINEITEM_ROLLUP_ORACLE = """
@@ -1590,7 +1590,7 @@ def top_revenue_orders(sf_dir: str, k: int = 10):
             ["revenue_centi", "orderkey"], ascending=[False, True]
         ).head(k)
 
-    joined = grouped_aggregate(unioned, ["orderkey"], join_bucket)
+    joined = grouped_aggregate(unioned, ["orderkey"], join_bucket, coalesce=True)
     return joined.sort(["revenue_centi", "orderkey"], descending=[True, False]).limit(k)
 
 
@@ -1912,7 +1912,7 @@ def local_supplier_revenue(sf_dir: str):
         )
         return out
 
-    partials = grouped_aggregate(unioned, ["orderkey"], join_bucket)
+    partials = grouped_aggregate(unioned, ["orderkey"], join_bucket, coalesce=True)
 
     def finalize(bucket: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -2588,7 +2588,7 @@ def customer_event_activity(sf_dir: str):
                      "n_events": np.int64})
         )
 
-    return grouped_aggregate(unioned, ["custkey"], outer_merge)
+    return grouped_aggregate(unioned, ["custkey"], outer_merge, coalesce=True)
 
 
 CUSTOMER_EVENT_ACTIVITY_ORACLE = """
