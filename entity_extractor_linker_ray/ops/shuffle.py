@@ -59,7 +59,7 @@ def grouped_aggregate(
     *,
     partial: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     num_partitions: int = DEFAULT_PARTITIONS,
-    coalesce: bool = False,
+    coalesce: bool | None = None,
 ):
     """Two-phase hash aggregation over ``keys``.
 
@@ -74,14 +74,18 @@ def grouped_aggregate(
     groups are near-unique per row (it would only burn CPU).
 
     ``coalesce``: repartition the (small, combiner-bounded) partials
-    down to :func:`exchange_blocks` blocks before the exchange. Use it
-    when the upstream block count is inflated relative to the partial
-    volume — typically a UNION of several wide reads feeding short
-    tagged partial rows (the distributed-join shapes): the sort's
-    per-task coordination, not bytes, dominates there (measured ~25%
-    off the Q3 join chain at sf0.1). Leave it off when partials are
-    row-proportional (window/scan shapes) — coalescing those just
-    funnels full-size data through few tasks.
+    down to :func:`exchange_blocks` blocks before the exchange. The
+    sort-based shuffle's wall is per-task coordination, not bytes, so
+    an inflated upstream block count (a UNION of wide reads, or a
+    64-block read feeding short combined rows) pays 2-4x the sort wall
+    of the same bytes in cpus/2 blocks (measured: Q3 join chain
+    15->4-7 s at sf0.1/32). Default ``None`` = auto: coalesce exactly
+    when a ``partial`` combiner exists, because then wire rows are
+    key-bounded per batch and merging blocks keeps them key-bounded —
+    never coalesce row-proportional exchanges (window/scan shapes,
+    no ``partial``), where it would funnel full-size data through few
+    tasks. Pass an explicit bool to override either way (tagged-union
+    joins do their combining inside ``combine`` and pass True).
     """
     keys = list(keys)
 
@@ -105,7 +109,7 @@ def grouped_aggregate(
     DataContext.get_current().use_polars_sort = True
 
     bucketed = ds.map_batches(add_bucket, batch_format="pandas")
-    if coalesce:
+    if coalesce or (coalesce is None and partial is not None):
         bucketed = bucketed.repartition(exchange_blocks())
     return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
