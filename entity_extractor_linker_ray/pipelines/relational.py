@@ -436,7 +436,13 @@ def events_orders_asof(sf_dir: str):
             }
         )
 
-    return grouped_aggregate(unioned, ["join_key"], combine)
+    # coalesce: the tagged rows are a fixed five-int64 schema (~40 B),
+    # far below the 128 MB block target at any realistic events/orders
+    # ratio per cluster CPU, so the exchange is latency-bound, not
+    # bytes-bound; if a deployment's tagged volume per cpus/2 blocks
+    # ever approaches the block target, flip this to False and let the
+    # reads' natural blocks amortize the latency instead
+    return grouped_aggregate(unioned, ["join_key"], combine, coalesce=True)
 
 
 EVENTS_ASOF_ORACLE = """
@@ -577,7 +583,8 @@ def orders_events_range_join(sf_dir: str, days: int = 7):
             }
         )
 
-    return grouped_aggregate(unioned, ["join_key"], combine)
+    # same fixed-width-tagged-rows latency argument as the asof join
+    return grouped_aggregate(unioned, ["join_key"], combine, coalesce=True)
 
 
 ORDERS_EVENTS_RANGE_ORACLE = """
