@@ -235,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["user_event_mode"] = relational.user_event_mode
     q["events_running_total"] = relational.events_running_total
     q["user_active_span"] = relational.user_active_span
+    q["fk_integrity_audit"] = relational.fk_integrity_audit
+    q["events_type_percentiles"] = relational.events_type_percentiles
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -331,6 +333,8 @@ def oracle_sql() -> dict[str, str]:
     sql["user_event_mode"] = relational.USER_EVENT_MODE_ORACLE
     sql["events_running_total"] = relational.EVENTS_RUNNING_TOTAL_ORACLE
     sql["user_active_span"] = relational.USER_ACTIVE_SPAN_ORACLE
+    sql["fk_integrity_audit"] = relational.FK_INTEGRITY_AUDIT_ORACLE
+    sql["events_type_percentiles"] = relational.EVENTS_TYPE_PERCENTILES_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()

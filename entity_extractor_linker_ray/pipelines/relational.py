@@ -2985,3 +2985,203 @@ SELECT user_id, CAST(SUM(len_us) AS BIGINT) AS active_us,
        CAST(COUNT(*) AS BIGINT) AS n_islands
 FROM merged GROUP BY 1
 """
+
+
+def fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit across the warehouse's FK edges —
+    the data-quality sweep a lake runs before training consumes a
+    drop: for each relation, how many child rows reference a missing
+    parent key (orphans), plus the child row count for rate context.
+
+    Every relation is the anti-join-as-aggregation shape: both sides
+    reduce to per-key partial counts inside ``map_batches`` (child
+    keys count rows, parent keys mark existence), ONE tagged-union
+    bucketed exchange per relation co-locates each key's rows, and the
+    bucket kernel sums child rows whose parent mark never arrived.
+    Wire rows are key-bounded; no side is broadcast, so a 100 TB fact
+    table audits in one pass. The per-relation counts (single rows)
+    union into the report."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    relations = [
+        ("orders.o_custkey->customer.c_custkey",
+         "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer.c_nationkey->nation.n_nationkey",
+         "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region.r_regionkey",
+         "nation", "n_regionkey", "region", "r_regionkey"),
+        ("events.user_id->customer.c_custkey",
+         "events", "user_id", "customer", "c_custkey"),
+    ]
+
+    reports = []
+    for name, child, ckey, parent, pkey in relations:
+        child_ds = rd.read_parquet(f"{sf_dir}/{child}.parquet", columns=[ckey])
+        parent_ds = rd.read_parquet(f"{sf_dir}/{parent}.parquet", columns=[pkey])
+
+        def tag_child(batch: pd.DataFrame, key=ckey) -> pd.DataFrame:
+            g = batch.groupby(key, sort=False).size().reset_index(name="n_child")
+            return pd.DataFrame(
+                {"key": g[key].to_numpy(dtype=np.int64),
+                 "n_child": g["n_child"].to_numpy(dtype=np.int64),
+                 "has_parent": np.zeros(len(g), dtype=np.int64)}
+            )
+
+        def tag_parent(batch: pd.DataFrame, key=pkey) -> pd.DataFrame:
+            keys = np.unique(batch[key].to_numpy(dtype=np.int64))
+            return pd.DataFrame(
+                {"key": keys,
+                 "n_child": np.zeros(len(keys), dtype=np.int64),
+                 "has_parent": np.ones(len(keys), dtype=np.int64)}
+            )
+
+        unioned = child_ds.map_batches(tag_child, batch_format="pandas").union(
+            parent_ds.map_batches(tag_parent, batch_format="pandas")
+        )
+
+        def orphan_counts(bucket: pd.DataFrame, rel=name) -> pd.DataFrame:
+            per_key = bucket.groupby("key", sort=False).agg(
+                n_child=("n_child", "sum"), has_parent=("has_parent", "max")
+            )
+            orphans = int(per_key.loc[per_key["has_parent"] == 0, "n_child"].sum())
+            total = int(per_key["n_child"].sum())
+            return pd.DataFrame(
+                {"relation": [rel],
+                 "n_orphans": np.array([orphans], dtype=np.int64),
+                 "n_child_rows": np.array([total], dtype=np.int64)}
+            )
+
+        # one partial row per bucket per relation — the fold over ALL
+        # relations happens in a single tiny exchange below
+        reports.append(
+            grouped_aggregate(unioned, ["key"], orphan_counts, coalesce=True)
+        )
+
+    partials = reports[0]
+    for r in reports[1:]:
+        partials = partials.union(r)
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("relation", sort=False)[["n_orphans", "n_child_rows"]]
+            .sum()
+            .reset_index()
+            .astype({"n_orphans": np.int64, "n_child_rows": np.int64})
+        )
+
+    return grouped_aggregate(partials, ["relation"], fold, partial=fold,
+                             num_partitions=1)
+
+
+FK_INTEGRITY_AUDIT_ORACLE = """
+SELECT 'orders.o_custkey->customer.c_custkey' AS relation,
+       CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphans,
+       CAST(COUNT(*) AS BIGINT) AS n_child_rows
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+       CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation.n_nationkey',
+       CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'nation.n_regionkey->region.r_regionkey',
+       CAST(COUNT(*) FILTER (WHERE r.r_regionkey IS NULL) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+UNION ALL
+SELECT 'events.user_id->customer.c_custkey',
+       CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def events_type_percentiles(sf_dir: str):
+    """EXACT p50/p90/p99 of event value per event type at any row
+    count — the distributed-exact-quantile shape: quantiles need the
+    whole distribution, but not the whole DATA. Rows collapse to a
+    per-(type, milli-value) count histogram inside ``map_batches``
+    (wire rows bounded by the value DOMAIN, not the row count), one
+    bucketed exchange co-locates each type's histogram, and the kernel
+    walks the cumulative counts to the k-th smallest value.
+
+    k is computed in pure integer arithmetic (``ceil(p*N) =
+    (p_num*N + p_den - 1) // p_den``) so a 10^12-row N never meets a
+    float; values are int64 milli (`milli_round`), so the result
+    hashes exactly against the ROW_NUMBER-based oracle."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.cluster import milli_round
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_numpy(),
+                 "milli": milli_round(batch["value"].to_numpy(dtype=np.float64))}
+            )
+            .groupby(["event_type", "milli"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"milli": np.int64, "n": np.int64})
+        )
+
+    KS = [("p50_milli", 1, 2), ("p90_milli", 9, 10), ("p99_milli", 99, 100)]
+
+    def walk(bucket: pd.DataFrame) -> pd.DataFrame:
+        hist = (
+            bucket.groupby(["event_type", "milli"], sort=False)["n"]
+            .sum()
+            .reset_index()
+            .sort_values(["event_type", "milli"], kind="stable")
+        )
+        rows = []
+        for etype, g in hist.groupby("event_type", sort=False):
+            cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+            milli = g["milli"].to_numpy(dtype=np.int64)
+            total = int(cum[-1])
+            row = {"event_type": etype, "n_events": total}
+            for col, num, den in KS:
+                k = (num * total + den - 1) // den
+                row[col] = int(milli[np.searchsorted(cum, k, side="left")])
+            rows.append(row)
+        out = pd.DataFrame(
+            rows, columns=["event_type", "p50_milli", "p90_milli",
+                           "p99_milli", "n_events"]
+        )
+        return out.astype({c: np.int64 for c in out.columns if c != "event_type"})
+
+    return grouped_aggregate(events, ["event_type"], walk, partial=partial,
+                             num_partitions=8)
+
+
+EVENTS_TYPE_PERCENTILES_ORACLE = """
+WITH m AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS milli FROM events
+),
+r AS (
+  SELECT event_type, milli,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY milli) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM m
+)
+SELECT event_type,
+       CAST(MAX(CASE WHEN rn = (n+1)//2        THEN milli END) AS BIGINT) AS p50_milli,
+       CAST(MAX(CASE WHEN rn = (9*n+9)//10     THEN milli END) AS BIGINT) AS p90_milli,
+       CAST(MAX(CASE WHEN rn = (99*n+99)//100  THEN milli END) AS BIGINT) AS p99_milli,
+       CAST(MAX(n) AS BIGINT) AS n_events
+FROM r GROUP BY 1
+"""
