@@ -24,3 +24,30 @@ def read_split(path: str, columns: list[str] | None = None):
     import ray.data as rd
 
     return rd.read_parquet(path, columns=columns, override_num_blocks=_target_blocks())
+
+
+def read_sized(path: str, columns: list[str] | None = None,
+               target_bytes: int = 32 << 20):
+    """``read_parquet`` with BYTES-proportional block count: Ray's
+    planner splits every input toward ~2 blocks/CPU for parallelism,
+    which turns a 5-row dimension table into 64 near-empty blocks —
+    and a union of ten such reads into a 640-block exchange whose
+    coordination cost dwarfs the data (measured: 21 s of a 26 s FK
+    audit at sf0.1). Size blocks from the on-disk footprint instead:
+    one block per ``target_bytes`` of file, floored at 1, capped at
+    4 blocks/cluster-CPU — tiny tables read as one block, a 100 TB
+    fact table still fans out to the whole cluster."""
+    import os
+
+    import ray.data as rd
+
+    if os.path.isdir(path):
+        size = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path) for f in files
+        )
+    else:
+        size = os.path.getsize(path)
+    blocks = max(1, min(2 * _target_blocks(), size // target_bytes))
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=int(blocks))
