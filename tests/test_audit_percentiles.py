@@ -119,3 +119,38 @@ class TestEventsTypePercentiles:
         assert out.loc["solo"].tolist() == [7500, 7500, 7500, 1]
         # tied: N=10 -> k50=5 (value 1.0), k90=9 (1.0), k99=10 (100.0)
         assert out.loc["tied"].tolist() == [1000, 1000, 100000, 10]
+
+
+class TestBlockInvariance:
+    def test_percentiles_block_count_invariant(self, ray_session, tmp_path):
+        """Splitting events into 7 unequal files (different partial
+        histogram boundaries) must not move any percentile."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from entity_extractor_linker_ray.pipelines.relational import (
+            events_type_percentiles,
+        )
+
+        base = (
+            events_type_percentiles(SF)
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(f"{SF}/events.parquet")
+        os.mkdir(tmp_path / "events.parquet")
+        bounds = [len(t) * i // 7 for i in range(8)]
+        for i in range(7):
+            pq.write_table(
+                t.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                tmp_path / "events.parquet" / f"part_{i}.parquet",
+            )
+        got = (
+            events_type_percentiles(str(tmp_path))
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(base, got)
