@@ -31,119 +31,105 @@ def table_profile(sf_dir: str, table: str = "documents",
     ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
     colnames = columns or ds.schema().names
 
-    # ---- scalar stats: (column, n_rows, n_nulls, min, max) ----------
-    # min/max partials stay TYPED through the combine (numeric extremes
-    # in int64 columns, string extremes in object columns) — a
-    # stringified "95" would sort above "499" and corrupt the merge;
-    # stringification happens exactly once, at the final emit, to match
-    # the oracle's CAST(... AS VARCHAR)
-    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+    # ---- ONE pass over the data: each batch emits, per column, one
+    # typed scalar-stats row (kind=0, h=-1) AND its deduped value
+    # hashes (kind=1) in a shared schema, so the table is read once and
+    # both stat families ride the same exchange. min/max partials stay
+    # TYPED through the combine (a stringified "95" would sort above
+    # "499"); stringification happens once, at the final emit, matching
+    # the oracle's CAST(... AS VARCHAR).
+    _defaults = {"n_rows": np.int64(-1), "n_nulls": np.int64(-1),
+                 "is_num": np.int64(0), "min_num": np.int64(2**62),
+                 "max_num": np.int64(-(2**62)), "min_str": "", "max_str": ""}
+    _order = ["column", "h", "kind", "n_rows", "n_nulls", "is_num",
+              "min_num", "max_num", "min_str", "max_str", "n_distinct"]
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
         for col in colnames:
             s = batch[col]
             nn = s.dropna()
             numeric = pd.api.types.is_numeric_dtype(s)
-            rows.append(
-                {"column": col,
-                 "n_rows": np.int64(len(s)),
-                 "n_nulls": np.int64(s.isna().sum()),
-                 "is_num": np.int64(1 if numeric else 0),
-                 "min_num": np.int64(nn.min()) if numeric and not nn.empty else np.int64(2**62),
-                 "max_num": np.int64(nn.max()) if numeric and not nn.empty else np.int64(-(2**62)),
-                 "min_str": "" if numeric or nn.empty else str(nn.min()),
-                 "max_str": "" if numeric or nn.empty else str(nn.max())}
+            frames.append(pd.DataFrame(
+                [{"column": col, "h": np.int64(-1), "kind": np.int64(0),
+                  "n_rows": np.int64(len(s)),
+                  "n_nulls": np.int64(s.isna().sum()),
+                  "is_num": np.int64(1 if numeric else 0),
+                  "min_num": np.int64(nn.min()) if numeric and not nn.empty else np.int64(2**62),
+                  "max_num": np.int64(nn.max()) if numeric and not nn.empty else np.int64(-(2**62)),
+                  "min_str": "" if numeric or nn.empty else str(nn.min()),
+                  "max_str": "" if numeric or nn.empty else str(nn.max()),
+                  "n_distinct": np.int64(-1)}]
+            ))
+            vals = nn.astype(str).to_numpy(dtype=object)
+            h = np.unique(pd.util.hash_array(vals)).astype(np.int64)
+            hf = pd.DataFrame({"column": col, "h": h})
+            for k, v in [("kind", np.int64(1)), ("n_distinct", np.int64(-1)),
+                         *_defaults.items()]:
+                hf[k] = v
+            frames.append(hf)
+        return pd.concat(frames, ignore_index=True)[_order]
+
+    # first exchange on (column, h): a column's stat partials all carry
+    # h=-1 so they meet in one bucket; each distinct value hash meets
+    # its duplicates in its own bucket. The kernel merges stats and
+    # counts surviving hashes -> at most two short rows per (bucket,
+    # column) reach the final exchange.
+    def bucket_combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        stats = bucket[bucket["kind"] == 0]
+        if len(stats):
+            merged = stats.groupby("column", sort=False).agg(
+                n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum"),
+                is_num=("is_num", "max"), min_num=("min_num", "min"),
+                max_num=("max_num", "max"),
+            ).reset_index()
+            present = stats[stats["max_str"] != ""]
+            sext = present.groupby("column", sort=False).agg(
+                min_str=("min_str", "min"), max_str=("max_str", "max")
             )
-        return pd.DataFrame(rows)
-
-    def stats_combine(bucket: pd.DataFrame) -> pd.DataFrame:
-        def merge(grp: pd.DataFrame) -> pd.Series:
-            present = grp[grp["max_str"] != ""]
-            return pd.Series(
-                {"n_rows": np.int64(grp["n_rows"].sum()),
-                 "n_nulls": np.int64(grp["n_nulls"].sum()),
-                 "is_num": np.int64(grp["is_num"].max()),
-                 "min_num": np.int64(grp["min_num"].min()),
-                 "max_num": np.int64(grp["max_num"].max()),
-                 "min_str": "" if present.empty else present["min_str"].min(),
-                 "max_str": "" if present.empty else present["max_str"].max()}
+            merged["min_str"] = merged["column"].map(sext["min_str"]).fillna("")
+            merged["max_str"] = merged["column"].map(sext["max_str"]).fillna("")
+            merged["kind"] = np.int64(0)
+            merged["n_distinct"] = np.int64(-1)
+            out.append(merged)
+        hashes = bucket[bucket["kind"] == 1]
+        if len(hashes):
+            counts = (
+                hashes[["column", "h"]].drop_duplicates()
+                .groupby("column", sort=False).size()
+                .reset_index(name="n_distinct")
+                .astype({"n_distinct": np.int64})
             )
+            counts["kind"] = np.int64(1)
+            for k, v in _defaults.items():
+                counts[k] = v
+            out.append(counts)
+        if not out:
+            return pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in _order if c != "h"})
+        res = pd.concat(out, ignore_index=True)
+        return res[[c for c in _order if c != "h"]]
 
-        return (
-            bucket.groupby("column", sort=False)
-            .apply(merge, include_groups=False)
-            .reset_index()
-        )
-
-    stats = grouped_aggregate(
-        ds.map_batches(stats_partial, batch_format="pandas"),
-        ["column"], stats_combine, num_partitions=4,
+    per_bucket = grouped_aggregate(
+        ds.map_batches(partials, batch_format="pandas"),
+        ["column", "h"], bucket_combine, num_partitions=16,
     )
-
-    # ---- exact distinct: two-phase over (column, value-hash) --------
-    def hash_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for col in colnames:
-            vals = batch[col].dropna().astype(str).to_numpy(dtype=object)
-            h = np.unique(pd.util.hash_array(vals))
-            frames.append(pd.DataFrame({"column": col, "h": h.astype(np.int64)}))
-        return pd.concat(frames, ignore_index=True)
-
-    pairs = grouped_aggregate(
-        ds.map_batches(hash_partial, batch_format="pandas"),
-        ["column", "h"],
-        lambda b: b[["column", "h"]].drop_duplicates(),
-        num_partitions=16,
-    )
-
-    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return (
-            batch.groupby("column", sort=False)
-            .size()
-            .reset_index(name="n_distinct")
-            .astype({"n_distinct": np.int64})
-        )
-
-    distinct = grouped_aggregate(
-        pairs.map_batches(count_partial, batch_format="pandas"),
-        ["column"],
-        lambda b: b.groupby("column", sort=False)["n_distinct"].sum().reset_index()
-        .astype({"n_distinct": np.int64}),
-        num_partitions=4,
-    )
-
-    # ---- merge the two tiny finals (≤ columns rows each) ------------
-    def tag_stats(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.copy()
-        out["n_distinct"] = np.int64(-1)
-        return out[["column", "n_rows", "n_nulls", "is_num", "min_num",
-                    "max_num", "min_str", "max_str", "n_distinct"]]
-
-    def tag_distinct(batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        return pd.DataFrame(
-            {"column": batch["column"],
-             "n_rows": np.full(n, -1, dtype=np.int64),
-             "n_nulls": np.full(n, -1, dtype=np.int64),
-             "is_num": np.zeros(n, dtype=np.int64),
-             "min_num": np.zeros(n, dtype=np.int64),
-             "max_num": np.zeros(n, dtype=np.int64),
-             "min_str": np.full(n, "", dtype=object),
-             "max_str": np.full(n, "", dtype=object),
-             "n_distinct": batch["n_distinct"].to_numpy(dtype=np.int64)}
-        )
 
     def merge_final(bucket: pd.DataFrame) -> pd.DataFrame:
         def one(grp: pd.DataFrame) -> pd.Series:
-            s = grp[grp["n_rows"] >= 0].iloc[0]
-            d = grp[grp["n_distinct"] >= 0].iloc[0]
-            if int(s["is_num"]):
-                lo, hi = str(int(s["min_num"])), str(int(s["max_num"]))
+            s = grp[grp["kind"] == 0]
+            if int(s["is_num"].max()):
+                lo = str(int(s["min_num"].min()))
+                hi = str(int(s["max_num"].max()))
             else:
-                lo, hi = s["min_str"], s["max_str"]
+                present = s[s["max_str"] != ""]
+                lo, hi = present["min_str"].min(), present["max_str"].max()
             return pd.Series(
-                {"n_rows": np.int64(s["n_rows"]),
-                 "n_nulls": np.int64(s["n_nulls"]),
-                 "n_distinct": np.int64(d["n_distinct"]),
+                {"n_rows": np.int64(s["n_rows"].sum()),
+                 "n_nulls": np.int64(s["n_nulls"].sum()),
+                 "n_distinct": np.int64(
+                     grp.loc[grp["kind"] == 1, "n_distinct"].sum()),
                  "min_val": lo, "max_val": hi}
             )
 
@@ -153,12 +139,8 @@ def table_profile(sf_dir: str, table: str = "documents",
             .reset_index()
         )
 
-    return grouped_aggregate(
-        stats.map_batches(tag_stats, batch_format="pandas").union(
-            distinct.map_batches(tag_distinct, batch_format="pandas")
-        ),
-        ["column"], merge_final, num_partitions=4,
-    )
+    return grouped_aggregate(per_bucket, ["column"], merge_final,
+                             num_partitions=4)
 
 
 def table_profile_oracle(table: str = "documents",

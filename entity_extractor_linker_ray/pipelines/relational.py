@@ -1170,23 +1170,30 @@ def customers_without_urgent_bloom(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
 
-    class Prefilter:
-        def __init__(self):
-            self.bits = ray.get(bloom_ref)
+    def prefilter(batch: pd.DataFrame, bits_ref=None) -> pd.DataFrame:
+        # plain task fn, not an actor pool: the state is one 128 KiB
+        # bit array — ray.get of the broadcast ref is plasma-local
+        # after the first batch on a worker, and a pool's 2-3 s
+        # spin-up would dwarf the whole stage
+        bits = ray.get(bits_ref)
+        keys = batch["c_custkey"].to_numpy(dtype=np.int64)
+        pos = _bloom_hashes(keys)
+        hit = (
+            (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+        ).all(axis=1)
+        definite_out = batch[~hit][["c_custkey", "c_name"]].copy()
+        definite_out["maybe"] = np.int64(0)
+        candidates = batch[hit][["c_custkey", "c_name"]].copy()
+        candidates["maybe"] = np.int64(1)
+        return pd.concat([definite_out, candidates], ignore_index=True)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            keys = batch["c_custkey"].to_numpy(dtype=np.int64)
-            pos = _bloom_hashes(keys)
-            hit = (
-                (self.bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
-            ).all(axis=1)
-            definite_out = batch[~hit][["c_custkey", "c_name"]].copy()
-            definite_out["maybe"] = np.int64(0)
-            candidates = batch[hit][["c_custkey", "c_name"]].copy()
-            candidates["maybe"] = np.int64(1)
-            return pd.concat([definite_out, candidates], ignore_index=True)
-
-    marked = customers.map_batches(Prefilter, batch_format="pandas", concurrency=(1, 8))
+    # materialize: BOTH branches below (exact anti join on 'maybe'
+    # rows, passthrough of definite-outs) consume `marked`; without a
+    # pin the customers read + prefilter execute twice. The pin is
+    # customer-table-sized — object-store spill handles it at scale
+    marked = customers.map_batches(
+        prefilter, batch_format="pandas", fn_kwargs={"bits_ref": bloom_ref}
+    ).materialize()
 
     # definite non-members are already final; only 'maybe' rows (true
     # members + bloom FPs) go through the exact bucketed anti join
