@@ -183,6 +183,14 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_funnel",
         "decontaminate",
         "fuzzy_neighbors",
+        "top_revenue_orders",
+        "customer_event_activity",
+        "events_transitions",
+        "events_running_total",
+        "user_active_span",
+        "events_type_percentiles",
+        "fk_integrity_audit",
+        "table_profile",
     ]
     times: dict[str, float] = {}
     for name in names:
