@@ -37,6 +37,13 @@ def _query_matrix(sf_dir: str, n_queries: int = N_QUERIES):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     frame = table.to_pandas().set_index("vec_id").sort_index()
+    missing = [i for i in range(n_queries) if i not in frame.index]
+    if missing:
+        raise ValueError(
+            f"ANN query set requires vec_ids 0..{n_queries - 1}; "
+            f"missing {missing[:5]}{'...' if len(missing) > 5 else ''} "
+            f"(embeddings table has {len(frame)} rows)"
+        )
     rows = frame.loc[range(n_queries), "embedding"]
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)

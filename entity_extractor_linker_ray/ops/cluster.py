@@ -94,6 +94,12 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
     )
     table = table.filter(pc.less(table.column("vec_id"), k))
     table = table.take(pc.sort_indices(table, sort_keys=[("vec_id", "ascending")]))
+    if table.num_rows != k:  # covers the empty table: ValueError, not a
+        # shape IndexError from deep inside the matrix builder
+        raise ValueError(
+            f"k-means seeding requires vec_ids 0..{k - 1} to exist; "
+            f"found {table.num_rows} of {k} seed rows"
+        )
     ids, milli = _milli_matrix(table)
     # seeds are BY CONTRACT the embeddings of vec_id 0..k-1 (the SQL
     # oracle's c0 does `WHERE vec_id < k`); a sparse or offset id space

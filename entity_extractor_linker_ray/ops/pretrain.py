@@ -121,10 +121,14 @@ def decontaminate(sf_dir: str, n: int = DECON_NGRAM):
             {"gram": pa.array(grams["gram"].drop_duplicates(), type=pa.string())}
         )
 
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
     eval_grams = set(
-        read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(eval_gram_batch, batch_format="pandas")
-        .to_pandas()["gram"]
+        collect_small(
+            read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            .map_batches(eval_gram_batch, batch_format="pandas"),
+            ["gram"],
+        )["gram"]
     )
 
     def kernel(batch: pd.DataFrame) -> pd.DataFrame:
@@ -329,9 +333,11 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
             batch.groupby("_range", sort=False)["n_tokens"].sum().reset_index()
         )
 
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
     range_sums = (
-        tok.map_batches(range_partial, batch_format="pandas")
-        .to_pandas()
+        collect_small(tok.map_batches(range_partial, batch_format="pandas"),
+                      ["_range", "n_tokens"])
         .groupby("_range", sort=True)["n_tokens"]
         .sum()
     )
@@ -407,13 +413,17 @@ def lang_rebalance(sf_dir: str):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("lang", sort=False).size().reset_index(name="c")
 
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
     counts = (
-        docs.map_batches(partial, batch_format="pandas")
-        .to_pandas()
+        collect_small(docs.map_batches(partial, batch_format="pandas"),
+                      ["lang", "c"])
         .groupby("lang")["c"]
         .sum()
     )
-    mc = int(counts.min())
+    # empty corpus: nothing to rebalance — thresholds empty, kernel
+    # passes empty batches through untouched
+    mc = int(counts.min()) if len(counts) else 0
     thresholds = {lang: (mc << _MOD_BITS) // int(c) for lang, c in counts.items()}
 
     def kernel(batch: pd.DataFrame) -> pd.DataFrame:

@@ -193,3 +193,18 @@ def salted_join(
     )
     return grouped_aggregate(unioned, keys, join_bucket,
                              num_partitions=num_partitions)
+
+
+def collect_small(ds, columns: Sequence[str]) -> pd.DataFrame:
+    """Driver-side collection of a SMALL dataset with a schema
+    guarantee: Ray 2.49's ``to_pandas()`` on an empty dataset returns a
+    COLUMN-LESS frame, so the caller's column access crashes on legal
+    empty inputs (empty partition, filtered-away corpus). Always
+    returns a frame with ``columns``."""
+    df = ds.to_pandas()
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        if not df.empty:  # non-empty + missing column = a real bug
+            raise KeyError(f"columns {missing} absent in non-empty collect")
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in columns})
+    return df

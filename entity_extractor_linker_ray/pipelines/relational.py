@@ -1525,9 +1525,11 @@ def top_revenue_orders(sf_dir: str, k: int = 10):
         keep = batch.loc[batch["c_mktsegment"] == Q3_SEGMENT, ["c_custkey"]]
         return keep.astype({"c_custkey": np.int64})
 
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
     keys = np.unique(
-        cust.map_batches(cust_keys, batch_format="pandas")
-        .to_pandas()["c_custkey"]
+        collect_small(cust.map_batches(cust_keys, batch_format="pandas"),
+                      ["c_custkey"])["c_custkey"]
         .to_numpy(dtype=np.int64)
     )
     keys_ref = ray.put(keys)
@@ -1836,9 +1838,14 @@ def local_supplier_revenue(sf_dir: str):
     nat_keys = set(nat["n_nationkey"].astype(int))
     nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
 
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
+    cust = collect_small(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        ["c_custkey", "c_nationkey"],
+    )
     cust = cust[cust["c_nationkey"].astype(int).isin(nat_keys)]
     order_c = np.argsort(cust["c_custkey"].to_numpy())
     cust_map = ray.put(
@@ -1846,9 +1853,12 @@ def local_supplier_revenue(sf_dir: str):
          cust["c_nationkey"].to_numpy(dtype=np.int64)[order_c])
     )
 
-    supp = rd.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
+    supp = collect_small(
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        ["s_suppkey", "s_nationkey"],
+    )
     order_s = np.argsort(supp["s_suppkey"].to_numpy())
     supp_map = ray.put(
         (supp["s_suppkey"].to_numpy(dtype=np.int64)[order_s],
@@ -2854,12 +2864,13 @@ def events_running_total(sf_dir: str):
     def hour_final(bucket: pd.DataFrame) -> pd.DataFrame:
         return hour_partial(bucket.rename(columns={"total": "milli"}))
 
-    hour_totals = (
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
+    hour_totals = collect_small(
         grouped_aggregate(rows.select_columns(["hour", "milli"]), ["hour"],
-                          hour_final, partial=hour_partial, num_partitions=8)
-        .to_pandas()  # one row per hour — bounded, driver-safe
-        .sort_values("hour")
-    )
+                          hour_final, partial=hour_partial, num_partitions=8),
+        ["hour", "total"],  # one row per hour — bounded, driver-safe
+    ).sort_values("hour")
     totals = hour_totals["total"].to_numpy(dtype=np.int64)
     offsets = dict(
         zip(hour_totals["hour"].tolist(),

@@ -255,10 +255,15 @@ def kg_entity_lift(sf_dir: str):
         )
 
     # per-entity doc counts: ≤ |vocab| × blocks partial rows — driver sum
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
     name_counts = (
-        _read_documents(sf_dir)
-        .map_batches(name_partials, batch_format="pandas")
-        .to_pandas()
+        collect_small(
+            _read_documents(sf_dir).map_batches(
+                name_partials, batch_format="pandas"
+            ),
+            ["name", "n_docs"],
+        )
         .groupby("name")["n_docs"]
         .sum()
         .to_dict()
@@ -305,7 +310,12 @@ def kg_linked_counts(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    parts = kg_entities(sf_dir).map_batches(partial, batch_format="pandas").to_pandas()
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
+    parts = collect_small(
+        kg_entities(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["total", "wikidata", "dbpedia"],
+    )
     total = int(parts["total"].sum())
     wikidata = int(parts["wikidata"].sum())
     dbpedia = int(parts["dbpedia"].sum())
