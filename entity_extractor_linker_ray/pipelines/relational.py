@@ -913,7 +913,14 @@ def user_journeys(sf_dir: str):
             )
         df = bucket.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
         users = df["user_id"].to_numpy(dtype=np.int64)
-        big = "".join(df["initial"].tolist())
+        # NULL event types contribute NOTHING to the journey (SQL
+        # string_agg skips NULLs) but still count in n_events, so the
+        # slices go by cumulative CHARACTER offsets, not row positions
+        init = df["initial"].fillna("")
+        big = "".join(init.tolist())
+        offs = np.concatenate(
+            ([0], np.cumsum(init.str.len().to_numpy(dtype=np.int64)))
+        )
         starts = np.flatnonzero(
             np.concatenate(([True], users[1:] != users[:-1]))
         )
@@ -922,7 +929,7 @@ def user_journeys(sf_dir: str):
             {
                 "user_id": users[starts],
                 "n_events": (ends - starts).astype(np.int64),
-                "journey": [big[s:e] for s, e in zip(starts, ends)],
+                "journey": [big[offs[s]:offs[e]] for s, e in zip(starts, ends)],
             }
         )
 
