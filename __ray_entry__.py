@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_nodes_incremental"] = incremental.kg_nodes_incremental
     q["kg_edges_incremental"] = incremental.kg_edges_incremental
+    q["events_sessions_incremental"] = incremental.events_sessions_incremental
     from entity_extractor_linker_ray.pipelines import curation
 
     q["curate_documents"] = curation.curate_documents
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
     # builds — they share the simple_kg oracles verbatim
     sql["kg_nodes_incremental"] = sql["kg_nodes"]
     sql["kg_edges_incremental"] = sql["kg_edges"]
+    sql["events_sessions_incremental"] = relational.EVENTS_SESSIONIZE_ORACLE
 
     from entity_extractor_linker_ray.ops import pretrain
 

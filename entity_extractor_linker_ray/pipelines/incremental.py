@@ -124,3 +124,135 @@ def kg_edges_incremental(sf_dir: str, partitions: int = 2):
         for r in range(partitions)
     ]
     return merge_edge_partials(states)
+
+
+# ----------------------------------------------------------------------
+# incremental sessionization: mergeable session states
+# ----------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+_US_PER_DAY = 86_400_000_000
+
+
+def session_partials(events_ds, gap_minutes: int = SESSION_GAP_MIN):
+    """Per-user session SUMMARIES (start_us, end_us, n_events,
+    first_event) for one ingest batch — the mergeable state for
+    sessionization. A summary's internal gaps are ≤ gap by
+    construction, and adding events can only FUSE sessions, never
+    split them, so summaries from arbitrary (even time-interleaved)
+    batches merge exactly: fuse consecutive summaries whose
+    start − prev running-max end ≤ gap. One bucketed exchange on
+    ``hash(user_id)``, one vectorized kernel."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        users = g["user_id"].to_numpy(dtype=np.int64)
+        n = len(g)
+        if not n:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("user_id", "start_us", "end_us",
+                                           "n_events", "first_event")})
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (users[1:] != users[:-1]) | (np.diff(ts) > gap_us)
+        sess = np.cumsum(brk)
+        return (
+            pd.DataFrame({"user_id": users, "sess": sess, "ts_us": ts,
+                          "event_id": g["event_id"].to_numpy(dtype=np.int64)})
+            .groupby(["user_id", "sess"], sort=False)
+            .agg(start_us=("ts_us", "min"), end_us=("ts_us", "max"),
+                 n_events=("ts_us", "size"), first_event=("event_id", "min"))
+            .reset_index()
+            .drop(columns=["sess"])
+            .astype({c: np.int64 for c in ("user_id", "start_us", "end_us",
+                                           "n_events", "first_event")})
+        )
+
+    return grouped_aggregate(events_ds, ["user_id"], combine)
+
+
+def merge_session_partials(states, gap_minutes: int = SESSION_GAP_MIN):
+    """Fold ANY number of session-summary states (fresh or reloaded
+    from a checkpoint) into final per-user sessions — the gap-tolerant
+    interval-union sweep: summaries sorted by (user, start), running
+    max of ends per user segment, a new session where
+    start > running_max + gap, fused stats by one groupby, session_idx
+    by per-user cumcount. Output schema and values are identical to
+    the batch ``events_sessionize`` (same DuckDB oracle gates both)."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.union(s)
+
+    def fuse(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "start_us", "first_event"],
+                               kind="stable")
+        users = g["user_id"].to_numpy(dtype=np.int64)
+        start = g["start_us"].to_numpy(dtype=np.int64)
+        end = g["end_us"].to_numpy(dtype=np.int64)
+        n = len(g)
+        if not n:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "session_idx": pd.Series([], dtype=np.int64),
+                                 "n_events": pd.Series([], dtype=np.int64),
+                                 "first_event": pd.Series([], dtype=np.int64)})
+        seg = np.cumsum(np.concatenate(([0], (users[1:] != users[:-1])
+                                        .astype(np.int64))))
+        run_max = pd.Series(end).groupby(seg).cummax().to_numpy(np.int64)
+        prev_max = np.concatenate(([np.int64(-(2**62))], run_max[:-1]))
+        new_sess = np.concatenate(
+            ([True], (users[1:] != users[:-1]) | (start[1:] > prev_max[1:] + gap_us))
+        )
+        island = np.cumsum(new_sess)
+        fused = (
+            pd.DataFrame({"user_id": users, "island": island,
+                          "n_events": g["n_events"].to_numpy(dtype=np.int64),
+                          "first_event": g["first_event"].to_numpy(dtype=np.int64)})
+            .groupby(["user_id", "island"], sort=False)
+            .agg(n_events=("n_events", "sum"), first_event=("first_event", "min"))
+            .reset_index()
+        )
+        fused["session_idx"] = fused.groupby("user_id", sort=False).cumcount()
+        return fused[["user_id", "session_idx", "n_events", "first_event"]].astype(
+            {c: np.int64 for c in ("user_id", "session_idx", "n_events",
+                                   "first_event")}
+        )
+
+    return grouped_aggregate(merged, ["user_id"], fuse)
+
+
+def events_sessions_incremental(sf_dir: str, chunks: int = 2,
+                                gap_minutes: int = SESSION_GAP_MIN):
+    """Full sessionization built the incremental way: events split into
+    ``chunks`` deterministic time-interleaved ingest batches (day
+    parity — the worst case for boundary stitching: every batch
+    interleaves with every other inside the month), each batch reduced
+    to mergeable session summaries, summaries fused. Value-identical
+    to ``relational.events_sessionize`` — the driver gates it with the
+    SAME lag/gap-window DuckDB oracle."""
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def chunk_of(batch: pd.DataFrame, residue: int) -> pd.DataFrame:
+        day = (batch["ts"].to_numpy(dtype="datetime64[us]")
+               .astype(np.int64) // _US_PER_DAY)
+        return batch[day % chunks == residue]
+
+    states = [
+        session_partials(
+            events.map_batches(chunk_of, batch_format="pandas",
+                               fn_kwargs={"residue": r}),
+            gap_minutes,
+        )
+        for r in range(chunks)
+    ]
+    return merge_session_partials(states, gap_minutes)
