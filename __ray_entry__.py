@@ -238,6 +238,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["user_active_span"] = relational.user_active_span
     q["fk_integrity_audit"] = relational.fk_integrity_audit
     q["events_type_percentiles"] = relational.events_type_percentiles
+    q["pareto_orders"] = relational.pareto_orders
+    q["events_hourly_zscores"] = relational.events_hourly_zscores
+    q["session_stats"] = relational.session_stats
+    q["dup_ngrams"] = textstats.dup_ngrams
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -336,6 +340,10 @@ def oracle_sql() -> dict[str, str]:
     sql["user_active_span"] = relational.USER_ACTIVE_SPAN_ORACLE
     sql["fk_integrity_audit"] = relational.FK_INTEGRITY_AUDIT_ORACLE
     sql["events_type_percentiles"] = relational.EVENTS_TYPE_PERCENTILES_ORACLE
+    sql["pareto_orders"] = relational.PARETO_ORDERS_ORACLE
+    sql["events_hourly_zscores"] = relational.EVENTS_HOURLY_ZSCORES_ORACLE
+    sql["session_stats"] = relational.SESSION_STATS_ORACLE
+    sql["dup_ngrams"] = textstats.DUP_NGRAMS_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()

@@ -877,3 +877,86 @@ def doc_length_quantiles_approx(sf_dir: str):
     # loop in the final runs over ≤ langs-per-bucket groups of ≤ 2048
     return grouped_aggregate(docs, ["lang"], combine, partial=partial,
                              num_partitions=8)
+
+
+def dup_ngrams(sf_dir: str, n: int = 5, min_df: int = 2):
+    """Cross-document repeated word n-grams — the detection half of
+    exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a word 5-gram that
+    appears verbatim in ≥ ``min_df`` distinct documents marks
+    boilerplate / template / copied spans that inflate memorization.
+    Output: one row per repeated gram with its document frequency and
+    the doc-id range of its occurrences (the seed list a span-removal
+    pass would consume).
+
+    Scale shape — the n-gram cousin of :func:`inverted_index`: the
+    per-batch partial collapses each document to its DISTINCT grams
+    (each doc lives in exactly one batch, so per-doc dedup is local
+    and free), then ONE bucketed two-phase aggregate on ``gram``
+    (vocabulary-cardinality — n-gram vocab is far beyond Ray's native
+    reduce) sums df and min/maxes the doc range. The corpus streams
+    once; the shuffle moves short (gram, df, lo, hi) partials, never
+    text. At 100 TB the gram strings themselves dominate the wire —
+    production would key the exchange on a 128-bit gram hash and keep
+    one exemplar string per bucket; the string key is kept here so the
+    output is directly oracle-comparable.
+
+    Tokenization matches the corpus oracle convention
+    (``regexp_split_to_array(lower(text), '[^a-z0-9]+')``)."""
+    import re
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    split = re.compile(r"[^a-z0-9]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list[int] = []
+        grams: list[str] = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = [t for t in split.split((text or "").lower()) if t]
+            if len(toks) < n:
+                continue
+            uniq = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            doc_ids.extend([doc_id] * len(uniq))
+            grams.extend(uniq)
+        flat = pd.DataFrame(
+            {"gram": grams, "doc_id": np.asarray(doc_ids, dtype=np.int64)}
+        )
+        return (
+            flat.groupby("gram", sort=False)
+            .agg(df=("doc_id", "size"), first_doc=("doc_id", "min"),
+                 last_doc=("doc_id", "max"))
+            .reset_index()
+            .astype({c: np.int64 for c in ("df", "first_doc", "last_doc")})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket.groupby("gram", sort=False)
+            .agg(df=("df", "sum"), first_doc=("first_doc", "min"),
+                 last_doc=("last_doc", "max"))
+            .reset_index()
+        )
+        out = out[out["df"] >= min_df]
+        return out.astype({c: np.int64 for c in ("df", "first_doc", "last_doc")})
+
+    return grouped_aggregate(docs, ["gram"], combine, partial=partial,
+                             num_partitions=16)
+
+
+DUP_NGRAMS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(COALESCE(text,'')),
+                                           '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS gram
+  FROM toks, unnest(range(1, greatest(len(ts)-3, 1))) AS t(i)
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS df,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM grams GROUP BY gram HAVING count(*) >= 2
+"""

@@ -3228,3 +3228,270 @@ SELECT event_type,
        CAST(MAX(n) AS BIGINT) AS n_events
 FROM r GROUP BY 1
 """
+
+
+def _skyline(df: pd.DataFrame) -> pd.DataFrame:
+    """2-D Pareto frontier on (price_centi max, date_ms max): keep rows
+    whose (price, date) pair no other pair dominates (≥ in both, > in
+    one). Vectorized: over DISTINCT pairs sorted (price desc, date
+    desc), a pair is dominated iff the running max date over strictly
+    preceding pairs already reaches its date — exact duplicates are
+    collapsed first so they can't mask each other, and every original
+    row carrying a frontier pair is kept via the final inner merge."""
+    pairs = (
+        df[["price_centi", "date_ms"]]
+        .drop_duplicates()
+        .sort_values(["price_centi", "date_ms"], ascending=False, kind="stable")
+    )
+    best_prev = pairs["date_ms"].cummax().shift(1)
+    keep = best_prev.isna() | (pairs["date_ms"] > best_prev)
+    return df.merge(
+        pairs[keep.to_numpy()], on=["price_centi", "date_ms"], how="inner"
+    )
+
+
+def pareto_orders(sf_dir: str):
+    """Skyline / Pareto-frontier query: the orders not dominated on
+    (o_totalprice, o_orderdate) — no other order is both at least as
+    expensive AND at least as recent (strictly better in one). The
+    multi-objective "best candidates" selection shape (price/recency,
+    quality/length, score/cost) that no single ORDER BY expresses.
+
+    Scale shape: the skyline operator is distributive — every global
+    frontier row survives its own block's local frontier — so each
+    batch surrenders only its local skyline (partial), and one bounded
+    final pass merges the candidates. The wide step moves
+    O(local-frontier × blocks) rows, never the table; for correlated
+    attributes the local frontier is tiny (8 rows at sf0.01). The
+    worst case (perfectly anti-correlated attributes) degrades to the
+    full table, a property of the *query*, not the plan. Prices are
+    compared as exact centi ints (2-decimal money), dates as epoch ms."""
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+                "price_centi": np.round(
+                    batch["o_totalprice"].to_numpy(dtype=np.float64) * 100
+                ).astype(np.int64),
+                "date_ms": batch["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[ms]")
+                .astype(np.int64),
+            }
+        )
+        return _skyline(out)
+
+    cands = orders.map_batches(partial, batch_format="pandas")
+    return cands.repartition(1).map_batches(_skyline, batch_format="pandas")
+
+
+PARETO_ORDERS_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_centi,
+         CAST(epoch_us(o_orderdate) // 1000 AS BIGINT) AS date_ms
+  FROM orders
+), pairs AS (
+  SELECT DISTINCT price_centi, date_ms FROM o
+), ranked AS (
+  SELECT price_centi, date_ms,
+         max(date_ms) OVER (ORDER BY price_centi DESC, date_ms DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS best_prev
+  FROM pairs
+)
+SELECT o.o_orderkey, o.price_centi, o.date_ms
+FROM o JOIN ranked r USING (price_centi, date_ms)
+WHERE r.best_prev IS NULL OR r.best_prev < r.date_ms
+"""
+
+
+def events_hourly_zscores(sf_dir: str):
+    """Volume-anomaly scores: for every (event_type, hour) the hourly
+    event count and its z-score against that type's own hourly
+    distribution — the drift/incident detector a continuously ingesting
+    corpus runs over its telemetry. The z-score is computed CLOSED-FORM
+    from exact integer sufficient statistics, never from a streaming
+    variance: with n hours, S = Σc and Q = Σc² (all int64-exact),
+
+        z = (n·c − S) / sqrt(n·Q − S²)
+
+    which is one correctly-rounded IEEE division of exactly-computed
+    integers, so the doubles are bit-identical to the oracle's (the SQL
+    mirrors the same formula rather than calling STDDEV, whose
+    incremental accumulation is order-dependent). Zero-variance types
+    emit z = 0.
+
+    Scale shape: ONE bucketed exchange keyed on ``event_type`` moving
+    per-batch (type, hour, count) partials — hour-cardinality is
+    time-bounded (~10⁵ rows/decade/type), so each type's full hourly
+    vector fits its bucket and both aggregation levels are one
+    vectorized pandas pass."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(),
+                "hour_bucket": ts_ns // 3_600_000_000_000,
+            }
+        )
+        return (
+            out.groupby(["event_type", "hour_bucket"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+            .astype({"hour_bucket": np.int64, "cnt": np.int64})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        hc = (
+            bucket.groupby(["event_type", "hour_bucket"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        grp = hc.groupby("event_type", sort=False)
+        c = hc["cnt"].to_numpy(dtype=np.int64)
+        n = grp["cnt"].transform("size").to_numpy(dtype=np.int64)
+        s = grp["cnt"].transform("sum").to_numpy(dtype=np.int64)
+        hc["_c2"] = c * c
+        q = (
+            hc.groupby("event_type", sort=False)["_c2"]
+            .transform("sum")
+            .to_numpy(dtype=np.int64)
+        )
+        num = (n * c - s).astype(np.float64)
+        den = n * q - s * s
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(den > 0, num / np.sqrt(den.astype(np.float64)), 0.0)
+        return pd.DataFrame(
+            {
+                "event_type": hc["event_type"].to_numpy(),
+                "hour_bucket": hc["hour_bucket"].to_numpy(dtype=np.int64),
+                "n_events": c,
+                "z": z,
+            }
+        )
+
+    return grouped_aggregate(events, ["event_type"], combine, partial=partial,
+                             num_partitions=8)
+
+
+EVENTS_HOURLY_ZSCORES_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*) AS n, sum(cnt) AS sc, sum(cnt * cnt) AS q
+  FROM h GROUP BY 1
+)
+SELECT h.event_type, h.hour_bucket, CAST(h.cnt AS BIGINT) AS n_events,
+       CASE WHEN s.n * s.q - s.sc * s.sc <= 0 THEN 0.0
+            ELSE CAST(s.n * h.cnt - s.sc AS DOUBLE)
+                 / sqrt(CAST(s.n * s.q - s.sc * s.sc AS DOUBLE)) END AS z
+FROM h JOIN s USING (event_type)
+"""
+
+
+def session_stats(sf_dir: str, gap_minutes: int = 30):
+    """Per-session rollup on top of gap sessionization: for every
+    (user, session) the event count, start/end timestamps (epoch ms),
+    duration, and distinct-event-type count — the session-quality
+    features an engagement or funnel model consumes.
+
+    Same single-exchange shape as :func:`events_sessionize` (bucketed
+    shuffle on ``user_id``, session ids by one vectorized cumsum over
+    the bucket-sorted arrays); the rollup is one additional vectorized
+    pandas groupby inside the same bucket pass — sessions never leave
+    the bucket that computed them. NULL event types don't count toward
+    ``n_types`` (matching SQL ``count(DISTINCT ...)``)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    gap_ns = np.int64(gap_minutes) * 60 * 1_000_000_000
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        users = g["user_id"].to_numpy()
+        n = len(g)
+        brk = np.ones(n, dtype=np.int64)
+        if n > 1:
+            new_user = users[1:] != users[:-1]
+            brk[1:] = (new_user | (np.diff(ts) > gap_ns)).astype(np.int64)
+        sess_global = np.cumsum(brk) - 1
+        user_start = np.ones(n, dtype=bool)
+        if n > 1:
+            user_start[1:] = users[1:] != users[:-1]
+        seg_id = np.cumsum(user_start) - 1
+        session_idx = sess_global - sess_global[user_start][seg_id]
+        out = pd.DataFrame(
+            {
+                "user_id": users,
+                "session_idx": session_idx,
+                "ts_ms": ts // 1_000_000,
+                "event_type": g["event_type"].to_numpy(),
+            }
+        )
+        agg = (
+            out.groupby(["user_id", "session_idx"], sort=False)
+            .agg(
+                n_events=("ts_ms", "size"),
+                start_ms=("ts_ms", "min"),
+                end_ms=("ts_ms", "max"),
+                n_types=("event_type", "nunique"),
+            )
+            .reset_index()
+        )
+        agg["duration_ms"] = agg["end_ms"] - agg["start_ms"]
+        return agg.astype(
+            {c: np.int64 for c in ("session_idx", "n_events", "start_ms",
+                                   "end_ms", "n_types", "duration_ms")}
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine)
+
+
+SESSION_STATS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       CAST(epoch_us(min(ts)) // 1000 AS BIGINT) AS start_ms,
+       CAST(epoch_us(max(ts)) // 1000 AS BIGINT) AS end_ms,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(epoch_us(max(ts)) // 1000 - epoch_us(min(ts)) // 1000
+            AS BIGINT) AS duration_ms
+FROM sess GROUP BY 1, 2
+"""
