@@ -242,6 +242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_hourly_zscores"] = relational.events_hourly_zscores
     q["session_stats"] = relational.session_stats
     q["dup_ngrams"] = textstats.dup_ngrams
+    q["events_dedup_consecutive"] = relational.events_dedup_consecutive
+    q["events_gap_fill"] = relational.events_gap_fill
+    q["lineitem_corr"] = relational.lineitem_corr
+    q["docs_top_decile"] = textstats.docs_top_decile
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -344,6 +348,10 @@ def oracle_sql() -> dict[str, str]:
     sql["events_hourly_zscores"] = relational.EVENTS_HOURLY_ZSCORES_ORACLE
     sql["session_stats"] = relational.SESSION_STATS_ORACLE
     sql["dup_ngrams"] = textstats.DUP_NGRAMS_ORACLE
+    sql["events_dedup_consecutive"] = relational.EVENTS_DEDUP_CONSECUTIVE_ORACLE
+    sql["events_gap_fill"] = relational.EVENTS_GAP_FILL_ORACLE
+    sql["lineitem_corr"] = relational.LINEITEM_CORR_ORACLE
+    sql["docs_top_decile"] = textstats.DOCS_TOP_DECILE_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()

@@ -960,3 +960,70 @@ SELECT gram, CAST(count(*) AS BIGINT) AS df,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM grams GROUP BY gram HAVING count(*) >= 2
 """
+
+def docs_top_decile(sf_dir: str):
+    """Global-percentile threshold filter: keep documents whose
+    ``n_chars`` is at or above the corpus's exact 90th DISCRETE
+    percentile — the 'top decile by length' curation cut, the shape
+    every quality-threshold filter takes (score → global quantile →
+    broadcast scalar → filtered scan).
+
+    A global quantile needs the whole DISTRIBUTION, not the whole
+    data: per-batch value counts collapse to a (value, count)
+    histogram bounded by the value DOMAIN (not the row count), one
+    tiny two-phase aggregate lands it on the driver, and the k-th
+    smallest (k = ceil(0.9·N), pure integer arithmetic) comes from a
+    cumulative-count walk over ≤ |domain| rows. The threshold then
+    travels as one scalar inside a closure — the second scan is an
+    embarrassingly-parallel filter with NO shuffle (and at 100 TB the
+    predicate pushes into the Parquet row-group stats)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("n_chars", sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"n_chars": np.int64, "n": np.int64})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("n_chars", sort=False)["n"].sum().reset_index()
+            .astype({"n_chars": np.int64, "n": np.int64})
+        )
+
+    hist = (
+        grouped_aggregate(docs, ["n_chars"], combine, partial=partial,
+                          num_partitions=8)
+        .to_pandas()  # domain-bounded: one row per distinct n_chars
+        .sort_values("n_chars", kind="stable")
+    )
+    cum = hist["n"].to_numpy(dtype=np.int64).cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        return docs.filter(lambda row: False)
+    k = (9 * total + 9) // 10  # ceil(0.9 * N) without floats
+    thr = int(hist["n_chars"].to_numpy(dtype=np.int64)[np.searchsorted(cum, k, side="left")])
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["n_chars"].to_numpy(dtype=np.int64) >= thr]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
+DOCS_TOP_DECILE_ORACLE = """
+WITH s AS (
+  SELECT n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents
+), t AS (
+  SELECT min(n_chars) AS thr FROM s WHERE rn = (9 * n + 9) // 10
+)
+SELECT d.doc_id, d.n_chars FROM documents d, t WHERE d.n_chars >= t.thr
+"""

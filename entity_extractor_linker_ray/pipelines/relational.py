@@ -3495,3 +3495,240 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
             AS BIGINT) AS duration_ms
 FROM sess GROUP BY 1, 2
 """
+
+def events_dedup_consecutive(sf_dir: str):
+    """Consecutive-duplicate compaction: per user in (ts, event_id)
+    order, keep an event only when its type differs from the
+    immediately preceding event's type — the run-length dedup an
+    at-least-once event stream needs before counting (double-fired
+    clicks collapse, alternations survive).
+
+    Shape: one bucketed shuffle on ``user_id`` (row-proportional — no
+    combiner exists for a window predicate, so no coalesce), then ONE
+    vectorized pass per bucket: sort, shift-compare type and user
+    arrays, boolean-mask. No per-user Python groups. Matches the
+    ``LAG ... IS DISTINCT FROM`` oracle exactly (first row per user is
+    always kept; type comparison on the raw strings — the table has no
+    NULL types, and ``IS DISTINCT FROM`` would match the fillna
+    sentinel semantics if it ever did)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy()
+        types = g["event_type"].fillna("").to_numpy(dtype=object)
+        n = len(g)
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            same_user = users[1:] == users[:-1]
+            same_type = types[1:] == types[:-1]
+            keep[1:] = ~(same_user & same_type)
+        out = g.loc[keep, ["user_id", "event_id", "event_type"]].reset_index(drop=True)
+        return out.astype({"user_id": np.int64, "event_id": np.int64})
+
+    return grouped_aggregate(events, ["user_id"], combine)
+
+
+EVENTS_DEDUP_CONSECUTIVE_ORACLE = """
+WITH lagged AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT user_id, event_id, event_type
+FROM lagged
+WHERE prev_type IS DISTINCT FROM event_type
+"""
+
+
+def events_gap_fill(sf_dir: str):
+    """Dense hourly series per event type: the count for EVERY hour
+    between that type's first and last event, zeros filled in — the
+    dimension-densification step a time-series model or dashboard
+    needs (missing hours are real zeros, not absent rows).
+
+    The hourly count table is domain-bounded (types x hours), so the
+    heavy work is the same two-phase (partial + bucketed combine)
+    aggregate as :func:`events_hourly`; generation of the missing
+    hours happens inside the per-type bucket with one ``np.arange``
+    over the type's own [min, max] hour span and an O(span) scatter —
+    no cross join, no driver loop. Oracle generates the same spans
+    with ``range()`` + LEFT JOIN."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_numpy(),
+             "hour_bucket": ts_ns // 3_600_000_000_000}
+        )
+        df = df[df["event_type"].notna()]
+        return (
+            df.groupby(["event_type", "hour_bucket"], sort=False)
+            .size()
+            .reset_index(name="n_events")
+            .astype({"hour_bucket": np.int64, "n_events": np.int64})
+        )
+
+    def densify(bucket: pd.DataFrame) -> pd.DataFrame:
+        hist = (
+            bucket.groupby(["event_type", "hour_bucket"], sort=False)["n_events"]
+            .sum()
+            .reset_index()
+        )
+        frames = []
+        for etype, g in hist.groupby("event_type", sort=False):
+            lo = int(g["hour_bucket"].min())
+            hi = int(g["hour_bucket"].max())
+            hours = np.arange(lo, hi + 1, dtype=np.int64)
+            counts = np.zeros(len(hours), dtype=np.int64)
+            counts[g["hour_bucket"].to_numpy(dtype=np.int64) - lo] = (
+                g["n_events"].to_numpy(dtype=np.int64)
+            )
+            frames.append(
+                pd.DataFrame(
+                    {"event_type": etype, "hour_bucket": hours, "n_events": counts}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "hour_bucket": pd.Series([], dtype=np.int64),
+                 "n_events": pd.Series([], dtype=np.int64)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return grouped_aggregate(events, ["event_type"], densify, partial=partial,
+                             num_partitions=8)
+
+
+EVENTS_GAP_FILL_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+         count(*) AS n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(hour_bucket) AS lo, max(hour_bucket) AS hi FROM c GROUP BY 1
+), dense AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hour_bucket FROM spans
+)
+SELECT dense.event_type, CAST(dense.hour_bucket AS BIGINT) AS hour_bucket,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM dense LEFT JOIN c
+  ON dense.event_type = c.event_type AND dense.hour_bucket = c.hour_bucket
+"""
+
+
+def lineitem_corr(sf_dir: str):
+    """Exact per-group Pearson correlation of quantity vs extended
+    price — the two-column dependence statistic, computed the only way
+    that is both distributed-exact and SQL-reproducible: accumulate the
+    five integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) in
+    int64 per batch (associative, hence hash-stable under any
+    accumulation order), then evaluate the closed form
+    ``(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̂)·√(n·Σy² − Σy²̂))`` ONCE per
+    group in double precision — every multiply/subtract/sqrt/divide is
+    a correctly-rounded IEEE op on identical inputs in numpy and
+    DuckDB, so even the float column hash-matches.
+
+    Units are part of the semantics (corr is scale-invariant, the
+    int64 bounds are not): x = quantity in centi-units (≤5e3 ⇒ Σx²
+    per group ≤ 2.5e7·rows), y = price FLOORED to whole units (≤1.1e5
+    ⇒ Σy² ≤ 1.2e10·rows) — safe past 10^8 rows/group; the n·Σ products
+    are taken AFTER the cast to double. floor, not round: numpy rounds
+    half-to-even while SQL rounds half away from zero, so exact .50
+    values would diverge — floor is identical in both engines."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    cols = ["n_rows", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.round(batch["l_quantity"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        y = np.floor(batch["l_extendedprice"].to_numpy(dtype=np.float64)).astype(np.int64)
+        df = pd.DataFrame(
+            {"l_returnflag": batch["l_returnflag"].to_numpy(),
+             "n_rows": np.ones(len(x), dtype=np.int64),
+             "sum_x": x, "sum_y": y, "sum_xy": x * y,
+             "sum_xx": x * x, "sum_yy": y * y}
+        )
+        return (
+            df.groupby("l_returnflag", sort=False)
+            .agg({c: "sum" for c in cols})
+            .reset_index()
+        )
+
+    def finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            bucket.groupby("l_returnflag", sort=False)
+            .agg({c: "sum" for c in cols})
+            .reset_index()
+            .astype({c: np.int64 for c in cols})
+        )
+        n = agg["n_rows"].to_numpy(dtype=np.float64)
+        sx = agg["sum_x"].to_numpy(dtype=np.float64)
+        sy = agg["sum_y"].to_numpy(dtype=np.float64)
+        sxy = agg["sum_xy"].to_numpy(dtype=np.float64)
+        sxx = agg["sum_xx"].to_numpy(dtype=np.float64)
+        syy = agg["sum_yy"].to_numpy(dtype=np.float64)
+        num = n * sxy - sx * sy
+        den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        corr = np.where(den > 0.0, num / np.where(den > 0.0, den, 1.0), 0.0)
+        return pd.DataFrame(
+            {"l_returnflag": agg["l_returnflag"],
+             "n_rows": agg["n_rows"],
+             "corr_qty_price": corr}
+        )
+
+    return grouped_aggregate(lines, ["l_returnflag"], finalize, partial=partial,
+                             num_partitions=4)
+
+
+LINEITEM_CORR_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+         SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS sy,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(floor(l_extendedprice) AS BIGINT)) AS sxy,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+         SUM(CAST(floor(l_extendedprice) AS BIGINT)
+             * CAST(floor(l_extendedprice) AS BIGINT)) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            ELSE 0.0 END AS corr_qty_price
+FROM s
+"""
