@@ -246,6 +246,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_gap_fill"] = relational.events_gap_fill
     q["lineitem_corr"] = relational.lineitem_corr
     q["docs_top_decile"] = textstats.docs_top_decile
+    q["purchase_attribution"] = relational.purchase_attribution
+    q["orders_monthly_growth"] = relational.orders_monthly_growth
+    q["event_type_shares"] = relational.event_type_shares
+    from entity_extractor_linker_ray.ops import profile as _profile
+
+    q["table_checksums"] = _profile.table_checksums
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -285,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_linker_ray.ops import profile
 
     sql["table_profile"] = profile.table_profile_oracle()
+    sql["table_checksums"] = profile.table_checksums_oracle()
     sql["dedup_exact"] = dedupe.EXACT_DEDUP_ORACLE
     sql["dedup_ngram_jaccard"] = dedupe.NGRAM_JACCARD_ORACLE
     sql["fp_containment"] = dedupe.fp_containment_oracle()
@@ -352,6 +359,9 @@ def oracle_sql() -> dict[str, str]:
     sql["events_gap_fill"] = relational.EVENTS_GAP_FILL_ORACLE
     sql["lineitem_corr"] = relational.LINEITEM_CORR_ORACLE
     sql["docs_top_decile"] = textstats.DOCS_TOP_DECILE_ORACLE
+    sql["purchase_attribution"] = relational.PURCHASE_ATTRIBUTION_ORACLE
+    sql["orders_monthly_growth"] = relational.ORDERS_MONTHLY_GROWTH_ORACLE
+    sql["event_type_shares"] = relational.EVENT_TYPE_SHARES_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()

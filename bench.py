@@ -183,7 +183,6 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_funnel",
         "decontaminate",
         "fuzzy_neighbors",
-        "top_revenue_orders",
         "customer_event_activity",
         "events_transitions",
         "events_running_total",
@@ -191,6 +190,18 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_type_percentiles",
         "fk_integrity_audit",
         "table_profile",
+        "pareto_orders",
+        "events_hourly_zscores",
+        "session_stats",
+        "dup_ngrams",
+        "events_dedup_consecutive",
+        "events_gap_fill",
+        "lineitem_corr",
+        "docs_top_decile",
+        "purchase_attribution",
+        "orders_monthly_growth",
+        "event_type_shares",
+        "table_checksums",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -160,3 +160,67 @@ def table_profile_oracle(table: str = "documents",
 FROM {table}"""
         )
     return "\nUNION ALL\n".join(selects)
+
+def table_checksums(sf_dir: str, num_buckets: int = 64):
+    """Cross-engine reconciliation checksums: per ``doc_id % buckets``
+    bucket, the row count and the XOR of a 60-bit md5-derived hash of
+    each row's canonical string — the content certificate two
+    independent engines (or two snapshots of the same table) compare
+    to prove byte-equality without moving the data. XOR, not SUM, so
+    the aggregate is order-independent AND cannot overflow, and a
+    single differing row flips the bucket's checksum.
+
+    The canonical string is ``doc_id || '|' || text`` exactly as the
+    oracle builds it with VARCHAR casts; md5's first 15 hex chars
+    parse to the same int64 in Python and DuckDB. Partials are ≤
+    ``num_buckets`` rows per batch, so the exchange is constant-size
+    regardless of corpus size. At 100 TB the per-row md5 is the cost —
+    embarrassingly parallel, no shuffle beyond the bucket partials."""
+    import hashlib
+
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        texts = batch["text"].fillna("")
+        hs = np.fromiter(
+            (int(hashlib.md5(f"{i}|{t}".encode("utf-8")).hexdigest()[:15], 16)
+             for i, t in zip(ids, texts)),
+            dtype=np.int64, count=len(ids),
+        )
+        df = pd.DataFrame({"bucket": ids % num_buckets, "h": hs})
+        rows = []
+        for b, g in df.groupby("bucket", sort=False):
+            rows.append((b, len(g), int(np.bitwise_xor.reduce(g["h"].to_numpy()))))
+        return pd.DataFrame(rows, columns=["bucket", "n_rows", "checksum"]).astype(
+            {"bucket": np.int64, "n_rows": np.int64, "checksum": np.int64}
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b, g in bucket.groupby("bucket", sort=False):
+            rows.append(
+                (b, int(g["n_rows"].sum()),
+                 int(np.bitwise_xor.reduce(g["checksum"].to_numpy(dtype=np.int64))))
+            )
+        return pd.DataFrame(rows, columns=["bucket", "n_rows", "checksum"]).astype(
+            {"bucket": np.int64, "n_rows": np.int64, "checksum": np.int64}
+        )
+
+    return grouped_aggregate(docs, ["bucket"], combine, partial=partial,
+                             num_partitions=8)
+
+
+def table_checksums_oracle(num_buckets: int = 64) -> str:
+    return f"""
+SELECT CAST(doc_id % {num_buckets} AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                                        || COALESCE(text, '')), 1, 15))::BIGINT)
+            AS BIGINT) AS checksum
+FROM documents GROUP BY 1
+"""

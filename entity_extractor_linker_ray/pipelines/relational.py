@@ -3732,3 +3732,205 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
             ELSE 0.0 END AS corr_qty_price
 FROM s
 """
+
+def purchase_attribution(sf_dir: str):
+    """Last-touch attribution: for every purchase, the same user's most
+    recent STRICTLY PRECEDING click (in (ts, event_id) order) and the
+    gap to it — the marketing-attribution self-as-of join, done without
+    a join operator: both event roles ride ONE bucketed shuffle on
+    ``hash(user_id)`` and the per-bucket kernel is a single vectorized
+    pass (sort; candidate index = own index where click else -1; global
+    ``np.maximum.accumulate`` shifted one row; a cross-SEGMENT carry is
+    impossible to mistake for a hit because indices grow monotonically,
+    so any index below the row's segment start is a miss).
+
+    Unattributed purchases (no prior click) are kept with a -1
+    sentinel, mirrored by COALESCE in the IGNORE-NULLS-window oracle."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy(dtype=np.int64)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        types = g["event_type"].fillna("").to_numpy(dtype=object)
+        ids = g["event_id"].to_numpy(dtype=np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "purchase_id": pd.Series([], dtype=np.int64),
+                 "click_event_id": pd.Series([], dtype=np.int64),
+                 "gap_us": pd.Series([], dtype=np.int64)}
+            )
+        seg = segment_starts(users)
+        idx = np.arange(n, dtype=np.int64)
+        cand = np.where(types == "click", idx, np.int64(-1))
+        acc = np.maximum.accumulate(cand)
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = acc[:-1]
+        valid = prev >= seg  # a carry from an earlier user has index < seg start
+        is_purchase = types == "purchase"
+        safe_prev = np.where(valid, prev, 0)
+        click_id = np.where(valid, ids[safe_prev], np.int64(-1))
+        gap = np.where(valid, ts_us - ts_us[safe_prev], np.int64(-1))
+        return pd.DataFrame(
+            {"user_id": users[is_purchase],
+             "purchase_id": ids[is_purchase],
+             "click_event_id": click_id[is_purchase],
+             "gap_us": gap[is_purchase]}
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine)
+
+
+PURCHASE_ATTRIBUTION_ORACLE = """
+WITH w AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+  FROM events
+)
+SELECT user_id, event_id AS purchase_id,
+       CAST(COALESCE(click_id, -1) AS BIGINT) AS click_event_id,
+       CAST(COALESCE(epoch_us(ts) - epoch_us(click_ts), -1) AS BIGINT) AS gap_us
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+def orders_monthly_growth(sf_dir: str):
+    """Month-over-month revenue growth: per calendar month the order
+    count, exact centi-unit revenue, the previous month's revenue, and
+    the growth ratio — the time-series KPI every report derives from a
+    fact table.
+
+    The month table is DOMAIN-bounded (10^12 rows still span only
+    hundreds of months), so the scale-relevant work is the two-phase
+    aggregate that collapses facts to months; the LAG itself runs in
+    one single-bucket final over that tiny table (num_partitions=1 is
+    the honest encoding of 'this fits anywhere'). Growth is ONE IEEE
+    division of exact int64s, so the float column hash-matches SQL;
+    the first month has no predecessor and is excluded, exactly like
+    the oracle's ``WHERE prev IS NOT NULL``."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DatetimeIndex(batch["o_orderdate"])
+        month_idx = (d.year.to_numpy() * 12 + (d.month.to_numpy() - 1)).astype(np.int64)
+        rev = np.round(batch["o_totalprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        return (
+            pd.DataFrame({"month_idx": month_idx, "n_orders": np.int64(1),
+                          "revenue_centi": rev})
+            .groupby("month_idx", sort=False)
+            .agg(n_orders=("n_orders", "sum"), revenue_centi=("revenue_centi", "sum"))
+            .reset_index()
+        )
+
+    def lag_growth(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            bucket.groupby("month_idx", sort=False)
+            .agg(n_orders=("n_orders", "sum"), revenue_centi=("revenue_centi", "sum"))
+            .reset_index()
+            .sort_values("month_idx", kind="stable")
+        )
+        rev = m["revenue_centi"].to_numpy(dtype=np.int64)
+        prev = np.empty(len(m), dtype=np.int64)
+        if len(m):
+            prev[0] = -1
+            prev[1:] = rev[:-1]
+        out = m.iloc[1:].copy() if len(m) else m
+        out["prev_revenue_centi"] = prev[1:] if len(m) else prev
+        out["growth"] = (
+            (out["revenue_centi"].to_numpy(dtype=np.float64)
+             - out["prev_revenue_centi"].to_numpy(dtype=np.float64))
+            / out["prev_revenue_centi"].to_numpy(dtype=np.float64)
+        )
+        return out.astype(
+            {"month_idx": np.int64, "n_orders": np.int64,
+             "revenue_centi": np.int64, "prev_revenue_centi": np.int64}
+        )
+
+    return grouped_aggregate(orders, ["month_idx"], lag_growth, partial=partial,
+                             num_partitions=1)
+
+
+ORDERS_MONTHLY_GROWTH_ORACLE = """
+WITH m AS (
+  SELECT CAST(date_part('year', o_orderdate) * 12
+              + date_part('month', o_orderdate) - 1 AS BIGINT) AS month_idx,
+         count(*) AS n_orders,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_centi
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT month_idx, n_orders, revenue_centi,
+         lag(revenue_centi) OVER (ORDER BY month_idx) AS prev_revenue_centi
+  FROM m
+)
+SELECT month_idx, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(revenue_centi AS BIGINT) AS revenue_centi,
+       CAST(prev_revenue_centi AS BIGINT) AS prev_revenue_centi,
+       (CAST(revenue_centi AS DOUBLE) - CAST(prev_revenue_centi AS DOUBLE))
+         / CAST(prev_revenue_centi AS DOUBLE) AS growth
+FROM lagged WHERE prev_revenue_centi IS NOT NULL
+"""
+
+
+def event_type_shares(sf_dir: str):
+    """Share-of-total per event type: count and fraction of ALL events
+    — the percent-of-total normalization every report footer runs. The
+    group key domain is bounded (event types), so the per-type counts
+    AND the global total come out of the same single-bucket final over
+    pre-combined partials; the share is ONE IEEE division of exact
+    int64s (hash-identical to SQL's)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("event_type", sort=False, dropna=False)
+            .size()
+            .reset_index(name="n_events")
+            .astype({"n_events": np.int64})
+        )
+
+    def finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            bucket.groupby("event_type", sort=False, dropna=False)["n_events"]
+            .sum()
+            .reset_index()
+            .astype({"n_events": np.int64})
+        )
+        total = np.float64(m["n_events"].sum())
+        m["share"] = m["n_events"].to_numpy(dtype=np.float64) / total
+        return m
+
+    return grouped_aggregate(events, ["event_type"], finalize, partial=partial,
+                             num_partitions=1)
+
+
+EVENT_TYPE_SHARES_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       CAST(count(*) AS DOUBLE)
+         / CAST((SELECT count(*) FROM events) AS DOUBLE) AS share
+FROM events GROUP BY 1
+"""
