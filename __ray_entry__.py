@@ -252,6 +252,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_linker_ray.ops import profile as _profile
 
     q["table_checksums"] = _profile.table_checksums
+    q["top_parts_with_ties"] = relational.top_parts_with_ties
+    q["events_value_bands"] = relational.events_value_bands
+    q["normalized_fingerprints"] = textstats.normalized_fingerprints
+    from entity_extractor_linker_ray.pipelines import conversations as _convs
+
+    q["conv_stats"] = _convs.conv_stats
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -362,6 +368,12 @@ def oracle_sql() -> dict[str, str]:
     sql["purchase_attribution"] = relational.PURCHASE_ATTRIBUTION_ORACLE
     sql["orders_monthly_growth"] = relational.ORDERS_MONTHLY_GROWTH_ORACLE
     sql["event_type_shares"] = relational.EVENT_TYPE_SHARES_ORACLE
+    sql["top_parts_with_ties"] = relational.TOP_PARTS_WITH_TIES_ORACLE.format(k=10)
+    sql["events_value_bands"] = relational.EVENTS_VALUE_BANDS_ORACLE
+    sql["normalized_fingerprints"] = textstats.NORMALIZED_FINGERPRINTS_ORACLE
+    from entity_extractor_linker_ray.pipelines import conversations
+
+    sql["conv_stats"] = conversations.CONV_STATS_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()

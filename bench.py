@@ -202,6 +202,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "orders_monthly_growth",
         "event_type_shares",
         "table_checksums",
+        "conv_stats",
+        "top_parts_with_ties",
+        "events_value_bands",
+        "normalized_fingerprints",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1027,3 +1027,43 @@ WITH s AS (
 )
 SELECT d.doc_id, d.n_chars FROM documents d, t WHERE d.n_chars >= t.thr
 """
+
+def normalized_fingerprints(sf_dir: str):
+    """Canonicalization-before-dedup: Unicode NFC + lowercase +
+    whitespace collapse + trim, fingerprinted with md5 — the text
+    normalizer every dedup pipeline runs FIRST, so that byte-level
+    variants ('Caf\\u00e9' vs 'Cafe\\u0301', double spaces, case) land on
+    one key. Output is (doc_id, norm_md5): rows stay narrow, the
+    normalized text itself never leaves the batch.
+
+    Row-local, zero shuffle. Python's ``unicodedata.normalize('NFC')``
+    and DuckDB's ``nfc_normalize`` implement the same Unicode
+    normalization form; ``str.lower`` matches SQL ``lower`` on the
+    corpus's character repertoire (locale-dependent exotics like
+    dotted-I are out of scope and would diverge — documented, and the
+    pytest pins a combining-accent case)."""
+    import hashlib
+    import re
+    import unicodedata
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ws = re.compile(r"\s+")
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t in batch["text"].fillna(""):
+            norm = ws.sub(" ", unicodedata.normalize("NFC", t).lower()).strip()
+            out.append(hashlib.md5(norm.encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64), "norm_md5": out}
+        )
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+NORMALIZED_FINGERPRINTS_ORACLE = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(nfc_normalize(COALESCE(text, ''))),
+                               '\\s+', ' ', 'g'))) AS norm_md5
+FROM documents
+"""

@@ -3934,3 +3934,145 @@ SELECT event_type, count(*) AS n_events,
          / CAST((SELECT count(*) FROM events) AS DOUBLE) AS share
 FROM events GROUP BY 1
 """
+
+def top_parts_with_ties(sf_dir: str, k: int = 10):
+    """Top-k WITH TIES (``RANK() <= k`` semantics): every part whose
+    size ranks in the top ``k`` — possibly many more than ``k`` rows
+    when sizes tie, the difference between LIMIT and a ranked cut.
+
+    The partial is PROVABLY sufficient: a row's final rank can only be
+    ≥ its rank within any subset, so per-batch ``rank ≤ k`` rows are a
+    superset of the final answer; the final pass ranks the pruned
+    union (≤ k distinct sizes per batch) in one small kernel. Rank is
+    computed on the DISTINCT size values (dense over values = RANK
+    over rows only when ties share the value — exactly RANK's tie
+    behavior for a single ordering key)."""
+    import ray.data as rd
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_size"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sizes = np.sort(batch["p_size"].unique())[::-1]
+        if len(sizes) > k:
+            cutoff = sizes[k - 1]
+        elif len(sizes):
+            cutoff = sizes[-1]
+        else:
+            return batch
+        return batch[batch["p_size"].to_numpy() >= cutoff]
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        # RANK() OVER (ORDER BY p_size DESC) = 1 + #rows strictly larger
+        sizes = batch["p_size"].to_numpy()
+        order = np.sort(sizes)[::-1]
+        rank = np.searchsorted(-order, -sizes, side="left") + 1
+        return batch[rank <= k]
+
+    pruned = parts.map_batches(partial, batch_format="pandas")
+    # the pruned set is ≤ k distinct sizes per batch — small enough for
+    # one final kernel (repartition(1) is the honest 'fits anywhere')
+    return pruned.repartition(1).map_batches(final, batch_format="pandas")
+
+
+TOP_PARTS_WITH_TIES_ORACLE = """
+SELECT p_partkey, p_name, p_size FROM (
+  SELECT p_partkey, p_name, p_size,
+         RANK() OVER (ORDER BY p_size DESC) AS r
+  FROM part
+) WHERE r <= {k}
+"""
+
+
+def events_value_bands(sf_dir: str):
+    """Percentile-band enrichment: label every event low/mid/high by
+    its type's own exact p33/p66 value cutoffs — the derived-dimension
+    pattern (thresholds computed once from the distribution, then a
+    shuffle-free labeling scan; nothing re-shuffles the fact rows).
+
+    Pass 1 reuses the distributed-exact-quantile shape
+    (:func:`events_type_percentiles`): rows collapse to a per-(type,
+    milli) count histogram, one tiny exchange, cumulative-count walk —
+    output is |types| rows, safely collected. Pass 2 broadcasts the
+    cutoff dict inside a closure and maps batches; band edges are
+    integer milli comparisons so the oracle CASE matches exactly."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.cluster import milli_round
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_numpy(),
+                 "milli": milli_round(batch["value"].to_numpy(dtype=np.float64))}
+            )
+            .groupby(["event_type", "milli"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"milli": np.int64, "n": np.int64})
+        )
+
+    def walk(bucket: pd.DataFrame) -> pd.DataFrame:
+        hist = (
+            bucket.groupby(["event_type", "milli"], sort=False)["n"]
+            .sum()
+            .reset_index()
+            .sort_values(["event_type", "milli"], kind="stable")
+        )
+        rows = []
+        for etype, g in hist.groupby("event_type", sort=False):
+            cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+            milli = g["milli"].to_numpy(dtype=np.int64)
+            total = int(cum[-1])
+            p33 = int(milli[np.searchsorted(cum, (total + 2) // 3, side="left")])
+            p66 = int(milli[np.searchsorted(cum, (2 * total + 2) // 3, side="left")])
+            rows.append({"event_type": etype, "p33": p33, "p66": p66})
+        return pd.DataFrame(rows, columns=["event_type", "p33", "p66"])
+
+    cuts = grouped_aggregate(events, ["event_type"], walk, partial=partial,
+                             num_partitions=8).to_pandas()  # |types| rows
+    p33 = dict(zip(cuts["event_type"], cuts["p33"].astype(np.int64)))
+    p66 = dict(zip(cuts["event_type"], cuts["p66"].astype(np.int64)))
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        milli = milli_round(batch["value"].to_numpy(dtype=np.float64))
+        lo = batch["event_type"].map(p33).to_numpy(dtype=np.int64)
+        hi = batch["event_type"].map(p66).to_numpy(dtype=np.int64)
+        band = np.where(milli <= lo, "low", np.where(milli <= hi, "mid", "high"))
+        return pd.DataFrame(
+            {"event_id": batch["event_id"].to_numpy(dtype=np.int64),
+             "event_type": batch["event_type"].to_numpy(),
+             "band": band}
+        )
+
+    return events.map_batches(label, batch_format="pandas")
+
+
+EVENTS_VALUE_BANDS_ORACLE = """
+WITH m AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 1000) AS BIGINT) AS milli
+  FROM events
+), r AS (
+  SELECT event_type, milli,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY milli) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM m
+), cuts AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 2) // 3     THEN milli END) AS p33,
+         MAX(CASE WHEN rn = (2*n + 2) // 3   THEN milli END) AS p66
+  FROM r GROUP BY 1
+)
+SELECT m.event_id, m.event_type,
+       CASE WHEN m.milli <= c.p33 THEN 'low'
+            WHEN m.milli <= c.p66 THEN 'mid'
+            ELSE 'high' END AS band
+FROM m JOIN cuts c ON m.event_type = c.event_type
+"""
