@@ -258,6 +258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_linker_ray.pipelines import conversations as _convs
 
     q["conv_stats"] = _convs.conv_stats
+    q["events_mad"] = relational.events_mad
+    q["engaged_users"] = relational.engaged_users
+    q["user_longest_streak"] = relational.user_longest_streak
+    q["embedding_norms"] = ann.embedding_norms
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -374,6 +378,10 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_linker_ray.pipelines import conversations
 
     sql["conv_stats"] = conversations.CONV_STATS_ORACLE
+    sql["events_mad"] = relational.EVENTS_MAD_ORACLE
+    sql["engaged_users"] = relational.ENGAGED_USERS_ORACLE
+    sql["user_longest_streak"] = relational.USER_LONGEST_STREAK_ORACLE
+    sql["embedding_norms"] = ann.EMBEDDING_NORMS_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()

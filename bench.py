@@ -206,6 +206,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "top_parts_with_ties",
         "events_value_bands",
         "normalized_fingerprints",
+        "events_mad",
+        "engaged_users",
+        "user_longest_streak",
+        "embedding_norms",
     ]
     times: dict[str, float] = {}
     for name in names:

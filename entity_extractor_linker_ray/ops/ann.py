@@ -359,3 +359,63 @@ FROM (
 ) t
 GROUP BY 1, 2
 """
+
+def embedding_norms(sf_dir: str):
+    """Per-vector squared L2 norm in exact milli²-integer units — the
+    magnitude feature a vector pipeline computes before cosine
+    normalization or outlier pruning. Row-local, ZERO shuffle: the
+    Arrow ``list<float>`` column is consumed zero-copy (flat values +
+    offsets, same access pattern as :func:`label_centroids`), elements
+    round to milli ints first (so the sum of squares is exact and
+    accumulation-order-free), and ``np.add.reduceat`` collapses each
+    row's span in one C pass. The oracle replays the identical integer
+    arithmetic via unnest + generate_subscripts."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.cluster import milli_round
+
+    embs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def kernel(batch: pa.Table) -> pd.DataFrame:
+        col = batch.column("embedding").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        flat = col.values.to_numpy(zero_copy_only=False)
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        milli = milli_round(flat)
+        sq = milli * milli
+        lengths = np.diff(offsets)
+        # reduceat traps: a zero-length segment echoes a NEIGHBOR's
+        # value (masked below), a start index == len(sq) raises (clamp
+        # below), and an all-empty block has nothing to reduce at all —
+        # every case resolves through the lengths mask
+        if len(sq):
+            starts = np.minimum(offsets[:-1], np.int64(len(sq) - 1))
+            norm2 = np.add.reduceat(sq, starts)
+        else:
+            norm2 = np.zeros(len(lengths), dtype=np.int64)
+        norm2 = np.where(lengths > 0, norm2, np.int64(0))
+        return pd.DataFrame(
+            {"vec_id": batch.column("vec_id").to_numpy(zero_copy_only=False)
+                 .astype(np.int64),
+             "norm2_milli2": norm2.astype(np.int64),
+             "dim": lengths.astype(np.int64)}
+        )
+
+    return embs.map_batches(kernel, batch_format="pyarrow")
+
+
+EMBEDDING_NORMS_ORACLE = """
+SELECT vec_id,
+       CAST(COALESCE(SUM(CAST(round(e * 1000) AS BIGINT)
+                         * CAST(round(e * 1000) AS BIGINT)), 0) AS BIGINT)
+         AS norm2_milli2,
+       CAST(count(e) AS BIGINT) AS dim
+FROM (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, unnest(embedding) AS e
+  FROM embeddings
+) t
+GROUP BY 1
+"""

@@ -4076,3 +4076,263 @@ SELECT m.event_id, m.event_type,
             ELSE 'high' END AS band
 FROM m JOIN cuts c ON m.event_type = c.event_type
 """
+
+def events_mad(sf_dir: str):
+    """Robust outlier scale per event type: the exact median absolute
+    deviation (median of |value − median|) — the statistic quality
+    monitors prefer over stddev because one corrupt batch can't drag
+    it. Two passes of the distributed-exact-quantile shape: pass 1
+    walks the per-type milli-value histogram to the median; pass 2
+    re-bins |v − med| (medians broadcast as a dict scalar) and walks
+    again. Both exchanges are bounded by the value DOMAIN; the fact
+    table is scanned twice but never shuffled. All integer milli, so
+    the two-CTE ROW_NUMBER oracle hashes exactly."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.cluster import milli_round
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def _median_walk(col: str):
+        def walk(bucket: pd.DataFrame) -> pd.DataFrame:
+            hist = (
+                bucket.groupby(["event_type", col], sort=False)["n"]
+                .sum()
+                .reset_index()
+                .sort_values(["event_type", col], kind="stable")
+            )
+            rows = []
+            for etype, g in hist.groupby("event_type", sort=False):
+                cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+                vals = g[col].to_numpy(dtype=np.int64)
+                total = int(cum[-1])
+                k = (total + 1) // 2
+                rows.append(
+                    {"event_type": etype,
+                     "med": int(vals[np.searchsorted(cum, k, side="left")])}
+                )
+            return pd.DataFrame(rows, columns=["event_type", "med"])
+        return walk
+
+    def partial_value(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_numpy(),
+                 "milli": milli_round(batch["value"].to_numpy(dtype=np.float64))}
+            )
+            .groupby(["event_type", "milli"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"milli": np.int64, "n": np.int64})
+        )
+
+    med = grouped_aggregate(events, ["event_type"], _median_walk("milli"),
+                            partial=partial_value, num_partitions=8).to_pandas()
+    med_map = dict(zip(med["event_type"], med["med"].astype(np.int64)))
+
+    def partial_dev(batch: pd.DataFrame) -> pd.DataFrame:
+        milli = milli_round(batch["value"].to_numpy(dtype=np.float64))
+        m = batch["event_type"].map(med_map).to_numpy(dtype=np.int64)
+        return (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_numpy(),
+                 "dev": np.abs(milli - m)}
+            )
+            .groupby(["event_type", "dev"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"dev": np.int64, "n": np.int64})
+        )
+
+    mad = grouped_aggregate(events, ["event_type"], _median_walk("dev"),
+                            partial=partial_dev, num_partitions=8).to_pandas()
+    out = med.merge(mad.rename(columns={"med": "mad_milli"}), on="event_type")
+    out = out.rename(columns={"med": "median_milli"})
+    import ray.data as rd2
+
+    return rd2.from_pandas(
+        out.astype({"median_milli": np.int64, "mad_milli": np.int64})
+    )
+
+
+EVENTS_MAD_ORACLE = """
+WITH m AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS milli FROM events
+), r1 AS (
+  SELECT event_type, milli,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY milli) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM m
+), med AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN milli END) AS median_milli
+  FROM r1 GROUP BY 1
+), dev AS (
+  SELECT m.event_type, abs(m.milli - med.median_milli) AS d
+  FROM m JOIN med ON m.event_type = med.event_type
+), r2 AS (
+  SELECT event_type, d,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+)
+SELECT med.event_type,
+       CAST(med.median_milli AS BIGINT) AS median_milli,
+       CAST(MAX(CASE WHEN r2.rn = (r2.n + 1) // 2 THEN r2.d END) AS BIGINT)
+         AS mad_milli
+FROM r2 JOIN med ON r2.event_type = med.event_type
+GROUP BY 1, 2
+"""
+
+
+def engaged_users(sf_dir: str, min_days: int = 2):
+    """Nested distinct with a threshold: per event type, how many users
+    were active on at least ``min_days`` DISTINCT days — the 'engaged
+    user' metric, the shape where a naive count(distinct) over a join
+    explodes and the right plan is dedup-then-count twice.
+
+    Two bucketed exchanges with pre-deduped partials: (1) batches
+    pre-dedup (type, user, day) locally, the bucket (keyed on
+    hash(type, user)) counts each user's distinct days exactly because
+    bucket partials are disjoint after the in-bucket dedup; (2) the
+    survivors (≥ min_days) are counted per type over the tiny type key
+    space. No step ships raw events twice."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "ts"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_numpy(),
+                 "user_id": batch["user_id"].to_numpy(dtype=np.int64),
+                 "day": ts_ns // 86_400_000_000_000}
+            )
+            .drop_duplicates()
+        )
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates(["event_type", "user_id", "day"])
+        days = (
+            d.groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .reset_index(name="n_days")
+        )
+        hit = days[days["n_days"] >= min_days]
+        return (
+            hit.groupby("event_type", sort=False)
+            .size()
+            .reset_index(name="n_engaged")
+            .astype({"n_engaged": np.int64})
+        )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("event_type", sort=False)["n_engaged"]
+            .sum()
+            .reset_index()
+            .astype({"n_engaged": np.int64})
+        )
+
+    per_bucket = grouped_aggregate(events, ["event_type", "user_id"], per_user,
+                                   partial=partial)
+    return grouped_aggregate(per_bucket, ["event_type"], final,
+                             num_partitions=4)
+
+
+ENGAGED_USERS_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+), u AS (
+  SELECT event_type, user_id, count(*) AS n_days
+  FROM d GROUP BY 1, 2
+)
+SELECT event_type, count(*) AS n_engaged
+FROM u WHERE n_days >= 2 GROUP BY 1
+"""
+
+
+def user_longest_streak(sf_dir: str):
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days — the retention streak metric. Per user: distinct days sorted,
+    islands split where the day gap exceeds 1 (`day - row_number` is
+    constant within an island — the classic SQL idiom, here as one
+    vectorized diff/cumsum over the whole bucket), longest island per
+    user. One bucketed exchange over pre-deduped (user, day) partials;
+    days per user bound the per-bucket work."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"user_id": batch["user_id"].to_numpy(dtype=np.int64),
+                 "day": ts_ns // 86_400_000_000_000}
+            )
+            .drop_duplicates()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            bucket.drop_duplicates(["user_id", "day"])
+            .sort_values(["user_id", "day"], kind="stable")
+        )
+        users = d["user_id"].to_numpy(dtype=np.int64)
+        days = d["day"].to_numpy(dtype=np.int64)
+        n = len(d)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "longest_streak": pd.Series([], dtype=np.int64)}
+            )
+        brk = np.ones(n, dtype=np.int64)
+        if n > 1:
+            brk[1:] = (
+                (users[1:] != users[:-1]) | (np.diff(days) > 1)
+            ).astype(np.int64)
+        island = np.cumsum(brk)
+        lengths = (
+            pd.DataFrame({"user_id": users, "island": island})
+            .groupby(["user_id", "island"], sort=False)
+            .size()
+            .reset_index(name="len")
+        )
+        return (
+            lengths.groupby("user_id", sort=False)["len"]
+            .max()
+            .reset_index(name="longest_streak")
+            .astype({"user_id": np.int64, "longest_streak": np.int64})
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine, partial=partial)
+
+
+USER_LONGEST_STREAK_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+), g AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+), runs AS (
+  SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2
+)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY 1
+"""
