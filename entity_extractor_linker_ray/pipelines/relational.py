@@ -4336,3 +4336,325 @@ WITH d AS (
 SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
 FROM runs GROUP BY 1
 """
+
+# hours from epoch to 2024-01-01T00:00Z — rebasing the regression
+# abscissa keeps x² sums well inside int64 (see events_value_trend)
+_TREND_BASE_HOUR = 473_352
+
+
+def events_value_trend(sf_dir: str):
+    """Per-type least-squares time trend: slope and intercept of value
+    (centi-units) over the hour index — the drift detector behind
+    'is this metric degrading'. Same exact-sufficient-statistics
+    discipline as :func:`lineitem_corr`: per batch the five int64 sums
+    (n, Σx, Σy, Σxy, Σx²) collapse per type, the closed form
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` and
+    ``intercept = (Σy − slope·Σx) / n`` run ONCE per type in double
+    precision — each a handful of correctly-rounded IEEE ops on
+    identical inputs, so both float columns hash-match SQL.
+
+    x is rebased to hours since 2024-01-01 (`_TREND_BASE_HOUR`), which
+    keeps Σx² ≤ ~1e10·rows — safe past 10^8 rows/type for a decade of
+    data; the unrebased epoch-hour would overflow int64 at ~4·10^7
+    rows."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    cols = ["n_rows", "sum_x", "sum_y", "sum_xy", "sum_xx"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        x = ts_us // 3_600_000_000 - _TREND_BASE_HOUR
+        y = np.round(batch["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_numpy(),
+             "n_rows": np.ones(len(x), dtype=np.int64),
+             "sum_x": x, "sum_y": y, "sum_xy": x * y, "sum_xx": x * x}
+        )
+        return (
+            df.groupby("event_type", sort=False)
+            .agg({c: "sum" for c in cols})
+            .reset_index()
+        )
+
+    def finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            bucket.groupby("event_type", sort=False)
+            .agg({c: "sum" for c in cols})
+            .reset_index()
+            .astype({c: np.int64 for c in cols})
+        )
+        n = agg["n_rows"].to_numpy(dtype=np.float64)
+        sx = agg["sum_x"].to_numpy(dtype=np.float64)
+        sy = agg["sum_y"].to_numpy(dtype=np.float64)
+        sxy = agg["sum_xy"].to_numpy(dtype=np.float64)
+        sxx = agg["sum_xx"].to_numpy(dtype=np.float64)
+        den = n * sxx - sx * sx
+        slope = np.where(den > 0.0, (n * sxy - sx * sy) / np.where(den > 0.0, den, 1.0), 0.0)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {"event_type": agg["event_type"], "n_rows": agg["n_rows"],
+             "slope_centi_per_hour": slope, "intercept_centi": intercept}
+        )
+
+    return grouped_aggregate(events, ["event_type"], finalize, partial=partial,
+                             num_partitions=4)
+
+
+EVENTS_VALUE_TREND_ORACLE = f"""
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n,
+         SUM(epoch_us(ts) // 3600000000 - {_TREND_BASE_HOUR}) AS sx,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS sy,
+         SUM((epoch_us(ts) // 3600000000 - {_TREND_BASE_HOUR})
+             * CAST(round(value * 100) AS BIGINT)) AS sxy,
+         SUM((epoch_us(ts) // 3600000000 - {_TREND_BASE_HOUR})
+             * (epoch_us(ts) // 3600000000 - {_TREND_BASE_HOUR})) AS sxx
+  FROM events GROUP BY 1
+), f AS (
+  SELECT event_type, n, sx, sy,
+         CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+              THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              ELSE 0.0 END AS slope
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+       slope AS slope_centi_per_hour,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         AS intercept_centi
+FROM f
+"""
+
+
+def daily_active_7d(sf_dir: str):
+    """Rolling 7-day distinct active users per day (the WAU-per-day
+    series) — the windowed-distinct shape a naive plan turns into a
+    7-way self-join of raw events. Here: batches pre-dedup (day, user)
+    locally and EXPLODE each pair into its ≤7 target days (volume
+    bounded by 7 × distinct (day,user), independent of event count),
+    one bucketed exchange on hash(target_day, user) dedups
+    contributions exactly (disjoint buckets ⇒ disjoint user sets), and
+    the per-bucket partial counts sum over the tiny day key space in a
+    second exchange. Target days are restricted to days that actually
+    occur (broadcast of the domain-bounded day set), matching the
+    oracle's join against the distinct-day list."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def day_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"user_id": batch["user_id"].to_numpy(dtype=np.int64),
+                 "day": ts_ns // 86_400_000_000_000}
+            )
+            .drop_duplicates()
+        )
+
+    def day_set(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket[["day"]].drop_duplicates()
+
+    days = (
+        grouped_aggregate(events, ["day"], day_set, partial=day_partial,
+                          num_partitions=8)
+        .to_pandas()["day"]
+        .to_numpy(dtype=np.int64)
+    )
+    valid_days = np.sort(days)  # domain-bounded: one row per calendar day
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        d = day_partial(batch)
+        day = d["day"].to_numpy(dtype=np.int64)
+        user = d["user_id"].to_numpy(dtype=np.int64)
+        t = np.repeat(day, 7) + np.tile(np.arange(7, dtype=np.int64), len(day))
+        u = np.repeat(user, 7)
+        keep = np.isin(t, valid_days)
+        return (
+            pd.DataFrame({"target_day": t[keep], "user_id": u[keep]})
+            .drop_duplicates()
+        )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates(["target_day", "user_id"])
+        return (
+            d.groupby("target_day", sort=False)
+            .size()
+            .reset_index(name="active_users_7d")
+            .astype({"active_users_7d": np.int64})
+        )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("target_day", sort=False)["active_users_7d"]
+            .sum()
+            .reset_index()
+            .astype({"active_users_7d": np.int64})
+        )
+
+    partials = grouped_aggregate(events, ["target_day", "user_id"], per_bucket,
+                                 partial=explode)
+    return grouped_aggregate(partials, ["target_day"], final, num_partitions=8)
+
+
+DAILY_ACTIVE_7D_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+  FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+)
+SELECT d.day AS target_day, count(DISTINCT u.user_id) AS active_users_7d
+FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+"""
+
+
+def session_conversions(sf_dir: str, gap_minutes: int = 30):
+    """Within-session conversion: per (user, session) the click and
+    purchase counts and whether the session converted (≥1 of each) —
+    sessionization and funnel COMPOSED in the same single user-bucket
+    pass as :func:`events_sessionize` (session ids by one cumsum, the
+    conversion rollup one more vectorized groupby; sessions never
+    leave their bucket)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    gap_ns = np.int64(gap_minutes) * 60 * 1_000_000_000
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        users = g["user_id"].to_numpy()
+        types = g["event_type"].fillna("").to_numpy(dtype=object)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "session_idx": pd.Series([], dtype=np.int64),
+                 "n_clicks": pd.Series([], dtype=np.int64),
+                 "n_purchases": pd.Series([], dtype=np.int64),
+                 "converted": pd.Series([], dtype=np.int64)}
+            )
+        brk = np.ones(n, dtype=np.int64)
+        if n > 1:
+            new_user = users[1:] != users[:-1]
+            brk[1:] = (new_user | (np.diff(ts) > gap_ns)).astype(np.int64)
+        sess_global = np.cumsum(brk) - 1
+        user_start = np.ones(n, dtype=bool)
+        if n > 1:
+            user_start[1:] = users[1:] != users[:-1]
+        seg_id = np.cumsum(user_start) - 1
+        session_idx = sess_global - sess_global[user_start][seg_id]
+        out = pd.DataFrame(
+            {"user_id": users, "session_idx": session_idx,
+             "is_click": (types == "click").astype(np.int64),
+             "is_purchase": (types == "purchase").astype(np.int64)}
+        )
+        agg = (
+            out.groupby(["user_id", "session_idx"], sort=False)
+            .agg(n_clicks=("is_click", "sum"), n_purchases=("is_purchase", "sum"))
+            .reset_index()
+        )
+        agg["converted"] = (
+            (agg["n_clicks"] > 0) & (agg["n_purchases"] > 0)
+        ).astype(np.int64)
+        return agg.astype(
+            {c: np.int64 for c in ("session_idx", "n_clicks", "n_purchases",
+                                   "converted")}
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine)
+
+
+SESSION_CONVERSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicks,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases,
+       CAST(CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+                  AND sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS converted
+FROM sess GROUP BY 1, 2
+"""
+
+
+def events_dow_hour_heatmap(sf_dir: str):
+    """Seasonality heatmap: event counts by (day-of-week, hour-of-day)
+    — the calendar pivot behind every traffic dashboard. One two-phase
+    aggregate over a 7×24-bounded key space; the interesting part is
+    the CALENDAR PARITY: dow is computed as ``(epoch_days + 4) % 7``
+    (1970-01-01 was a Thursday; +4 lands Sunday on 0) to match SQL's
+    Sunday-based ``dayofweek`` exactly, and hour-of-day is the epoch
+    hour mod 24 (UTC — both engines read the naive timestamps as-is)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    keys = ["dow", "hour_of_day"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        days = ts_us // 86_400_000_000
+        return (
+            pd.DataFrame(
+                {"dow": (days + 4) % 7,
+                 "hour_of_day": (ts_us // 3_600_000_000) % 24}
+            )
+            .groupby(keys, sort=False)
+            .size()
+            .reset_index(name="n_events")
+            .astype({"dow": np.int64, "hour_of_day": np.int64,
+                     "n_events": np.int64})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False)["n_events"]
+            .sum()
+            .reset_index()
+            .astype({"dow": np.int64, "hour_of_day": np.int64,
+                     "n_events": np.int64})
+        )
+
+    return grouped_aggregate(events, keys, combine, partial=partial,
+                             num_partitions=4)
+
+
+EVENTS_DOW_HOUR_ORACLE = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
