@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_nodes_incremental"] = incremental.kg_nodes_incremental
     q["kg_edges_incremental"] = incremental.kg_edges_incremental
     q["events_sessions_incremental"] = incremental.events_sessions_incremental
+    q["documents_cdc_merge"] = incremental.documents_cdc_merge
     from entity_extractor_linker_ray.pipelines import curation
 
     q["curate_documents"] = curation.curate_documents
@@ -267,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["daily_active_7d"] = relational.daily_active_7d
     q["session_conversions"] = relational.session_conversions
     q["events_dow_hour_heatmap"] = relational.events_dow_hour_heatmap
+    q["lineitem_weighted_discount"] = relational.lineitem_weighted_discount
+    q["user_value_drawdown"] = relational.user_value_drawdown
+    q["click_attribution"] = relational.click_attribution
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -391,6 +395,9 @@ def oracle_sql() -> dict[str, str]:
     sql["daily_active_7d"] = relational.DAILY_ACTIVE_7D_ORACLE
     sql["session_conversions"] = relational.SESSION_CONVERSIONS_ORACLE
     sql["events_dow_hour_heatmap"] = relational.EVENTS_DOW_HOUR_ORACLE
+    sql["lineitem_weighted_discount"] = relational.LINEITEM_WEIGHTED_DISCOUNT_ORACLE
+    sql["user_value_drawdown"] = relational.USER_VALUE_DRAWDOWN_ORACLE
+    sql["click_attribution"] = relational.CLICK_ATTRIBUTION_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
@@ -405,6 +412,9 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_nodes_incremental"] = sql["kg_nodes"]
     sql["kg_edges_incremental"] = sql["kg_edges"]
     sql["events_sessions_incremental"] = relational.EVENTS_SESSIONIZE_ORACLE
+    from entity_extractor_linker_ray.pipelines import incremental
+
+    sql["documents_cdc_merge"] = incremental.DOCUMENTS_CDC_MERGE_ORACLE
 
     from entity_extractor_linker_ray.ops import pretrain
 

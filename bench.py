@@ -215,6 +215,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "session_conversions",
         "events_dow_hour_heatmap",
         "pretrain_corpus",
+        "lineitem_weighted_discount",
+        "user_value_drawdown",
+        "click_attribution",
+        "documents_cdc_merge",
     ]
     times: dict[str, float] = {}
     for name in names:

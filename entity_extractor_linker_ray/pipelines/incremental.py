@@ -256,3 +256,112 @@ def events_sessions_incremental(sf_dir: str, chunks: int = 2,
         for r in range(chunks)
     ]
     return merge_session_partials(states, gap_minutes)
+
+def documents_cdc_merge(sf_dir: str):
+    """MERGE INTO (the warehouse upsert): apply a change stream of
+    deletes / updates / inserts to the base documents table with the
+    standard precedence (delete beats update beats base; inserts are
+    new keys) — the missing half of CDC beside the additive partial
+    states above. The change stream is derived DETERMINISTICALLY from
+    the base table so the op is self-contained and SQL-replayable:
+    deletes = doc_id % 11 == 5, updates (text + ' v2') = doc_id % 7
+    == 3, inserts (new key doc_id + 10⁷, text + ' new') = doc_id % 13
+    == 2.
+
+    Shape: base rows and change rows are two TAGGED scans (the change
+    scan is row-local derivation) meeting in ONE bucketed exchange on
+    hash(doc_id); per bucket a vectorized precedence resolve (three
+    boolean pivots + one take). Only integer lengths travel — never
+    the text payload — so the exchange is fixed-width."""
+    import numpy as np
+    import pandas as pd
+
+    from entity_extractor_linker_ray.ops.readers import read_split
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tag_base(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        lens = batch["text"].fillna("").str.len().to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": ids, "kind": np.int64(0), "plen": lens}
+        )
+
+    def tag_changes(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        lens = batch["text"].fillna("").str.len().to_numpy(dtype=np.int64)
+        frames = []
+        dmask = ids % 11 == 5
+        if dmask.any():
+            frames.append(pd.DataFrame(
+                {"doc_id": ids[dmask], "kind": np.int64(1),
+                 "plen": np.int64(0)}))
+        umask = ids % 7 == 3
+        if umask.any():
+            frames.append(pd.DataFrame(
+                {"doc_id": ids[umask], "kind": np.int64(2),
+                 "plen": lens[umask] + 3}))  # + ' v2'
+        imask = ids % 13 == 2
+        if imask.any():
+            frames.append(pd.DataFrame(
+                {"doc_id": ids[imask] + 10_000_000, "kind": np.int64(3),
+                 "plen": lens[imask] + 4}))  # + ' new'
+        if not frames:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "kind": pd.Series([], dtype=np.int64),
+                 "plen": pd.Series([], dtype=np.int64)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    tagged = docs.map_batches(tag_base, batch_format="pandas").union(
+        docs.map_batches(tag_changes, batch_format="pandas")
+    )
+
+    def resolve(bucket: pd.DataFrame) -> pd.DataFrame:
+        piv = (
+            bucket.pivot_table(index="doc_id", columns="kind", values="plen",
+                               aggfunc="max")
+            .reindex(columns=[0, 1, 2, 3])
+        )
+        has = ~piv.isna()
+        # delete wins; update beats base; inserts are disjoint new keys
+        alive_base = has[0] & ~has[1]
+        op = np.where(has[2] & alive_base, "update",
+                      np.where(alive_base, "base", "insert"))
+        final_len = np.where(
+            has[2] & alive_base, piv[2].to_numpy(),
+            np.where(alive_base, piv[0].to_numpy(), piv[3].to_numpy()),
+        )
+        keep = alive_base | has[3]
+        out = pd.DataFrame(
+            {"doc_id": piv.index.to_numpy(dtype=np.int64),
+             "op": op, "final_len": final_len}
+        )[keep.to_numpy()]
+        return out.astype({"doc_id": np.int64, "final_len": np.int64})
+
+    return grouped_aggregate(tagged, ["doc_id"], resolve, coalesce=True)
+
+
+DOCUMENTS_CDC_MERGE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+), del AS (
+  SELECT doc_id FROM base WHERE doc_id % 11 = 5
+), upd AS (
+  SELECT doc_id, text || ' v2' AS text FROM base WHERE doc_id % 7 = 3
+), ins AS (
+  SELECT doc_id + 10000000 AS doc_id, text || ' new' AS text
+  FROM base WHERE doc_id % 13 = 2
+), merged AS (
+  SELECT b.doc_id,
+         CASE WHEN u.doc_id IS NOT NULL THEN 'update' ELSE 'base' END AS op,
+         COALESCE(u.text, b.text) AS text
+  FROM base b LEFT JOIN upd u USING (doc_id)
+  WHERE b.doc_id NOT IN (SELECT doc_id FROM del)
+  UNION ALL
+  SELECT doc_id, 'insert' AS op, text FROM ins
+)
+SELECT doc_id, op, CAST(length(text) AS BIGINT) AS final_len FROM merged
+"""

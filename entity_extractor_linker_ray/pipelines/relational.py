@@ -4658,3 +4658,251 @@ SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
        count(*) AS n_events
 FROM events GROUP BY 1, 2
 """
+
+def lineitem_weighted_discount(sf_dir: str):
+    """Revenue-weighted average discount per return flag — the weighted
+    mean every 'blended rate' metric is: Σ(wᵢ·xᵢ)/Σwᵢ with weight =
+    extended price. Numerator and denominator are exact int64 sums
+    (price in centi, discount in basis points ⇒ products ≤ 1e7·1e4 =
+    1e11 per row), the blend is ONE IEEE division so the float column
+    hashes exactly; the unweighted mean is emitted beside it because
+    the gap between the two IS the metric's reason to exist."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    cols = ["n_rows", "sum_w", "sum_wx", "sum_x"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w = np.round(batch["l_extendedprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        x = np.round(batch["l_discount"].to_numpy(dtype=np.float64) * 10_000).astype(np.int64)
+        df = pd.DataFrame(
+            {"l_returnflag": batch["l_returnflag"].to_numpy(),
+             "n_rows": np.ones(len(w), dtype=np.int64),
+             "sum_w": w, "sum_wx": w * x, "sum_x": x}
+        )
+        return (
+            df.groupby("l_returnflag", sort=False)
+            .agg({c: "sum" for c in cols})
+            .reset_index()
+        )
+
+    def finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            bucket.groupby("l_returnflag", sort=False)
+            .agg({c: "sum" for c in cols})
+            .reset_index()
+            .astype({c: np.int64 for c in cols})
+        )
+        return pd.DataFrame(
+            {"l_returnflag": agg["l_returnflag"],
+             "n_rows": agg["n_rows"],
+             "weighted_discount_bp": agg["sum_wx"].to_numpy(dtype=np.float64)
+                 / agg["sum_w"].to_numpy(dtype=np.float64),
+             "plain_discount_bp": agg["sum_x"].to_numpy(dtype=np.float64)
+                 / agg["n_rows"].to_numpy(dtype=np.float64)}
+        )
+
+    return grouped_aggregate(lines, ["l_returnflag"], finalize, partial=partial,
+                             num_partitions=4)
+
+
+LINEITEM_WEIGHTED_DISCOUNT_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sw,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 10000) AS BIGINT)) AS swx,
+         SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS sx
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS weighted_discount_bp,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS plain_discount_bp
+FROM s
+"""
+
+
+def user_value_drawdown(sf_dir: str):
+    """Maximum drawdown per user: the largest drop of the event value
+    below its running maximum over the user's (ts, event_id)-ordered
+    stream — the composed window (cummax, then max of the gap) that a
+    risk or engagement-decay monitor runs. One bucketed user shuffle,
+    one vectorized pass per bucket: segment-reset running max via the
+    index-monotonicity trick (a cummax carried across a user boundary
+    is detected by comparing against the segment's own prefix), values
+    in exact centi ints."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy(dtype=np.int64)
+        v = np.round(g["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "max_drawdown_centi": pd.Series([], dtype=np.int64),
+                 "peak_centi": pd.Series([], dtype=np.int64)}
+            )
+        # segment-reset cummax: per user segment, running max of v
+        seg = segment_starts(users)
+        # offset trick: shift each segment's values into a disjoint
+        # ascending band so one global cummax never crosses users
+        band = seg.astype(np.int64) * (np.int64(1) << 40)
+        run = np.maximum.accumulate(v + band) - band
+        draw = run - v
+        out = pd.DataFrame(
+            {"user_id": users, "draw": draw, "v": v}
+        )
+        agg = (
+            out.groupby("user_id", sort=False)
+            .agg(max_drawdown_centi=("draw", "max"), peak_centi=("v", "max"))
+            .reset_index()
+        )
+        return agg.astype({c: np.int64 for c in
+                           ("user_id", "max_drawdown_centi", "peak_centi")})
+
+    return grouped_aggregate(events, ["user_id"], combine)
+
+
+USER_VALUE_DRAWDOWN_ORACLE = """
+WITH r AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         MAX(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS run_max
+  FROM events
+)
+SELECT user_id,
+       CAST(MAX(run_max - v) AS BIGINT) AS max_drawdown_centi,
+       CAST(MAX(v) AS BIGINT) AS peak_centi
+FROM r GROUP BY 1
+"""
+
+
+def click_attribution(sf_dir: str, window_hours: int = 24):
+    """Linear (equal-credit) attribution: every purchase splits one
+    unit of credit equally over the SAME user's clicks in the
+    preceding ``window_hours`` — the multi-touch model beside
+    :func:`purchase_attribution`'s last-touch. Credit is integer
+    MICRO-credits (``1_000_000 // n_clicks``) so sums are exact and
+    order-independent — summing 1/n floats would hash differently per
+    accumulation order. One bucketed user shuffle; per bucket the
+    click↔purchase pairing is two vectorized ``searchsorted`` calls
+    over the per-user sorted click timestamps (window edges), then one
+    repeat/arange expansion of the pair ranges — no per-event Python.
+    Window is half-open (click strictly before the purchase, within
+    ``window_hours``], mirrored by the oracle's BETWEEN + <."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    win_us = np.int64(window_hours) * 3_600_000_000
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        types = g["event_type"].fillna("").to_numpy(dtype=object)
+        empty = pd.DataFrame(
+            {"click_event_id": pd.Series([], dtype=np.int64),
+             "credit_micros": pd.Series([], dtype=np.int64)}
+        )
+        if not len(g):
+            return empty
+        users = g["user_id"].to_numpy(dtype=np.int64)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ids = g["event_id"].to_numpy(dtype=np.int64)
+        frames = []
+        clicks = types == "click"
+        purchases = types == "purchase"
+        # per-user spans (users are contiguous after the sort)
+        seg = segment_starts(users)
+        starts = np.unique(seg)
+        bounds = np.append(starts, len(g))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            c_ts = ts_us[s:e][clicks[s:e]]
+            c_id = ids[s:e][clicks[s:e]]
+            p_ts = ts_us[s:e][purchases[s:e]]
+            if not len(c_ts) or not len(p_ts):
+                continue
+            lo = np.searchsorted(c_ts, p_ts - win_us, side="left")
+            hi = np.searchsorted(c_ts, p_ts, side="left")  # strictly before
+            counts = hi - lo
+            mask = counts > 0
+            if not mask.any():
+                continue
+            lo, hi, counts = lo[mask], hi[mask], counts[mask]
+            credit = (1_000_000 // counts).astype(np.int64)
+            # expand [lo, hi) ranges: one repeat + cumulative arange
+            total = int(counts.sum())
+            idx = np.repeat(lo, counts) + (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts)
+            )
+            frames.append(
+                pd.DataFrame(
+                    {"click_event_id": c_id[idx],
+                     "credit_micros": np.repeat(credit, counts)}
+                )
+            )
+        if not frames:
+            return empty
+        allp = pd.concat(frames, ignore_index=True)
+        return (
+            allp.groupby("click_event_id", sort=False)["credit_micros"]
+            .sum()
+            .reset_index()
+            .astype({"click_event_id": np.int64, "credit_micros": np.int64})
+        )
+
+    # per-user loops above iterate USER SPANS inside one bucket — the
+    # span count per bucket is users/buckets, and each span's work is
+    # vectorized; acceptable because the inner work is O(pairs) numpy.
+    partials = grouped_aggregate(events, ["user_id"], combine)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("click_event_id", sort=False)["credit_micros"]
+            .sum()
+            .reset_index()
+            .astype({"click_event_id": np.int64, "credit_micros": np.int64})
+        )
+
+    return grouped_aggregate(partials, ["click_event_id"], final,
+                             num_partitions=16)
+
+
+CLICK_ATTRIBUTION_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT c.event_id AS click_event_id, p.event_id AS purchase_id,
+         COUNT(*) OVER (PARTITION BY p.event_id) AS n_clicks
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts < p.ts
+   AND c.ts >= p.ts - INTERVAL 24 HOURS
+)
+SELECT click_event_id,
+       CAST(SUM(1000000 // n_clicks) AS BIGINT) AS credit_micros
+FROM pairs GROUP BY 1
+"""
