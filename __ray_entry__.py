@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lineitem_weighted_discount"] = relational.lineitem_weighted_discount
     q["user_value_drawdown"] = relational.user_value_drawdown
     q["click_attribution"] = relational.click_attribution
+    q["user_type_share"] = relational.user_type_share
+    q["user_type_gaps"] = relational.user_type_gaps
+    q["orders_fulfillment"] = relational.orders_fulfillment
+    q["source_lang_diversity"] = relational.source_lang_diversity
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -398,6 +402,10 @@ def oracle_sql() -> dict[str, str]:
     sql["lineitem_weighted_discount"] = relational.LINEITEM_WEIGHTED_DISCOUNT_ORACLE
     sql["user_value_drawdown"] = relational.USER_VALUE_DRAWDOWN_ORACLE
     sql["click_attribution"] = relational.CLICK_ATTRIBUTION_ORACLE
+    sql["user_type_share"] = relational.USER_TYPE_SHARE_ORACLE
+    sql["user_type_gaps"] = relational.USER_TYPE_GAPS_ORACLE
+    sql["orders_fulfillment"] = relational.ORDERS_FULFILLMENT_ORACLE
+    sql["source_lang_diversity"] = relational.SOURCE_LANG_DIVERSITY_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()

@@ -219,6 +219,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "user_value_drawdown",
         "click_attribution",
         "documents_cdc_merge",
+        "user_type_share",
+        "user_type_gaps",
+        "orders_fulfillment",
+        "source_lang_diversity",
     ]
     times: dict[str, float] = {}
     for name in names:

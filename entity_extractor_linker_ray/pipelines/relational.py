@@ -4906,3 +4906,326 @@ SELECT click_event_id,
        CAST(SUM(1000000 // n_clicks) AS BIGINT) AS credit_micros
 FROM pairs GROUP BY 1
 """
+
+def user_type_share(sf_dir: str):
+    """Ratio-to-partition window: each (user, type)'s share of that
+    USER's events — `n / SUM(n) OVER (PARTITION BY user)`, the
+    within-group normalization (ratio_to_report) that turns counts
+    into a per-user behavioral profile. The per-(user, type) counts
+    are combiner-bounded partials; the partition total never needs a
+    second exchange because bucketing on hash(user) co-locates a
+    user's whole profile — one vectorized transform('sum') per bucket
+    and ONE IEEE division make the share hash-exact."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"user_id": np.int64, "n": np.int64})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            bucket.groupby(["user_id", "event_type"], sort=False)["n"]
+            .sum()
+            .reset_index()
+            .astype({"user_id": np.int64, "n": np.int64})
+        )
+        total = m.groupby("user_id", sort=False)["n"].transform("sum")
+        m["share"] = m["n"].to_numpy(dtype=np.float64) / total.to_numpy(
+            dtype=np.float64
+        )
+        return m
+
+    return grouped_aggregate(events, ["user_id"], combine, partial=partial)
+
+
+USER_TYPE_SHARE_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY user_id) AS DOUBLE) AS share
+FROM c
+"""
+
+
+def user_type_gaps(sf_dir: str):
+    """Dimension-coverage anti join: the (customer, event_type)
+    combinations a customer NEVER produced — the coverage-gap matrix a
+    recommendation or onboarding funnel reads (a customer with no
+    events gaps on every type). The naive plan is a customers × types
+    cross join minus an EXISTS over a fact table; here the type domain
+    is collected once (domain-bounded), customer keys and the
+    pre-deduped observed pairs are two TAGGED scans sharing ONE
+    bucketed exchange on hash(key), and the per-bucket kernel emits
+    each customer's complement via one vectorized left-merge over the
+    (customer × domain) lattice — output bounded by customers ×
+    |types|, never event count."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+
+    def type_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["event_type"]].dropna().drop_duplicates()
+
+    def type_set(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates()
+
+    domain = np.sort(
+        grouped_aggregate(events, ["event_type"], type_set,
+                          partial=type_partial, num_partitions=4)
+        .to_pandas()["event_type"]
+        .to_numpy(dtype=object)
+    )
+
+    def tag_customers(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": batch["c_custkey"].to_numpy(dtype=np.int64),
+             "event_type": "", "kind": np.int64(0)}
+        )
+
+    def tag_observed(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch.dropna().drop_duplicates()
+        return pd.DataFrame(
+            {"user_id": d["user_id"].to_numpy(dtype=np.int64),
+             "event_type": d["event_type"].to_numpy(),
+             "kind": np.int64(1)}
+        )
+
+    tagged = customers.map_batches(tag_customers, batch_format="pandas").union(
+        events.map_batches(tag_observed, batch_format="pandas")
+    )
+
+    def complement(bucket: pd.DataFrame) -> pd.DataFrame:
+        users = np.sort(
+            bucket.loc[bucket["kind"] == 0, "user_id"].unique()
+        ).astype(np.int64)
+        seen = bucket[bucket["kind"] == 1][["user_id", "event_type"]].drop_duplicates()
+        lattice = pd.DataFrame(
+            {"user_id": np.repeat(users, len(domain)),
+             "event_type": np.tile(domain, len(users))}
+        )
+        merged = lattice.merge(
+            seen.assign(_seen=1), on=["user_id", "event_type"], how="left"
+        )
+        out = merged[merged["_seen"].isna()][["user_id", "event_type"]]
+        return out.astype({"user_id": np.int64}).reset_index(drop=True)
+
+    return grouped_aggregate(tagged, ["user_id"], complement, coalesce=True)
+
+
+USER_TYPE_GAPS_ORACLE = """
+WITH u AS (SELECT c_custkey AS user_id FROM customer),
+t AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL),
+seen AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT u.user_id, t.event_type
+FROM u CROSS JOIN t
+WHERE NOT EXISTS (
+  SELECT 1 FROM seen s
+  WHERE s.user_id = u.user_id AND s.event_type = t.event_type
+)
+"""
+
+
+def orders_fulfillment(sf_dir: str, grace_days: int = 90):
+    """Grouped universal quantifier (relational division): an order is
+    FULLY FULFILLED iff EVERY lineitem shipped within ``grace_days``
+    of the order date; report per priority the order count, fully-
+    fulfilled count, and rate. The ALL() predicate is computed as a
+    mergeable MAX: every line is within grace iff the LATEST ship date
+    is, so each batch contributes one max-ship row per order; tagged
+    orders and line-partials share ONE bucketed exchange on
+    hash(orderkey) (combiner-bounded: ≤2 rows per order per batch),
+    and the per-priority rollup is a second tiny exchange.
+    Orders with NO lineitems count as fulfilled (vacuous truth), same
+    as the oracle's COALESCE(bool_and, TRUE)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    grace_us = np.int64(grace_days) * 86_400_000_000
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderkey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+             "kind": np.int64(0),
+             "odate_us": batch["o_orderdate"].to_numpy()
+                 .astype("datetime64[us]").astype(np.int64),
+             "o_orderpriority": batch["o_orderpriority"].to_numpy()}
+        )
+
+    def tag_lines(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-batch partial: ALL-within-grace is a mergeable MAX over
+        # ship dates (every line ok iff the latest ship is ok), so one
+        # row per order per batch leaves the combiner
+        return (
+            pd.DataFrame(
+                {"o_orderkey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+                 "kind": np.int64(1),
+                 "odate_us": batch["l_shipdate"].to_numpy()
+                     .astype("datetime64[us]").astype(np.int64),
+                 "o_orderpriority": ""}
+            )
+            .groupby("o_orderkey", sort=False)
+            .agg(kind=("kind", "max"), odate_us=("odate_us", "max"),
+                 o_orderpriority=("o_orderpriority", "max"))
+            .reset_index()
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pandas").union(
+        lines.map_batches(tag_lines, batch_format="pandas")
+    )
+
+    def per_order(bucket: pd.DataFrame) -> pd.DataFrame:
+        o = bucket[bucket["kind"] == 0]
+        l = (
+            bucket[bucket["kind"] == 1]
+            .groupby("o_orderkey", sort=False)["odate_us"]
+            .max()  # latest ship date across all partials
+            .rename("max_ship_us")
+            .reset_index()
+        )
+        m = o.merge(l, on="o_orderkey", how="left")
+        has_lines = m["max_ship_us"].notna()
+        ok = (~has_lines) | (
+            m["max_ship_us"].fillna(0).to_numpy(dtype=np.int64)
+            <= m["odate_us"].to_numpy(dtype=np.int64) + grace_us
+        )
+        return (
+            pd.DataFrame(
+                {"o_orderpriority": m["o_orderpriority"].to_numpy(),
+                 "n_orders": np.int64(1),
+                 "n_fulfilled": ok.astype(np.int64)}
+            )
+            .groupby("o_orderpriority", sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    partials = grouped_aggregate(tagged, ["o_orderkey"], per_order,
+                                 coalesce=True)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            bucket.groupby("o_orderpriority", sort=False)
+            .agg(n_orders=("n_orders", "sum"), n_fulfilled=("n_fulfilled", "sum"))
+            .reset_index()
+            .astype({"n_orders": np.int64, "n_fulfilled": np.int64})
+        )
+        m["rate"] = m["n_fulfilled"].to_numpy(dtype=np.float64) / m[
+            "n_orders"
+        ].to_numpy(dtype=np.float64)
+        return m
+
+    return grouped_aggregate(partials, ["o_orderpriority"], final,
+                             num_partitions=4)
+
+
+ORDERS_FULFILLMENT_ORACLE = """
+WITH per_order AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         COALESCE(bool_and(l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAYS),
+                  TRUE) AS ok
+  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS rate
+FROM per_order GROUP BY 1
+"""
+
+
+def source_lang_diversity(sf_dir: str):
+    """Simpson diversity index per document source: the probability
+    two documents drawn without replacement share a language —
+    Σ n_l·(n_l−1) / (N·(N−1)) — the concentration measure a corpus-mix
+    dashboard tracks (1 = monolingual, →0 = evenly mixed). The
+    (source, lang) counts are combiner-bounded partials over a tiny
+    key domain; the index is ONE IEEE division of two exact int64
+    products, so the float hashes exactly. Single-document sources
+    (N=1) define the index as 1."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby(["source", "lang"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"n": np.int64})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            bucket.groupby(["source", "lang"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        n = m["n"].to_numpy(dtype=np.int64)
+        m["pair"] = n * (n - 1)
+        agg = (
+            m.groupby("source", sort=False)
+            .agg(n_docs=("n", "sum"), same_pairs=("pair", "sum"))
+            .reset_index()
+            .astype({"n_docs": np.int64, "same_pairs": np.int64})
+        )
+        nd = agg["n_docs"].to_numpy(dtype=np.int64)
+        total_pairs = nd * (nd - 1)
+        agg["simpson"] = np.where(
+            total_pairs > 0,
+            agg["same_pairs"].to_numpy(dtype=np.float64)
+            / np.where(total_pairs > 0, total_pairs, 1).astype(np.float64),
+            1.0,
+        )
+        return agg[["source", "n_docs", "simpson"]]
+
+    return grouped_aggregate(docs, ["source"], combine, partial=partial,
+                             num_partitions=4)
+
+
+SOURCE_LANG_DIVERSITY_ORACLE = """
+WITH c AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+), s AS (
+  SELECT source, SUM(n) AS n_docs, SUM(n * (n - 1)) AS same_pairs
+  FROM c GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CASE WHEN n_docs * (n_docs - 1) > 0
+            THEN CAST(same_pairs AS DOUBLE)
+                 / CAST(n_docs * (n_docs - 1) AS DOUBLE)
+            ELSE 1.0 END AS simpson
+FROM s
+"""
