@@ -275,6 +275,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["user_type_gaps"] = relational.user_type_gaps
     q["orders_fulfillment"] = relational.orders_fulfillment
     q["source_lang_diversity"] = relational.source_lang_diversity
+    q["peak_concurrency"] = relational.peak_concurrency
+    q["nation_revenue_share"] = relational.nation_revenue_share
+    from entity_extractor_linker_ray.ops import graph_algos as _ga
+
+    q["kg_bfs_depths"] = _ga.kg_bfs_depths
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -406,7 +411,10 @@ def oracle_sql() -> dict[str, str]:
     sql["user_type_gaps"] = relational.USER_TYPE_GAPS_ORACLE
     sql["orders_fulfillment"] = relational.ORDERS_FULFILLMENT_ORACLE
     sql["source_lang_diversity"] = relational.SOURCE_LANG_DIVERSITY_ORACLE
+    sql["peak_concurrency"] = relational.PEAK_CONCURRENCY_ORACLE
+    sql["nation_revenue_share"] = relational.NATION_REVENUE_SHARE_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
+    sql["kg_bfs_depths"] = graph_algos.kg_bfs_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
     sql["kg_kcore"] = graph_algos.kg_kcore_oracle()

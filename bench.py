@@ -223,6 +223,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "user_type_gaps",
         "orders_fulfillment",
         "source_lang_diversity",
+        "kg_bfs_depths",
+        "peak_concurrency",
+        "nation_revenue_share",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1103,3 +1103,164 @@ dfin AS (SELECT bi.s AS node, CAST(COUNT(*) AS BIGINT) AS degree
 SELECT node AS entity, degree FROM dfin"""
     )
     return "".join(parts)
+
+BFS_ROUNDS = 4
+
+
+def kg_bfs_depths(sf_dir: str, rounds: int = BFS_ROUNDS):
+    """Single-source BFS over the UNDIRECTED co-occurrence KG: the hop
+    distance from the lexicographically-smallest entity to every node
+    it reaches within ``rounds`` hops — the shortest-path/neighborhood
+    primitive behind 'how far is X from Y' queries and graph
+    visualization layering.
+
+    Iterative frontier expansion, two bucketed exchanges per round
+    (the k-core cadence): (1) frontier ⋈ edges on hash(src) emits
+    candidate (node, depth k) rows; (2) candidates ⋈ known depths on
+    hash(node) keeps first reach only (BFS's min-depth invariant: a
+    node reached twice keeps the earlier round). Each round's depth
+    table is pinned with :func:`_compact`; a fixed round count unrolls
+    into one CTE pair per hop in the oracle, exactly like PageRank's.
+    The toy KG's diameter is well under ``rounds``; at real scale
+    rounds is the usual BFS knob."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def to_undirected(batch: pd.DataFrame) -> pd.DataFrame:
+        fwd = batch[["subject", "object"]].rename(
+            columns={"subject": "src", "object": "dst"}
+        )
+        rev = batch[["object", "subject"]].rename(
+            columns={"object": "src", "subject": "dst"}
+        )
+        return pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+
+    edges = (
+        _kg_edges_materialized(sf_dir)
+        .map_batches(to_undirected, batch_format="pandas")
+        .materialize()
+    )
+
+    # deterministic source: the smallest node name (tiny aggregate)
+    src_node = edges.map_batches(
+        lambda b: pd.DataFrame({"src": [b["src"].min()]} if len(b) else {"src": []}),
+        batch_format="pandas",
+    ).to_pandas()["src"].min()
+    if src_node is None or (isinstance(src_node, float) and np.isnan(src_node)):
+        import pyarrow as pa
+
+        return rd.from_arrow(
+            pa.schema([("node", pa.string()), ("depth", pa.int64())]).empty_table()
+        )
+
+    depths = rd.from_pandas(
+        pd.DataFrame({"node": [src_node], "depth": np.int64(0)})
+    ).materialize()
+
+    def tag_edge(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["src", "dst"]].copy()
+        out["kind"] = np.int64(0)
+        out["depth"] = np.int64(-1)
+        return out
+
+    tagged_edges = edges.map_batches(tag_edge, batch_format="pandas").materialize()
+
+    for k in range(1, rounds + 1):
+        # the frontier filter happens inside tag_frontier (depth == k-1)
+        frontier = depths
+
+        def tag_frontier(batch: pd.DataFrame, _k=k) -> pd.DataFrame:
+            f = batch[batch["depth"] == _k - 1]
+            return pd.DataFrame(
+                {"src": f["node"].to_numpy(), "dst": "",
+                 "kind": np.int64(1), "depth": np.int64(_k - 1)}
+            )
+
+        def expand(bucket: pd.DataFrame, _k=k) -> pd.DataFrame:
+            has_frontier = (bucket["kind"] == 1).any()
+            if not has_frontier:
+                return pd.DataFrame({"node": pd.Series([], dtype=object)})
+            e = bucket[bucket["kind"] == 0]
+            fr = set(bucket.loc[bucket["kind"] == 1, "src"])
+            nxt = e.loc[e["src"].isin(fr), "dst"].drop_duplicates()
+            return pd.DataFrame({"node": nxt.to_numpy()})
+
+        candidates = grouped_aggregate(
+            tagged_edges.union(
+                frontier.map_batches(tag_frontier, batch_format="pandas")
+            ),
+            ["src"],
+            expand,
+            coalesce=True,
+        )
+
+        def tag_known(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["node", "depth"]].copy()
+            out["kind"] = np.int64(0)
+            return out
+
+        def tag_candidate(batch: pd.DataFrame, _k=k) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": batch["node"].to_numpy(),
+                 "depth": np.int64(_k), "kind": np.int64(1)}
+            )
+
+        def first_reach(bucket: pd.DataFrame) -> pd.DataFrame:
+            # min depth per node = earliest round wins (kind 0 rows
+            # carry earlier depths by construction)
+            return (
+                bucket.groupby("node", sort=False)["depth"]
+                .min()
+                .reset_index()
+                .astype({"depth": np.int64})
+            )
+
+        depths = _compact(
+            grouped_aggregate(
+                depths.map_batches(tag_known, batch_format="pandas").union(
+                    candidates.map_batches(tag_candidate, batch_format="pandas")
+                ),
+                ["node"],
+                first_reach,
+                coalesce=True,
+            ),
+            8,
+        )
+
+    return depths
+
+
+def kg_bfs_oracle(rounds: int = BFS_ROUNDS) -> str:
+    """Unrolled BFS oracle: one CTE per hop, min-depth per node —
+    possible because the round count is fixed, like PageRank's."""
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    edges_sql = simple_kg.oracle_sql()["kg_edges"]
+    parts = [
+        f"""WITH base AS (
+  SELECT subject AS src, object AS dst FROM ({edges_sql}) kg_e
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM base UNION ALL SELECT dst AS src, src AS dst FROM base
+  ) u
+),
+d0 AS (SELECT (SELECT MIN(src) FROM edges) AS node, 0 AS depth)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT node, MIN(depth) AS depth FROM (
+    SELECT node, depth FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, {i} AS depth
+    FROM edges e JOIN d{i - 1} p ON p.node = e.src AND p.depth = {i - 1}
+  ) u GROUP BY 1
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, CAST(depth AS BIGINT) AS depth FROM d{rounds}"
+    )
+    return "".join(parts)

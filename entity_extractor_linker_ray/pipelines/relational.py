@@ -5229,3 +5229,247 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
             ELSE 1.0 END AS simpson
 FROM s
 """
+
+def peak_concurrency(sf_dir: str, gap_minutes: int = 30):
+    """Peak simultaneous sessions (the occupancy / meeting-rooms
+    sweep): sessionize per user, turn each session into a +1 delta at
+    its start and a −1 delta just after its end (closed interval), and
+    take the global running sum's maximum plus the first instant it is
+    reached — the capacity-planning number every service sizes against.
+
+    The global ordered scan is the :func:`events_running_total`
+    two-level pattern, with the boundary case the per-hour offset trick
+    must survive: deltas ordered by (ts, delta DESC) so a session
+    opening at the exact microsecond another closes counts as
+    overlapping (both engines pin the same tie rule). Session deltas
+    come out of the same single user-bucket pass as sessionize;
+    per-hour delta totals are domain-bounded, their exclusive prefix is
+    a driver scalar per hour, and each hour bucket reports (local max,
+    first ts at max) — one tiny final merge picks the global pair."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    gap_ns = np.int64(gap_minutes) * 60 * 1_000_000_000
+
+    def deltas(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        users = g["user_id"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"ts_us": pd.Series([], dtype=np.int64),
+                 "delta": pd.Series([], dtype=np.int64)}
+            )
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (users[1:] != users[:-1]) | (np.diff(ts) > gap_ns)
+        starts = ts[brk] // 1_000
+        end_idx = np.roll(brk, -1)  # row before each break = session end
+        end_idx[-1] = True
+        ends = ts[end_idx] // 1_000 + 1  # exclusive end: closed interval
+        return pd.DataFrame(
+            {"ts_us": np.concatenate([starts, ends]),
+             "delta": np.concatenate(
+                 [np.ones(len(starts), dtype=np.int64),
+                  -np.ones(len(ends), dtype=np.int64)]
+             )}
+        )
+
+    delta_ds = grouped_aggregate(events, ["user_id"], deltas).materialize()
+
+    def hour_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["hour"] = out["ts_us"].to_numpy(dtype=np.int64) // 3_600_000_000
+        return (
+            out.groupby("hour", sort=False)["delta"].sum().reset_index()
+            .astype({"hour": np.int64, "delta": np.int64})
+        )
+
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
+    hour_sums = (
+        collect_small(
+            delta_ds.map_batches(hour_partial, batch_format="pandas"),
+            ["hour", "delta"],
+        )
+        .groupby("hour", sort=True)["delta"]
+        .sum()
+    )
+    offsets = {
+        int(h): int(v)
+        for h, v in zip(hour_sums.index, hour_sums.cumsum() - hour_sums)
+    }
+
+    def add_hour(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["hour"] = out["ts_us"].to_numpy(dtype=np.int64) // 3_600_000_000
+        return out
+
+    def local_peak(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(
+            ["hour", "ts_us", "delta"], ascending=[True, True, False],
+            kind="stable",
+        )
+        run = g.groupby("hour", sort=False)["delta"].cumsum().to_numpy(
+            dtype=np.int64
+        )
+        base = g["hour"].map(offsets).to_numpy(dtype=np.int64)
+        occ = base + run
+        out = pd.DataFrame(
+            {"occ": occ, "ts_us": g["ts_us"].to_numpy(dtype=np.int64)}
+        )
+        best = out["occ"].max()
+        first = out.loc[out["occ"] == best, "ts_us"].min()
+        return pd.DataFrame(
+            {"peak": np.array([best], dtype=np.int64),
+             "first_ts_us": np.array([first], dtype=np.int64)}
+        )
+
+    per_hour = grouped_aggregate(
+        delta_ds.map_batches(add_hour, batch_format="pandas"),
+        ["hour"],
+        local_peak,
+    )
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        best = batch["peak"].max()
+        first = batch.loc[batch["peak"] == best, "first_ts_us"].min()
+        return pd.DataFrame(
+            {"peak": np.array([best], dtype=np.int64),
+             "first_ts_us": np.array([first], dtype=np.int64)}
+        )
+
+    return per_hour.repartition(1).map_batches(final, batch_format="pandas")
+
+
+PEAK_CONCURRENCY_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid,
+         ts
+  FROM flagged
+), spans AS (
+  SELECT user_id, sid,
+         CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+         CAST(epoch_us(max(ts)) AS BIGINT) + 1 AS end_us
+  FROM sess GROUP BY 1, 2
+), deltas AS (
+  SELECT start_us AS ts_us, 1 AS delta FROM spans
+  UNION ALL
+  SELECT end_us AS ts_us, -1 AS delta FROM spans
+), run AS (
+  SELECT ts_us,
+         SUM(delta) OVER (ORDER BY ts_us, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS occ
+  FROM deltas
+)
+SELECT CAST(MAX(occ) AS BIGINT) AS peak,
+       CAST(MIN(CASE WHEN occ = (SELECT MAX(occ) FROM run) THEN ts_us END)
+            AS BIGINT) AS first_ts_us
+FROM run
+"""
+
+
+def nation_revenue_share(sf_dir: str):
+    """Hierarchical ratio-to-parent: each nation's order revenue as a
+    share of its REGION's total — the two-level rollup every
+    geo dashboard draws. The customer→nation→region ladder rides the
+    same broadcast searchsorted lookup arrays as the Q5 join
+    (dimension tables are constant-size by definition); revenue
+    collapses per nation in the fact scan's combiner (25 keys), and
+    the within-region share is one vectorized transform over the tiny
+    final — a single IEEE division, hash-exact."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas().sort_values("c_custkey")
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas().sort_values("n_nationkey")
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas().sort_values("r_regionkey")
+
+    ckeys = cust["c_custkey"].to_numpy(dtype=np.int64)
+    cnat = cust["c_nationkey"].to_numpy(dtype=np.int64)
+    nkeys = nation["n_nationkey"].to_numpy(dtype=np.int64)
+    nnames = nation["n_name"].to_numpy(dtype=object)
+    nregion = nation["n_regionkey"].to_numpy(dtype=np.int64)
+    rkeys = region["r_regionkey"].to_numpy(dtype=np.int64)
+    rnames = region["r_name"].to_numpy(dtype=object)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ck = batch["o_custkey"].to_numpy(dtype=np.int64)
+        nat = cnat[np.searchsorted(ckeys, ck)]
+        ni = np.searchsorted(nkeys, nat)
+        rev = np.round(
+            batch["o_totalprice"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"nation": nnames[ni],
+                 "region": rnames[np.searchsorted(rkeys, nregion[ni])],
+                 "revenue_centi": rev}
+            )
+            .groupby(["nation", "region"], sort=False)["revenue_centi"]
+            .sum()
+            .reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            bucket.groupby(["nation", "region"], sort=False)["revenue_centi"]
+            .sum()
+            .reset_index()
+            .astype({"revenue_centi": np.int64})
+        )
+        total = m.groupby("region", sort=False)["revenue_centi"].transform("sum")
+        m["region_share"] = m["revenue_centi"].to_numpy(
+            dtype=np.float64
+        ) / total.to_numpy(dtype=np.float64)
+        return m
+
+    # num_partitions=1: 25 nations — the share needs its region's
+    # whole rollup co-located, and the final is domain-bounded anyway
+    return grouped_aggregate(orders, ["nation"], combine, partial=partial,
+                             num_partitions=1)
+
+
+NATION_REVENUE_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name AS nation, r.r_name AS region,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_centi
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT nation, region, CAST(revenue_centi AS BIGINT) AS revenue_centi,
+       CAST(revenue_centi AS DOUBLE)
+         / CAST(SUM(revenue_centi) OVER (PARTITION BY region) AS DOUBLE)
+         AS region_share
+FROM rev
+"""
