@@ -280,6 +280,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_linker_ray.ops import graph_algos as _ga
 
     q["kg_bfs_depths"] = _ga.kg_bfs_depths
+    q["kg_degree_distribution"] = _ga.kg_degree_distribution
+    q["customer_rfm"] = relational.customer_rfm
+    q["orders_yoy_growth"] = relational.orders_yoy_growth
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -415,6 +418,9 @@ def oracle_sql() -> dict[str, str]:
     sql["nation_revenue_share"] = relational.NATION_REVENUE_SHARE_ORACLE
     sql["kg_pagerank"] = graph_algos.kg_pagerank_oracle()
     sql["kg_bfs_depths"] = graph_algos.kg_bfs_oracle()
+    sql["kg_degree_distribution"] = graph_algos.kg_degree_distribution_oracle()
+    sql["customer_rfm"] = relational.CUSTOMER_RFM_ORACLE
+    sql["orders_yoy_growth"] = relational.ORDERS_YOY_GROWTH_ORACLE
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
     sql["kg_kcore"] = graph_algos.kg_kcore_oracle()

@@ -226,6 +226,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "kg_bfs_depths",
         "peak_concurrency",
         "nation_revenue_share",
+        "customer_rfm",
+        "orders_yoy_growth",
+        "kg_degree_distribution",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1264,3 +1264,50 @@ d{i} AS (
         f"\nSELECT node, CAST(depth AS BIGINT) AS depth FROM d{rounds}"
     )
     return "".join(parts)
+
+def kg_degree_distribution(sf_dir: str):
+    """Degree distribution of the co-occurrence KG: how many entities
+    have each distinct-neighbor count — the aggregate-of-an-aggregate
+    (double groupby) every graph characterization starts with. The
+    per-entity degrees come from the existing entity-connections
+    operator (itself a bucketed distinct-neighbor aggregate); the
+    second groupby's key space is bounded by the max degree, so the
+    histogram is one tiny two-phase count."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.pipelines.simple_kg import (
+        kg_entity_connections,
+    )
+
+    degrees = kg_entity_connections(sf_dir)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("n_neighbors", sort=False)
+            .size()
+            .reset_index(name="n_entities")
+            .rename(columns={"n_neighbors": "degree"})
+            .astype({"degree": np.int64, "n_entities": np.int64})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("degree", sort=False)["n_entities"]
+            .sum()
+            .reset_index()
+            .astype({"degree": np.int64, "n_entities": np.int64})
+        )
+
+    return grouped_aggregate(degrees, ["degree"], combine, partial=partial,
+                             num_partitions=4)
+
+
+def kg_degree_distribution_oracle() -> str:
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    conn_sql = simple_kg.oracle_sql()["kg_entity_connections"]
+    return f"""
+SELECT CAST(n_neighbors AS BIGINT) AS degree,
+       count(*) AS n_entities
+FROM ({conn_sql}) c
+GROUP BY 1
+"""

@@ -5473,3 +5473,214 @@ SELECT nation, region, CAST(revenue_centi AS BIGINT) AS revenue_centi,
          AS region_share
 FROM rev
 """
+
+def customer_rfm(sf_dir: str):
+    """RFM scoring — the classic marketing composite, and the repo's
+    cleanest aggregate→distribution→enrich composition: (1) one
+    fact-scan combiner collapses orders to per-customer (recency day,
+    frequency, monetary centi); (2) each metric's exact quintile cuts
+    (p20/40/60/80, the discrete k=ceil(p·N) walk over a value
+    histogram) come from domain-bounded aggregates; (3) a shuffle-free
+    enrich scan scores every customer 1-5 per metric by VALUE cuts
+    (value-based quintiles, not NTILE's positional split, so ties
+    score identically and the result is order-independent). All three
+    score ascending — a larger last-order day IS more recent, so
+    recency needs no inversion. Only customers with orders appear,
+    like the oracle's per-customer rollup."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            batch["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        rev = np.round(batch["o_totalprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+                 "last_day": day, "n_orders": np.int64(1), "revenue_centi": rev}
+            )
+            .groupby("custkey", sort=False)
+            .agg(last_day=("last_day", "max"), n_orders=("n_orders", "sum"),
+                 revenue_centi=("revenue_centi", "sum"))
+            .reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("custkey", sort=False)
+            .agg(last_day=("last_day", "max"), n_orders=("n_orders", "sum"),
+                 revenue_centi=("revenue_centi", "sum"))
+            .reset_index()
+            .astype({c: np.int64 for c in
+                     ("custkey", "last_day", "n_orders", "revenue_centi")})
+        )
+
+    per_cust = grouped_aggregate(orders, ["custkey"], combine,
+                                 partial=partial).materialize()
+
+    def quintile_cuts(col: str) -> np.ndarray:
+        def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            return (
+                batch.groupby(col, sort=False).size().reset_index(name="n")
+                .astype({col: np.int64, "n": np.int64})
+            )
+
+        def hist_sum(bucket: pd.DataFrame) -> pd.DataFrame:
+            return (
+                bucket.groupby(col, sort=False)["n"].sum().reset_index()
+                .astype({col: np.int64, "n": np.int64})
+            )
+
+        hist = (
+            grouped_aggregate(per_cust, [col], hist_sum, partial=hist_partial,
+                              num_partitions=8)
+            .to_pandas()
+            .sort_values(col, kind="stable")
+        )
+        cum = hist["n"].to_numpy(dtype=np.int64).cumsum()
+        vals = hist[col].to_numpy(dtype=np.int64)
+        total = int(cum[-1])
+        cuts = []
+        for num in (1, 2, 3, 4):  # p20/p40/p60/p80 as k = ceil(p*N)
+            k = (num * total + 4) // 5
+            cuts.append(int(vals[np.searchsorted(cum, k, side="left")]))
+        return np.array(cuts, dtype=np.int64)
+
+    cuts = {c: quintile_cuts(c) for c in ("last_day", "n_orders", "revenue_centi")}
+
+    def score(values: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # value <= p20 -> 1 ... value > p80 -> 5 (searchsorted over cuts)
+        return (np.searchsorted(c, values, side="left") + 1).astype(np.int64)
+
+    def enrich(batch: pd.DataFrame) -> pd.DataFrame:
+        r = score(batch["last_day"].to_numpy(dtype=np.int64), cuts["last_day"])
+        f = score(batch["n_orders"].to_numpy(dtype=np.int64), cuts["n_orders"])
+        m = score(batch["revenue_centi"].to_numpy(dtype=np.int64),
+                  cuts["revenue_centi"])
+        return pd.DataFrame(
+            {"custkey": batch["custkey"].to_numpy(dtype=np.int64),
+             "r_score": r, "f_score": f, "m_score": m}
+        )
+
+    return per_cust.map_batches(enrich, batch_format="pandas")
+
+
+CUSTOMER_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS last_day,
+         count(*) AS n_orders,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_centi
+  FROM orders GROUP BY 1
+),
+rr AS (SELECT last_day AS v, ROW_NUMBER() OVER (ORDER BY last_day) AS rn,
+              COUNT(*) OVER () AS n FROM per_cust),
+rc AS (SELECT
+  MIN(CASE WHEN rn = (1*n + 4) // 5 THEN v END) AS c1,
+  MIN(CASE WHEN rn = (2*n + 4) // 5 THEN v END) AS c2,
+  MIN(CASE WHEN rn = (3*n + 4) // 5 THEN v END) AS c3,
+  MIN(CASE WHEN rn = (4*n + 4) // 5 THEN v END) AS c4 FROM rr),
+fr AS (SELECT n_orders AS v, ROW_NUMBER() OVER (ORDER BY n_orders) AS rn,
+              COUNT(*) OVER () AS n FROM per_cust),
+fc AS (SELECT
+  MIN(CASE WHEN rn = (1*n + 4) // 5 THEN v END) AS c1,
+  MIN(CASE WHEN rn = (2*n + 4) // 5 THEN v END) AS c2,
+  MIN(CASE WHEN rn = (3*n + 4) // 5 THEN v END) AS c3,
+  MIN(CASE WHEN rn = (4*n + 4) // 5 THEN v END) AS c4 FROM fr),
+mr AS (SELECT revenue_centi AS v, ROW_NUMBER() OVER (ORDER BY revenue_centi) AS rn,
+              COUNT(*) OVER () AS n FROM per_cust),
+mc AS (SELECT
+  MIN(CASE WHEN rn = (1*n + 4) // 5 THEN v END) AS c1,
+  MIN(CASE WHEN rn = (2*n + 4) // 5 THEN v END) AS c2,
+  MIN(CASE WHEN rn = (3*n + 4) // 5 THEN v END) AS c3,
+  MIN(CASE WHEN rn = (4*n + 4) // 5 THEN v END) AS c4 FROM mr)
+SELECT p.custkey,
+  CAST(CASE WHEN p.last_day <= rc.c1 THEN 1 WHEN p.last_day <= rc.c2 THEN 2
+            WHEN p.last_day <= rc.c3 THEN 3 WHEN p.last_day <= rc.c4 THEN 4
+            ELSE 5 END AS BIGINT) AS r_score,
+  CAST(CASE WHEN p.n_orders <= fc.c1 THEN 1 WHEN p.n_orders <= fc.c2 THEN 2
+            WHEN p.n_orders <= fc.c3 THEN 3 WHEN p.n_orders <= fc.c4 THEN 4
+            ELSE 5 END AS BIGINT) AS f_score,
+  CAST(CASE WHEN p.revenue_centi <= mc.c1 THEN 1 WHEN p.revenue_centi <= mc.c2 THEN 2
+            WHEN p.revenue_centi <= mc.c3 THEN 3 WHEN p.revenue_centi <= mc.c4 THEN 4
+            ELSE 5 END AS BIGINT) AS m_score
+FROM per_cust p, rc, fc, mc
+"""
+
+
+def orders_yoy_growth(sf_dir: str):
+    """Year-over-year growth: each month's revenue against the SAME
+    month one year earlier — the seasonally-honest growth metric,
+    distinct from MoM's LAG-1 in that the comparison is a self-join at
+    a fixed offset (month_idx − 12). Same domain-bounded month rollup
+    as :func:`orders_monthly_growth`; the offset join happens in the
+    single-bucket final (an int-index merge over a tiny table), growth
+    is one IEEE division, months without a year-ago counterpart are
+    excluded like the oracle's inner self-join."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DatetimeIndex(batch["o_orderdate"])
+        month_idx = (d.year.to_numpy() * 12 + (d.month.to_numpy() - 1)).astype(np.int64)
+        rev = np.round(batch["o_totalprice"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        return (
+            pd.DataFrame({"month_idx": month_idx, "revenue_centi": rev})
+            .groupby("month_idx", sort=False)["revenue_centi"]
+            .sum()
+            .reset_index()
+        )
+
+    def yoy(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            bucket.groupby("month_idx", sort=False)["revenue_centi"]
+            .sum()
+            .reset_index()
+            .astype({"month_idx": np.int64, "revenue_centi": np.int64})
+        )
+        prev = m.copy()
+        prev["month_idx"] = prev["month_idx"] + 12
+        out = m.merge(
+            prev.rename(columns={"revenue_centi": "prev_year_centi"}),
+            on="month_idx", how="inner",
+        )
+        out["yoy_growth"] = (
+            (out["revenue_centi"].to_numpy(dtype=np.float64)
+             - out["prev_year_centi"].to_numpy(dtype=np.float64))
+            / out["prev_year_centi"].to_numpy(dtype=np.float64)
+        )
+        return out.astype(
+            {"month_idx": np.int64, "revenue_centi": np.int64,
+             "prev_year_centi": np.int64}
+        )
+
+    return grouped_aggregate(orders, ["month_idx"], yoy, partial=partial,
+                             num_partitions=1)
+
+
+ORDERS_YOY_GROWTH_ORACLE = """
+WITH m AS (
+  SELECT CAST(date_part('year', o_orderdate) * 12
+              + date_part('month', o_orderdate) - 1 AS BIGINT) AS month_idx,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_centi
+  FROM orders GROUP BY 1
+)
+SELECT cur.month_idx,
+       CAST(cur.revenue_centi AS BIGINT) AS revenue_centi,
+       CAST(prev.revenue_centi AS BIGINT) AS prev_year_centi,
+       (CAST(cur.revenue_centi AS DOUBLE) - CAST(prev.revenue_centi AS DOUBLE))
+         / CAST(prev.revenue_centi AS DOUBLE) AS yoy_growth
+FROM m cur JOIN m prev ON prev.month_idx = cur.month_idx - 12
+"""
