@@ -283,6 +283,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_degree_distribution"] = _ga.kg_degree_distribution
     q["customer_rfm"] = relational.customer_rfm
     q["orders_yoy_growth"] = relational.orders_yoy_growth
+    q["type_affinity"] = relational.type_affinity
+    q["lineitem_quantity_gini"] = relational.lineitem_quantity_gini
+    q["events_burstiness"] = relational.events_burstiness
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -421,6 +424,9 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_degree_distribution"] = graph_algos.kg_degree_distribution_oracle()
     sql["customer_rfm"] = relational.CUSTOMER_RFM_ORACLE
     sql["orders_yoy_growth"] = relational.ORDERS_YOY_GROWTH_ORACLE
+    sql["type_affinity"] = relational.TYPE_AFFINITY_ORACLE
+    sql["lineitem_quantity_gini"] = relational.LINEITEM_QUANTITY_GINI_ORACLE
+    sql["events_burstiness"] = relational.EVENTS_BURSTINESS_ORACLE
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
     sql["kg_kcore"] = graph_algos.kg_kcore_oracle()

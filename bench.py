@@ -229,6 +229,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "customer_rfm",
         "orders_yoy_growth",
         "kg_degree_distribution",
+        "type_affinity",
+        "lineitem_quantity_gini",
+        "events_burstiness",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -5684,3 +5684,239 @@ SELECT cur.month_idx,
          / CAST(prev.revenue_centi AS DOUBLE) AS yoy_growth
 FROM m cur JOIN m prev ON prev.month_idx = cur.month_idx - 12
 """
+
+def type_affinity(sf_dir: str):
+    """Bipartite projection (the item-item co-engagement matrix): for
+    every unordered event-type pair, how many DISTINCT users did both
+    — the collaborative-filtering affinity table, projected from the
+    user–type bipartite graph. Per-user type sets are pre-deduped into
+    one hash(user) exchange; each user's bucket emits its ≤ C(|types|,2)
+    pairs (fan-out bounded by the type-domain square, never by event
+    count), and a second tiny exchange sums over the pair key space."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def observed(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.dropna().drop_duplicates()
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates().sort_values(
+            ["user_id", "event_type"], kind="stable"
+        )
+        users = d["user_id"].to_numpy(dtype=np.int64)
+        types = d["event_type"].to_numpy(dtype=object)
+        seg = segment_starts(users)
+        lens = np.bincount(seg, minlength=len(users))[seg]
+        # vectorized within-segment pair expansion: for row i at local
+        # offset o with segment length L, pair with the (L - o - 1)
+        # following rows
+        idx = np.arange(len(users), dtype=np.int64)
+        local = idx - seg
+        reps = lens - local - 1
+        if not len(users) or int(reps.sum()) == 0:
+            return pd.DataFrame(
+                {"type_a": pd.Series([], dtype=object),
+                 "type_b": pd.Series([], dtype=object),
+                 "n_users": pd.Series([], dtype=np.int64)}
+            )
+        left = np.repeat(idx, reps)
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        right = left + 1 + offs
+        out = pd.DataFrame(
+            {"type_a": types[left], "type_b": types[right],
+             "n_users": np.int64(1)}
+        )
+        return (
+            out.groupby(["type_a", "type_b"], sort=False)["n_users"]
+            .sum()
+            .reset_index()
+            .astype({"n_users": np.int64})
+        )
+
+    partials = grouped_aggregate(events, ["user_id"], pairs, partial=observed)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["type_a", "type_b"], sort=False)["n_users"]
+            .sum()
+            .reset_index()
+            .astype({"n_users": np.int64})
+        )
+
+    return grouped_aggregate(partials, ["type_a", "type_b"], final,
+                             num_partitions=4)
+
+
+TYPE_AFFINITY_ORACLE = """
+WITH seen AS (SELECT DISTINCT user_id, event_type FROM events
+              WHERE event_type IS NOT NULL)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users
+FROM seen a JOIN seen b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def lineitem_quantity_gini(sf_dir: str):
+    """Exact Gini coefficient of the quantity distribution per return
+    flag — the inequality/concentration index, computed the only way
+    that is both tie-correct and distributed-exact: collapse rows to a
+    per-(flag, value) count histogram (quantity's DOMAIN is 50 values,
+    so the exchange is constant-size), then evaluate the mean-absolute-
+    difference form Δ = 2·Σᵢ cᵢ·(vᵢ·N₍<ᵢ₎ − S₍<ᵢ₎) over the sorted
+    histogram with integer cumulatives, and G = Δ / (2·n·S) as ONE IEEE
+    division. The rank-based textbook formula miscounts ties; this form
+    is exact for any tie structure (pinned in pytest)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(batch["l_quantity"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        return (
+            pd.DataFrame({"l_returnflag": batch["l_returnflag"].to_numpy(),
+                          "v": v})
+            .groupby(["l_returnflag", "v"], sort=False)
+            .size()
+            .reset_index(name="c")
+            .astype({"v": np.int64, "c": np.int64})
+        )
+
+    def gini(bucket: pd.DataFrame) -> pd.DataFrame:
+        hist = (
+            bucket.groupby(["l_returnflag", "v"], sort=False)["c"]
+            .sum()
+            .reset_index()
+            .sort_values(["l_returnflag", "v"], kind="stable")
+        )
+        rows = []
+        for flag, g in hist.groupby("l_returnflag", sort=False):
+            v = g["v"].to_numpy(dtype=np.int64)
+            c = g["c"].to_numpy(dtype=np.int64)
+            n_lt = np.concatenate([[0], np.cumsum(c)[:-1]])
+            s_lt = np.concatenate([[0], np.cumsum(c * v)[:-1]])
+            delta = int((2 * c * (v * n_lt - s_lt)).sum())
+            n = int(c.sum())
+            s = int((c * v).sum())
+            gval = float(np.float64(delta) / np.float64(2 * n * s)) if s else 0.0
+            rows.append({"l_returnflag": flag, "n_rows": n, "gini": gval})
+        out = pd.DataFrame(rows, columns=["l_returnflag", "n_rows", "gini"])
+        return out.astype({"n_rows": np.int64})
+
+    return grouped_aggregate(lines, ["l_returnflag"], gini, partial=partial,
+                             num_partitions=4)
+
+
+LINEITEM_QUANTITY_GINI_ORACLE = """
+WITH h AS (
+  SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS v,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, v, c,
+         CAST(COALESCE(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_lt,
+         CAST(COALESCE(SUM(c * v) OVER (PARTITION BY l_returnflag ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS s_lt
+  FROM h
+)
+SELECT l_returnflag,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(SUM(2 * c * (v * n_lt - s_lt)) AS DOUBLE)
+         / CAST(2 * SUM(c) * SUM(c * v) AS DOUBLE) AS gini
+FROM cum GROUP BY 1
+"""
+
+
+def events_burstiness(sf_dir: str):
+    """Burstiness (Fano factor) of hourly event volume per type:
+    variance-to-mean of the per-hour counts over the type's own
+    [first, last] hour span, ZERO hours included — 1 ≈ Poisson, ≫1 =
+    bursty, the dispersion diagnostic a traffic model checks first.
+    Zero hours never materialize: the dense span only contributes its
+    LENGTH (max−min+1 from the same histogram), so the whole statistic
+    reduces to (n·Σc² − (Σc)²) / (n·Σc) over the domain-bounded
+    (type, hour) count table — exact int64 sufficient statistics, one
+    closed-form evaluation in double, hash-identical to SQL."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_numpy(),
+             "hour": ts_ns // 3_600_000_000_000}
+        )
+        df = df[df["event_type"].notna()]
+        return (
+            df.groupby(["event_type", "hour"], sort=False)
+            .size()
+            .reset_index(name="c")
+            .astype({"hour": np.int64, "c": np.int64})
+        )
+
+    def fano(bucket: pd.DataFrame) -> pd.DataFrame:
+        hist = (
+            bucket.groupby(["event_type", "hour"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        rows = []
+        for etype, g in hist.groupby("event_type", sort=False):
+            c = g["c"].to_numpy(dtype=np.int64)
+            h = g["hour"].to_numpy(dtype=np.int64)
+            n_hours = int(h.max() - h.min() + 1)
+            sc = int(c.sum())
+            sc2 = int((c * c).sum())
+            fano_val = (
+                float(np.float64(n_hours * sc2 - sc * sc)
+                      / np.float64(n_hours * sc))
+                if sc else 0.0
+            )
+            rows.append({"event_type": etype, "n_hours": n_hours,
+                         "n_events": sc, "fano": fano_val})
+        out = pd.DataFrame(
+            rows, columns=["event_type", "n_hours", "n_events", "fano"]
+        )
+        return out.astype({"n_hours": np.int64, "n_events": np.int64})
+
+    return grouped_aggregate(events, ["event_type"], fano, partial=partial,
+                             num_partitions=4)
+
+
+EVENTS_BURSTINESS_ORACLE = """
+WITH h AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         count(*) AS c
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(MAX(hour) - MIN(hour) + 1 AS BIGINT) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS sc2
+  FROM h GROUP BY 1
+)
+SELECT event_type, n_hours, sc AS n_events,
+       CAST(n_hours * sc2 - sc * sc AS DOUBLE)
+         / CAST(n_hours * sc AS DOUBLE) AS fano
+FROM s
+"""
