@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_linker_ray.pipelines import conversations as _convs
 
     q["conv_stats"] = _convs.conv_stats
+    q["conv_role_words"] = _convs.conv_role_words
+    q["events_per_user_distribution"] = relational.events_per_user_distribution
     q["events_mad"] = relational.events_mad
     q["engaged_users"] = relational.engaged_users
     q["user_longest_streak"] = relational.user_longest_streak
@@ -402,6 +404,10 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_linker_ray.pipelines import conversations
 
     sql["conv_stats"] = conversations.CONV_STATS_ORACLE
+    sql["conv_role_words"] = conversations.CONV_ROLE_WORDS_ORACLE
+    sql["events_per_user_distribution"] = (
+        relational.EVENTS_PER_USER_DISTRIBUTION_ORACLE
+    )
     sql["events_mad"] = relational.EVENTS_MAD_ORACLE
     sql["engaged_users"] = relational.ENGAGED_USERS_ORACLE
     sql["user_longest_streak"] = relational.USER_LONGEST_STREAK_ORACLE

@@ -232,6 +232,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "type_affinity",
         "lineitem_quantity_gini",
         "events_burstiness",
+        "conv_role_words",
+        "events_per_user_distribution",
     ]
     times: dict[str, float] = {}
     for name in names:

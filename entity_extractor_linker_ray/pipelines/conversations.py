@@ -129,3 +129,70 @@ SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
        CAST((max(n_turns) - 1) * 1000000 AS BIGINT) AS span_us
 FROM g GROUP BY 1
 """
+
+def conv_role_words(sf_dir: str):
+    """Per-(conversation, role) rollup: turn count and whitespace-word
+    count for user / assistant / tool turns separately — the role-mix
+    feature behind 'how verbose is the assistant vs the user' analyses
+    of agent transcripts. Same two-phase shape as :func:`conv_stats`;
+    the oracle replays the deterministic synthesis (roles cycle period
+    3, per-turn words = min(12, remaining))."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.synthetic import (
+        transcripts_dataset_from_documents,
+    )
+
+    turns = transcripts_dataset_from_documents(sf_dir)
+    keys = ["conv_id", "role"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        words = np.where(
+            text.str.len().to_numpy() > 0,
+            text.str.count(" ").to_numpy(dtype=np.int64) + 1,
+            np.int64(0),
+        )
+        df = pd.DataFrame(
+            {"conv_id": batch["conv_id"].to_numpy(),
+             "role": batch["role"].to_numpy(),
+             "n_turns": np.int64(1),
+             "n_words": words}
+        )
+        return (
+            df.groupby(keys, sort=False)
+            .agg(n_turns=("n_turns", "sum"), n_words=("n_words", "sum"))
+            .reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False)
+            .agg(n_turns=("n_turns", "sum"), n_words=("n_words", "sum"))
+            .reset_index()
+            .astype({"n_turns": np.int64, "n_words": np.int64})
+        )
+
+    return grouped_aggregate(turns, keys, combine, partial=partial)
+
+
+CONV_ROLE_WORDS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(COALESCE(text, '')) = 0 THEN 0
+              ELSE len(string_split(text, ' ')) END AS words
+  FROM documents
+), t AS (
+  SELECT doc_id, words,
+         CASE WHEN words = 0 THEN 1 ELSE (words + 11) // 12 END AS n_turns
+  FROM d
+), g AS (
+  SELECT doc_id, words, unnest(range(0, n_turns)) AS ti FROM t
+)
+SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+       CASE CAST(ti % 3 AS INTEGER) WHEN 0 THEN 'user'
+            WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN words = 0 THEN 0
+                     ELSE LEAST(12, words - 12 * ti) END) AS BIGINT) AS n_words
+FROM g GROUP BY 1, 2
+"""

@@ -5920,3 +5920,58 @@ SELECT event_type, n_hours, sc AS n_events,
          / CAST(n_hours * sc AS DOUBLE) AS fano
 FROM s
 """
+
+def events_per_user_distribution(sf_dir: str):
+    """Frequency-of-frequencies: how many users produced exactly k
+    events — the activity-distribution (and skew-diagnosis) table a
+    capacity planner reads before choosing a partitioning key. Double
+    groupby: per-user counts are combiner-bounded partials through one
+    hash(user) exchange; the second key space is bounded by the
+    maximum per-user count, so the histogram is a tiny second
+    aggregate."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("user_id", sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"user_id": np.int64, "n": np.int64})
+        )
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("user_id", sort=False)["n"].sum().reset_index()
+            .astype({"user_id": np.int64, "n": np.int64})
+        )
+
+    counts = grouped_aggregate(events, ["user_id"], per_user, partial=partial)
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("n", sort=False)
+            .size()
+            .reset_index(name="n_users")
+            .rename(columns={"n": "n_events"})
+            .astype({"n_events": np.int64, "n_users": np.int64})
+        )
+
+    def hist(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("n_events", sort=False)["n_users"].sum().reset_index()
+            .astype({"n_events": np.int64, "n_users": np.int64})
+        )
+
+    return grouped_aggregate(counts, ["n_events"], hist, partial=hist_partial,
+                             num_partitions=4)
+
+
+EVENTS_PER_USER_DISTRIBUTION_ORACLE = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+SELECT CAST(n AS BIGINT) AS n_events, count(*) AS n_users
+FROM c GROUP BY 1
+"""

@@ -1,0 +1,101 @@
+"""Batch-11 additions: per-role conversation rollups and the
+events-per-user frequency-of-frequencies — both value-exact against
+their DuckDB oracles plus the arithmetic SQL can't isolate (last-turn
+word remainders, zero-word turns, exact histogram masses)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(views: dict[str, str], sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name, path in views.items():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        if pd.api.types.is_integer_dtype(df[col]):
+            df[col] = df[col].astype(np.int64)
+        else:
+            df[col] = df[col].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+class TestConvRoleWords:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.conversations import (
+            CONV_ROLE_WORDS_ORACLE,
+            conv_role_words,
+        )
+
+        got = _canon(conv_role_words(SF).to_pandas())
+        exp = _canon(_oracle({"documents": f"{SF}/documents.parquet"},
+                             CONV_ROLE_WORDS_ORACLE))
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_last_turn_remainder(self, ray_session, tmp_path):
+        """25 words → turns of 12/12/1 with roles user/assistant/tool:
+        the tool turn carries exactly the 1-word remainder; totals per
+        role reconcile with conv_stats' total."""
+        from entity_extractor_linker_ray.pipelines.conversations import (
+            conv_role_words,
+        )
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.array([9], dtype=np.int64),
+                "text": [" ".join(f"w{i}" for i in range(25))],
+                "lang": ["en"], "source": ["s"],
+                "n_chars": np.zeros(1, dtype=np.int64),
+            }
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+
+        got = (
+            conv_role_words(str(tmp_path))
+            .to_pandas()
+            .set_index("role")
+        )
+        assert got.loc["user", "n_words"] == 12
+        assert got.loc["assistant", "n_words"] == 12
+        assert got.loc["tool", "n_words"] == 1
+        assert got["n_turns"].sum() == 3 and got["n_words"].sum() == 25
+
+
+class TestEventsPerUserDistribution:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_PER_USER_DISTRIBUTION_ORACLE,
+            events_per_user_distribution,
+        )
+
+        got = _canon(events_per_user_distribution(SF).to_pandas())
+        exp = _canon(_oracle({"events": f"{SF}/events.parquet"},
+                             EVENTS_PER_USER_DISTRIBUTION_ORACLE))
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_histogram_mass(self, ray_session):
+        """The histogram re-aggregates to the raw totals: Σ(k·users_k)
+        = total events, Σusers_k = distinct users."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            events_per_user_distribution,
+        )
+
+        got = events_per_user_distribution(SF).to_pandas()
+        con = duckdb.connect()
+        total, users = con.execute(
+            f"SELECT count(*), count(DISTINCT user_id) "
+            f"FROM '{SF}/events.parquet'"
+        ).fetchone()
+        assert int((got["n_events"] * got["n_users"]).sum()) == total
+        assert int(got["n_users"].sum()) == users
