@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["top_parts_with_ties"] = relational.top_parts_with_ties
     q["events_value_bands"] = relational.events_value_bands
     q["normalized_fingerprints"] = textstats.normalized_fingerprints
+    q["bpe_token_counts"] = textstats.bpe_token_counts
     from entity_extractor_linker_ray.pipelines import conversations as _convs
 
     q["conv_stats"] = _convs.conv_stats
@@ -401,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
     sql["top_parts_with_ties"] = relational.TOP_PARTS_WITH_TIES_ORACLE.format(k=10)
     sql["events_value_bands"] = relational.EVENTS_VALUE_BANDS_ORACLE
     sql["normalized_fingerprints"] = textstats.NORMALIZED_FINGERPRINTS_ORACLE
+    sql["bpe_token_counts"] = textstats.BPE_TOKEN_COUNTS_ORACLE
     from entity_extractor_linker_ray.pipelines import conversations
 
     sql["conv_stats"] = conversations.CONV_STATS_ORACLE

@@ -234,6 +234,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_burstiness",
         "conv_role_words",
         "events_per_user_distribution",
+        "bpe_token_counts",
     ]
     times: dict[str, float] = {}
     for name in names:

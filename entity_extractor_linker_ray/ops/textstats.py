@@ -1067,3 +1067,55 @@ SELECT doc_id,
                                '\\s+', ' ', 'g'))) AS norm_md5
 FROM documents
 """
+
+# BPE-style pretokenizer classes (RE2-safe: no lookaheads, ASCII
+# classes — Python re and DuckDB produce identical matches; verified
+# on contraction/digit/punctuation fixtures)
+BPE_ALPHA = "[A-Za-z]+"
+BPE_NUM = "[0-9]+"
+BPE_OTHER = "[^A-Za-z0-9 \\t\\n]+"
+BPE_TOKEN = f"{BPE_ALPHA}|{BPE_NUM}|{BPE_OTHER}"
+
+
+def bpe_token_counts(sf_dir: str):
+    """BPE-pretokenizer token counting: per document the number of
+    pretokens under a GPT-2-style class split (letter runs, digit
+    runs, punctuation runs — the segmentation a byte-pair tokenizer
+    sees BEFORE merges), with the per-class breakdown. This is the
+    second token-counting convention beside the whitespace counts in
+    :func:`doc_stats` — on natural text they diverge exactly where BPE
+    cost diverges from word count (digits, punctuation, contractions).
+
+    Row-local, zero shuffle, one C-level ``Series.str.count`` per
+    class; the pattern is RE2-safe so the oracle's
+    ``regexp_extract_all`` tokenizes identically."""
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        alpha = text.str.count(BPE_ALPHA).to_numpy(dtype=np.int64)
+        num = text.str.count(BPE_NUM).to_numpy(dtype=np.int64)
+        other = text.str.count(BPE_OTHER).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+             "n_pretokens": alpha + num + other,
+             "n_alpha": alpha, "n_num": num, "n_punct": other}
+        )
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+BPE_TOKEN_COUNTS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '{BPE_ALPHA}'))
+            + len(regexp_extract_all(COALESCE(text, ''), '{BPE_NUM}'))
+            + len(regexp_extract_all(COALESCE(text, ''), '{BPE_OTHER}'))
+            AS BIGINT) AS n_pretokens,
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '{BPE_ALPHA}'))
+            AS BIGINT) AS n_alpha,
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '{BPE_NUM}'))
+            AS BIGINT) AS n_num,
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '{BPE_OTHER}'))
+            AS BIGINT) AS n_punct
+FROM documents
+"""

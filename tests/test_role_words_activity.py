@@ -99,3 +99,39 @@ class TestEventsPerUserDistribution:
         ).fetchone()
         assert int((got["n_events"] * got["n_users"]).sum()) == total
         assert int(got["n_users"].sum()) == users
+
+
+class TestBpeTokenCounts:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.ops.textstats import (
+            BPE_TOKEN_COUNTS_ORACLE,
+            bpe_token_counts,
+        )
+
+        got = _canon(bpe_token_counts(SF).to_pandas())
+        exp = _canon(_oracle({"documents": f"{SF}/documents.parquet"},
+                             BPE_TOKEN_COUNTS_ORACLE))
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_class_splits(self, ray_session, tmp_path):
+        """Where BPE cost diverges from word count: \"don't count 123
+        tokens!! x9y\" is 3 whitespace-words more than its 10 pretokens
+        (contraction apostrophe, digit runs, punctuation runs, and the
+        letter-digit-letter sandwich all split)."""
+        from entity_extractor_linker_ray.ops.textstats import bpe_token_counts
+
+        docs = pd.DataFrame(
+            {"doc_id": np.array([1], dtype=np.int64),
+             "text": ["don't count 123 tokens!! x9y"],
+             "lang": ["en"], "source": ["s"],
+             "n_chars": np.zeros(1, dtype=np.int64)}
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+
+        got = bpe_token_counts(str(tmp_path)).to_pandas().iloc[0]
+        # don | ' | t | count | 123 | tokens | !! | x | 9 | y
+        assert got["n_pretokens"] == 10
+        assert got["n_alpha"] == 6
+        assert got["n_num"] == 2
+        assert got["n_punct"] == 2
