@@ -2431,6 +2431,38 @@ def ntile_assign(keys_sorted: np.ndarray, tiles: int) -> np.ndarray:
     return tile.astype(np.int64)
 
 
+def gini_from_histogram(v: np.ndarray, c: np.ndarray) -> tuple[int, float]:
+    """Exact Gini from a VALUE-SORTED count histogram via the
+    mean-absolute-difference form Δ = 2·Σᵢ cᵢ·(vᵢ·N₍<ᵢ₎ − S₍<ᵢ₎),
+    G = Δ/(2·n·S) — tie-correct where the rank formula is not; all
+    cumulatives in int64, the division a single IEEE op. Returns
+    ``(n, gini)``; an all-zero (or empty) mass defines G = 0."""
+    if len(v) == 0:
+        return 0, 0.0
+    n_lt = np.concatenate([[0], np.cumsum(c)[:-1]])
+    s_lt = np.concatenate([[0], np.cumsum(c * v)[:-1]])
+    delta = int((2 * c * (v * n_lt - s_lt)).sum())
+    n = int(c.sum())
+    s = int((c * v).sum())
+    return n, (float(np.float64(delta) / np.float64(2 * n * s)) if s else 0.0)
+
+
+def expand_ranges(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Flat indices of the half-open ranges ``[lo_i, hi_i)`` laid end
+    to end — the vectorized replacement for ``for i: for j in
+    range(lo[i], hi[i])`` that pair-expansion kernels (attribution,
+    bipartite projection) use: one repeat + one arange, no Python
+    loop. Empty ranges contribute nothing."""
+    counts = np.maximum(hi - lo, 0).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.repeat(lo, counts) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(counts) - counts, counts)
+    )
+
+
 def events_value_stats(sf_dir: str):
     """Per-user distribution moments (count, sum, sum of squares) in
     EXACT integer arithmetic — the mergeable form of mean/variance:
@@ -4850,12 +4882,7 @@ def click_attribution(sf_dir: str, window_hours: int = 24):
                 continue
             lo, hi, counts = lo[mask], hi[mask], counts[mask]
             credit = (1_000_000 // counts).astype(np.int64)
-            # expand [lo, hi) ranges: one repeat + cumulative arange
-            total = int(counts.sum())
-            idx = np.repeat(lo, counts) + (
-                np.arange(total, dtype=np.int64)
-                - np.repeat(np.cumsum(counts) - counts, counts)
-            )
+            idx = expand_ranges(lo, hi)
             frames.append(
                 pd.DataFrame(
                     {"click_event_id": c_id[idx],
@@ -5725,10 +5752,7 @@ def type_affinity(sf_dir: str):
                  "n_users": pd.Series([], dtype=np.int64)}
             )
         left = np.repeat(idx, reps)
-        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
-            np.cumsum(reps) - reps, reps
-        )
-        right = left + 1 + offs
+        right = expand_ranges(idx + 1, idx + 1 + reps)
         out = pd.DataFrame(
             {"type_a": types[left], "type_b": types[right],
              "n_users": np.int64(1)}
@@ -5803,14 +5827,9 @@ def lineitem_quantity_gini(sf_dir: str):
         )
         rows = []
         for flag, g in hist.groupby("l_returnflag", sort=False):
-            v = g["v"].to_numpy(dtype=np.int64)
-            c = g["c"].to_numpy(dtype=np.int64)
-            n_lt = np.concatenate([[0], np.cumsum(c)[:-1]])
-            s_lt = np.concatenate([[0], np.cumsum(c * v)[:-1]])
-            delta = int((2 * c * (v * n_lt - s_lt)).sum())
-            n = int(c.sum())
-            s = int((c * v).sum())
-            gval = float(np.float64(delta) / np.float64(2 * n * s)) if s else 0.0
+            n, gval = gini_from_histogram(
+                g["v"].to_numpy(dtype=np.int64), g["c"].to_numpy(dtype=np.int64)
+            )
             rows.append({"l_returnflag": flag, "n_rows": n, "gini": gval})
         out = pd.DataFrame(rows, columns=["l_returnflag", "n_rows", "gini"])
         return out.astype({"n_rows": np.int64})
