@@ -1142,11 +1142,14 @@ def kg_bfs_depths(sf_dir: str, rounds: int = BFS_ROUNDS):
         .materialize()
     )
 
-    # deterministic source: the smallest node name (tiny aggregate)
-    src_node = edges.map_batches(
+    # deterministic source: the smallest node name (tiny aggregate);
+    # an empty edge list loses its schema through to_pandas, so the
+    # column check doubles as the empty-graph guard
+    src_df = edges.map_batches(
         lambda b: pd.DataFrame({"src": [b["src"].min()]} if len(b) else {"src": []}),
         batch_format="pandas",
-    ).to_pandas()["src"].min()
+    ).to_pandas()
+    src_node = src_df["src"].min() if "src" in src_df.columns and len(src_df) else None
     if src_node is None or (isinstance(src_node, float) and np.isnan(src_node)):
         import pyarrow as pa
 

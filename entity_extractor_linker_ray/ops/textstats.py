@@ -997,16 +997,17 @@ def docs_top_decile(sf_dir: str):
             .astype({"n_chars": np.int64, "n": np.int64})
         )
 
-    hist = (
-        grouped_aggregate(docs, ["n_chars"], combine, partial=partial,
-                          num_partitions=8)
-        .to_pandas()  # domain-bounded: one row per distinct n_chars
-        .sort_values("n_chars", kind="stable")
-    )
+    hist = grouped_aggregate(docs, ["n_chars"], combine, partial=partial,
+                             num_partitions=8).to_pandas()
+    if hist.empty:  # empty corpus: typed empty result (schema survives)
+        import pyarrow as pa
+        import ray.data as rd2
+
+        return rd2.from_arrow(pa.schema(
+            [("doc_id", pa.int64()), ("n_chars", pa.int64())]).empty_table())
+    hist = hist.sort_values("n_chars", kind="stable")
     cum = hist["n"].to_numpy(dtype=np.int64).cumsum()
-    total = int(cum[-1]) if len(cum) else 0
-    if total == 0:
-        return docs.filter(lambda row: False)
+    total = int(cum[-1])
     k = (9 * total + 9) // 10  # ceil(0.9 * N) without floats
     thr = int(hist["n_chars"].to_numpy(dtype=np.int64)[np.searchsorted(cum, k, side="left")])
 

@@ -4069,6 +4069,13 @@ def events_value_bands(sf_dir: str):
 
     cuts = grouped_aggregate(events, ["event_type"], walk, partial=partial,
                              num_partitions=8).to_pandas()  # |types| rows
+    if cuts.empty:  # empty corpus: typed empty result (schema survives)
+        import pyarrow as pa
+        import ray.data as rd2
+
+        return rd2.from_arrow(pa.schema(
+            [("event_id", pa.int64()), ("event_type", pa.string()),
+             ("band", pa.string())]).empty_table())
     p33 = dict(zip(cuts["event_type"], cuts["p33"].astype(np.int64)))
     p66 = dict(zip(cuts["event_type"], cuts["p66"].astype(np.int64)))
 
@@ -4163,6 +4170,13 @@ def events_mad(sf_dir: str):
 
     med = grouped_aggregate(events, ["event_type"], _median_walk("milli"),
                             partial=partial_value, num_partitions=8).to_pandas()
+    if med.empty:  # empty corpus: typed empty result (schema survives)
+        import pyarrow as pa
+        import ray.data as rd2
+
+        return rd2.from_arrow(pa.schema(
+            [("event_type", pa.string()), ("median_milli", pa.int64()),
+             ("mad_milli", pa.int64())]).empty_table())
     med_map = dict(zip(med["event_type"], med["med"].astype(np.int64)))
 
     def partial_dev(batch: pd.DataFrame) -> pd.DataFrame:
@@ -4498,13 +4512,16 @@ def daily_active_7d(sf_dir: str):
     def day_set(bucket: pd.DataFrame) -> pd.DataFrame:
         return bucket[["day"]].drop_duplicates()
 
-    days = (
-        grouped_aggregate(events, ["day"], day_set, partial=day_partial,
-                          num_partitions=8)
-        .to_pandas()["day"]
-        .to_numpy(dtype=np.int64)
-    )
-    valid_days = np.sort(days)  # domain-bounded: one row per calendar day
+    days_df = grouped_aggregate(events, ["day"], day_set, partial=day_partial,
+                                num_partitions=8).to_pandas()
+    if days_df.empty:  # empty corpus: typed empty result (schema survives)
+        import pyarrow as pa
+        import ray.data as rd2
+
+        return rd2.from_arrow(pa.schema(
+            [("target_day", pa.int64()),
+             ("active_users_7d", pa.int64())]).empty_table())
+    valid_days = np.sort(days_df["day"].to_numpy(dtype=np.int64))
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         d = day_partial(batch)
@@ -5015,12 +5032,15 @@ def user_type_gaps(sf_dir: str):
     def type_set(bucket: pd.DataFrame) -> pd.DataFrame:
         return bucket.drop_duplicates()
 
-    domain = np.sort(
-        grouped_aggregate(events, ["event_type"], type_set,
-                          partial=type_partial, num_partitions=4)
-        .to_pandas()["event_type"]
-        .to_numpy(dtype=object)
-    )
+    domain_df = grouped_aggregate(events, ["event_type"], type_set,
+                                  partial=type_partial, num_partitions=4).to_pandas()
+    if domain_df.empty:  # no observed types: every lattice is empty
+        import pyarrow as pa
+        import ray.data as rd2
+
+        return rd2.from_arrow(pa.schema(
+            [("user_id", pa.int64()), ("event_type", pa.string())]).empty_table())
+    domain = np.sort(domain_df["event_type"].to_numpy(dtype=object))
 
     def tag_customers(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -5551,6 +5571,13 @@ def customer_rfm(sf_dir: str):
 
     per_cust = grouped_aggregate(orders, ["custkey"], combine,
                                  partial=partial).materialize()
+    if per_cust.count() == 0:  # empty corpus: typed empty result
+        import pyarrow as pa
+        import ray.data as rd2
+
+        return rd2.from_arrow(pa.schema(
+            [("custkey", pa.int64()), ("r_score", pa.int64()),
+             ("f_score", pa.int64()), ("m_score", pa.int64())]).empty_table())
 
     def quintile_cuts(col: str) -> np.ndarray:
         def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:

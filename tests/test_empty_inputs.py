@@ -51,6 +51,16 @@ EMPTY_OK = [
     ("kg_entity_lift", 0),
     # COUNT-shaped outputs stay non-empty by design: one row of zeros
     ("kg_linked_counts", 1),
+    # sixth-session ops whose broadcast/cut tables are empty on an
+    # empty corpus — each now returns a typed empty instead of
+    # KeyError-ing on the schema-dropped driver collect
+    ("docs_top_decile", 0),
+    ("events_value_bands", 0),
+    ("events_mad", 0),
+    ("daily_active_7d", 0),
+    ("user_type_gaps", 0),
+    ("kg_bfs_depths", 0),
+    ("customer_rfm", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
