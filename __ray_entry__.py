@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["type_affinity"] = relational.type_affinity
     q["lineitem_quantity_gini"] = relational.lineitem_quantity_gini
     q["events_burstiness"] = relational.events_burstiness
+    q["user_engagement_profile"] = relational.user_engagement_profile
+    q["orders_status_aging"] = relational.orders_status_aging
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -435,6 +437,8 @@ def oracle_sql() -> dict[str, str]:
     sql["type_affinity"] = relational.TYPE_AFFINITY_ORACLE
     sql["lineitem_quantity_gini"] = relational.LINEITEM_QUANTITY_GINI_ORACLE
     sql["events_burstiness"] = relational.EVENTS_BURSTINESS_ORACLE
+    sql["user_engagement_profile"] = relational.USER_ENGAGEMENT_PROFILE_ORACLE
+    sql["orders_status_aging"] = relational.ORDERS_STATUS_AGING_ORACLE
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
     sql["kg_kcore"] = graph_algos.kg_kcore_oracle()

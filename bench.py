@@ -235,6 +235,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "conv_role_words",
         "events_per_user_distribution",
         "bpe_token_counts",
+        "user_engagement_profile",
+        "orders_status_aging",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -6021,3 +6021,195 @@ WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
 SELECT CAST(n AS BIGINT) AS n_events, count(*) AS n_users
 FROM c GROUP BY 1
 """
+
+def user_engagement_profile(sf_dir: str, gap_minutes: int = 30):
+    """Per-user engagement profile — sessionization, conversion, and
+    duration COMPOSED into one user-level feature row (session count,
+    converted-session count, conversion rate, total events, total
+    session-time µs): the table a churn model trains on. Everything
+    derives inside the SAME single hash(user) bucket pass the
+    sessionize family shares — session ids by one cumsum, one
+    per-session rollup, one per-user rollup; the rate is a single IEEE
+    division of exact ints. The oracle chains the sessionize CTE into
+    a two-level aggregate."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    gap_ns = np.int64(gap_minutes) * 60 * 1_000_000_000
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        users = g["user_id"].to_numpy()
+        types = g["event_type"].fillna("").to_numpy(dtype=object)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "n_sessions": pd.Series([], dtype=np.int64),
+                 "n_converted": pd.Series([], dtype=np.int64),
+                 "conversion_rate": pd.Series([], dtype=np.float64),
+                 "n_events": pd.Series([], dtype=np.int64),
+                 "total_session_us": pd.Series([], dtype=np.int64)}
+            )
+        brk = np.ones(n, dtype=np.int64)
+        if n > 1:
+            new_user = users[1:] != users[:-1]
+            brk[1:] = (new_user | (np.diff(ts) > gap_ns)).astype(np.int64)
+        sid = np.cumsum(brk)
+        per_sess = (
+            pd.DataFrame(
+                {"user_id": users, "sid": sid,
+                 "ts_us": ts // 1_000,
+                 "is_click": (types == "click").astype(np.int64),
+                 "is_purchase": (types == "purchase").astype(np.int64)}
+            )
+            .groupby(["user_id", "sid"], sort=False)
+            .agg(n_events=("ts_us", "size"), start=("ts_us", "min"),
+                 end=("ts_us", "max"), clicks=("is_click", "sum"),
+                 purchases=("is_purchase", "sum"))
+            .reset_index()
+        )
+        per_sess["converted"] = (
+            (per_sess["clicks"] > 0) & (per_sess["purchases"] > 0)
+        ).astype(np.int64)
+        per_sess["dur"] = per_sess["end"] - per_sess["start"]
+        out = (
+            per_sess.groupby("user_id", sort=False)
+            .agg(n_sessions=("sid", "size"), n_converted=("converted", "sum"),
+                 n_events=("n_events", "sum"), total_session_us=("dur", "sum"))
+            .reset_index()
+        )
+        out["conversion_rate"] = out["n_converted"].to_numpy(
+            dtype=np.float64
+        ) / out["n_sessions"].to_numpy(dtype=np.float64)
+        return out[["user_id", "n_sessions", "n_converted", "conversion_rate",
+                    "n_events", "total_session_us"]].astype(
+            {c: np.int64 for c in ("user_id", "n_sessions", "n_converted",
+                                   "n_events", "total_session_us")}
+        )
+
+    return grouped_aggregate(events, ["user_id"], combine)
+
+
+USER_ENGAGEMENT_PROFILE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur,
+         CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+               AND sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+              THEN 1 ELSE 0 END AS converted
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS conversion_rate,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(dur) AS BIGINT) AS total_session_us
+FROM per_sess GROUP BY 1
+"""
+
+
+def orders_status_aging(sf_dir: str):
+    """Aging report: OPEN orders bucketed by age bands (≤30 / ≤60 /
+    ≤90 / ≤180 / older days) relative to the corpus's latest order
+    date — the reference-date-relative banding every receivables or
+    backlog dashboard runs. The reference date is ONE tiny max
+    aggregate broadcast as a scalar; the banding scan is shuffle-free
+    and the band counts collapse over a 5-key space. Bands are
+    half-open on exact integer day arithmetic, identical to the
+    oracle's CASE ladder against the same scalar subquery."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderdate"]
+    )
+
+    def day_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if not len(d):
+            return pd.DataFrame({"m": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"m": [int(d.max() // 86_400_000_000)]})
+
+    ref = grouped_aggregate(
+        orders,
+        ["m"],
+        lambda b: pd.DataFrame({"m": [int(b["m"].max())]}) if len(b) else b,
+        partial=day_partial,
+        num_partitions=1,
+    ).to_pandas()
+    if ref.empty:
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.schema(
+            [("age_band", pa.string()), ("n_orders", pa.int64())]).empty_table())
+    ref_day = int(ref["m"].max())
+
+    def band(batch: pd.DataFrame) -> pd.DataFrame:
+        o = batch[batch["o_orderstatus"] == "O"]
+        days = ref_day - (
+            o["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        labels = np.select(
+            [days <= 30, days <= 60, days <= 90, days <= 180],
+            ["0-30", "31-60", "61-90", "91-180"],
+            default="180+",
+        )
+        return (
+            pd.DataFrame({"age_band": labels})
+            .groupby("age_band", sort=False)
+            .size()
+            .reset_index(name="n_orders")
+            .astype({"n_orders": np.int64})
+        )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("age_band", sort=False)["n_orders"]
+            .sum()
+            .reset_index()
+            .astype({"n_orders": np.int64})
+        )
+
+    return grouped_aggregate(orders.map_batches(band, batch_format="pandas"),
+                             ["age_band"], final, num_partitions=1)
+
+
+ORDERS_STATUS_AGING_ORACLE = """
+WITH ref AS (
+  SELECT CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS m
+  FROM orders
+), aged AS (
+  SELECT ref.m - CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS days
+  FROM orders o, ref WHERE o.o_orderstatus = 'O'
+)
+SELECT CASE WHEN days <= 30 THEN '0-30'
+            WHEN days <= 60 THEN '31-60'
+            WHEN days <= 90 THEN '61-90'
+            WHEN days <= 180 THEN '91-180'
+            ELSE '180+' END AS age_band,
+       count(*) AS n_orders
+FROM aged GROUP BY 1
+"""

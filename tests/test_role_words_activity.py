@@ -135,3 +135,98 @@ class TestBpeTokenCounts:
         assert got["n_alpha"] == 6
         assert got["n_num"] == 2
         assert got["n_punct"] == 2
+
+
+class TestEngagementProfile:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            USER_ENGAGEMENT_PROFILE_ORACLE,
+            user_engagement_profile,
+        )
+
+        got = user_engagement_profile(SF).to_pandas().sort_values(
+            "user_id").reset_index(drop=True)
+        exp = _oracle({"events": f"{SF}/events.parquet"},
+                      USER_ENGAGEMENT_PROFILE_ORACLE).sort_values(
+            "user_id").reset_index(drop=True)
+        assert len(got) > 0
+        for col in ("user_id", "n_sessions", "n_converted", "n_events",
+                    "total_session_us"):
+            assert (got[col].to_numpy(dtype=np.int64)
+                    == exp[col].to_numpy(dtype=np.int64)).all()
+        # single IEEE division of identical ints -> bit-exact
+        assert (got["conversion_rate"].to_numpy()
+                == exp["conversion_rate"].to_numpy()).all()
+
+    def test_composed_semantics(self, ray_session, tmp_path):
+        """u1: one converted session + one idle-view session 2h later
+        -> 2 sessions, rate 0.5; durations sum exactly."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            user_engagement_profile,
+        )
+
+        rows = pd.DataFrame(
+            {"event_id": np.arange(1, 6, dtype=np.int64),
+             "user_id": np.ones(5, dtype=np.int64),
+             "ts": pd.to_datetime(
+                 ["2024-01-01 10:00", "2024-01-01 10:05",  # session 1
+                  "2024-01-01 10:10",
+                  "2024-01-01 13:00", "2024-01-01 13:01"]  # session 2
+             ),
+             "event_type": ["click", "view", "purchase", "view", "view"],
+             "value": np.zeros(5), "props": ["{}"] * 5}
+        )
+        rows.to_parquet(tmp_path / "events.parquet")
+
+        got = user_engagement_profile(str(tmp_path)).to_pandas().iloc[0]
+        assert got["n_sessions"] == 2
+        assert got["n_converted"] == 1
+        assert got["conversion_rate"] == 0.5
+        assert got["n_events"] == 5
+        assert got["total_session_us"] == (10 * 60 + 1 * 60) * 1_000_000
+
+
+class TestOrdersAging:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            ORDERS_STATUS_AGING_ORACLE,
+            orders_status_aging,
+        )
+
+        got = _canon(orders_status_aging(SF).to_pandas())
+        exp = _canon(_oracle({"orders": f"{SF}/orders.parquet"},
+                             ORDERS_STATUS_AGING_ORACLE))
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_band_edges_and_status_filter(self, ray_session, tmp_path):
+        """Only status 'O' rows count; an order exactly 30 days old is
+        in 0-30 (closed upper edge), 31 days lands in 31-60; the newest
+        order defines day zero."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            orders_status_aging,
+        )
+
+        orders = pd.DataFrame(
+            {"o_orderkey": np.arange(1, 6, dtype=np.int64),
+             "o_custkey": np.zeros(5, dtype=np.int64),
+             "o_orderstatus": ["O", "O", "O", "F", "O"],
+             "o_totalprice": np.zeros(5),
+             "o_orderdate": pd.to_datetime(
+                 ["2024-06-01",   # 0 days -> 0-30 (also the ref max)
+                  "2024-05-02",   # 30 days -> 0-30
+                  "2024-05-01",   # 31 days -> 31-60
+                  "2024-01-01",   # F: ignored entirely
+                  "2023-01-01"]), # 517 days -> 180+
+             "o_orderpriority": ["1-URGENT"] * 5}
+        )
+        orders.to_parquet(tmp_path / "orders.parquet")
+
+        got = (
+            orders_status_aging(str(tmp_path))
+            .to_pandas().set_index("age_band")["n_orders"]
+        )
+        assert got.get("0-30") == 2
+        assert got.get("31-60") == 1
+        assert got.get("180+") == 1
+        assert "61-90" not in got.index and "91-180" not in got.index
