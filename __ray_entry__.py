@@ -291,6 +291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_burstiness"] = relational.events_burstiness
     q["user_engagement_profile"] = relational.user_engagement_profile
     q["orders_status_aging"] = relational.orders_status_aging
+    q["type_peak_hour"] = relational.type_peak_hour
+    q["lineitem_zorder_keys"] = relational.lineitem_zorder_keys
+    q["kg_reciprocity"] = _ga.kg_reciprocity
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -439,6 +442,9 @@ def oracle_sql() -> dict[str, str]:
     sql["events_burstiness"] = relational.EVENTS_BURSTINESS_ORACLE
     sql["user_engagement_profile"] = relational.USER_ENGAGEMENT_PROFILE_ORACLE
     sql["orders_status_aging"] = relational.ORDERS_STATUS_AGING_ORACLE
+    sql["type_peak_hour"] = relational.TYPE_PEAK_HOUR_ORACLE
+    sql["lineitem_zorder_keys"] = relational.LINEITEM_ZORDER_ORACLE
+    sql["kg_reciprocity"] = graph_algos.kg_reciprocity_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
     sql["kg_kcore"] = graph_algos.kg_kcore_oracle()

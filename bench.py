@@ -237,6 +237,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "bpe_token_counts",
         "user_engagement_profile",
         "orders_status_aging",
+        "type_peak_hour",
+        "lineitem_zorder_keys",
+        "kg_reciprocity",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1314,3 +1314,80 @@ SELECT CAST(n_neighbors AS BIGINT) AS degree,
 FROM ({conn_sql}) c
 GROUP BY 1
 """
+
+def kg_reciprocity(sf_dir: str):
+    """Reciprocity of the DIRECTED co-occurrence KG: how many directed
+    edges have a reverse edge, and the ratio — the symmetry diagnostic
+    that says whether 'A related_to B' is really an undirected
+    relation in this corpus. One bucketed exchange: each edge is keyed
+    by its UNORDERED pair, the per-bucket kernel marks pairs present
+    in both directions, and the two counts collapse to a single row
+    with one IEEE division."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    edges = _kg_edges_materialized(sf_dir)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["subject"] != batch["object"]  # self-loops are
+        batch = batch[keep]  # reciprocal by definition; exclude both sides
+        s = batch["subject"].to_numpy(dtype=object)
+        o = batch["object"].to_numpy(dtype=object)
+        lo = np.minimum(s, o)
+        hi = np.maximum(s, o)
+        return pd.DataFrame(
+            {"lo": lo, "hi": hi,
+             "fwd": (s == lo).astype(np.int64),
+             "rev": (s != lo).astype(np.int64)}
+        )
+
+    def per_pair(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            bucket.groupby(["lo", "hi"], sort=False)
+            .agg(fwd=("fwd", "max"), rev=("rev", "max"))
+            .reset_index()
+        )
+        both = ((m["fwd"] == 1) & (m["rev"] == 1)).astype(np.int64)
+        n_edges = m["fwd"].to_numpy(dtype=np.int64) + m["rev"].to_numpy(
+            dtype=np.int64
+        )
+        return pd.DataFrame(
+            {"n_edges": [int(n_edges.sum())],
+             "n_reciprocal": [int((2 * both).sum())]}
+        )
+
+    partials = grouped_aggregate(edges.map_batches(tag, batch_format="pandas"),
+                                 ["lo", "hi"], per_pair, num_partitions=4)
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        e = int(batch["n_edges"].sum())
+        r = int(batch["n_reciprocal"].sum())
+        return pd.DataFrame(
+            {"n_edges": np.array([e], dtype=np.int64),
+             "n_reciprocal": np.array([r], dtype=np.int64),
+             "reciprocity": np.array(
+                 [np.float64(r) / np.float64(e) if e else 0.0]
+             )}
+        )
+
+    return partials.repartition(1).map_batches(final, batch_format="pandas")
+
+
+def kg_reciprocity_oracle() -> str:
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    edges_sql = simple_kg.oracle_sql()["kg_edges"]
+    return f"""
+WITH e AS (
+  SELECT DISTINCT subject AS s, object AS o FROM ({edges_sql}) kg_e
+  WHERE subject <> object
+),
+marked AS (
+  SELECT a.s, a.o,
+         CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END AS has_rev
+  FROM e a LEFT JOIN e b ON b.s = a.o AND b.o = a.s
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(has_rev) AS BIGINT) AS n_reciprocal,
+       CAST(sum(has_rev) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS reciprocity
+FROM marked
+"""

@@ -6213,3 +6213,117 @@ SELECT CASE WHEN days <= 30 THEN '0-30'
        count(*) AS n_orders
 FROM aged GROUP BY 1
 """
+
+def type_peak_hour(sf_dir: str):
+    """Two-level argmax: for each event type, the hour-of-day with the
+    most events (earliest hour wins ties) and its count — 'when does
+    each stream peak'. The inner aggregate collapses to the tiny
+    (type × 24) key space in the scan's combiner; the outer argmax is
+    a vectorized sort + drop_duplicates per bucket — the grouped-argmax
+    idiom over an AGGREGATE, not a raw row."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_numpy(),
+             "hour_of_day": (ts_us // 3_600_000_000) % 24}
+        )
+        df = df[df["event_type"].notna()]
+        return (
+            df.groupby(["event_type", "hour_of_day"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"hour_of_day": np.int64, "n": np.int64})
+        )
+
+    def argmax(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            bucket.groupby(["event_type", "hour_of_day"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        best = (
+            m.sort_values(["event_type", "n", "hour_of_day"],
+                          ascending=[True, False, True], kind="stable")
+            .drop_duplicates("event_type")
+        )
+        return best.rename(
+            columns={"hour_of_day": "peak_hour", "n": "n_events"}
+        ).astype({"peak_hour": np.int64, "n_events": np.int64})
+
+    return grouped_aggregate(events, ["event_type"], argmax, partial=partial,
+                             num_partitions=4)
+
+
+TYPE_PEAK_HOUR_ORACLE = """
+WITH h AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT)
+           AS hour_of_day,
+         count(*) AS n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+), r AS (
+  SELECT event_type, hour_of_day, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, hour_of_day ASC) AS rn
+  FROM h
+)
+SELECT event_type, hour_of_day AS peak_hour, CAST(n AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+"""
+
+
+ZORDER_BITS = 16
+ZORDER_MASK = (1 << ZORDER_BITS) - 1
+
+
+def lineitem_zorder_keys(sf_dir: str):
+    """Z-order (Morton) clustering keys: the bit-interleave of
+    (partkey, suppkey) — the multi-dimensional sort key a lakehouse
+    layout uses so range scans on EITHER dimension touch few files.
+    Row-local and fully vectorized (16 shift/mask/or steps over the
+    whole column at once); keys are masked to 16 bits per dimension
+    (the documented domain bound — interleaving is only meaningful
+    within a fixed bit budget). The oracle replays the identical
+    arithmetic via ``range(0,16)`` bit extraction, so the keys
+    hash-match; the downstream ``sort(morton_key)`` is the ordinary
+    range-partitioned sort every engine already has."""
+    import ray.data as rd
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["l_partkey"].to_numpy(dtype=np.int64) & ZORDER_MASK
+        b = batch["l_suppkey"].to_numpy(dtype=np.int64) & ZORDER_MASK
+        m = np.zeros(len(a), dtype=np.int64)
+        for i in range(ZORDER_BITS):
+            m |= ((a >> i) & 1) << (2 * i)
+            m |= ((b >> i) & 1) << (2 * i + 1)
+        return pd.DataFrame(
+            {"l_orderkey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+             "l_linenumber": batch["l_linenumber"].to_numpy(dtype=np.int64),
+             "morton_key": m}
+        )
+
+    return lines.map_batches(kernel, batch_format="pandas")
+
+
+LINEITEM_ZORDER_ORACLE = f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST((SELECT SUM(
+           (((l_partkey % {ZORDER_MASK + 1}) // CAST(pow(2, i) AS BIGINT)) % 2)
+             * CAST(pow(4, i) AS BIGINT)
+         + (((l_suppkey % {ZORDER_MASK + 1}) // CAST(pow(2, i) AS BIGINT)) % 2)
+             * 2 * CAST(pow(4, i) AS BIGINT))
+        FROM unnest(range(0, {ZORDER_BITS})) t(i)) AS BIGINT) AS morton_key
+FROM lineitem
+"""

@@ -177,3 +177,95 @@ class TestBurstiness:
         # fano = (4*17 - 25) / (4*5) = 43/20
         assert got.loc["bursty", "fano"] == 43 / 20
         assert got.loc["smooth", "fano"] == 0.0
+
+
+class TestReciprocityPeakZorder:
+    def test_reciprocity_matches(self, ray_session):
+        from entity_extractor_linker_ray.ops.graph_algos import (
+            kg_reciprocity,
+            kg_reciprocity_oracle,
+        )
+
+        got = kg_reciprocity(SF).to_pandas().iloc[0]
+        exp = _oracle({"documents": f"{SF}/documents.parquet"},
+                      kg_reciprocity_oracle()).iloc[0]
+        assert int(got["n_edges"]) == int(exp["n_edges"])
+        assert int(got["n_reciprocal"]) == int(exp["n_reciprocal"])
+        assert float(got["reciprocity"]) == float(exp["reciprocity"])
+
+    def test_reciprocity_planted(self, ray_session, tmp_path):
+        """spark→hash and hash→spark (from two mirrored docs) are
+        reciprocal; hash→vector one-way: 3 directed edges, 2
+        reciprocal → ratio 2/3."""
+        from entity_extractor_linker_ray.ops.graph_algos import (
+            _KG_EDGES_CACHE,
+            kg_reciprocity,
+        )
+
+        docs = pd.DataFrame(
+            {"doc_id": np.array([1, 2, 3], dtype=np.int64),
+             "text": ["spark hash", "hash spark", "hash vector"],
+             "lang": ["en"] * 3, "source": ["s"] * 3,
+             "n_chars": np.zeros(3, dtype=np.int64)}
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        _KG_EDGES_CACHE.pop(str(tmp_path), None)
+
+        got = kg_reciprocity(str(tmp_path)).to_pandas().iloc[0]
+        assert got["n_edges"] == 3
+        assert got["n_reciprocal"] == 2
+        assert got["reciprocity"] == 2 / 3
+
+    def test_peak_hour_matches_and_ties(self, ray_session, tmp_path):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            TYPE_PEAK_HOUR_ORACLE,
+            type_peak_hour,
+        )
+
+        got = _canon(type_peak_hour(SF).to_pandas())
+        exp = _canon(_oracle({"events": f"{SF}/events.parquet"},
+                             TYPE_PEAK_HOUR_ORACLE))
+        pd.testing.assert_frame_equal(got, exp)
+
+        # tie: hours 2 and 5 both have 2 events -> earliest (2) wins
+        rows = pd.DataFrame(
+            {"event_id": np.arange(1, 6, dtype=np.int64),
+             "user_id": np.ones(5, dtype=np.int64),
+             "ts": pd.to_datetime(
+                 ["2024-01-01 02:00", "2024-01-01 02:30",
+                  "2024-01-01 05:00", "2024-01-01 05:30",
+                  "2024-01-01 07:00"]),
+             "event_type": ["x"] * 5,
+             "value": np.zeros(5), "props": ["{}"] * 5}
+        )
+        rows.to_parquet(tmp_path / "events.parquet")
+        t = type_peak_hour(str(tmp_path)).to_pandas().iloc[0]
+        assert t["peak_hour"] == 2 and t["n_events"] == 2
+
+    def test_zorder_interleave(self, ray_session, tmp_path):
+        """Hand-checked Morton values: (5, 3) interleaves to 27; a
+        key above 16 bits is masked; z-locality holds (nearby pairs
+        get nearby keys relative to far pairs)."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            lineitem_zorder_keys,
+        )
+
+        rows = pd.DataFrame(
+            {"l_orderkey": np.array([1, 2, 3], dtype=np.int64),
+             "l_linenumber": np.array([1, 1, 1], dtype=np.int32),
+             "l_partkey": np.array([5, 5 + (1 << 16), 1000], dtype=np.int64),
+             "l_suppkey": np.array([3, 3, 1000], dtype=np.int64),
+             "l_quantity": np.ones(3), "l_extendedprice": np.ones(3),
+             "l_discount": np.zeros(3), "l_tax": np.zeros(3),
+             "l_returnflag": ["N"] * 3, "l_linestatus": ["O"] * 3,
+             "l_shipdate": pd.to_datetime(["2024-01-01"] * 3)}
+        )
+        rows.to_parquet(tmp_path / "lineitem.parquet")
+
+        got = (
+            lineitem_zorder_keys(str(tmp_path))
+            .to_pandas().set_index("l_orderkey")["morton_key"]
+        )
+        assert got.loc[1] == 27
+        assert got.loc[2] == 27  # masked to 16 bits
+        assert got.loc[3] != 27
