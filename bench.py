@@ -240,6 +240,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "type_peak_hour",
         "lineitem_zorder_keys",
         "kg_reciprocity",
+        "events_hourly_autocorr",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -6327,3 +6327,117 @@ SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         FROM unnest(range(0, {ZORDER_BITS})) t(i)) AS BIGINT) AS morton_key
 FROM lineitem
 """
+def events_hourly_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of each type's DENSE hourly count series
+    (zeros included) — the temporal-persistence statistic ('does a busy
+    hour predict the next one') beside :func:`events_burstiness`'s
+    dispersion. Zero hours never materialize: over the dense series
+    c_lo..c_hi every sufficient statistic reduces to sums over the
+    PRESENT entries of the (type, hour) histogram —
+    S=Σc, Q=Σc², P=Σ c_h·c_{h+1} (only ADJACENT-present pairs
+    contribute; any pair involving a zero adds 0), endpoint counts
+    c_lo/c_hi, and the pair count m = span−1. The Pearson closed form
+    over the m lagged pairs then runs ONCE per type in double
+    precision, hash-identical to the self-join oracle."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_numpy(),
+             "hour": ts_ns // 3_600_000_000_000}
+        )
+        df = df[df["event_type"].notna()]
+        return (
+            df.groupby(["event_type", "hour"], sort=False)
+            .size()
+            .reset_index(name="c")
+            .astype({"hour": np.int64, "c": np.int64})
+        )
+
+    def autocorr(bucket: pd.DataFrame) -> pd.DataFrame:
+        hist = (
+            bucket.groupby(["event_type", "hour"], sort=False)["c"]
+            .sum()
+            .reset_index()
+            .sort_values(["event_type", "hour"], kind="stable")
+        )
+        rows = []
+        for etype, g in hist.groupby("event_type", sort=False):
+            h = g["hour"].to_numpy(dtype=np.int64)
+            c = g["c"].to_numpy(dtype=np.int64)
+            span = int(h[-1] - h[0] + 1)
+            m = span - 1
+            s = int(c.sum())
+            q = int((c * c).sum())
+            adj = h[1:] == h[:-1] + 1
+            p = int((c[:-1][adj] * c[1:][adj]).sum())
+            c_lo = int(c[0])
+            c_hi = int(c[-1])
+            sx, sy = s - c_hi, s - c_lo
+            qx, qy = q - c_hi * c_hi, q - c_lo * c_lo
+            if m <= 0:
+                r = 0.0
+            else:
+                num = np.float64(m) * np.float64(p) - np.float64(sx) * np.float64(sy)
+                vx = np.float64(m) * np.float64(qx) - np.float64(sx) * np.float64(sx)
+                vy = np.float64(m) * np.float64(qy) - np.float64(sy) * np.float64(sy)
+                den = np.sqrt(vx) * np.sqrt(vy)
+                r = float(num / den) if den > 0.0 else 0.0
+            rows.append({"event_type": etype, "n_pairs": m, "autocorr_lag1": r})
+        out = pd.DataFrame(rows, columns=["event_type", "n_pairs", "autocorr_lag1"])
+        return out.astype({"n_pairs": np.int64})
+
+    return grouped_aggregate(events, ["event_type"], autocorr, partial=partial,
+                             num_partitions=4)
+
+
+EVENTS_HOURLY_AUTOCORR_ORACLE = """
+WITH h AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         count(*) AS c
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+), s AS (
+  SELECT a.event_type,
+         CAST(MAX(a.hour) - MIN(a.hour) AS BIGINT) AS m,
+         CAST(SUM(a.c) AS BIGINT) AS s,
+         CAST(SUM(a.c * a.c) AS BIGINT) AS q
+  FROM h a GROUP BY 1
+), p AS (
+  SELECT a.event_type, CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS p
+  FROM h a LEFT JOIN h b
+    ON b.event_type = a.event_type AND b.hour = a.hour + 1
+  GROUP BY 1
+), ends AS (
+  SELECT event_type,
+         CAST(MAX(CASE WHEN rn_lo = 1 THEN c END) AS BIGINT) AS c_lo,
+         CAST(MAX(CASE WHEN rn_hi = 1 THEN c END) AS BIGINT) AS c_hi
+  FROM (
+    SELECT event_type, c,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour ASC) AS rn_lo,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour DESC) AS rn_hi
+    FROM h
+  ) t GROUP BY 1
+)
+SELECT s.event_type, s.m AS n_pairs,
+       CASE WHEN s.m <= 0 THEN 0.0
+            WHEN sqrt(CAST(s.m AS DOUBLE) * CAST(s.q - ends.c_hi * ends.c_hi AS DOUBLE)
+                      - CAST(s.s - ends.c_hi AS DOUBLE) * CAST(s.s - ends.c_hi AS DOUBLE))
+                 * sqrt(CAST(s.m AS DOUBLE) * CAST(s.q - ends.c_lo * ends.c_lo AS DOUBLE)
+                        - CAST(s.s - ends.c_lo AS DOUBLE) * CAST(s.s - ends.c_lo AS DOUBLE)) > 0
+            THEN (CAST(s.m AS DOUBLE) * CAST(p.p AS DOUBLE)
+                  - CAST(s.s - ends.c_hi AS DOUBLE) * CAST(s.s - ends.c_lo AS DOUBLE))
+                 / (sqrt(CAST(s.m AS DOUBLE) * CAST(s.q - ends.c_hi * ends.c_hi AS DOUBLE)
+                         - CAST(s.s - ends.c_hi AS DOUBLE) * CAST(s.s - ends.c_hi AS DOUBLE))
+                    * sqrt(CAST(s.m AS DOUBLE) * CAST(s.q - ends.c_lo * ends.c_lo AS DOUBLE)
+                           - CAST(s.s - ends.c_lo AS DOUBLE) * CAST(s.s - ends.c_lo AS DOUBLE)))
+            ELSE 0.0 END AS autocorr_lag1
+FROM s JOIN p ON p.event_type = s.event_type
+JOIN ends ON ends.event_type = s.event_type
+"""

@@ -269,3 +269,63 @@ class TestReciprocityPeakZorder:
         assert got.loc[1] == 27
         assert got.loc[2] == 27  # masked to 16 bits
         assert got.loc[3] != 27
+
+
+class TestHourlyAutocorr:
+    def test_matches_duckdb_bitexact(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_HOURLY_AUTOCORR_ORACLE,
+            events_hourly_autocorr,
+        )
+
+        got = (
+            events_hourly_autocorr(SF).to_pandas()
+            .sort_values("event_type").reset_index(drop=True)
+        )
+        exp = (
+            _oracle({"events": f"{SF}/events.parquet"},
+                    EVENTS_HOURLY_AUTOCORR_ORACLE)
+            .sort_values("event_type").reset_index(drop=True)
+        )
+        assert len(got) > 0
+        assert (got["n_pairs"].to_numpy(dtype=np.int64)
+                == exp["n_pairs"].to_numpy(dtype=np.int64)).all()
+        assert (got["autocorr_lag1"].to_numpy()
+                == exp["autocorr_lag1"].to_numpy()).all()
+
+    def test_alternating_vs_persistent(self, ray_session, tmp_path):
+        """A strictly alternating hourly series (2,0,2,0,2) has lag-1
+        autocorrelation exactly −1 — including the IMPLICIT zero hours
+        the dense-series semantics must count; a constant series has
+        zero variance → the 0.0 guard; a single-hour type has no pairs
+        → 0.0."""
+        from entity_extractor_linker_ray.pipelines.relational import (
+            events_hourly_autocorr,
+        )
+
+        alternating = _events(
+            list(range(1, 7)),
+            [1] * 6,
+            ["2024-01-01 00:01", "2024-01-01 00:02",   # hour 0: 2
+             "2024-01-01 02:01", "2024-01-01 02:02",   # hour 2: 2 (1 is 0)
+             "2024-01-01 04:01", "2024-01-01 04:02"],  # hour 4: 2 (3 is 0)
+            ["alt"] * 6,
+        )
+        single = _events([7], [1], ["2024-01-01 09:30"], ["solo"])
+        const = _events(
+            [8, 9, 10], [1] * 3,
+            ["2024-01-02 00:30", "2024-01-02 01:30", "2024-01-02 02:30"],
+            ["flat"] * 3,
+        )
+        pd.concat([alternating, single, const], ignore_index=True).to_parquet(
+            tmp_path / "events.parquet"
+        )
+
+        got = (
+            events_hourly_autocorr(str(tmp_path))
+            .to_pandas().set_index("event_type")
+        )
+        assert got.loc["alt", "autocorr_lag1"] == -1.0
+        assert got.loc["solo", "n_pairs"] == 0
+        assert got.loc["solo", "autocorr_lag1"] == 0.0
+        assert got.loc["flat", "autocorr_lag1"] == 0.0  # zero variance
