@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lineitem_zorder_keys"] = relational.lineitem_zorder_keys
     q["kg_reciprocity"] = _ga.kg_reciprocity
     q["events_hourly_autocorr"] = relational.events_hourly_autocorr
+    q["kg_assortativity"] = _ga.kg_assortativity
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -447,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
     sql["lineitem_zorder_keys"] = relational.LINEITEM_ZORDER_ORACLE
     sql["kg_reciprocity"] = graph_algos.kg_reciprocity_oracle()
     sql["events_hourly_autocorr"] = relational.EVENTS_HOURLY_AUTOCORR_ORACLE
+    sql["kg_assortativity"] = graph_algos.kg_assortativity_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
     sql["kg_kcore"] = graph_algos.kg_kcore_oracle()

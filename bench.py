@@ -241,6 +241,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "lineitem_zorder_keys",
         "kg_reciprocity",
         "events_hourly_autocorr",
+        "kg_assortativity",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1391,3 +1391,152 @@ SELECT CAST(count(*) AS BIGINT) AS n_edges,
        CAST(sum(has_rev) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS reciprocity
 FROM marked
 """
+
+def kg_assortativity(sf_dir: str):
+    """Degree assortativity (Newman's r) of the undirected
+    co-occurrence KG: the Pearson correlation of (source-degree,
+    target-degree) over all 2E directed stubs — positive = hubs link
+    hubs; the third graph-characterization number beside the degree
+    distribution and reciprocity. Degrees come from the
+    distinct-neighbor aggregate; each endpoint's degree is attached by
+    a tagged bucketed join (src first, then dst — never a degree
+    broadcast), stubs are globally deduplicated inside the src bucket
+    (all copies of a stub hash together), and the four integer
+    sufficient sums collapse to one closed-form double division.
+    Self-loops cannot occur in this KG (consecutive mentions are
+    distinct entities)."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.pipelines.simple_kg import (
+        kg_entity_connections,
+    )
+
+    degrees = kg_entity_connections(sf_dir).materialize()
+    edges = _kg_edges_materialized(sf_dir)
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["subject"].to_numpy(dtype=object)
+        o = batch["object"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {"src": np.concatenate([s, o]), "dst": np.concatenate([o, s])}
+        ).drop_duplicates()
+
+    stubs = edges.map_batches(both_dirs, batch_format="pandas")
+
+    def tag_deg_src(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": batch["entity"].to_numpy(dtype=object),
+             "dst": "", "deg": batch["n_neighbors"].to_numpy(dtype=np.int64),
+             "kind": np.int64(0)}
+        )
+
+    def tag_stub(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": batch["src"].to_numpy(dtype=object),
+             "dst": batch["dst"].to_numpy(dtype=object),
+             "deg": np.int64(-1), "kind": np.int64(1)}
+        )
+
+    def attach_src(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket[bucket["kind"] == 0][["src", "deg"]].drop_duplicates()
+        # global stub dedup happens HERE: every copy of (src, dst)
+        # hashes into this bucket
+        e = bucket[bucket["kind"] == 1][["src", "dst"]].drop_duplicates()
+        m = e.merge(d, on="src", how="inner")
+        return pd.DataFrame(
+            {"dst": m["dst"].to_numpy(dtype=object),
+             "deg_src": m["deg"].to_numpy(dtype=np.int64)}
+        )
+
+    half = grouped_aggregate(
+        stubs.map_batches(tag_stub, batch_format="pandas").union(
+            degrees.map_batches(tag_deg_src, batch_format="pandas")
+        ),
+        ["src"], attach_src, coalesce=True,
+    )
+
+    def tag_deg_dst(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"dst": batch["entity"].to_numpy(dtype=object),
+             "deg_src": np.int64(-1),
+             "deg": batch["n_neighbors"].to_numpy(dtype=np.int64),
+             "kind": np.int64(0)}
+        )
+
+    def tag_half(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["deg"] = np.int64(-1)
+        out["kind"] = np.int64(1)
+        return out
+
+    def sums(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket[bucket["kind"] == 0][["dst", "deg"]].drop_duplicates()
+        e = bucket[bucket["kind"] == 1][["dst", "deg_src"]]
+        m = e.merge(d, on="dst", how="inner")
+        x = m["deg_src"].to_numpy(dtype=np.int64)
+        y = m["deg"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"n": [np.int64(len(m))], "sx": [int(x.sum())],
+             "sxx": [int((x * x).sum())], "sxy": [int((x * y).sum())]}
+        )
+
+    partials = grouped_aggregate(
+        half.map_batches(tag_half, batch_format="pandas").union(
+            degrees.map_batches(tag_deg_dst, batch_format="pandas")
+        ),
+        ["dst"], sums, coalesce=True,
+    )
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        m = int(batch["n"].sum())
+        sx = int(batch["sx"].sum())
+        sxx = int(batch["sxx"].sum())
+        sxy = int(batch["sxy"].sum())
+        if m == 0:
+            r = 0.0
+        else:
+            num = np.float64(m) * np.float64(sxy) - np.float64(sx) * np.float64(sx)
+            den = np.float64(m) * np.float64(sxx) - np.float64(sx) * np.float64(sx)
+            r = float(num / den) if den > 0.0 else 0.0
+        return pd.DataFrame(
+            {"n_stubs": np.array([m], dtype=np.int64),
+             "assortativity": np.array([r], dtype=np.float64)}
+        )
+
+    return partials.repartition(1).map_batches(final, batch_format="pandas")
+
+
+def kg_assortativity_oracle() -> str:
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    oracles = simple_kg.oracle_sql()
+    edges_sql = oracles["kg_edges"]
+    conn_sql = oracles["kg_entity_connections"]
+    return f"""
+WITH conn AS (SELECT entity, n_neighbors FROM ({conn_sql}) c),
+base AS (SELECT subject AS s, object AS o FROM ({edges_sql}) e),
+stubs AS (
+  SELECT DISTINCT s, o FROM (
+    SELECT s, o FROM base UNION ALL SELECT o AS s, s AS o FROM base
+  ) u
+),
+j AS (
+  SELECT cx.n_neighbors AS x, cy.n_neighbors AS y
+  FROM stubs JOIN conn cx ON cx.entity = stubs.s
+             JOIN conn cy ON cy.entity = stubs.o
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT m AS n_stubs,
+       CASE WHEN m = 0 THEN 0.0
+            WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            ELSE 0.0 END AS assortativity
+FROM agg
+"""

@@ -329,3 +329,39 @@ class TestHourlyAutocorr:
         assert got.loc["solo", "n_pairs"] == 0
         assert got.loc["solo", "autocorr_lag1"] == 0.0
         assert got.loc["flat", "autocorr_lag1"] == 0.0  # zero variance
+
+
+class TestAssortativity:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.ops.graph_algos import (
+            kg_assortativity,
+            kg_assortativity_oracle,
+        )
+
+        got = kg_assortativity(SF).to_pandas().iloc[0]
+        exp = _oracle({"documents": f"{SF}/documents.parquet"},
+                      kg_assortativity_oracle()).iloc[0]
+        assert int(got["n_stubs"]) == int(exp["n_stubs"])
+        assert float(got["assortativity"]) == float(exp["assortativity"])
+
+    def test_star_is_disassortative(self, ray_session, tmp_path):
+        """A star (hub co-occurring with three leaves) is maximally
+        DISASSORTATIVE: every edge pairs degree 3 with degree 1 →
+        r = −1; and the stub count is 2E = 6."""
+        from entity_extractor_linker_ray.ops.graph_algos import (
+            _KG_EDGES_CACHE,
+            kg_assortativity,
+        )
+
+        docs = pd.DataFrame(
+            {"doc_id": np.array([1, 2, 3], dtype=np.int64),
+             "text": ["hash spark", "hash vector", "hash window"],
+             "lang": ["en"] * 3, "source": ["s"] * 3,
+             "n_chars": np.zeros(3, dtype=np.int64)}
+        )
+        docs.to_parquet(tmp_path / "documents.parquet")
+        _KG_EDGES_CACHE.pop(str(tmp_path), None)
+
+        got = kg_assortativity(str(tmp_path)).to_pandas().iloc[0]
+        assert got["n_stubs"] == 6
+        assert got["assortativity"] == -1.0
