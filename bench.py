@@ -4,10 +4,12 @@ Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) under ``ray.init(address="local",
 num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line.
 
-``--scaling``: run the headline KG pipeline in two fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and report both
-throughputs plus scaling efficiency (the sandbox stand-in for the
-north rule's N vs 4N cluster sizes).
+``--scaling``: run the headline KG pipeline in fresh interleaved
+processes at two parallelism levels (default num_cpus=6 and 24 —
+``GRAFT_SCALING_LO/HI``; see the arm rationale in ``main_scaling``
+and BASELINE.md) on the same input and report both throughputs plus
+scaling efficiency (the sandbox stand-in for the north rule's N vs
+4N cluster sizes).
 """
 
 from __future__ import annotations
