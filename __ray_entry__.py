@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["label_centroids"] = ann.label_centroids
     q["knn_lsh"] = ann.knn_lsh
     q["knn_ivf"] = ann.knn_ivf
+    q["knn_pq"] = ann.knn_pq
     # --- multimodal plumbing ------------------------------------------
     q["multimodal_meta"] = multimodal.multimodal_meta
     q["multimodal_decode"] = multimodal.decode_features
@@ -296,6 +297,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_reciprocity"] = _ga.kg_reciprocity
     q["events_hourly_autocorr"] = relational.events_hourly_autocorr
     q["kg_assortativity"] = _ga.kg_assortativity
+    q["kg_edge_jaccard"] = _ga.kg_edge_jaccard
+    q["lineitem_regr"] = relational.lineitem_regr
+    q["kg_shortest_paths"] = _ga.kg_shortest_paths
+    q["q3_unshipped_revenue"] = relational.q3_unshipped_revenue
+    q["orders_below_customer_avg"] = relational.orders_below_customer_avg
+    q["customer_order_counts"] = relational.customer_order_counts
+    q["promo_revenue_share"] = relational.promo_revenue_share
+    q["kg_link_candidates"] = _ga.kg_link_candidates
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -449,6 +458,14 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_reciprocity"] = graph_algos.kg_reciprocity_oracle()
     sql["events_hourly_autocorr"] = relational.EVENTS_HOURLY_AUTOCORR_ORACLE
     sql["kg_assortativity"] = graph_algos.kg_assortativity_oracle()
+    sql["kg_edge_jaccard"] = graph_algos.kg_edge_jaccard_oracle()
+    sql["lineitem_regr"] = relational.LINEITEM_REGR_ORACLE
+    sql["kg_shortest_paths"] = graph_algos.kg_shortest_paths_oracle()
+    sql["q3_unshipped_revenue"] = relational.q3_unshipped_revenue_oracle()
+    sql["orders_below_customer_avg"] = relational.ORDERS_BELOW_CUSTOMER_AVG_ORACLE
+    sql["customer_order_counts"] = relational.CUSTOMER_ORDER_COUNTS_ORACLE
+    sql["promo_revenue_share"] = relational.PROMO_REVENUE_SHARE_ORACLE
+    sql["kg_link_candidates"] = graph_algos.kg_link_candidates_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
     sql["kg_kcore"] = graph_algos.kg_kcore_oracle()

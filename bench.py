@@ -244,6 +244,15 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "kg_reciprocity",
         "events_hourly_autocorr",
         "kg_assortativity",
+        "lineitem_regr",
+        "kg_edge_jaccard",
+        "knn_pq",
+        "kg_shortest_paths",
+        "q3_unshipped_revenue",
+        "orders_below_customer_avg",
+        "customer_order_counts",
+        "promo_revenue_share",
+        "kg_link_candidates",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -11,6 +11,11 @@
   path): deterministic k-means centroids fit on a bounded sample,
   broadcast once; every batch assigns vectors to their nearest list
   and scores only vectors in the ``n_probe`` lists nearest each query.
+* :func:`knn_pq` — product-quantization / ADC variant (the memory
+  scale path): vectors compress to ``n_sub`` uint8 codes, queries
+  score whole batches through a tiny lookup-table gather — at 100 TB
+  the code table is ~64× smaller than the float vectors, so the scan
+  is object-store-bandwidth-bound instead of matmul-bound.
 """
 
 from __future__ import annotations
@@ -208,24 +213,13 @@ def _fit_centroids(sample: np.ndarray, n_lists: int, iters: int = 10,
     return centroids
 
 
-def knn_ivf(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
-            n_lists: int = 16, n_probe: int = 2, seed: int = 37,
-            sample_rows: int = 4096):
-    """IVF approximate top-k: vectors are binned by nearest centroid;
-    each query scores only vectors in its ``n_probe`` nearest lists.
-    Centroids fit once on a bounded sample and broadcast via
-    ``ray.put``; per batch ONE matmul assigns lists and one masked
-    matmul scores — no shuffle at all (the partial-top-k merge is the
-    only small exchange, same shape as :func:`knn_brute`)."""
+def _stream_sample(sf_dir: str, sample_rows: int) -> np.ndarray:
+    """Bounded streaming training sample: iterate record batches until
+    ``sample_rows`` are collected — never materializes the full table
+    on the driver (file-ordered data caveat: pass a larger sample_rows
+    or pre-shuffle when the file is clustered by similarity)."""
     import pyarrow.parquet as pq
 
-    import ray
-
-    queries = _query_matrix(sf_dir, n_queries)
-    # bounded streaming sample: iterate record batches until
-    # sample_rows are collected — never materializes the full table on
-    # the driver (file-ordered data caveat: pass a larger sample_rows
-    # or pre-shuffle when the file is clustered by similarity)
     collected: list[np.ndarray] = []
     n_collected = 0
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
@@ -237,7 +231,22 @@ def knn_ivf(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
                 break
         if n_collected >= sample_rows:
             break
-    sample = np.stack(collected)
+    return np.stack(collected)
+
+
+def knn_ivf(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
+            n_lists: int = 16, n_probe: int = 2, seed: int = 37,
+            sample_rows: int = 4096):
+    """IVF approximate top-k: vectors are binned by nearest centroid;
+    each query scores only vectors in its ``n_probe`` nearest lists.
+    Centroids fit once on a bounded sample and broadcast via
+    ``ray.put``; per batch ONE matmul assigns lists and one masked
+    matmul scores — no shuffle at all (the partial-top-k merge is the
+    only small exchange, same shape as :func:`knn_brute`)."""
+    import ray
+
+    queries = _query_matrix(sf_dir, n_queries)
+    sample = _stream_sample(sf_dir, sample_rows)
     centroids = _fit_centroids(sample, n_lists, seed=seed)
     q_lists = np.argsort(-(queries @ centroids.T), axis=1)[:, :n_probe]
     ctx_ref = ray.put((queries, centroids, q_lists))
@@ -282,6 +291,119 @@ def knn_ivf(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
 
     partials = _read_embeddings(sf_dir).map_batches(
         IvfTopK, batch_format="pandas", concurrency=(1, 16)
+    )
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def _fit_pq_codebooks(sample: np.ndarray, n_sub: int, n_codes: int,
+                      iters: int = 10, seed: int = 41) -> list[np.ndarray]:
+    """Deterministic L2 k-means per subspace on unit-normalized
+    training vectors (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011). Bounded sample ⇒ O(sample) fit,
+    independent of corpus size."""
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = sample / norms
+    rng = np.random.default_rng(seed)
+    books: list[np.ndarray] = []
+    for sub in np.array_split(unit, n_sub, axis=1):
+        cents = sub[rng.choice(len(sub), size=min(n_codes, len(sub)),
+                               replace=False)].copy()
+        for _ in range(iters):
+            # argmin ||x - c||² == argmax x·c − ||c||²/2
+            scores = sub @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+            assign = np.argmax(scores, axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return books
+
+
+def knn_pq(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
+           n_sub: int = 8, n_codes: int = 32, seed: int = 41,
+           sample_rows: int = 4096, refine_mult: int = 8):
+    """Product-quantization top-k: ADC preselect + exact re-rank —
+    the standard two-stage PQ search (Jégou et al. 2011). Stage 1
+    scores a whole batch through a LUT GATHER: each vector compresses
+    to ``n_sub`` uint8 codes (nearest sub-codebook centroid, L2) and
+    ``approx_sim = Σ_m LUT_m[code_m]`` with ``LUT_m = C_m @ q_m``
+    built once per query. Stage 2 exact-scores only the per-batch ADC
+    top ``refine_mult·(k+1)`` candidates (one small matmul) — without
+    it, within-cluster vectors quantize to near-identical codes and
+    the final ranking is arbitrary.
+
+    Why this is the memory scale path: at 10^10 vectors the float
+    corpus is ~2.5 PB while the code table is ~80 GB + one broadcast
+    codebook — the coarse scan is storage-bandwidth-bound (``n_sub``
+    table lookups per vector, no dim-wide FMA) and exact math touches
+    only the candidate sliver. Here encode+scan fuse into one pass
+    over the raw column (production stores the codes as their own
+    column); the refine step reads the raw vectors already in the
+    batch. Codebooks fit once on a bounded driver-side sample and
+    broadcast via ``ray.put``; no shuffle beyond the tiny
+    partial-top-k merge (same shape as :func:`knn_brute`). Approximate
+    by design — recall vs brute is asserted in pytest, driver check is
+    rows-only."""
+    import ray
+
+    queries = _query_matrix(sf_dir, n_queries)
+    sample = _stream_sample(sf_dir, sample_rows)
+    books = _fit_pq_codebooks(sample, n_sub, n_codes, seed=seed)
+    # per-query LUTs are query-count × n_sub × n_codes — tiny; build
+    # once on the driver and broadcast alongside the codebooks
+    bounds = np.cumsum([0] + [b.shape[1] for b in books])
+    luts = np.stack([
+        np.stack([books[m] @ q[bounds[m]:bounds[m + 1]]
+                  for m in range(n_sub)])
+        for q in queries
+    ])  # (n_queries, n_sub, n_codes)
+    ctx_ref = ray.put((queries, books, bounds, luts))
+
+    class PqTopK:
+        def __init__(self):
+            self.queries, self.books, self.bounds, self.luts = ray.get(ctx_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms
+            # encode: nearest centroid per subspace (one matmul each)
+            codes = np.empty((len(unit), len(self.books)), dtype=np.int64)
+            for m, cents in enumerate(self.books):
+                sub = unit[:, self.bounds[m]:self.bounds[m + 1]]
+                scores = sub @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+                codes[:, m] = np.argmax(scores, axis=1)
+            ids = batch["vec_id"].to_numpy()
+            n_refine = min(len(ids), refine_mult * (k + 1))
+            out = []
+            for q in range(self.luts.shape[0]):
+                # ADC: gather + sum over subspaces, no matmul
+                adc = self.luts[q][np.arange(len(self.books)), codes].sum(axis=1)
+                cand = np.argpartition(-adc, n_refine - 1)[:n_refine]
+                exact = unit[cand] @ self.queries[q]
+                for i, s in zip(cand, exact):
+                    out.append((q, int(ids[i]), float(s)))
+            return pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        q = int(group["query_id"].iloc[0])
+        g = group[group["neighbor_id"] != q]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(g), q, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    partials = _read_embeddings(sf_dir).map_batches(
+        PqTopK, batch_format="pandas", concurrency=(1, 16)
     )
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
 

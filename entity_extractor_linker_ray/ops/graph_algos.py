@@ -1540,3 +1540,599 @@ SELECT m AS n_stubs,
             ELSE 0.0 END AS assortativity
 FROM agg
 """
+
+
+def kg_edge_jaccard(sf_dir: str, num_partitions: int = 8, edges_ds=None):
+    """Neighborhood Jaccard per KG edge — for every canonical
+    undirected edge (u < v): the count of common neighbors, the
+    neighborhood-union size, and their ratio. The classic
+    link-prediction / edge-strength feature (strong ties share
+    neighborhoods); also the per-edge form of the clustering
+    signal :func:`kg_triangles` totals globally.
+
+    Distributed plan, four bucketed exchanges and no driver graph
+    state:
+
+    1. key (u, v): canonicalize + dedup the undirected edge set
+       (materialized once — node/edge cardinality, reused by three
+       consumers);
+    2. key m: WEDGE generation — each middle vertex emits all ordered
+       pairs (a < b) of its distinct neighbors, pre-counted per bucket
+       (partial combine). Σ deg(m)² explosion trade as in
+       :func:`kg_triangles`: production graphs cap celebrity vertices'
+       wedge lists;
+    3. key (u, v): wedge counts meet edge markers — per-edge common
+       count, edges with zero wedges kept (LEFT semantics);
+    4. key node (twice): degree rows meet edge rows — attach deg(u)
+       then deg(v) with a vectorized map per bucket, never a
+       driver-side degree table.
+
+    ``n_union = deg(u) + deg(v) − n_common`` (≥ 2 always: v ∈ N(u) and
+    u ∈ N(v)), so the single int/int divide is safe and — being one
+    correctly-rounded IEEE op on identical integers — hash-matches the
+    oracle bit-exactly. ``edges_ds`` overrides the corpus edge list
+    (columns subject/object) for planted-graph tests."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["subject"].astype(str)
+        o = batch["object"].astype(str)
+        lo = np.where(s < o, s, o)
+        hi = np.where(s < o, o, s)
+        return pd.DataFrame({"u": lo, "v": hi})[lo != hi]
+
+    base_edges = edges_ds if edges_ds is not None else _kg_edges_materialized(sf_dir)
+    edges = grouped_aggregate(
+        base_edges.map_batches(canon, batch_format="pandas"),
+        ["u", "v"],
+        lambda b: b[["u", "v"]].drop_duplicates(),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    # --- degrees: one exchange over the both-direction neighbor list
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([batch["u"], batch["v"]], ignore_index=True)}
+        )
+
+    def count_deg(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby("node", sort=False).size().reset_index(name="d")
+        return out.astype({"d": np.int64})
+
+    deg = grouped_aggregate(
+        edges.map_batches(both_dirs, batch_format="pandas"),
+        ["node"], count_deg, num_partitions=num_partitions,
+    ).materialize()
+
+    # --- wedges: all neighbor pairs per middle vertex, pre-counted
+    def tag_mid(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"m": pd.concat([batch["u"], batch["v"]], ignore_index=True),
+             "other": pd.concat([batch["v"], batch["u"]], ignore_index=True)}
+        )
+
+    def wedge_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in bucket.groupby("m", sort=False):
+            nbrs = np.sort(grp["other"].unique())
+            if len(nbrs) < 2:
+                continue
+            ia, ib = np.triu_indices(len(nbrs), k=1)
+            outs.append(pd.DataFrame({"u": nbrs[ia], "v": nbrs[ib]}))
+        if not outs:
+            return pd.DataFrame({"u": pd.Series([], dtype=str),
+                                 "v": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        allp = pd.concat(outs, ignore_index=True)
+        out = allp.groupby(["u", "v"], sort=False).size().reset_index(name="cnt")
+        return out.astype({"cnt": np.int64})
+
+    wedges = grouped_aggregate(
+        edges.map_batches(tag_mid, batch_format="pandas"),
+        ["m"], wedge_counts, num_partitions=num_partitions,
+    )
+
+    # --- per-edge common count: wedge partials ⋈ edge markers
+    def tag_wedge(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": batch["u"], "v": batch["v"],
+                             "cnt": batch["cnt"].to_numpy(dtype=np.int64),
+                             "is_edge": np.zeros(len(batch), dtype=np.int64)})
+
+    def tag_edge(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": batch["u"], "v": batch["v"],
+                             "cnt": np.zeros(len(batch), dtype=np.int64),
+                             "is_edge": np.ones(len(batch), dtype=np.int64)})
+
+    def common_per_edge(bucket: pd.DataFrame) -> pd.DataFrame:
+        summed = (
+            bucket.groupby(["u", "v"], sort=False)
+            .agg(n_common=("cnt", "sum"), is_edge=("is_edge", "max"))
+            .reset_index()
+        )
+        out = summed[summed["is_edge"] > 0][["u", "v", "n_common"]]
+        return out.astype({"n_common": np.int64})
+
+    common = grouped_aggregate(
+        wedges.map_batches(tag_wedge, batch_format="pandas").union(
+            edges.map_batches(tag_edge, batch_format="pandas")
+        ),
+        ["u", "v"], common_per_edge, num_partitions=num_partitions,
+    )
+
+    # --- attach deg(u), then deg(v): tag-union joins keyed by node
+    def edge_keyed_u(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": batch["u"], "v": batch["v"],
+             "n_common": batch["n_common"].to_numpy(dtype=np.int64),
+             "d": np.full(len(batch), -1, dtype=np.int64)}
+        )
+
+    def deg_row(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": batch["node"], "v": np.full(len(batch), "", dtype=object),
+             "n_common": np.zeros(len(batch), dtype=np.int64),
+             "d": batch["d"].to_numpy(dtype=np.int64)}
+        )
+
+    def attach_du(bucket: pd.DataFrame) -> pd.DataFrame:
+        dmap = bucket[bucket["d"] >= 0].set_index("node")["d"]
+        e = bucket[bucket["d"] < 0]
+        return pd.DataFrame(
+            {"u": e["node"].to_numpy(), "v": e["v"].to_numpy(),
+             "n_common": e["n_common"].to_numpy(dtype=np.int64),
+             "du": e["node"].map(dmap).to_numpy(dtype=np.int64)}
+        )
+
+    with_du = grouped_aggregate(
+        common.map_batches(edge_keyed_u, batch_format="pandas").union(
+            deg.map_batches(deg_row, batch_format="pandas")
+        ),
+        ["node"], attach_du, num_partitions=num_partitions,
+    )
+
+    def edge_keyed_v(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": batch["v"], "u": batch["u"],
+             "n_common": batch["n_common"].to_numpy(dtype=np.int64),
+             "du": batch["du"].to_numpy(dtype=np.int64),
+             "d": np.full(len(batch), -1, dtype=np.int64)}
+        )
+
+    def deg_row_v(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": batch["node"], "u": np.full(len(batch), "", dtype=object),
+             "n_common": np.zeros(len(batch), dtype=np.int64),
+             "du": np.zeros(len(batch), dtype=np.int64),
+             "d": batch["d"].to_numpy(dtype=np.int64)}
+        )
+
+    def finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        dmap = bucket[bucket["d"] >= 0].set_index("node")["d"]
+        e = bucket[bucket["d"] < 0]
+        nc = e["n_common"].to_numpy(dtype=np.int64)
+        du = e["du"].to_numpy(dtype=np.int64)
+        dv = e["node"].map(dmap).to_numpy(dtype=np.int64)
+        nu = du + dv - nc
+        jac = nc.astype(np.float64) / nu.astype(np.float64)
+        return pd.DataFrame(
+            {"u": e["u"].to_numpy(), "v": e["node"].to_numpy(),
+             "n_common": nc, "n_union": nu, "jaccard": jac}
+        )
+
+    out = grouped_aggregate(
+        with_du.map_batches(edge_keyed_v, batch_format="pandas").union(
+            deg.map_batches(deg_row_v, batch_format="pandas")
+        ),
+        ["node"], finalize, num_partitions=num_partitions,
+    )
+    out_schema = pa.schema(
+        [("u", pa.string()), ("v", pa.string()), ("n_common", pa.int64()),
+         ("n_union", pa.int64()), ("jaccard", pa.float64())]
+    )
+    return out.union(rd.from_arrow(out_schema.empty_table()))
+
+
+def kg_edge_jaccard_oracle() -> str:
+    """Plain-SQL mirror over the same canonical edge set: common
+    neighbors via the two-step neighbor join, union via
+    deg(u)+deg(v)−common, one int/int divide for the ratio."""
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    edges_sql = simple_kg.oracle_sql()["kg_edges"]
+    return f"""
+WITH raw AS (
+  SELECT subject AS s, object AS o FROM ({edges_sql}) kg_e
+),
+edges AS (
+  SELECT DISTINCT LEAST(s, o) AS u, GREATEST(s, o) AS v
+  FROM raw WHERE s <> o
+),
+nbr AS (
+  SELECT u AS node, v AS nb FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nb FROM edges
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM nbr GROUP BY 1),
+common AS (
+  SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS n_common
+  FROM edges e
+  JOIN nbr n1 ON n1.node = e.u
+  JOIN nbr n2 ON n2.node = e.v AND n2.nb = n1.nb
+  GROUP BY 1, 2
+)
+SELECT e.u, e.v,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       CAST(du.d + dv.d - COALESCE(c.n_common, 0) AS BIGINT) AS n_union,
+       CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+         / CAST(du.d + dv.d - COALESCE(c.n_common, 0) AS DOUBLE) AS jaccard
+FROM edges e
+JOIN deg du ON du.node = e.u
+JOIN deg dv ON dv.node = e.v
+LEFT JOIN common c ON c.u = e.u AND c.v = e.v
+"""
+
+
+SSSP_ROUNDS = 4
+
+
+def kg_shortest_paths(sf_dir: str, rounds: int = SSSP_ROUNDS, edges_ds=None):
+    """Single-source WEIGHTED shortest paths over the undirected
+    co-occurrence KG (cost = integer edge weight): ``rounds`` rounds of
+    distributed Bellman-Ford relaxation from the lexicographically
+    smallest entity. The weighted sibling of :func:`kg_bfs_depths` —
+    BFS's first-reach invariant breaks under weights (a longer-hop
+    path can be cheaper), so every round relaxes ALL known distances,
+    not just a frontier: min-plus semiring instead of min-depth.
+
+    Same two bucketed exchanges per round as BFS: (1) dists ⋈ edges on
+    hash(src) emit ``dist(u) + w(u,v)`` candidates, (2) min per node on
+    hash(node). All-integer arithmetic ⇒ the fixed round count unrolls
+    into one CTE per relaxation in the oracle, exactly PageRank's
+    pattern. ``rounds`` bounds path LENGTH in hops (Bellman-Ford's
+    usual truncation knob at scale); nodes unreached within it are
+    absent, matching the oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def to_undirected(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["weight"].to_numpy(dtype=np.int64)
+        fwd = pd.DataFrame(
+            {"src": batch["subject"].to_numpy(), "dst": batch["object"].to_numpy(),
+             "w": w}
+        )
+        rev = pd.DataFrame(
+            {"src": batch["object"].to_numpy(), "dst": batch["subject"].to_numpy(),
+             "w": w}
+        )
+        both = pd.concat([fwd, rev], ignore_index=True)
+        # parallel predicate edges may repeat a pair: keep the cheapest
+        return both.groupby(["src", "dst"], sort=False)["w"].min().reset_index()
+
+    base_edges = edges_ds if edges_ds is not None else _kg_edges_materialized(sf_dir)
+    edges = (
+        base_edges
+        .map_batches(to_undirected, batch_format="pandas")
+        .materialize()
+    )
+
+    src_df = edges.map_batches(
+        lambda b: pd.DataFrame({"src": [b["src"].min()]} if len(b) else {"src": []}),
+        batch_format="pandas",
+    ).to_pandas()
+    src_node = src_df["src"].min() if "src" in src_df.columns and len(src_df) else None
+    if src_node is None or (isinstance(src_node, float) and np.isnan(src_node)):
+        return rd.from_arrow(
+            pa.schema([("node", pa.string()), ("dist", pa.int64())]).empty_table()
+        )
+
+    dists = rd.from_pandas(
+        pd.DataFrame({"node": [src_node], "dist": np.int64(0)})
+    ).materialize()
+
+    def tag_edge(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["src", "dst", "w"]].copy()
+        out["kind"] = np.int64(0)
+        out["dist"] = np.int64(-1)
+        return out
+
+    tagged_edges = edges.map_batches(tag_edge, batch_format="pandas").materialize()
+
+    for _ in range(rounds):
+        def tag_dist(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"src": batch["node"].to_numpy(), "dst": "",
+                 "w": np.zeros(len(batch), dtype=np.int64),
+                 "kind": np.int64(1),
+                 "dist": batch["dist"].to_numpy(dtype=np.int64)}
+            )
+
+        def relax(bucket: pd.DataFrame) -> pd.DataFrame:
+            d = bucket[bucket["kind"] == 1]
+            if not len(d):
+                return pd.DataFrame(
+                    {"node": pd.Series([], dtype=object),
+                     "dist": pd.Series([], dtype=np.int64)}
+                )
+            e = bucket.loc[bucket["kind"] == 0, ["src", "dst", "w"]]
+            m = e.merge(
+                d[["src", "dist"]].groupby("src", sort=False).min().reset_index(),
+                on="src", how="inner",
+            )
+            cand = pd.DataFrame(
+                {"node": m["dst"].to_numpy(),
+                 "dist": (m["dist"] + m["w"]).to_numpy(dtype=np.int64)}
+            )
+            return cand.groupby("node", sort=False)["dist"].min().reset_index()
+
+        candidates = grouped_aggregate(
+            tagged_edges.union(
+                dists.map_batches(tag_dist, batch_format="pandas")
+            ),
+            ["src"], relax, coalesce=True,
+        )
+
+        def tag_known(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[["node", "dist"]]
+
+        def min_dist(bucket: pd.DataFrame) -> pd.DataFrame:
+            out = (
+                bucket.groupby("node", sort=False)["dist"].min().reset_index()
+            )
+            return out.astype({"dist": np.int64})
+
+        dists = _compact(
+            grouped_aggregate(
+                dists.map_batches(tag_known, batch_format="pandas").union(
+                    candidates
+                ),
+                ["node"], min_dist, coalesce=True,
+            ),
+            8,
+        )
+
+    return dists
+
+
+def kg_shortest_paths_oracle(rounds: int = SSSP_ROUNDS) -> str:
+    """Unrolled Bellman-Ford: one min-plus CTE per relaxation round —
+    all-integer, so the distances hash-match exactly."""
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    edges_sql = simple_kg.oracle_sql()["kg_edges"]
+    parts = [
+        f"""WITH base AS (
+  SELECT subject AS src, object AS dst, CAST(weight AS BIGINT) AS w
+  FROM ({edges_sql}) kg_e
+),
+edges AS (
+  SELECT src, dst, MIN(w) AS w FROM (
+    SELECT src, dst, w FROM base
+    UNION ALL SELECT dst AS src, src AS dst, w FROM base
+  ) u GROUP BY 1, 2
+),
+d0 AS (SELECT (SELECT MIN(src) FROM edges) AS node, 0 AS dist)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.w AS dist
+    FROM edges e JOIN d{i - 1} p ON p.node = e.src
+  ) u GROUP BY 1
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"
+    )
+    return "".join(parts)
+
+
+LINK_CANDIDATES_K = 20
+
+
+def kg_link_candidates(sf_dir: str, k: int = LINK_CANDIDATES_K,
+                       num_partitions: int = 8, edges_ds=None):
+    """Link prediction by common neighbors over the STRONG-TIE graph:
+    the top-k pairs NOT connected by an above-average-weight edge,
+    ranked by how many strong neighbors they share — the classic
+    missing-edge / KG-completion candidate generator (two entities
+    that each co-occur strongly with the same third entities but not
+    with each other; a weak edge predicted strong is a candidate too).
+    The strong-tie restriction matters: a raw co-occurrence graph is a
+    union of per-document cliques and quickly saturates complete, at
+    which point "non-edge" is the empty set — thresholding at the
+    mean keeps ~half the edges at ANY corpus size, and the comparison
+    is the integer cross-multiply ``w·n ≥ Σw`` (no float mean), so no
+    rounding mode can flip a boundary edge. The complement of
+    :func:`kg_edge_jaccard`, built from the same two kernels:
+
+    1. key (u, v): canonicalize to undirected pairs with ``w =
+       max(weight)``; the global (n, Σw) total is a two-int
+       all-reduce (per-batch partial sums, tiny driver combine) —
+       the ONLY driver-side state, O(1) at any scale;
+    2. key m: WEDGE generation — every middle vertex emits its
+       distinct neighbor pairs, pre-counted per bucket (partial
+       combine bounds the wire rows by distinct pairs per bucket);
+    3. key (u, v): wedge partial counts meet edge MARKERS — pairs
+       carrying a marker are existing strong edges and drop out (the
+       anti-join); each bucket keeps only its LOCAL top-k by
+       (n_common desc, u, v), so the final merge sorts ≤ buckets·k
+       rows on the driver-side single partition.
+
+    The (n_common desc, u, v) tie-break is total and identical in the
+    oracle's ORDER BY, so both engines select the same k-set even at a
+    tied boundary. All-integer ⇒ hash-exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["subject"].astype(str)
+        o = batch["object"].astype(str)
+        lo = np.where(s < o, s, o)
+        hi = np.where(s < o, o, s)
+        out = pd.DataFrame(
+            {"u": lo, "v": hi, "w": batch["weight"].to_numpy(dtype=np.int64)}
+        )
+        return out[lo != hi]
+
+    def max_w(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby(["u", "v"], sort=False)["w"].max().reset_index()
+        return out.astype({"w": np.int64})
+
+    base_edges = edges_ds if edges_ds is not None else _kg_edges_materialized(sf_dir)
+    pairw = grouped_aggregate(
+        base_edges.map_batches(canon, batch_format="pandas"),
+        ["u", "v"], max_w, num_partitions=num_partitions,
+    ).materialize()
+
+    totals = collect_small(
+        pairw.map_batches(
+            lambda b: pd.DataFrame(
+                {"n": [np.int64(len(b))],
+                 "sw": [b["w"].to_numpy(dtype=np.int64).sum()]}
+            ),
+            batch_format="pandas",
+        ),
+        ["n", "sw"],
+    )
+    n_pairs = int(totals["n"].sum())
+    sum_w = int(totals["sw"].sum())
+    if n_pairs == 0:
+        out_schema = pa.schema(
+            [("u", pa.string()), ("v", pa.string()), ("n_common", pa.int64())]
+        )
+        return rd.from_arrow(out_schema.empty_table())
+
+    edges = pairw.map_batches(
+        lambda b: b.loc[
+            b["w"].to_numpy(dtype=np.int64) * n_pairs >= sum_w, ["u", "v"]
+        ],
+        batch_format="pandas",
+    ).materialize()
+
+    def tag_mid(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"m": pd.concat([batch["u"], batch["v"]], ignore_index=True),
+             "other": pd.concat([batch["v"], batch["u"]], ignore_index=True)}
+        )
+
+    def wedge_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in bucket.groupby("m", sort=False):
+            nbrs = np.sort(grp["other"].unique())
+            if len(nbrs) < 2:
+                continue
+            ia, ib = np.triu_indices(len(nbrs), k=1)
+            outs.append(pd.DataFrame({"u": nbrs[ia], "v": nbrs[ib]}))
+        if not outs:
+            return pd.DataFrame({"u": pd.Series([], dtype=str),
+                                 "v": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        allp = pd.concat(outs, ignore_index=True)
+        out = allp.groupby(["u", "v"], sort=False).size().reset_index(name="cnt")
+        return out.astype({"cnt": np.int64})
+
+    wedges = grouped_aggregate(
+        edges.map_batches(tag_mid, batch_format="pandas"),
+        ["m"], wedge_counts, num_partitions=num_partitions,
+    )
+
+    def tag_wedge(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": batch["u"], "v": batch["v"],
+                             "cnt": batch["cnt"].to_numpy(dtype=np.int64),
+                             "is_edge": np.zeros(len(batch), dtype=np.int64)})
+
+    def tag_edge(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": batch["u"], "v": batch["v"],
+                             "cnt": np.zeros(len(batch), dtype=np.int64),
+                             "is_edge": np.ones(len(batch), dtype=np.int64)})
+
+    def local_topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        summed = (
+            bucket.groupby(["u", "v"], sort=False)
+            .agg(n_common=("cnt", "sum"), is_edge=("is_edge", "max"))
+            .reset_index()
+        )
+        cand = summed[summed["is_edge"] == 0]
+        top = cand.sort_values(
+            ["n_common", "u", "v"], ascending=[False, True, True],
+            kind="stable",
+        ).head(k)
+        return top[["u", "v", "n_common"]].astype({"n_common": np.int64})
+
+    partials = grouped_aggregate(
+        wedges.map_batches(tag_wedge, batch_format="pandas").union(
+            edges.map_batches(tag_edge, batch_format="pandas")
+        ),
+        ["u", "v"], local_topk, num_partitions=num_partitions,
+    )
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["n_common", "u", "v"], ascending=[False, True, True],
+            kind="stable",
+        ).head(k)
+
+    out_schema = pa.schema(
+        [("u", pa.string()), ("v", pa.string()), ("n_common", pa.int64())]
+    )
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas"
+    ).union(rd.from_arrow(out_schema.empty_table()))
+
+
+def kg_link_candidates_oracle(k: int = LINK_CANDIDATES_K) -> str:
+    """Wedge self-join minus the strong-tie edge set via NOT EXISTS,
+    same integer above-mean cutoff (``w·n ≥ Σw``) and the same total
+    (n_common desc, u, v) ordering for a deterministic k-set."""
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    edges_sql = simple_kg.oracle_sql()["kg_edges"]
+    return f"""
+WITH raw AS (
+  SELECT subject AS s, object AS o, weight FROM ({edges_sql}) kg_e
+),
+pairw AS (
+  SELECT LEAST(s, o) AS u, GREATEST(s, o) AS v,
+         CAST(MAX(weight) AS BIGINT) AS w
+  FROM raw WHERE s <> o GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS sw
+  FROM pairw
+),
+edges AS (
+  SELECT u, v FROM pairw, tot WHERE w * n >= sw
+),
+nbr AS (
+  SELECT u AS node, v AS nb FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nb FROM edges
+),
+wedge AS (
+  SELECT n1.nb AS u, n2.nb AS v, CAST(count(*) AS BIGINT) AS n_common
+  FROM nbr n1
+  JOIN nbr n2 ON n2.node = n1.node AND n1.nb < n2.nb
+  GROUP BY 1, 2
+)
+SELECT w.u, w.v, w.n_common
+FROM wedge w
+WHERE NOT EXISTS (
+  SELECT 1 FROM edges e WHERE e.u = w.u AND e.v = w.v
+)
+ORDER BY w.n_common DESC, w.u ASC, w.v ASC
+LIMIT {k}
+"""

@@ -3765,6 +3765,121 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
 FROM s
 """
 
+
+def lineitem_regr(sf_dir: str):
+    """Exact per-group ordinary-least-squares fit of extended price on
+    quantity — slope, intercept and R² per return flag, the grouped
+    regression every feature/metrics pipeline runs (trend per segment).
+    Same distributed-exact recipe as :func:`lineitem_corr`: the six
+    integer sufficient statistics accumulate associatively in int64
+    (hash-stable under any batch order), then the closed forms
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+        intercept = (Σy − slope·Σx) / n
+        r²        = num² / (denx·deny)
+
+    evaluate ONCE per group in double precision with the SAME
+    expression shape on both sides — every multiply/subtract/divide is
+    a correctly-rounded IEEE op on identical inputs, so the float
+    columns hash-match the oracle bit-exactly. Unit choices (centi
+    quantity via round — exact on 2-decimal data; floored price — round
+    halves diverge between numpy and SQL) inherit from lineitem_corr,
+    as do the int64 overflow bounds (safe past 10^8 rows/group)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    cols = ["n_rows", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.round(batch["l_quantity"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        y = np.floor(batch["l_extendedprice"].to_numpy(dtype=np.float64)).astype(np.int64)
+        df = pd.DataFrame(
+            {"l_returnflag": batch["l_returnflag"].to_numpy(),
+             "n_rows": np.ones(len(x), dtype=np.int64),
+             "sum_x": x, "sum_y": y, "sum_xy": x * y,
+             "sum_xx": x * x, "sum_yy": y * y}
+        )
+        return (
+            df.groupby("l_returnflag", sort=False)
+            .agg({c: "sum" for c in cols})
+            .reset_index()
+        )
+
+    def finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            bucket.groupby("l_returnflag", sort=False)
+            .agg({c: "sum" for c in cols})
+            .reset_index()
+            .astype({c: np.int64 for c in cols})
+        )
+        n = agg["n_rows"].to_numpy(dtype=np.float64)
+        sx = agg["sum_x"].to_numpy(dtype=np.float64)
+        sy = agg["sum_y"].to_numpy(dtype=np.float64)
+        sxy = agg["sum_xy"].to_numpy(dtype=np.float64)
+        sxx = agg["sum_xx"].to_numpy(dtype=np.float64)
+        syy = agg["sum_yy"].to_numpy(dtype=np.float64)
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        slope = np.where(denx > 0.0, num / np.where(denx > 0.0, denx, 1.0), 0.0)
+        intercept = (sy - slope * sx) / n
+        both = (denx > 0.0) & (deny > 0.0)
+        r2 = np.where(
+            both, (num * num) / np.where(both, denx * deny, 1.0), 0.0
+        )
+        return pd.DataFrame(
+            {"l_returnflag": agg["l_returnflag"],
+             "n_rows": agg["n_rows"],
+             "slope": slope, "intercept": intercept, "r2": r2}
+        )
+
+    return grouped_aggregate(lines, ["l_returnflag"], finalize, partial=partial,
+                             num_partitions=4)
+
+
+LINEITEM_REGR_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+         SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS sy,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(floor(l_extendedprice) AS BIGINT)) AS sxy,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+         SUM(CAST(floor(l_extendedprice) AS BIGINT)
+             * CAST(floor(l_extendedprice) AS BIGINT)) AS syy
+  FROM lineitem GROUP BY 1
+),
+d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM s
+),
+sl AS (
+  SELECT l_returnflag, n, num, denx, deny, sxd, syd,
+         CASE WHEN denx > 0 THEN num / denx ELSE 0.0 END AS slope
+  FROM d
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, slope,
+       (syd - slope * sxd) / CAST(n AS DOUBLE) AS intercept,
+       CASE WHEN denx > 0 AND deny > 0
+            THEN (num * num) / (denx * deny) ELSE 0.0 END AS r2
+FROM sl
+"""
+
+
 def purchase_attribution(sf_dir: str):
     """Last-touch attribution: for every purchase, the same user's most
     recent STRICTLY PRECEDING click (in (ts, event_id) order) and the
@@ -6440,4 +6555,416 @@ SELECT s.event_type, s.m AS n_pairs,
             ELSE 0.0 END AS autocorr_lag1
 FROM s JOIN p ON p.event_type = s.event_type
 JOIN ends ON ends.event_type = s.event_type
+"""
+
+
+def q3_unshipped_revenue(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H-Q3-shaped composition: top-k orders by unshipped revenue
+    for one market segment — the canonical 3-table analytic join
+    (dimension filter → fact semi-join → fact-fact join → grouped
+    aggregate → top-k), here in ONE bucketed exchange plus a tiny
+    final merge.
+
+    Plan: the filtered customer keys are a DIMENSION-sized side, so
+    they broadcast once via ``ray.put`` and prune orders per batch
+    (np.isin) — the trade documented at ``orders_customer_join``:
+    broadcast while the filtered dim fits worker heap (~GBs at 100 TB
+    for one segment), else flip to the bucketed semi-join shape of
+    ``customers_with_urgent_orders``. Lineitem pre-aggregates revenue
+    per order inside each batch (partial combine) BEFORE the exchange,
+    so the shuffle carries one row per (batch, order), not per line
+    item. Orders and lineitem partials meet keyed on hash(orderkey);
+    each bucket joins, sums, and emits only its LOCAL top-k — the
+    final merge sorts ≤ buckets·k rows.
+
+    Revenue is integer-exact: ``Σ cents(extprice) · (100 −
+    pct(discount))`` in 10^-4 currency units (both factors 2-decimal
+    ⇒ round is exact; int64 bound ~9e18 admits ~10^12 units/order).
+    The order date leaves as an ISO string so both engines hash the
+    same value."""
+    import ray
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    cut = pd.Timestamp(cutoff)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"c_custkey": b.loc[b["c_mktsegment"] == segment, "c_custkey"]
+                .to_numpy(dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
+    keys_ref = ray.put(
+        np.sort(collect_small(cust, ["c_custkey"])["c_custkey"]
+                .to_numpy(dtype=np.int64))
+    )
+
+    class TagOrders:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            f = batch[
+                (batch["o_orderdate"] < cut)
+                & np.isin(batch["o_custkey"].to_numpy(dtype=np.int64), self.keys)
+            ]
+            return pd.DataFrame(
+                {"okey": f["o_orderkey"].to_numpy(dtype=np.int64),
+                 "o_orderdate": f["o_orderdate"].dt.strftime("%Y-%m-%d").to_numpy(),
+                 "o_orderpriority": f["o_orderpriority"].astype(str).to_numpy(),
+                 "revenue_c4": np.zeros(len(f), dtype=np.int64),
+                 "side": np.zeros(len(f), dtype=np.int64)}
+            )
+
+    def tag_lines(batch: pd.DataFrame) -> pd.DataFrame:
+        f = batch[batch["l_shipdate"] > cut]
+        cents = np.round(
+            f["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        pct = np.round(f["l_discount"].to_numpy(dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {"okey": f["l_orderkey"].to_numpy(dtype=np.int64),
+             "revenue_c4": cents * (100 - pct)}
+        )
+        part = df.groupby("okey", sort=False)["revenue_c4"].sum().reset_index()
+        return pd.DataFrame(
+            {"okey": part["okey"].to_numpy(dtype=np.int64),
+             "o_orderdate": np.full(len(part), "", dtype=object),
+             "o_orderpriority": np.full(len(part), "", dtype=object),
+             "revenue_c4": part["revenue_c4"].to_numpy(dtype=np.int64),
+             "side": np.ones(len(part), dtype=np.int64)}
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(TagOrders, batch_format="pandas", concurrency=(1, 8))
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(tag_lines, batch_format="pandas")
+
+    def local_topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        o = bucket[bucket["side"] == 0]
+        rev = (
+            bucket[bucket["side"] == 1]
+            .groupby("okey", sort=False)["revenue_c4"].sum().reset_index()
+        )
+        joined = o[["okey", "o_orderdate", "o_orderpriority"]].merge(
+            rev, on="okey", how="inner"
+        )
+        top = joined.sort_values(
+            ["revenue_c4", "okey"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pd.DataFrame(
+            {"o_orderkey": top["okey"].to_numpy(dtype=np.int64),
+             "revenue_c4": top["revenue_c4"].to_numpy(dtype=np.int64),
+             "o_orderdate": top["o_orderdate"].to_numpy(),
+             "o_orderpriority": top["o_orderpriority"].to_numpy()}
+        )
+
+    partials = grouped_aggregate(orders.union(lines), ["okey"], local_topk,
+                                 num_partitions=16)
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["revenue_c4", "o_orderkey"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("revenue_c4", pa.int64()),
+         ("o_orderdate", pa.string()), ("o_orderpriority", pa.string())]
+    )
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas"
+    ).union(rd.from_arrow(out_schema.empty_table()))
+
+
+def q3_unshipped_revenue_oracle(segment: str = "BUILDING",
+                                cutoff: str = "1998-06-01", k: int = 10) -> str:
+    return f"""
+WITH l AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '{cutoff}'
+  GROUP BY 1
+)
+SELECT o.o_orderkey,
+       CAST(l.revenue_c4 AS BIGINT) AS revenue_c4,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{segment}' AND o.o_orderdate < TIMESTAMP '{cutoff}'
+ORDER BY revenue_c4 DESC, o.o_orderkey ASC
+LIMIT {k}
+"""
+
+
+def orders_below_customer_avg(sf_dir: str):
+    """Decorrelated correlated subquery: orders strictly below their
+    own customer's average order value — the ``WHERE x < (SELECT
+    AVG(...) ... correlated)`` pattern every SQL engine decorrelates
+    into a grouped aggregate + self join. Here both roles ride ONE
+    bucketed exchange on hash(custkey): each bucket holds a customer's
+    complete order set, so the per-customer sum/count and the filter
+    happen in one vectorized transform — and the comparison is
+    INTEGER-exact (``cents·n < Σcents`` instead of a float average),
+    so no rounding mode can flip a boundary row."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderkey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+             "o_custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+             "total_cents": np.round(
+                 batch["o_totalprice"].to_numpy(dtype=np.float64) * 100
+             ).astype(np.int64)}
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("o_custkey", sort=False)["total_cents"]
+        stats = g.agg(["sum", "size"]).rename(
+            columns={"sum": "cust_sum_cents", "size": "cust_n_orders"}
+        )
+        j = bucket.join(stats, on="o_custkey")
+        keep = j[j["total_cents"] * j["cust_n_orders"] < j["cust_sum_cents"]]
+        return pd.DataFrame(
+            {"o_orderkey": keep["o_orderkey"].to_numpy(dtype=np.int64),
+             "o_custkey": keep["o_custkey"].to_numpy(dtype=np.int64),
+             "total_cents": keep["total_cents"].to_numpy(dtype=np.int64),
+             "cust_n_orders": keep["cust_n_orders"].to_numpy(dtype=np.int64),
+             "cust_sum_cents": keep["cust_sum_cents"].to_numpy(dtype=np.int64)}
+        )
+
+    prepped = orders.map_batches(prep, batch_format="pandas")
+    return grouped_aggregate(prepped, ["o_custkey"], combine, num_partitions=16)
+
+
+ORDERS_BELOW_CUSTOMER_AVG_ORACLE = """
+WITH c AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders
+),
+s AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS cust_n_orders,
+         SUM(total_cents) AS cust_sum_cents
+  FROM c GROUP BY 1
+)
+SELECT c.o_orderkey, c.o_custkey, c.total_cents,
+       s.cust_n_orders, CAST(s.cust_sum_cents AS BIGINT) AS cust_sum_cents
+FROM c JOIN s ON s.o_custkey = c.o_custkey
+WHERE c.total_cents * s.cust_n_orders < s.cust_sum_cents
+"""
+
+
+def customer_order_counts(sf_dir: str):
+    """TPC-H-Q13 shape: the distribution of orders-per-customer,
+    INCLUDING zero-order customers — the LEFT-JOIN subtlety a naive
+    fact-side groupby silently drops (customers who never ordered
+    vanish, skewing the c_count=0 bucket that retention analyses care
+    about most).
+
+    Both roles ride ONE bucketed exchange on hash(custkey): customer
+    markers and per-batch order-count partials meet in the bucket,
+    every marker gets its summed count (0 when no order rows arrived),
+    and the bucket pre-combines to (c_count, n) partial rows — so the
+    second exchange is DOMAIN-bounded (distinct order counts, hundreds
+    at any scale), not customer-bounded. All-integer ⇒ hash-exact."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+             "cnt": np.zeros(len(b), dtype=np.int64),
+             "side": np.zeros(len(b), dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+
+    def order_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        part = (
+            pd.DataFrame({"custkey": batch["o_custkey"].to_numpy(dtype=np.int64)})
+            .groupby("custkey", sort=False).size().reset_index(name="cnt")
+        )
+        return pd.DataFrame(
+            {"custkey": part["custkey"].to_numpy(dtype=np.int64),
+             "cnt": part["cnt"].to_numpy(dtype=np.int64),
+             "side": np.ones(len(part), dtype=np.int64)}
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(order_partial, batch_format="pandas")
+
+    def per_customer(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby("custkey", sort=False)
+            .agg(cnt=("cnt", "sum"), has_cust=("side", "min"))
+            .reset_index()
+        )
+        # side: 0=customer marker, 1=order partial; min==0 <=> marker
+        # present, i.e. INNER on the customer dimension (orders whose
+        # custkey is absent from customer are dropped, like the oracle)
+        counts = g.loc[g["has_cust"] == 0, "cnt"].to_numpy(dtype=np.int64)
+        out = (
+            pd.DataFrame({"c_count": counts})
+            .groupby("c_count", sort=False).size().reset_index(name="n")
+        )
+        return out.astype({"c_count": np.int64, "n": np.int64})
+
+    per_cust = grouped_aggregate(
+        cust.union(orders), ["custkey"], per_customer, num_partitions=16,
+    )
+
+    def dist(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket.groupby("c_count", sort=False)["n"].sum()
+            .reset_index(name="n_customers")
+        )
+        return out.astype({"c_count": np.int64, "n_customers": np.int64})
+
+    return grouped_aggregate(per_cust, ["c_count"], dist, num_partitions=4)
+
+
+CUSTOMER_ORDER_COUNTS_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY 1
+"""
+
+
+def promo_revenue_share(sf_dir: str):
+    """TPC-H-Q14 shape: per ship month, the revenue fraction earned by
+    promo-type parts. The part dimension collapses to a sorted promo
+    partkey array broadcast ONCE via ``ray.put`` (at 100 TB the fact
+    table is the 10^10 side; the filtered dimension stays ~GBs), so
+    lineitem needs NO join — one ``np.isin`` per batch splits revenue
+    into promo/total partial sums and the exchange is month-bounded
+    (hundreds of groups at any scale).
+
+    Revenue uses the exact 10^-4-unit integers of
+    :func:`q3_unshipped_revenue`; the share is ONE closed-form double
+    expression over two exact int64s, written identically here and in
+    the oracle (``100.0 * promo / total``), so the float column
+    hash-matches bit-exactly."""
+    import ray
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    promo = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"p_partkey": b.loc[b["p_type"] == "PROMO", "p_partkey"]
+                .to_numpy(dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    promo_ref = ray.put(
+        np.sort(collect_small(promo, ["p_partkey"])["p_partkey"]
+                .to_numpy(dtype=np.int64))
+    )
+
+    class MonthPartial:
+        def __init__(self):
+            self.promo_keys = ray.get(promo_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cents = np.round(
+                batch["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+            ).astype(np.int64)
+            pct = np.round(
+                batch["l_discount"].to_numpy(dtype=np.float64) * 100
+            ).astype(np.int64)
+            rev = cents * (100 - pct)
+            is_promo = np.isin(
+                batch["l_partkey"].to_numpy(dtype=np.int64), self.promo_keys
+            )
+            df = pd.DataFrame(
+                {"ship_month": batch["l_shipdate"].dt.strftime("%Y-%m"),
+                 "promo_rev_c4": np.where(is_promo, rev, 0),
+                 "total_rev_c4": rev}
+            )
+            return (
+                df.groupby("ship_month", sort=False)
+                .agg(promo_rev_c4=("promo_rev_c4", "sum"),
+                     total_rev_c4=("total_rev_c4", "sum"))
+                .reset_index()
+            )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(MonthPartial, batch_format="pandas", concurrency=(1, 8))
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            bucket.groupby("ship_month", sort=False)
+            .agg(promo_rev_c4=("promo_rev_c4", "sum"),
+                 total_rev_c4=("total_rev_c4", "sum"))
+            .reset_index()
+        )
+        promo_f = m["promo_rev_c4"].to_numpy(dtype=np.int64)
+        total_f = m["total_rev_c4"].to_numpy(dtype=np.int64)
+        m["promo_share_pct"] = (
+            100.0 * promo_f.astype(np.float64) / total_f.astype(np.float64)
+        )
+        return m.astype({"promo_rev_c4": np.int64, "total_rev_c4": np.int64})
+
+    return grouped_aggregate(lines, ["ship_month"], combine, num_partitions=4)
+
+
+PROMO_REVENUE_SHARE_ORACLE = """
+WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+l AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4,
+         CASE WHEN l_partkey IN (SELECT p_partkey FROM promo)
+              THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem
+)
+SELECT ship_month,
+       CAST(SUM(CASE WHEN is_promo = 1 THEN rev_c4 ELSE 0 END) AS BIGINT)
+         AS promo_rev_c4,
+       CAST(SUM(rev_c4) AS BIGINT) AS total_rev_c4,
+       100.0 * CAST(SUM(CASE WHEN is_promo = 1 THEN rev_c4 ELSE 0 END)
+                    AS DOUBLE)
+             / CAST(SUM(rev_c4) AS DOUBLE) AS promo_share_pct
+FROM l GROUP BY 1
 """

@@ -61,11 +61,19 @@ EMPTY_OK = [
     ("user_type_gaps", 0),
     ("kg_bfs_depths", 0),
     ("customer_rfm", 0),
+    ("lineitem_regr", 0),
+    ("kg_edge_jaccard", 0),
+    ("kg_shortest_paths", 0),
+    ("q3_unshipped_revenue", 0),
+    ("orders_below_customer_avg", 0),
+    ("customer_order_counts", 0),
+    ("promo_revenue_share", 0),
+    ("kg_link_candidates", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
 RAISES = ["kmeans_clusters", "kmeans_exemplars", "dedup_semantic_pairs",
-          "knn_brute", "knn_ivf", "knn_lsh"]
+          "knn_brute", "knn_ivf", "knn_lsh", "knn_pq"]
 
 
 class TestEmptyInputs:
