@@ -305,6 +305,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customer_order_counts"] = relational.customer_order_counts
     q["promo_revenue_share"] = relational.promo_revenue_share
     q["kg_link_candidates"] = _ga.kg_link_candidates
+    q["kg_clustering_coefficient"] = _ga.kg_clustering_coefficient
+    q["q18_large_volume_customers"] = relational.q18_large_volume_customers
+    q["top_parts_per_brand"] = relational.top_parts_per_brand
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -466,6 +469,9 @@ def oracle_sql() -> dict[str, str]:
     sql["customer_order_counts"] = relational.CUSTOMER_ORDER_COUNTS_ORACLE
     sql["promo_revenue_share"] = relational.PROMO_REVENUE_SHARE_ORACLE
     sql["kg_link_candidates"] = graph_algos.kg_link_candidates_oracle()
+    sql["kg_clustering_coefficient"] = graph_algos.kg_clustering_coefficient_oracle()
+    sql["q18_large_volume_customers"] = relational.q18_large_volume_customers_oracle()
+    sql["top_parts_per_brand"] = relational.top_parts_per_brand_oracle()
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
     sql["kg_kcore"] = graph_algos.kg_kcore_oracle()

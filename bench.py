@@ -253,6 +253,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "customer_order_counts",
         "promo_revenue_share",
         "kg_link_candidates",
+        "kg_clustering_coefficient",
+        "q18_large_volume_customers",
+        "top_parts_per_brand",
     ]
     times: dict[str, float] = {}
     for name in names:

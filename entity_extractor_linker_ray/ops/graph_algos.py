@@ -2136,3 +2136,190 @@ WHERE NOT EXISTS (
 ORDER BY w.n_common DESC, w.u ASC, w.v ASC
 LIMIT {k}
 """
+
+
+def kg_clustering_coefficient(sf_dir: str, num_partitions: int = 8,
+                              edges_ds=None):
+    """Per-node local clustering coefficient — ``cc(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1))`` where T(v) counts triangles through v: how
+    close each entity's neighborhood is to a clique, the node-level
+    form of the global motif count :func:`kg_triangles` and the
+    standard community / role feature.
+
+    Distributed plan (same wedge kernel family as
+    :func:`kg_edge_jaccard`, no driver graph state):
+
+    1. key (u, v): canonical undirected edge set (dedup, materialized
+       once for three consumers);
+    2. key m: wedge generation, CARRYING the middle — each middle
+       vertex emits (a, c, m) for every distinct neighbor pair a < c
+       (Σ deg(m)² rows, the documented celebrity-vertex trade);
+    3. key (a, c): wedges meet edge markers — a wedge whose endpoint
+       pair IS an edge closes the triangle {a, m, c} at its middle m;
+       the bucket pre-counts closed wedges per middle, so the wire
+       rows of the next hop are node-bounded;
+    4. key node: T partials and degree rows meet — one vectorized
+       final computes the coefficient; nodes on no triangle keep
+       T = 0 (LEFT semantics), degree-1 nodes define cc = 0.
+
+    The only float is ONE closed-form division of exact int64s,
+    written identically in the oracle — hash-exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["subject"].astype(str)
+        o = batch["object"].astype(str)
+        lo = np.where(s < o, s, o)
+        hi = np.where(s < o, o, s)
+        return pd.DataFrame({"u": lo, "v": hi})[lo != hi]
+
+    base_edges = edges_ds if edges_ds is not None else _kg_edges_materialized(sf_dir)
+    edges = grouped_aggregate(
+        base_edges.map_batches(canon, batch_format="pandas"),
+        ["u", "v"],
+        lambda b: b[["u", "v"]].drop_duplicates(),
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def tag_mid(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"m": pd.concat([batch["u"], batch["v"]], ignore_index=True),
+             "other": pd.concat([batch["v"], batch["u"]], ignore_index=True)}
+        )
+
+    def wedge_with_mid(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for m, grp in bucket.groupby("m", sort=False):
+            nbrs = np.sort(grp["other"].unique())
+            if len(nbrs) < 2:
+                continue
+            ia, ic = np.triu_indices(len(nbrs), k=1)
+            outs.append(pd.DataFrame(
+                {"a": nbrs[ia], "c": nbrs[ic],
+                 "m": np.full(len(ia), m, dtype=object)}
+            ))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype=str),
+                                 "c": pd.Series([], dtype=str),
+                                 "m": pd.Series([], dtype=str)})
+        return pd.concat(outs, ignore_index=True)
+
+    wedges = grouped_aggregate(
+        edges.map_batches(tag_mid, batch_format="pandas"),
+        ["m"], wedge_with_mid, num_partitions=num_partitions,
+    )
+
+    def tag_wedge(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": batch["a"], "v": batch["c"],
+                             "m": batch["m"],
+                             "is_edge": np.zeros(len(batch), dtype=np.int64)})
+
+    def tag_edge(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": batch["u"], "v": batch["v"],
+                             "m": np.full(len(batch), "", dtype=object),
+                             "is_edge": np.ones(len(batch), dtype=np.int64)})
+
+    def closed_per_mid(bucket: pd.DataFrame) -> pd.DataFrame:
+        is_edge = bucket.loc[bucket["is_edge"] == 1, ["u", "v"]].drop_duplicates()
+        w = bucket[bucket["is_edge"] == 0]
+        closed = w.merge(is_edge, on=["u", "v"], how="inner")
+        if not len(closed):
+            return pd.DataFrame({"node": pd.Series([], dtype=str),
+                                 "t": pd.Series([], dtype=np.int64)})
+        out = closed.groupby("m", sort=False).size().reset_index(name="t")
+        return pd.DataFrame({"node": out["m"],
+                             "t": out["t"].to_numpy(dtype=np.int64)})
+
+    tri = grouped_aggregate(
+        wedges.map_batches(tag_wedge, batch_format="pandas").union(
+            edges.map_batches(tag_edge, batch_format="pandas")
+        ),
+        ["u", "v"], closed_per_mid, num_partitions=num_partitions,
+    )
+
+    def deg_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([batch["u"], batch["v"]], ignore_index=True),
+             "t": np.zeros(2 * len(batch), dtype=np.int64),
+             "d": np.ones(2 * len(batch), dtype=np.int64)}
+        )
+
+    def tri_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": batch["node"],
+             "t": batch["t"].to_numpy(dtype=np.int64),
+             "d": np.zeros(len(batch), dtype=np.int64)}
+        )
+
+    def finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby("node", sort=False)
+            .agg(t=("t", "sum"), d=("d", "sum"))
+            .reset_index()
+        )
+        t = g["t"].to_numpy(dtype=np.int64)
+        d = g["d"].to_numpy(dtype=np.int64)
+        denom = np.where(d >= 2, d * (d - 1), 1)
+        cc = np.where(
+            d >= 2,
+            (2 * t).astype(np.float64) / denom.astype(np.float64),
+            0.0,
+        )
+        return pd.DataFrame(
+            {"node": g["node"], "degree": d, "n_triangles": t,
+             "local_cc": cc}
+        )
+
+    out = grouped_aggregate(
+        edges.map_batches(deg_rows, batch_format="pandas").union(
+            tri.map_batches(tri_rows, batch_format="pandas")
+        ),
+        ["node"], finalize, num_partitions=num_partitions,
+    )
+    out_schema = pa.schema(
+        [("node", pa.string()), ("degree", pa.int64()),
+         ("n_triangles", pa.int64()), ("local_cc", pa.float64())]
+    )
+    return out.union(rd.from_arrow(out_schema.empty_table()))
+
+
+def kg_clustering_coefficient_oracle() -> str:
+    """Same canonical edge set; triangles-per-middle via the
+    wedge/edge join, the coefficient as the identical single int/int
+    divide."""
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    edges_sql = simple_kg.oracle_sql()["kg_edges"]
+    return f"""
+WITH raw AS (
+  SELECT subject AS s, object AS o FROM ({edges_sql}) kg_e
+),
+edges AS (
+  SELECT DISTINCT LEAST(s, o) AS u, GREATEST(s, o) AS v
+  FROM raw WHERE s <> o
+),
+nbr AS (
+  SELECT u AS node, v AS nb FROM edges
+  UNION ALL
+  SELECT v AS node, u AS nb FROM edges
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM nbr GROUP BY 1),
+tri AS (
+  SELECT n1.node AS m, CAST(count(*) AS BIGINT) AS t
+  FROM nbr n1
+  JOIN nbr n2 ON n2.node = n1.node AND n1.nb < n2.nb
+  JOIN edges e ON e.u = n1.nb AND e.v = n2.nb
+  GROUP BY 1
+)
+SELECT d.node,
+       d.d AS degree,
+       CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.d >= 2
+            THEN CAST(2 * COALESCE(t.t, 0) AS DOUBLE)
+                 / CAST(d.d * (d.d - 1) AS DOUBLE)
+            ELSE 0.0 END AS local_cc
+FROM deg d LEFT JOIN tri t ON t.m = d.node
+"""

@@ -6968,3 +6968,212 @@ SELECT ship_month,
              / CAST(SUM(rev_c4) AS DOUBLE) AS promo_share_pct
 FROM l GROUP BY 1
 """
+
+
+def q18_large_volume_customers(sf_dir: str, min_qty: int = 250):
+    """TPC-H-Q18 shape: orders whose TOTAL line quantity reaches
+    ``min_qty`` units, with the owning customer attached — the
+    "find the whales" HAVING-on-a-join pattern. Two bucketed
+    exchanges, both with per-batch partial combines:
+
+    1. hash(orderkey): lineitem quantity partials (pre-summed per
+       batch, so the wire carries one row per (batch, order)) meet
+       order rows; the bucket sums and keeps only qualifying orders —
+       the HAVING filter runs WHERE the data is, so the second
+       exchange carries survivors only (~1% of orders at the default
+       threshold);
+    2. hash(custkey): survivors meet customer names (tagged union) —
+       the scale-safe alternative to broadcasting the customer
+       dimension, which unlike a filtered segment grows WITH the
+       corpus.
+
+    Quantities compare as exact 10^-2-unit integers
+    (``sum_qty_c2 >= min_qty·100``), so no float sum can flip a
+    boundary order."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def line_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        q = np.round(
+            batch["l_quantity"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        part = (
+            pd.DataFrame(
+                {"okey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+                 "qty_c2": q}
+            )
+            .groupby("okey", sort=False)["qty_c2"].sum().reset_index()
+        )
+        return pd.DataFrame(
+            {"okey": part["okey"].to_numpy(dtype=np.int64),
+             "custkey": np.zeros(len(part), dtype=np.int64),
+             "total_cents": np.zeros(len(part), dtype=np.int64),
+             "qty_c2": part["qty_c2"].to_numpy(dtype=np.int64),
+             "side": np.zeros(len(part), dtype=np.int64)}
+        )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+             "custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+             "total_cents": np.round(
+                 batch["o_totalprice"].to_numpy(dtype=np.float64) * 100
+             ).astype(np.int64),
+             "qty_c2": np.zeros(len(batch), dtype=np.int64),
+             "side": np.ones(len(batch), dtype=np.int64)}
+        )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(line_partial, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(order_rows, batch_format="pandas")
+
+    cut_c2 = int(min_qty) * 100
+
+    def qualify(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby("okey", sort=False)
+            .agg(custkey=("custkey", "max"), total_cents=("total_cents", "max"),
+                 qty_c2=("qty_c2", "sum"), has_order=("side", "max"))
+            .reset_index()
+        )
+        keep = g[(g["has_order"] == 1) & (g["qty_c2"] >= cut_c2)]
+        return pd.DataFrame(
+            {"o_orderkey": keep["okey"].to_numpy(dtype=np.int64),
+             "o_custkey": keep["custkey"].to_numpy(dtype=np.int64),
+             "total_cents": keep["total_cents"].to_numpy(dtype=np.int64),
+             "sum_qty_c2": keep["qty_c2"].to_numpy(dtype=np.int64)}
+        )
+
+    survivors = grouped_aggregate(
+        lines.union(orders), ["okey"], qualify, num_partitions=16,
+    )
+
+    def surv_keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+             "o_orderkey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+             "total_cents": batch["total_cents"].to_numpy(dtype=np.int64),
+             "sum_qty_c2": batch["sum_qty_c2"].to_numpy(dtype=np.int64),
+             "c_name": np.full(len(batch), "", dtype=object)}
+        )
+
+    def cust_keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": batch["c_custkey"].to_numpy(dtype=np.int64),
+             "o_orderkey": np.full(len(batch), -1, dtype=np.int64),
+             "total_cents": np.zeros(len(batch), dtype=np.int64),
+             "sum_qty_c2": np.zeros(len(batch), dtype=np.int64),
+             "c_name": batch["c_name"].astype(str).to_numpy()}
+        )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(cust_keyed, batch_format="pandas")
+
+    def attach_name(bucket: pd.DataFrame) -> pd.DataFrame:
+        names = (
+            bucket.loc[bucket["o_orderkey"] < 0]
+            .drop_duplicates("custkey").set_index("custkey")["c_name"]
+        )
+        e = bucket[bucket["o_orderkey"] >= 0]
+        mapped = e["custkey"].map(names)
+        keep = mapped.notna().to_numpy()
+        e = e[keep]
+        return pd.DataFrame(
+            {"o_orderkey": e["o_orderkey"].to_numpy(dtype=np.int64),
+             "o_custkey": e["custkey"].to_numpy(dtype=np.int64),
+             "c_name": mapped[keep].to_numpy(),
+             "total_cents": e["total_cents"].to_numpy(dtype=np.int64),
+             "sum_qty_c2": e["sum_qty_c2"].to_numpy(dtype=np.int64)}
+        )
+
+    out = grouped_aggregate(
+        survivors.map_batches(surv_keyed, batch_format="pandas").union(cust),
+        ["custkey"], attach_name, num_partitions=16,
+    )
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+         ("c_name", pa.string()), ("total_cents", pa.int64()),
+         ("sum_qty_c2", pa.int64())]
+    )
+    return out.union(rd.from_arrow(out_schema.empty_table()))
+
+
+def q18_large_volume_customers_oracle(min_qty: int = 250) -> str:
+    return f"""
+WITH s AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c2
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) >= {int(min_qty) * 100}
+)
+SELECT o.o_orderkey, o.o_custkey, c.c_name,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       s.sum_qty_c2
+FROM s
+JOIN orders o ON o.o_orderkey = s.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+def top_parts_per_brand(sf_dir: str, n: int = 3):
+    """Per-group top-N — the ``ROW_NUMBER() OVER (PARTITION BY ...)
+    <= n`` pattern: the n priciest parts per brand, ranked. ONE
+    bucketed exchange on hash(brand); each bucket runs a vectorized
+    sort + per-group head, emitting ≤ n rows per brand, so output is
+    group-bounded regardless of corpus size. Ordering is total —
+    (price_c2 desc, partkey asc) on exact integer cents — so the rank
+    column and the selected rows match the oracle row-for-row."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"p_brand": batch["p_brand"].astype(str).to_numpy(),
+             "p_partkey": batch["p_partkey"].to_numpy(dtype=np.int64),
+             "price_c2": np.round(
+                 batch["p_retailprice"].to_numpy(dtype=np.float64) * 100
+             ).astype(np.int64)}
+        )
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_brand", "p_partkey", "p_retailprice"],
+    ).map_batches(prep, batch_format="pandas")
+
+    def topn(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(
+            ["p_brand", "price_c2", "p_partkey"],
+            ascending=[True, False, True], kind="stable",
+        )
+        b = b.groupby("p_brand", sort=False).head(n).copy()
+        b["rn"] = b.groupby("p_brand", sort=False).cumcount().to_numpy() + 1
+        return b.astype({"rn": np.int64})
+
+    return grouped_aggregate(parts, ["p_brand"], topn, num_partitions=8)
+
+
+def top_parts_per_brand_oracle(n: int = 3) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT p_brand,
+         p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c2,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY p_brand
+           ORDER BY CAST(round(p_retailprice * 100) AS BIGINT) DESC,
+                    p_partkey ASC
+         ) AS BIGINT) AS rn
+  FROM part
+)
+SELECT p_brand, p_partkey, price_c2, rn FROM ranked WHERE rn <= {n}
+"""

@@ -69,6 +69,9 @@ EMPTY_OK = [
     ("customer_order_counts", 0),
     ("promo_revenue_share", 0),
     ("kg_link_candidates", 0),
+    ("kg_clustering_coefficient", 0),
+    ("q18_large_volume_customers", 0),
+    ("top_parts_per_brand", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
