@@ -308,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_clustering_coefficient"] = _ga.kg_clustering_coefficient
     q["q18_large_volume_customers"] = relational.q18_large_volume_customers
     q["top_parts_per_brand"] = relational.top_parts_per_brand
+    q["kg_personalized_pagerank"] = _ga.kg_personalized_pagerank
+    q["daily_type_pairs"] = relational.daily_type_pairs
+    q["supplier_revenue_rank"] = relational.supplier_revenue_rank
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -472,6 +475,9 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_clustering_coefficient"] = graph_algos.kg_clustering_coefficient_oracle()
     sql["q18_large_volume_customers"] = relational.q18_large_volume_customers_oracle()
     sql["top_parts_per_brand"] = relational.top_parts_per_brand_oracle()
+    sql["kg_personalized_pagerank"] = graph_algos.kg_personalized_pagerank_oracle()
+    sql["daily_type_pairs"] = relational.DAILY_TYPE_PAIRS_ORACLE
+    sql["supplier_revenue_rank"] = relational.SUPPLIER_REVENUE_RANK_ORACLE
     sql["kg_triangles"] = graph_algos.kg_triangles_oracle()
     sql["kg_two_hop"] = graph_algos.kg_two_hop_oracle()
     sql["kg_kcore"] = graph_algos.kg_kcore_oracle()

@@ -256,6 +256,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "kg_clustering_coefficient",
         "q18_large_volume_customers",
         "top_parts_per_brand",
+        "kg_personalized_pagerank",
+        "daily_type_pairs",
+        "supplier_revenue_rank",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -270,7 +270,8 @@ PR_DAMP_NUM = 850_000  # damping 0.85 in micro-units
 PR_BASE = PR_SCALE - PR_DAMP_NUM  # (1-d), micro-units
 
 
-def pagerank(edges_ds, iters: int = 10, num_partitions: int = 32):
+def pagerank(edges_ds, iters: int = 10, num_partitions: int = 32,
+             source: str | None = None):
     """Weighted PageRank over an edge Dataset (src, dst, weight) in
     deterministic integer fixed-point arithmetic (micro-units, floor
     division) — bit-identical results at any parallelism, so the
@@ -285,6 +286,12 @@ def pagerank(edges_ds, iters: int = 10, num_partitions: int = 32):
     out-edges) keep contributing nothing; nodes with no in-edges decay
     to the (1-d) floor. Fixed ``iters`` rather than a convergence test
     keeps the driver check reproducible.
+
+    ``source`` switches to PERSONALIZED PageRank: the (1-d) teleport
+    mass lands only on ``source`` (random-walk-with-restart from one
+    node) instead of uniformly — rank becomes proximity to the source.
+    Initial mass likewise starts concentrated there. Same exchanges,
+    same fixed-point arithmetic, identical unrolled-CTE oracle shape.
     """
     import pyarrow as pa
     import ray.data as rd
@@ -357,11 +364,17 @@ def pagerank(edges_ds, iters: int = 10, num_partitions: int = 32):
     )
     nodes = _compact(nodes, num_partitions)
 
+    def init_ranks(b: pd.DataFrame) -> pd.DataFrame:
+        if source is None:
+            r = np.full(len(b), PR_SCALE, dtype=np.int64)
+        else:
+            r = np.where(b["node"].to_numpy() == source, PR_SCALE, 0).astype(
+                np.int64
+            )
+        return pd.DataFrame({"node": b["node"], "rank": r})
+
     ranks = nodes.map_batches(
-        lambda b: pd.DataFrame(
-            {"node": b["node"], "rank": np.full(len(b), PR_SCALE, dtype=np.int64)}
-        ),
-        batch_format="pandas",
+        init_ranks, batch_format="pandas"
     ).materialize()  # already <= num_partitions blocks (from nodes)
 
     def tag_rank(batch: pd.DataFrame) -> pd.DataFrame:
@@ -406,7 +419,13 @@ def pagerank(edges_ds, iters: int = 10, num_partitions: int = 32):
         base = bucket[bucket["contrib"] < 0][["node"]].drop_duplicates()
         inc = bucket[bucket["contrib"] >= 0].groupby("node", sort=False)["contrib"].sum()
         out = base.merge(inc.reset_index(), on="node", how="left").fillna(0)
-        rank = PR_BASE + (PR_DAMP_NUM * out["contrib"].to_numpy(dtype=np.int64)) // PR_SCALE
+        if source is None:
+            base_mass = PR_BASE
+        else:
+            base_mass = np.where(
+                out["node"].to_numpy() == source, PR_BASE, 0
+            ).astype(np.int64)
+        rank = base_mass + (PR_DAMP_NUM * out["contrib"].to_numpy(dtype=np.int64)) // PR_SCALE
         return pd.DataFrame({"node": out["node"], "rank": rank.astype(np.int64)})
 
     for _ in range(iters):
@@ -2323,3 +2342,86 @@ SELECT d.node,
             ELSE 0.0 END AS local_cc
 FROM deg d LEFT JOIN tri t ON t.m = d.node
 """
+
+
+def kg_personalized_pagerank(sf_dir: str, iters: int = 5):
+    """Personalized PageRank (random walk with restart) from the
+    lexicographically smallest entity over the co-occurrence KG —
+    rank as PROXIMITY to one seed node, the standard
+    related-entity / recommendation primitive, versus
+    :func:`kg_pagerank`'s global importance. Same deterministic
+    integer fixed-point engine (``pagerank(source=...)``), so the
+    unrolled-CTE oracle hash-matches exactly; nodes the walk never
+    reaches hold rank 0 (no uniform teleport floor)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    base = _kg_edges_materialized(sf_dir)
+    src_df = base.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": [min(b["subject"].min(), b["object"].min())]}
+            if len(b) else {"node": []}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    if "node" not in src_df.columns or not len(src_df):
+        return rd.from_arrow(
+            pa.schema([("node", pa.string()), ("rank", pa.int64())]).empty_table()
+        )
+    source = src_df["node"].min()
+
+    def to_src_dst(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": batch["subject"], "dst": batch["object"],
+             "weight": batch["weight"].to_numpy(dtype=np.int64)}
+        )
+
+    edges = base.map_batches(to_src_dst, batch_format="pandas")
+    return pagerank(edges, iters=iters, num_partitions=8, source=source)
+
+
+def kg_personalized_pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled fixed-point CTEs with the teleport mass CASE-gated to
+    the seed node (the MIN entity), mirroring ``pagerank(source=...)``
+    bit for bit."""
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    edges_sql = simple_kg.oracle_sql()["kg_edges"]
+    parts = [
+        f"""WITH edges AS (
+  SELECT subject AS src, object AS dst, CAST(weight AS BIGINT) AS weight
+  FROM ({edges_sql}) kg_e
+),
+outw AS (SELECT src, SUM(weight) AS ow FROM edges GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) u
+),
+seed AS (SELECT MIN(node) AS s FROM nodes),
+r0 AS (
+  SELECT node,
+         CAST(CASE WHEN node = (SELECT s FROM seed)
+              THEN {PR_SCALE} ELSE 0 END AS BIGINT) AS rank
+  FROM nodes
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node = (SELECT s FROM seed)
+                   THEN {PR_BASE} ELSE 0 END
+              + ({PR_DAMP_NUM} * COALESCE(c.inc, 0)) // {PR_SCALE}
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((r.rank * e.weight) // o.ow) AS inc
+    FROM edges e
+    JOIN r{i - 1} r ON r.node = e.src
+    JOIN outw o ON o.src = e.src
+    GROUP BY 1
+  ) c ON c.node = n.node
+)"""
+        )
+    parts.append(f"\nSELECT node, rank FROM r{iters}")
+    return "".join(parts)

@@ -7177,3 +7177,249 @@ WITH ranked AS (
 )
 SELECT p_brand, p_partkey, price_c2, rn FROM ranked WHERE rn <= {n}
 """
+
+
+def daily_type_pairs(sf_dir: str):
+    """Market-basket co-occurrence: for every pair of event types,
+    how many (user, day) baskets contain BOTH, with each type's solo
+    basket count and the lift ratio — the association-rule support /
+    lift primitive over behavioral logs.
+
+    One row-scale exchange does all the heavy lifting: distinct
+    (user, day, type) partials (deduped per batch) meet on
+    hash(user, day); each basket-complete bucket emits pre-counted
+    PAIR rows (t1 < t2), SINGLE rows, and a basket-count row in one
+    tagged frame. The second exchange is DOMAIN-bounded (pairs of
+    distinct event types — dozens², at any corpus size), after which
+    a single-partition final pivots singles into pairs and computes
+    ``lift = n_baskets·n_pairs / (n_t1·n_t2)`` — one closed-form
+    double over exact int64 products, identical in the oracle (the
+    int64 products bound the domain to ~3·10^9 baskets · max support,
+    plenty past any real log)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def distinct_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(dtype=np.int64),
+             "day": batch["ts"].dt.strftime("%Y-%m-%d"),
+             "event_type": batch["event_type"].astype(str)}
+        ).drop_duplicates()
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).map_batches(distinct_partial, batch_format="pandas")
+
+    def basket_rows(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates()
+        outs = []
+        n_baskets = 0
+        for _, grp in b.groupby(["user_id", "day"], sort=False):
+            n_baskets += 1
+            types = np.sort(grp["event_type"].unique())
+            outs.append(pd.DataFrame(
+                {"t1": types, "t2": "", "kind": np.int64(1)}))
+            if len(types) >= 2:
+                ia, ib = np.triu_indices(len(types), k=1)
+                outs.append(pd.DataFrame(
+                    {"t1": types[ia], "t2": types[ib], "kind": np.int64(0)}))
+        outs.append(pd.DataFrame(
+            {"t1": [""], "t2": [""], "kind": np.int64(2)}))
+        allr = pd.concat(outs, ignore_index=True)
+        allr.loc[allr["kind"] == 2, "cnt"] = n_baskets
+        out = (
+            allr.groupby(["t1", "t2", "kind"], sort=False)
+            .size().reset_index(name="n")
+        )
+        out.loc[out["kind"] == 2, "n"] = n_baskets
+        return out.astype({"kind": np.int64, "n": np.int64})
+
+    tagged = grouped_aggregate(
+        ev, ["user_id", "day"], basket_rows, num_partitions=16,
+    )
+
+    def sum_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket.groupby(["t1", "t2", "kind"], sort=False)["n"].sum()
+            .reset_index()
+        )
+        return out.astype({"kind": np.int64, "n": np.int64})
+
+    small = grouped_aggregate(tagged, ["t1", "t2", "kind"], sum_counts,
+                              num_partitions=4)
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["t1", "t2", "kind"], sort=False)["n"].sum().reset_index()
+        n_baskets = int(g.loc[g["kind"] == 2, "n"].sum())
+        singles = g[g["kind"] == 1].set_index("t1")["n"]
+        pairs = g[g["kind"] == 0]
+        if not len(pairs):
+            return pd.DataFrame(
+                {"t1": pd.Series([], dtype=str), "t2": pd.Series([], dtype=str),
+                 "n_pairs": pd.Series([], dtype=np.int64),
+                 "n_t1": pd.Series([], dtype=np.int64),
+                 "n_t2": pd.Series([], dtype=np.int64),
+                 "lift": pd.Series([], dtype=np.float64)}
+            )
+        c1 = pairs["t1"].map(singles).to_numpy(dtype=np.int64)
+        c2 = pairs["t2"].map(singles).to_numpy(dtype=np.int64)
+        c12 = pairs["n"].to_numpy(dtype=np.int64)
+        lift = (n_baskets * c12).astype(np.float64) / (c1 * c2).astype(np.float64)
+        return pd.DataFrame(
+            {"t1": pairs["t1"].to_numpy(), "t2": pairs["t2"].to_numpy(),
+             "n_pairs": c12, "n_t1": c1, "n_t2": c2, "lift": lift}
+        )
+
+    out_schema = pa.schema(
+        [("t1", pa.string()), ("t2", pa.string()), ("n_pairs", pa.int64()),
+         ("n_t1", pa.int64()), ("n_t2", pa.int64()), ("lift", pa.float64())]
+    )
+    return small.repartition(1).map_batches(
+        finalize, batch_format="pandas"
+    ).union(rd.from_arrow(out_schema.empty_table()))
+
+
+DAILY_TYPE_PAIRS_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type
+  FROM events
+),
+baskets AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT DISTINCT user_id, day FROM b
+  ) x
+),
+singles AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1
+),
+pairs AS (
+  SELECT b1.event_type AS t1, b2.event_type AS t2,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM b b1
+  JOIN b b2 ON b2.user_id = b1.user_id AND b2.day = b1.day
+           AND b1.event_type < b2.event_type
+  GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, p.n_pairs,
+       s1.c AS n_t1, s2.c AS n_t2,
+       CAST((SELECT n FROM baskets) * p.n_pairs AS DOUBLE)
+         / CAST(s1.c * s2.c AS DOUBLE) AS lift
+FROM pairs p
+JOIN singles s1 ON s1.event_type = p.t1
+JOIN singles s2 ON s2.event_type = p.t2
+"""
+
+
+def supplier_revenue_rank(sf_dir: str):
+    """Suppliers ranked WITHIN their nation by lineitem revenue —
+    the RANK() OVER (PARTITION BY) leaderboard where ties share a
+    rank (exact integer revenue makes tie-sharing deterministic,
+    unlike a float sum whose accumulation order could split a tie).
+    Suppliers with no line items stay in the board at revenue 0
+    (LEFT semantics, all sharing the bottom rank).
+
+    Two bucketed exchanges: (1) hash(suppkey) — per-batch revenue
+    partials meet supplier rows, LEFT-merged so zero-revenue
+    suppliers survive; (2) hash(nationkey) — each nation's complete
+    roster ranks vectorized (``rank(method='min')`` ≡ SQL RANK()).
+    Nation cardinality is domain-bounded but the shape stays bucketed
+    — a skewed nation is still one bucket's vectorized sort, not a
+    driver collect."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def line_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        pct = np.round(
+            batch["l_discount"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"suppkey": batch["l_suppkey"].to_numpy(dtype=np.int64),
+             "revenue_c4": cents * (100 - pct)}
+        )
+        part = df.groupby("suppkey", sort=False)["revenue_c4"].sum().reset_index()
+        return pd.DataFrame(
+            {"suppkey": part["suppkey"].to_numpy(dtype=np.int64),
+             "nationkey": np.full(len(part), -1, dtype=np.int64),
+             "s_name": np.full(len(part), "", dtype=object),
+             "revenue_c4": part["revenue_c4"].to_numpy(dtype=np.int64)}
+        )
+
+    def supp_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"suppkey": batch["s_suppkey"].to_numpy(dtype=np.int64),
+             "nationkey": batch["s_nationkey"].to_numpy(dtype=np.int64),
+             "s_name": batch["s_name"].astype(str).to_numpy(),
+             "revenue_c4": np.zeros(len(batch), dtype=np.int64)}
+        )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_partial, batch_format="pandas")
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    ).map_batches(supp_rows, batch_format="pandas")
+
+    def per_supplier(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby("suppkey", sort=False)
+            .agg(nationkey=("nationkey", "max"), s_name=("s_name", "max"),
+                 revenue_c4=("revenue_c4", "sum"))
+            .reset_index()
+        )
+        keep = g[g["nationkey"] >= 0]  # only real suppliers (LEFT base)
+        return pd.DataFrame(
+            {"suppkey": keep["suppkey"].to_numpy(dtype=np.int64),
+             "nationkey": keep["nationkey"].to_numpy(dtype=np.int64),
+             "s_name": keep["s_name"].to_numpy(),
+             "revenue_c4": keep["revenue_c4"].to_numpy(dtype=np.int64)}
+        )
+
+    per_supp = grouped_aggregate(
+        lines.union(supp), ["suppkey"], per_supplier, num_partitions=16,
+    )
+
+    def rank_in_nation(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.copy()
+        b["rk"] = (
+            b.groupby("nationkey", sort=False)["revenue_c4"]
+            .rank(method="min", ascending=False).astype(np.int64)
+        )
+        return pd.DataFrame(
+            {"s_nationkey": b["nationkey"].to_numpy(dtype=np.int64),
+             "s_suppkey": b["suppkey"].to_numpy(dtype=np.int64),
+             "s_name": b["s_name"].to_numpy(),
+             "revenue_c4": b["revenue_c4"].to_numpy(dtype=np.int64),
+             "rk": b["rk"].to_numpy(dtype=np.int64)}
+        )
+
+    return grouped_aggregate(per_supp, ["nationkey"], rank_in_nation,
+                             num_partitions=8)
+
+
+SUPPLIER_REVENUE_RANK_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+  FROM lineitem GROUP BY 1
+),
+board AS (
+  SELECT s.s_nationkey, s.s_suppkey, s.s_name,
+         CAST(COALESCE(r.revenue_c4, 0) AS BIGINT) AS revenue_c4
+  FROM supplier s LEFT JOIN rev r ON r.l_suppkey = s.s_suppkey
+)
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_suppkey, s_name,
+       revenue_c4,
+       CAST(RANK() OVER (
+         PARTITION BY s_nationkey ORDER BY revenue_c4 DESC
+       ) AS BIGINT) AS rk
+FROM board
+"""

@@ -72,6 +72,9 @@ EMPTY_OK = [
     ("kg_clustering_coefficient", 0),
     ("q18_large_volume_customers", 0),
     ("top_parts_per_brand", 0),
+    ("kg_personalized_pagerank", 0),
+    ("daily_type_pairs", 0),
+    ("supplier_revenue_rank", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
