@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["repetition_signals"] = pretrain.repetition_signals
     q["pack_sequences"] = pretrain.pack_sequences
     q["lang_rebalance"] = pretrain.lang_rebalance
+    q["train_val_split"] = pretrain.train_val_split
     q["pretrain_corpus"] = pretrain.pretrain_corpus
     # --- sampling / per-group selection -------------------------------
     from entity_extractor_linker_ray.ops import sampling
@@ -501,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
     sql["repetition_signals"] = pretrain.REPETITION_ORACLE
     sql["pack_sequences"] = pretrain.pack_sequences_oracle()
     sql["lang_rebalance"] = pretrain.LANG_REBALANCE_ORACLE
+    sql["train_val_split"] = pretrain.train_val_split_oracle()
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

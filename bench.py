@@ -259,6 +259,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "kg_personalized_pagerank",
         "daily_type_pairs",
         "supplier_revenue_rank",
+        "train_val_split",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -629,3 +629,42 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_before,
        cum_before % {capacity} AS bin_offset
 FROM c
 """
+
+
+def train_val_split(sf_dir: str, val_pct: int = 10):
+    """Deterministic train/validation assignment — the split every
+    training run needs BEFORE packing/rebalancing, done the only way
+    that survives 100 TB: a fixed multiplicative hash of ``doc_id``
+    (the same Knuth rule ``ops/sampling`` uses), never an RNG. The
+    assignment is therefore reproducible across runs, independent of
+    partitioning/machine count, stable when the corpus is re-sharded,
+    and a later incremental ingest assigns new docs without touching
+    old ones. Zero shuffle: one embarrassingly-parallel ``map_batches``
+    over a column-pruned read. ``val_pct`` of documents (in
+    expectation) land in ``val`` via ``hash % 100 < val_pct``."""
+    import ray.data as rd
+
+    knuth = np.int64(2654435761)
+    mod = np.int64(1) << np.int64(32)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        h = (ids * knuth) % mod
+        return pd.DataFrame(
+            {"doc_id": ids,
+             "lang": batch["lang"].astype(str).to_numpy(),
+             "split": np.where(h % 100 < val_pct, "val", "train")}
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(assign, batch_format="pandas")
+
+
+def train_val_split_oracle(val_pct: int = 10) -> str:
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < {val_pct}
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""

@@ -75,6 +75,7 @@ EMPTY_OK = [
     ("kg_personalized_pagerank", 0),
     ("daily_type_pairs", 0),
     ("supplier_revenue_rank", 0),
+    ("train_val_split", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError

@@ -210,3 +210,49 @@ class TestLangRebalance:
             out.sort_values("doc_id").reset_index(drop=True),
             again.sort_values("doc_id").reset_index(drop=True),
         )
+
+
+class TestTrainValSplit:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.ops.pretrain import (
+            train_val_split,
+            train_val_split_oracle,
+        )
+
+        got = (
+            train_val_split(SF).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        exp = (
+            _oracle(train_val_split_oracle())
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert len(got) == len(exp) > 0
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    def test_deterministic_and_roughly_sized(self, ray_session):
+        """Same assignment on a re-run (hash, not RNG), every doc
+        assigned exactly once, val fraction near the target."""
+        from entity_extractor_linker_ray.ops.pretrain import train_val_split
+
+        a = train_val_split(SF).to_pandas().sort_values("doc_id")
+        b = train_val_split(SF).to_pandas().sort_values("doc_id")
+        assert (a["split"].to_numpy() == b["split"].to_numpy()).all()
+        assert a["doc_id"].is_unique
+        frac = (a["split"] == "val").mean()
+        assert 0.03 <= frac <= 0.20  # 10% target, small-corpus noise
+
+    def test_exact_hash_rule_planted(self, ray_session, tmp_path):
+        """Pin the arithmetic: doc_id 0 hashes to 0 -> val; a doc_id
+        chosen so hash%100 == val_pct lands in train (strict <)."""
+        from entity_extractor_linker_ray.ops.pretrain import train_val_split
+
+        ids = np.arange(200, dtype=np.int64)
+        pd.DataFrame({"doc_id": ids, "lang": "en"}).to_parquet(
+            tmp_path / "documents.parquet"
+        )
+        got = train_val_split(str(tmp_path)).to_pandas().set_index("doc_id")
+        h = (ids * np.int64(2654435761)) % (np.int64(1) << np.int64(32))
+        expect = np.where(h % 100 < 10, "val", "train")
+        assert (got.loc[ids, "split"].to_numpy() == expect).all()
+        assert got.loc[0, "split"] == "val"  # hash(0) == 0 < 10
