@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pack_sequences"] = pretrain.pack_sequences
     q["lang_rebalance"] = pretrain.lang_rebalance
     q["train_val_split"] = pretrain.train_val_split
+    q["revenue_concentration_deciles"] = relational.revenue_concentration_deciles
     q["pretrain_corpus"] = pretrain.pretrain_corpus
     # --- sampling / per-group selection -------------------------------
     from entity_extractor_linker_ray.ops import sampling
@@ -312,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_personalized_pagerank"] = _ga.kg_personalized_pagerank
     q["daily_type_pairs"] = relational.daily_type_pairs
     q["supplier_revenue_rank"] = relational.supplier_revenue_rank
+    q["kg_hits"] = _ga.kg_hits
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -503,6 +505,10 @@ def oracle_sql() -> dict[str, str]:
     sql["pack_sequences"] = pretrain.pack_sequences_oracle()
     sql["lang_rebalance"] = pretrain.LANG_REBALANCE_ORACLE
     sql["train_val_split"] = pretrain.train_val_split_oracle()
+    sql["revenue_concentration_deciles"] = (
+        relational.REVENUE_CONCENTRATION_DECILES_ORACLE
+    )
+    sql["kg_hits"] = graph_algos.kg_hits_oracle()
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

@@ -260,6 +260,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "daily_type_pairs",
         "supplier_revenue_rank",
         "train_val_split",
+        "revenue_concentration_deciles",
+        "kg_hits",
     ]
     times: dict[str, float] = {}
     for name in names:

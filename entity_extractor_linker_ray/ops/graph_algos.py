@@ -2425,3 +2425,232 @@ r{i} AS (
         )
     parts.append(f"\nSELECT node, rank FROM r{iters}")
     return "".join(parts)
+
+
+HITS_ROUNDS = 3
+
+
+def kg_hits(sf_dir: str, rounds: int = HITS_ROUNDS, num_partitions: int = 8,
+            edges_ds=None):
+    """HITS hubs & authorities over the DIRECTED KG edge list — the
+    classic complement to PageRank: an authority is pointed at by
+    good hubs, a hub points at good authorities (Kleinberg 1999).
+    On a subject→object triple graph, authorities are the entities
+    statements are ABOUT; hubs are the entities that make statements.
+
+    Deterministic integer fixed point, like :func:`pagerank`: per
+    round ``a_raw(v) = Σ_{u→v} h(u)·w`` then ``h_raw(u) = Σ_{u→v}
+    a(v)·w``, each renormalized by PURE integer division ``x // d``
+    with ``d = max(max_x // SCALE, 1)`` — a multiply-free stand-in
+    for the L∞ normalization real HITS uses (no overflow, no float,
+    and the scalar ``max_x`` is an O(1) all-reduce per round). Every
+    step is one bucketed message exchange (scores meet edges on the
+    sending key; receiver sums pre-combined per bucket), so the plan
+    is 2 exchanges + 2 scalar reduces per round plus one final
+    universe join that fills sink/source nodes with 0. Unrolls into
+    one CTE pair per round — hash-exact vs the oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    def norm_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": batch["subject"].astype(str),
+             "dst": batch["object"].astype(str),
+             "weight": batch["weight"].to_numpy(dtype=np.int64)}
+        )
+
+    base = edges_ds if edges_ds is not None else _kg_edges_materialized(sf_dir)
+    edges = _compact(
+        base.map_batches(norm_edges, batch_format="pandas"), num_partitions
+    )
+
+    def node_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([batch["src"], batch["dst"]], ignore_index=True)}
+        )
+
+    nodes = grouped_aggregate(
+        edges.map_batches(node_rows, batch_format="pandas"), ["node"],
+        lambda b: b[["node"]].drop_duplicates(), num_partitions=num_partitions,
+    ).materialize()
+    if nodes.count() == 0:
+        return rd.from_arrow(
+            pa.schema([("node", pa.string()), ("hub", pa.int64()),
+                       ("auth", pa.int64())]).empty_table()
+        )
+
+    hub = nodes.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["node"], "score": np.full(len(b), PR_SCALE, dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    auth = None
+
+    def _message_pass(scores, key: str, target: str):
+        """scores(node, score) meet edges on ``key``; the ``target``
+        end receives score·weight, summed per bucket then globally."""
+        def tag_score(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": batch["node"], "other": "",
+                 "weight": np.zeros(len(batch), dtype=np.int64),
+                 "score": batch["score"].to_numpy(dtype=np.int64),
+                 "side": np.zeros(len(batch), dtype=np.int64)}
+            )
+
+        def tag_edge(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": batch[key], "other": batch[target],
+                 "weight": batch["weight"].to_numpy(dtype=np.int64),
+                 "score": np.zeros(len(batch), dtype=np.int64),
+                 "side": np.ones(len(batch), dtype=np.int64)}
+            )
+
+        def contribs(bucket: pd.DataFrame) -> pd.DataFrame:
+            s = bucket[bucket["side"] == 0][["key", "score"]]
+            e = bucket[bucket["side"] == 1][["key", "other", "weight"]]
+            m = e.merge(s, on="key", how="inner")
+            if m.empty:
+                return pd.DataFrame(
+                    {"node": pd.Series([], dtype=object),
+                     "raw": pd.Series([], dtype=np.int64)}
+                )
+            raw = m["score"].to_numpy(dtype=np.int64) * m["weight"].to_numpy(
+                dtype=np.int64
+            )
+            out = pd.DataFrame({"node": m["other"], "raw": raw})
+            return (
+                out.groupby("node", sort=False)["raw"].sum().reset_index()
+                .astype({"raw": np.int64})
+            )
+
+        msgs = grouped_aggregate(
+            scores.map_batches(tag_score, batch_format="pandas").union(
+                edges.map_batches(tag_edge, batch_format="pandas")
+            ),
+            ["key"], contribs, num_partitions=num_partitions,
+        )
+        summed = grouped_aggregate(
+            msgs, ["node"],
+            lambda b: b.groupby("node", sort=False)["raw"].sum().reset_index()
+            .astype({"raw": np.int64}),
+            num_partitions=num_partitions,
+        ).materialize()
+        mx = collect_small(
+            summed.map_batches(
+                lambda b: pd.DataFrame(
+                    {"m": [b["raw"].to_numpy(dtype=np.int64).max()]}
+                    if len(b) else {"m": []}
+                ),
+                batch_format="pandas",
+            ),
+            ["m"],
+        )
+        max_raw = int(mx["m"].max()) if len(mx) else 0
+        d = max(max_raw // PR_SCALE, 1)
+        return summed.map_batches(
+            lambda b, _d=d: pd.DataFrame(
+                {"node": b["node"],
+                 "score": (b["raw"].to_numpy(dtype=np.int64) // _d)}
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+    for _ in range(rounds):
+        auth = _message_pass(hub, "src", "dst")
+        hub = _message_pass(auth, "dst", "src")
+
+    def tag(ds, col: str, kind: int):
+        return ds.map_batches(
+            lambda b, _k=kind: pd.DataFrame(
+                {"node": b["node"],
+                 "score": b[col].to_numpy(dtype=np.int64)
+                 if col in b.columns else np.zeros(len(b), dtype=np.int64),
+                 "kind": np.full(len(b), _k, dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        )
+
+    def finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.pivot_table(index="node", columns="kind", values="score",
+                               aggfunc="sum", fill_value=0)
+        g = g.reindex(columns=[0, 1, 2], fill_value=0)
+        base_nodes = bucket.loc[bucket["kind"] == 0, "node"].unique()
+        g = g.loc[g.index.isin(base_nodes)]
+        return pd.DataFrame(
+            {"node": g.index.to_numpy(),
+             "hub": g[1].to_numpy(dtype=np.int64),
+             "auth": g[2].to_numpy(dtype=np.int64)}
+        )
+
+    out = grouped_aggregate(
+        tag(nodes.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"], "score": np.zeros(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ), "score", 0).union(tag(hub, "score", 1)).union(tag(auth, "score", 2)),
+        ["node"], finalize, num_partitions=num_partitions,
+    )
+    out_schema = pa.schema(
+        [("node", pa.string()), ("hub", pa.int64()), ("auth", pa.int64())]
+    )
+    return out.union(rd.from_arrow(out_schema.empty_table()))
+
+
+def kg_hits_oracle(rounds: int = HITS_ROUNDS) -> str:
+    """One (authority, hub) CTE pair per round; normalization is the
+    same multiply-free ``x // GREATEST(max_x // SCALE, 1)``."""
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    edges_sql = simple_kg.oracle_sql()["kg_edges"]
+    parts = [
+        f"""WITH edges AS (
+  SELECT subject AS src, object AS dst, CAST(weight AS BIGINT) AS weight
+  FROM ({edges_sql}) kg_e
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) u
+),
+h0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS score FROM nodes)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+araw{i} AS (
+  SELECT e.dst AS node, SUM(h.score * e.weight) AS raw
+  FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY 1
+),
+a{i} AS (
+  SELECT node,
+         CAST(raw // GREATEST((SELECT MAX(raw) FROM araw{i}) // {PR_SCALE}, 1)
+              AS BIGINT) AS score
+  FROM araw{i}
+),
+hraw{i} AS (
+  SELECT e.src AS node, SUM(a.score * e.weight) AS raw
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY 1
+),
+h{i} AS (
+  SELECT node,
+         CAST(raw // GREATEST((SELECT MAX(raw) FROM hraw{i}) // {PR_SCALE}, 1)
+              AS BIGINT) AS score
+  FROM hraw{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT n.node,
+       CAST(COALESCE(h.score, 0) AS BIGINT) AS hub,
+       CAST(COALESCE(a.score, 0) AS BIGINT) AS auth
+FROM nodes n
+LEFT JOIN h{rounds} h ON h.node = n.node
+LEFT JOIN a{rounds} a ON a.node = n.node"""
+    )
+    return "".join(parts)

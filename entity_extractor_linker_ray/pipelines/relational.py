@@ -7423,3 +7423,166 @@ SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_suppkey, s_name,
        ) AS BIGINT) AS rk
 FROM board
 """
+
+
+def revenue_concentration_deciles(sf_dir: str):
+    """Revenue concentration (Lorenz-curve points): customers cut
+    into VALUE-based deciles of lifetime revenue, with each decile's
+    headcount, exact revenue, and cumulative revenue share — the
+    "what fraction of revenue do the top X% hold" report behind every
+    80/20 analysis, and the tabular form of :func:`lineitem_quantity_gini`'s
+    scalar.
+
+    Same three-stage composition as :func:`customer_rfm`: (1) one
+    fact-scan combiner to per-customer exact centi-revenue; (2) decile
+    cuts p10..p90 as the discrete k = ceil(p·N) walk over the revenue
+    value histogram (VALUE cuts, not NTILE positions, so ties land in
+    the same decile and the result is order/partitioning-independent);
+    (3) a shuffle-free scoring scan, a decile-bounded aggregate, and a
+    10-row final that forms cumulative sums in int64 and the share as
+    one closed-form double division — bit-exact vs the oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = np.round(
+            batch["o_totalprice"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+                 "revenue_centi": rev}
+            )
+            .groupby("custkey", sort=False)["revenue_centi"].sum().reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("custkey", sort=False)["revenue_centi"].sum()
+            .reset_index()
+            .astype({"custkey": np.int64, "revenue_centi": np.int64})
+        )
+
+    per_cust = grouped_aggregate(orders, ["custkey"], combine,
+                                 partial=partial).materialize()
+
+    out_schema = pa.schema(
+        [("decile", pa.int64()), ("n_customers", pa.int64()),
+         ("revenue_centi", pa.int64()), ("cum_share", pa.float64())]
+    )
+    if per_cust.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("revenue_centi", sort=False).size().reset_index(name="n")
+            .astype({"revenue_centi": np.int64, "n": np.int64})
+        )
+
+    def hist_sum(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("revenue_centi", sort=False)["n"].sum().reset_index()
+            .astype({"revenue_centi": np.int64, "n": np.int64})
+        )
+
+    hist = (
+        grouped_aggregate(per_cust, ["revenue_centi"], hist_sum,
+                          partial=hist_partial, num_partitions=8)
+        .to_pandas()
+        .sort_values("revenue_centi", kind="stable")
+    )
+    cum = hist["n"].to_numpy(dtype=np.int64).cumsum()
+    vals = hist["revenue_centi"].to_numpy(dtype=np.int64)
+    total_n = int(cum[-1])
+    cuts = np.array(
+        [int(vals[np.searchsorted(cum, (k * total_n + 9) // 10, side="left")])
+         for k in range(1, 10)],
+        dtype=np.int64,
+    )
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = batch["revenue_centi"].to_numpy(dtype=np.int64)
+        dec = (np.searchsorted(cuts, rev, side="left") + 1).astype(np.int64)
+        part = (
+            pd.DataFrame({"decile": dec, "n_customers": np.int64(1),
+                          "revenue_centi": rev})
+            .groupby("decile", sort=False)
+            .agg(n_customers=("n_customers", "sum"),
+                 revenue_centi=("revenue_centi", "sum"))
+            .reset_index()
+        )
+        return part
+
+    per_decile = grouped_aggregate(
+        per_cust.map_batches(assign, batch_format="pandas"),
+        ["decile"],
+        lambda b: b.groupby("decile", sort=False)
+        .agg(n_customers=("n_customers", "sum"),
+             revenue_centi=("revenue_centi", "sum"))
+        .reset_index()
+        .astype({"decile": np.int64, "n_customers": np.int64,
+                 "revenue_centi": np.int64}),
+        num_partitions=4,
+    )
+
+    def lorenz(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values("decile", kind="stable").reset_index(drop=True)
+        cum_rev = b["revenue_centi"].to_numpy(dtype=np.int64).cumsum()
+        total = int(cum_rev[-1]) if len(cum_rev) else 0
+        share = (
+            cum_rev.astype(np.float64) / np.float64(total)
+            if total else np.zeros(len(b))
+        )
+        b["cum_share"] = share
+        return b
+
+    return per_decile.repartition(1).map_batches(
+        lorenz, batch_format="pandas"
+    ).union(rd.from_arrow(out_schema.empty_table()))
+
+
+REVENUE_CONCENTRATION_DECILES_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_centi
+  FROM orders GROUP BY 1
+),
+rr AS (SELECT revenue_centi AS v,
+              ROW_NUMBER() OVER (ORDER BY revenue_centi) AS rn,
+              COUNT(*) OVER () AS n FROM per_cust),
+cuts AS (SELECT
+  MIN(CASE WHEN rn = (1*n + 9) // 10 THEN v END) AS c1,
+  MIN(CASE WHEN rn = (2*n + 9) // 10 THEN v END) AS c2,
+  MIN(CASE WHEN rn = (3*n + 9) // 10 THEN v END) AS c3,
+  MIN(CASE WHEN rn = (4*n + 9) // 10 THEN v END) AS c4,
+  MIN(CASE WHEN rn = (5*n + 9) // 10 THEN v END) AS c5,
+  MIN(CASE WHEN rn = (6*n + 9) // 10 THEN v END) AS c6,
+  MIN(CASE WHEN rn = (7*n + 9) // 10 THEN v END) AS c7,
+  MIN(CASE WHEN rn = (8*n + 9) // 10 THEN v END) AS c8,
+  MIN(CASE WHEN rn = (9*n + 9) // 10 THEN v END) AS c9 FROM rr),
+scored AS (
+  SELECT CAST(CASE
+    WHEN p.revenue_centi <= c.c1 THEN 1 WHEN p.revenue_centi <= c.c2 THEN 2
+    WHEN p.revenue_centi <= c.c3 THEN 3 WHEN p.revenue_centi <= c.c4 THEN 4
+    WHEN p.revenue_centi <= c.c5 THEN 5 WHEN p.revenue_centi <= c.c6 THEN 6
+    WHEN p.revenue_centi <= c.c7 THEN 7 WHEN p.revenue_centi <= c.c8 THEN 8
+    WHEN p.revenue_centi <= c.c9 THEN 9 ELSE 10 END AS BIGINT) AS decile,
+    p.revenue_centi
+  FROM per_cust p, cuts c
+),
+agg AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(SUM(revenue_centi) AS BIGINT) AS revenue_centi
+  FROM scored GROUP BY 1
+)
+SELECT decile, n_customers, revenue_centi,
+       CAST(SUM(revenue_centi) OVER (ORDER BY decile) AS DOUBLE)
+         / CAST((SELECT SUM(revenue_centi) FROM agg) AS DOUBLE) AS cum_share
+FROM agg
+"""

@@ -76,6 +76,8 @@ EMPTY_OK = [
     ("daily_type_pairs", 0),
     ("supplier_revenue_rank", 0),
     ("train_val_split", 0),
+    ("revenue_concentration_deciles", 0),
+    ("kg_hits", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
