@@ -314,6 +314,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["daily_type_pairs"] = relational.daily_type_pairs
     q["supplier_revenue_rank"] = relational.supplier_revenue_rank
     q["kg_hits"] = _ga.kg_hits
+    q["q6_forecast_revenue"] = relational.q6_forecast_revenue
+    q["q10_returned_items"] = relational.q10_returned_items
+    q["events_ks_stat"] = relational.events_ks_stat
+    q["chi2_type_dow"] = relational.chi2_type_dow
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -509,6 +513,10 @@ def oracle_sql() -> dict[str, str]:
         relational.REVENUE_CONCENTRATION_DECILES_ORACLE
     )
     sql["kg_hits"] = graph_algos.kg_hits_oracle()
+    sql["q6_forecast_revenue"] = relational.Q6_FORECAST_REVENUE_ORACLE
+    sql["q10_returned_items"] = relational.Q10_RETURNED_ITEMS_ORACLE
+    sql["events_ks_stat"] = relational.EVENTS_KS_STAT_ORACLE
+    sql["chi2_type_dow"] = relational.CHI2_TYPE_DOW_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

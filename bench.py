@@ -262,6 +262,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "train_val_split",
         "revenue_concentration_deciles",
         "kg_hits",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "events_ks_stat",
+        "chi2_type_dow",
     ]
     times: dict[str, float] = {}
     for name in names:

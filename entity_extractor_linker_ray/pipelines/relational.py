@@ -7586,3 +7586,406 @@ SELECT decile, n_customers, revenue_centi,
          / CAST((SELECT SUM(revenue_centi) FROM agg) AS DOUBLE) AS cum_share
 FROM agg
 """
+
+
+def q6_forecast_revenue(sf_dir: str, year: int = 1997,
+                        disc_lo_c2: int = 2, disc_hi_c2: int = 4,
+                        max_qty: float = 24.0):
+    """TPC-H Q6 shape — the forecasting-revenue-change filter-sum: one
+    global SUM over lineitem rows shipped in ``year`` with a discount
+    in a small band and quantity under a cutoff. The cheapest possible
+    distributed shape: predicate + partial sum inside ``map_batches``
+    (one int64 row per block), a driver sum over the block partials.
+    No shuffle at all; the driver holds O(#blocks) rows. Revenue is the
+    exact integer sum of price_c2 x disc_c2 (10^-4 dollar units).
+    Always returns ONE row (zeros on an empty/filtered-away corpus),
+    matching COALESCE-guarded SQL."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
+    lo = np.datetime64(f"{year}-01-01")
+    hi = np.datetime64(f"{year + 1}-01-01")
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["l_shipdate"].to_numpy().astype("datetime64[ns]")
+        disc_c2 = np.round(
+            batch["l_discount"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(dtype=np.float64)
+        m = (
+            (ts >= lo) & (ts < hi)
+            & (disc_c2 >= disc_lo_c2) & (disc_c2 <= disc_hi_c2)
+            & (qty < max_qty)
+        )
+        price_c2 = np.round(
+            batch["l_extendedprice"].to_numpy(dtype=np.float64)[m] * 100
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"revenue_c4": [np.int64((price_c2 * disc_c2[m]).sum())],
+             "n_lines": [np.int64(m.sum())]}
+        )
+
+    partials = collect_small(
+        lines.map_batches(partial, batch_format="pandas"),
+        ["revenue_c4", "n_lines"],
+    )
+    return pd.DataFrame(
+        {"revenue_c4": [np.int64(partials["revenue_c4"].sum())],
+         "n_lines": [np.int64(partials["n_lines"].sum())]}
+    )
+
+
+Q6_FORECAST_REVENUE_ORACLE = """
+SELECT COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)), 0) AS revenue_c4,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 4
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(sf_dir: str, date_lo: str = "1997-01-01",
+                       date_hi: str = "1997-04-01", k: int = 20):
+    """TPC-H Q10 shape — returned-item reporting: revenue lost to
+    returns (l_returnflag = 'R') per customer for orders placed in a
+    quarter, top ``k`` customers enriched with name / nation / account
+    balance.
+
+    Scale shape: lineitem partial-sums revenue per orderkey INSIDE the
+    batch (combiner before the wire), then ONE bucketed exchange on
+    hash(orderkey) joins order->customer keys (tagged union, no
+    broadcast of either fact table), a second bucketed exchange sums
+    per custkey, and a partial-top-k-per-block -> driver merge keeps
+    the collect k-bounded. Only the k survivor keys are then used to
+    FILTER the customer dim scan (broadcast of a k-element set), so
+    the driver never holds more than k + |nation| rows."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    lo = np.datetime64(date_lo)
+    hi = np.datetime64(date_hi)
+    out_cols = ["c_custkey", "c_name", "n_name", "acctbal_c2",
+                "revenue_c4", "rn"]
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["o_orderdate"].to_numpy().astype("datetime64[ns]")
+        m = (ts >= lo) & (ts < hi)
+        return pd.DataFrame(
+            {"okey": batch["o_orderkey"].to_numpy(dtype=np.int64)[m],
+             "custkey": batch["o_custkey"].to_numpy(dtype=np.int64)[m],
+             "revenue_c4": np.zeros(int(m.sum()), dtype=np.int64),
+             "_side": np.full(int(m.sum()), 1, dtype=np.int64)}
+        )
+
+    def line_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["l_returnflag"].astype(str).to_numpy() == "R"
+        price_c2 = np.round(
+            batch["l_extendedprice"].to_numpy(dtype=np.float64)[m] * 100
+        ).astype(np.int64)
+        disc_c2 = np.round(
+            batch["l_discount"].to_numpy(dtype=np.float64)[m] * 100
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {"okey": batch["l_orderkey"].to_numpy(dtype=np.int64)[m],
+             "revenue_c4": price_c2 * (100 - disc_c2)}
+        )
+        out = out.groupby("okey", sort=False, as_index=False)["revenue_c4"].sum()
+        out["custkey"] = np.int64(0)
+        out["_side"] = np.int64(0)
+        return out[["okey", "custkey", "revenue_c4", "_side"]].astype(
+            {"okey": np.int64, "revenue_c4": np.int64}
+        )
+
+    unioned = orders.map_batches(order_rows, batch_format="pandas").union(
+        lines.map_batches(line_partial, batch_format="pandas")
+    )
+
+    def join_orders(bucket: pd.DataFrame) -> pd.DataFrame:
+        ords = bucket[bucket["_side"] == 1][["okey", "custkey"]]
+        revs = bucket[bucket["_side"] == 0][["okey", "revenue_c4"]]
+        merged = revs.merge(ords, on="okey", how="inner")
+        if merged.empty:
+            return pd.DataFrame(
+                {"custkey": pd.Series([], dtype=np.int64),
+                 "revenue_c4": pd.Series([], dtype=np.int64)}
+            )
+        # combiner: pre-sum per custkey inside the bucket so the second
+        # exchange moves <= one row per (bucket, custkey)
+        return (
+            merged.groupby("custkey", sort=False, as_index=False)["revenue_c4"]
+            .sum().astype({"custkey": np.int64, "revenue_c4": np.int64})
+        )
+
+    per_cust_partial = grouped_aggregate(
+        unioned, ["okey"], join_orders, coalesce=True
+    )
+
+    def cust_sum(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("custkey", sort=False, as_index=False)["revenue_c4"]
+            .sum().astype({"custkey": np.int64, "revenue_c4": np.int64})
+        )
+
+    per_cust = grouped_aggregate(per_cust_partial, ["custkey"], cust_sum)
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["revenue_c4", "custkey"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    top = collect_small(
+        per_cust.map_batches(local_topk, batch_format="pandas"),
+        ["custkey", "revenue_c4"],
+    )
+    top = top.sort_values(
+        ["revenue_c4", "custkey"], ascending=[False, True], kind="stable"
+    ).head(k).reset_index(drop=True)
+    if top.empty:
+        return pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype=np.int64),
+             "c_name": pd.Series([], dtype=str),
+             "n_name": pd.Series([], dtype=str),
+             "acctbal_c2": pd.Series([], dtype=np.int64),
+             "revenue_c4": pd.Series([], dtype=np.int64),
+             "rn": pd.Series([], dtype=np.int64)}
+        )
+
+    survivor_keys = set(int(x) for x in top["custkey"].tolist())
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    )
+
+    def pick_survivors(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["c_custkey"].isin(survivor_keys)]
+
+    cust_rows = collect_small(
+        cust.map_batches(pick_survivors, batch_format="pandas"),
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    )
+    nation = collect_small(
+        rd.read_parquet(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]),
+        ["n_nationkey", "n_name"],
+    )
+    merged = top.merge(
+        cust_rows, left_on="custkey", right_on="c_custkey", how="inner"
+    ).merge(nation, left_on="c_nationkey", right_on="n_nationkey", how="inner")
+    merged["acctbal_c2"] = np.round(
+        merged["c_acctbal"].to_numpy(dtype=np.float64) * 100
+    ).astype(np.int64)
+    merged = merged.sort_values(
+        ["revenue_c4", "custkey"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+    merged["rn"] = np.arange(1, len(merged) + 1, dtype=np.int64)
+    return merged[out_cols].astype({"c_custkey": np.int64})
+
+
+Q10_RETURNED_ITEMS_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+    AND l_returnflag = 'R'
+  GROUP BY 1
+)
+SELECT c_custkey, c_name, n_name,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c2,
+       CAST(revenue_c4 AS BIGINT) AS revenue_c4,
+       CAST(ROW_NUMBER() OVER (ORDER BY revenue_c4 DESC, c_custkey ASC)
+            AS BIGINT) AS rn
+FROM rev
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY revenue_c4 DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def events_ks_stat(sf_dir: str, type_a: str = "click",
+                   type_b: str = "purchase"):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event types: D = max over the pooled support
+    of |F_a(v) - F_b(v)|.
+
+    Distributed shape: per-(value_centi) counts for both types via the
+    bucketed two-phase aggregate, then the CDF walk on the driver over
+    the DISTINCT-VALUE grid — bounded by the value range (2-decimal
+    values in [0, ~500] => <= ~50k grid points no matter the corpus
+    size), not by row count. Float parity: cumulative counts are exact
+    int64; each CDF point is ONE double division and the |diff| / max
+    use identical expression shape to the SQL, so ks_d matches DuckDB
+    bit-for-bit (see oracle-float-parity notes)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        et = batch["event_type"].astype(str).to_numpy()
+        m = (et == type_a) | (et == type_b)
+        v = np.round(
+            batch["value"].to_numpy(dtype=np.float64)[m] * 100
+        ).astype(np.int64)
+        isa = (et[m] == type_a).astype(np.int64)
+        out = pd.DataFrame({"v": v, "ca": isa, "cb": 1 - isa})
+        return out.groupby("v", sort=False, as_index=False).agg(
+            ca=("ca", "sum"), cb=("cb", "sum")
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("v", sort=False, as_index=False)
+            .agg(ca=("ca", "sum"), cb=("cb", "sum"))
+            .astype({"v": np.int64, "ca": np.int64, "cb": np.int64})
+        )
+
+    counts = grouped_aggregate(events, ["v"], combine, partial=partial)
+    df = collect_small(counts, ["v", "ca", "cb"])
+    if df.empty or df["ca"].sum() == 0 or df["cb"].sum() == 0:
+        return pd.DataFrame(
+            {"n_a": [np.int64(0)], "n_b": [np.int64(0)], "ks_d": [0.0]}
+        )
+    df = df.sort_values("v", kind="stable")
+    n_a = np.int64(df["ca"].sum())
+    n_b = np.int64(df["cb"].sum())
+    cca = np.cumsum(df["ca"].to_numpy(dtype=np.int64)).astype(np.float64)
+    ccb = np.cumsum(df["cb"].to_numpy(dtype=np.int64)).astype(np.float64)
+    d = np.abs(cca / n_a - ccb / n_b)
+    return pd.DataFrame({"n_a": [n_a], "n_b": [n_b], "ks_d": [float(d.max())]})
+
+
+EVENTS_KS_STAT_ORACLE = """
+WITH vals AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         count(*) FILTER (event_type = 'click') AS ca,
+         count(*) FILTER (event_type = 'purchase') AS cb
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+), cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v) AS cca,
+         SUM(cb) OVER (ORDER BY v) AS ccb,
+         SUM(ca) OVER () AS na,
+         SUM(cb) OVER () AS nb
+  FROM vals
+)
+SELECT COALESCE(CAST(max(na) AS BIGINT), 0) AS n_a,
+       COALESCE(CAST(max(nb) AS BIGINT), 0) AS n_b,
+       COALESCE(max(abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)),
+                0.0) AS ks_d
+FROM cum
+"""
+
+
+def chi2_type_dow(sf_dir: str):
+    """Pearson chi-square contributions for independence of event_type
+    x day-of-week (dow = epoch_days % 7, engine-neutral). Emits one row
+    PER CELL rather than a single summed statistic: the per-cell closed
+    form ((n - e)^2 / e with e = row*col/N) is bit-exact across engines,
+    while a SUM over >1 double would depend on accumulation order.
+
+    Shape: counts via the bucketed two-phase aggregate; the marginal /
+    expected math runs on the driver over a |types| x 7 grid — bounded
+    by the type vocabulary, not the corpus."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    keys = ["event_type", "dow"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        out = pd.DataFrame(
+            {"event_type": batch["event_type"].astype(str).to_numpy(),
+             "dow": (ts_ns // 86_400_000_000_000) % 7,
+             "n": np.ones(len(batch), dtype=np.int64)}
+        )
+        return out.groupby(keys, sort=False, as_index=False)["n"].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False, as_index=False)["n"].sum()
+            .astype({"dow": np.int64, "n": np.int64})
+        )
+
+    cells = grouped_aggregate(events, keys, combine, partial=partial)
+    df = collect_small(cells, ["event_type", "dow", "n"])
+    if df.empty:
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "dow": pd.Series([], dtype=np.int64),
+             "n": pd.Series([], dtype=np.int64),
+             "expected": pd.Series([], dtype=np.float64),
+             "chi2_contrib": pd.Series([], dtype=np.float64)}
+        )
+    row_n = df.groupby("event_type")["n"].transform("sum").to_numpy(dtype=np.int64)
+    col_n = df.groupby("dow")["n"].transform("sum").to_numpy(dtype=np.int64)
+    big_n = np.int64(df["n"].sum())
+    expected = (row_n * col_n).astype(np.float64) / big_n
+    n = df["n"].to_numpy(dtype=np.int64)
+    diff = n - expected
+    return pd.DataFrame(
+        {"event_type": df["event_type"].astype(str).to_numpy(),
+         "dow": df["dow"].to_numpy(dtype=np.int64),
+         "n": n,
+         "expected": expected,
+         "chi2_contrib": diff * diff / expected}
+    )
+
+
+CHI2_TYPE_DOW_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 % 7 AS BIGINT) AS dow,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), rowt AS (
+  SELECT event_type, SUM(n) AS row_n FROM cells GROUP BY 1
+), colt AS (
+  SELECT dow, SUM(n) AS col_n FROM cells GROUP BY 1
+), grand AS (
+  SELECT SUM(n) AS big_n FROM cells
+), j AS (
+  SELECT c.event_type, c.dow, c.n,
+         CAST(row_n * col_n AS DOUBLE) / big_n AS expected
+  FROM cells c
+  JOIN rowt USING (event_type) JOIN colt USING (dow) CROSS JOIN grand
+)
+SELECT event_type, dow, CAST(n AS BIGINT) AS n, expected,
+       (n - expected) * (n - expected) / expected AS chi2_contrib
+FROM j
+"""

@@ -78,6 +78,11 @@ EMPTY_OK = [
     ("train_val_split", 0),
     ("revenue_concentration_deciles", 0),
     ("kg_hits", 0),
+    # fourteenth-session ops: Q6/KS are COUNT-shaped single-row zeros
+    ("q6_forecast_revenue", 1),
+    ("q10_returned_items", 0),
+    ("events_ks_stat", 1),
+    ("chi2_type_dow", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
