@@ -318,6 +318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["q10_returned_items"] = relational.q10_returned_items
     q["events_ks_stat"] = relational.events_ks_stat
     q["chi2_type_dow"] = relational.chi2_type_dow
+    q["leakage_safe_split"] = pretrain.leakage_safe_split
+    q["trimmed_mean_by_type"] = relational.trimmed_mean_by_type
+    q["cms_heavy_hitters"] = textstats.cms_heavy_hitters
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -517,6 +520,8 @@ def oracle_sql() -> dict[str, str]:
     sql["q10_returned_items"] = relational.Q10_RETURNED_ITEMS_ORACLE
     sql["events_ks_stat"] = relational.EVENTS_KS_STAT_ORACLE
     sql["chi2_type_dow"] = relational.CHI2_TYPE_DOW_ORACLE
+    sql["trimmed_mean_by_type"] = relational.TRIMMED_MEAN_BY_TYPE_ORACLE
+    sql["leakage_safe_split"] = pretrain.leakage_safe_split_oracle()
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

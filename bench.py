@@ -266,6 +266,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "q10_returned_items",
         "events_ks_stat",
         "chi2_type_dow",
+        "leakage_safe_split",
+        "trimmed_mean_by_type",
+        "cms_heavy_hitters",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -668,3 +668,85 @@ SELECT doc_id, lang,
             THEN 'val' ELSE 'train' END AS split
 FROM documents
 """
+
+
+def leakage_safe_split(sf_dir: str, val_pct: int = 10):
+    """Near-dup-AWARE train/validation split — the leakage-safe variant
+    of :func:`train_val_split`. A plain per-doc hash split lets two
+    near-identical documents land on opposite sides, leaking validation
+    content into training. Here every document in a VERIFIED
+    near-duplicate component (exact n-gram Jaccard pairs ->
+    min-label connected components, `ops/graph_algos.duplicate_clusters`)
+    is assigned by the hash of its CLUSTER representative (the
+    component's min doc_id), so a whole duplicate family moves as one
+    unit; documents in no pair fall back to their own doc_id — the
+    identical Knuth rule, so the assignment stays reproducible,
+    shard-independent, and incremental-ingest-stable.
+
+    Shape: the cluster map covers only pair-involved docs (small), but
+    at 100 TB it is still corpus-proportional in the worst case, so the
+    attach is ONE bucketed tagged-union join on hash(doc_id) — no
+    broadcast of either side."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.graph_algos import duplicate_clusters
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    clusters = duplicate_clusters(sf_dir)
+
+    def doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+             "lang": batch["lang"].astype(str).to_numpy(),
+             "cluster_id": np.full(len(batch), -1, dtype=np.int64),
+             "_side": np.zeros(len(batch), dtype=np.int64)}
+        )
+
+    def cluster_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+             "lang": np.full(len(batch), "", dtype=object),
+             "cluster_id": batch["cluster_id"].to_numpy(dtype=np.int64),
+             "_side": np.ones(len(batch), dtype=np.int64)}
+        )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(doc_rows, batch_format="pandas")
+    unioned = docs.union(clusters.map_batches(cluster_rows, batch_format="pandas"))
+
+    knuth = np.int64(2654435761)
+    mod = np.int64(1) << np.int64(32)
+
+    def assign(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket[bucket["_side"] == 0][["doc_id", "lang"]]
+        c = bucket[bucket["_side"] == 1][["doc_id", "cluster_id"]]
+        m = d.merge(c, on="doc_id", how="left")
+        rep = m["cluster_id"].fillna(-1).to_numpy(dtype=np.int64)
+        ids = m["doc_id"].to_numpy(dtype=np.int64)
+        group_id = np.where(rep >= 0, rep, ids).astype(np.int64)
+        h = (group_id * knuth) % mod
+        return pd.DataFrame(
+            {"doc_id": ids,
+             "lang": m["lang"].astype(str).to_numpy(),
+             "group_id": group_id,
+             "split": np.where(h % 100 < val_pct, "val", "train")}
+        )
+
+    return grouped_aggregate(unioned, ["doc_id"], assign)
+
+
+def leakage_safe_split_oracle(val_pct: int = 10) -> str:
+    from entity_extractor_linker_ray.ops.graph_algos import (
+        duplicate_clusters_oracle,
+    )
+
+    return f"""
+SELECT d.doc_id, d.lang,
+       COALESCE(c.cluster_id, d.doc_id) AS group_id,
+       CASE WHEN ((COALESCE(c.cluster_id, d.doc_id) * 2654435761)
+                  % 4294967296) % 100 < {val_pct}
+            THEN 'val' ELSE 'train' END AS split
+FROM documents d
+LEFT JOIN ({duplicate_clusters_oracle().strip()}) c USING (doc_id)
+"""

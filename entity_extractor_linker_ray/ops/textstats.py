@@ -1120,3 +1120,129 @@ SELECT doc_id,
             AS BIGINT) AS n_punct
 FROM documents
 """
+
+
+def _cms_cols(terms: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) deterministic column indices: pandas' SipHash keyed
+    with a distinct 16-char key per sketch row — stable across
+    processes/machines (unlike Python's salted ``hash``)."""
+    cols = np.empty((depth, len(terms)), dtype=np.int64)
+    for d in range(depth):
+        h = pd.util.hash_array(
+            np.asarray(terms, dtype=object), hash_key=f"cms-row-{d:08d}"
+        )
+        cols[d] = (h % np.uint64(width)).astype(np.int64)
+    return cols
+
+
+def cms_heavy_hitters(sf_dir: str, k: int = 20, depth: int = 4,
+                      width: int = 2048, capacity: int = 64):
+    """Count-min-sketch term frequencies — the fixed-memory sketch
+    counterpart of :func:`heavy_hitters` (Misra-Gries): estimates are
+    UPPER bounds (``est >= true`` always; over by <= 2N/width per row
+    w.h.p., taking the min over ``depth`` independent rows).
+
+    One pass emits, per batch, (a) the batch's sparse sketch cells —
+    pre-summed to <= depth x width rows, so the wire cost is
+    sketch-bounded, corpus-independent — and (b) its ``capacity``
+    locally-heaviest terms as candidates (a global heavy hitter is a
+    local one in some batch). Cells merge by (row, col) sum — CMS merge
+    is associative — via the bucketed aggregate; the driver then holds
+    one dense depth x width matrix + the candidate set and reads each
+    candidate's min-cell. Sketches aren't SQL-expressible: rows-only at
+    the driver; the hard ``est >= exact`` guarantee and planted
+    exactness are pinned in pytest."""
+    import re
+
+    import pyarrow as pa
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    split = re.compile(r"[^a-z0-9]+")
+
+    def sketch_batch(batch: pd.DataFrame):
+        terms_list: list[str] = []
+        for text in batch["text"]:
+            terms_list.extend(t for t in split.split((text or "").lower()) if t)
+        counts = (
+            pd.Series(terms_list, dtype=object).value_counts()
+            .rename_axis("term").reset_index(name="cnt")
+            .sort_values(["cnt", "term"], ascending=[False, True], kind="stable")
+        )
+        terms = counts["term"].to_numpy(dtype=object)
+        cnts = counts["cnt"].to_numpy(dtype=np.int64)
+        if len(terms):
+            cols = _cms_cols(terms, depth, width)
+            cells = (
+                pd.DataFrame(
+                    {"r": np.repeat(np.arange(depth, dtype=np.int64), len(terms)),
+                     "c": cols.reshape(-1),
+                     "cnt": np.tile(cnts, depth)}
+                )
+                .groupby(["r", "c"], sort=False, as_index=False)["cnt"].sum()
+            )
+        else:
+            cells = pd.DataFrame(
+                {"r": pd.Series([], dtype=np.int64),
+                 "c": pd.Series([], dtype=np.int64),
+                 "cnt": pd.Series([], dtype=np.int64)}
+            )
+        cand_terms = list(terms[:capacity])
+        n_cells, n_cand = len(cells), len(cand_terms)
+        return pa.table(
+            {"kind": pa.array([0] * n_cells + [1] * n_cand, pa.int64()),
+             "r": pa.array(
+                 list(cells["r"].to_numpy()) + [0] * n_cand, pa.int64()),
+             "c": pa.array(
+                 list(cells["c"].to_numpy()) + [0] * n_cand, pa.int64()),
+             "cnt": pa.array(
+                 list(cells["cnt"].to_numpy()) + [0] * n_cand, pa.int64()),
+             "term": pa.array([""] * n_cells + cand_terms, pa.string())}
+        )
+
+    parts = docs.map_batches(sketch_batch, batch_format="pandas").materialize()
+
+    def cell_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["kind"] == 0][["r", "c", "cnt"]]
+
+    def cell_sum(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["r", "c"], sort=False, as_index=False)["cnt"].sum()
+            .astype({"r": np.int64, "c": np.int64, "cnt": np.int64})
+        )
+
+    cms = collect_small(
+        grouped_aggregate(
+            parts.map_batches(cell_rows, batch_format="pandas"),
+            ["r", "c"], cell_sum, num_partitions=8,
+        ),
+        ["r", "c", "cnt"],
+    )
+    cands = collect_small(
+        parts.map_batches(
+            lambda b: b[b["kind"] == 1][["term"]], batch_format="pandas"
+        ),
+        ["term"],
+    )
+    if cms.empty or cands.empty:
+        return pd.DataFrame(
+            {"term": pd.Series([], dtype=str),
+             "est_count": pd.Series([], dtype=np.int64)}
+        )
+    dense = np.zeros((depth, width), dtype=np.int64)
+    dense[cms["r"].to_numpy(dtype=np.int64),
+          cms["c"].to_numpy(dtype=np.int64)] = cms["cnt"].to_numpy(dtype=np.int64)
+    terms = np.unique(cands["term"].astype(str).to_numpy(dtype=object))
+    cols = _cms_cols(terms, depth, width)
+    est = dense[np.arange(depth)[:, None], cols].min(axis=0)
+    out = pd.DataFrame({"term": terms.astype(str), "est_count": est})
+    return (
+        out.sort_values(["est_count", "term"], ascending=[False, True],
+                        kind="stable")
+        .head(k).reset_index(drop=True)
+        .astype({"est_count": np.int64})
+    )

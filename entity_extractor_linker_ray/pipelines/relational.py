@@ -7989,3 +7989,104 @@ SELECT event_type, dow, CAST(n AS BIGINT) AS n, expected,
        (n - expected) * (n - expected) / expected AS chi2_contrib
 FROM j
 """
+
+
+def trimmed_mean_by_type(sf_dir: str, trim_pct: int = 10):
+    """Exact per-type trimmed mean of event value — the robust-mean
+    sibling of ``events_mad``: drop the lowest and highest
+    ``n * trim_pct // 100`` observations per event type, average the
+    rest. Exactness without sorting rows: values are 2-decimal, so the
+    per-(type, value_centi) COUNT GRID is bounded by the value range
+    (~50k cells/type) regardless of corpus size; the bucketed two-phase
+    aggregate builds the grid, and the trim walk runs on the driver
+    with vectorized prefix sums — per-cell trimmed counts are
+    ``clip(k - cum_before, 0, c)`` from each end, so a cell straddling
+    the cut contributes exactly its surviving items. The mean is ONE
+    double division of exact int64 sums (bit-exact vs the
+    ROW_NUMBER-window SQL)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    keys = ["event_type", "vc"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"event_type": batch["event_type"].astype(str).to_numpy(),
+             "vc": np.round(
+                 batch["value"].to_numpy(dtype=np.float64) * 100
+             ).astype(np.int64),
+             "c": np.ones(len(batch), dtype=np.int64)}
+        )
+        return out.groupby(keys, sort=False, as_index=False)["c"].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False, as_index=False)["c"].sum()
+            .astype({"vc": np.int64, "c": np.int64})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(events, keys, combine, partial=partial),
+        ["event_type", "vc", "c"],
+    )
+    if grid.empty:
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "n_events": pd.Series([], dtype=np.int64),
+             "trimmed_each": pd.Series([], dtype=np.int64),
+             "trimmed_sum_centi": pd.Series([], dtype=np.int64),
+             "trimmed_mean_centi": pd.Series([], dtype=np.float64)}
+        )
+    grid = grid.sort_values(["event_type", "vc"], kind="stable")
+    rows = []
+    for et, g in grid.groupby("event_type", sort=False):
+        c = g["c"].to_numpy(dtype=np.int64)
+        vc = g["vc"].to_numpy(dtype=np.int64)
+        n = np.int64(c.sum())
+        k = n * trim_pct // 100
+        cum_before = np.cumsum(c) - c
+        cum_after = n - np.cumsum(c)
+        take_low = np.clip(k - cum_before, 0, c)
+        take_high = np.clip(k - cum_after, 0, c)
+        kept = c - take_low - take_high
+        tsum = np.int64((kept * vc).sum())
+        tn = np.int64(n - 2 * k)
+        rows.append(
+            {"event_type": et, "n_events": n, "trimmed_each": np.int64(k),
+             "trimmed_sum_centi": tsum,
+             "trimmed_mean_centi": np.float64(tsum) / tn}
+        )
+    out = pd.DataFrame(rows)
+    return out.astype(
+        {"n_events": np.int64, "trimmed_each": np.int64,
+         "trimmed_sum_centi": np.int64, "trimmed_mean_centi": np.float64}
+    )
+
+
+TRIMMED_MEAN_BY_TYPE_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(value * 100) AS BIGINT)
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(max(n) * 10 // 100 AS BIGINT) AS trimmed_each,
+       CAST(SUM(vc) AS BIGINT) AS trimmed_sum_centi,
+       CAST(SUM(vc) AS DOUBLE) / count(*) AS trimmed_mean_centi
+FROM v
+WHERE rn > n * 10 // 100 AND rn <= n - n * 10 // 100
+GROUP BY event_type
+"""

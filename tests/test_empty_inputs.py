@@ -83,6 +83,9 @@ EMPTY_OK = [
     ("q10_returned_items", 0),
     ("events_ks_stat", 1),
     ("chi2_type_dow", 0),
+    ("leakage_safe_split", 0),
+    ("trimmed_mean_by_type", 0),
+    ("cms_heavy_hitters", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
