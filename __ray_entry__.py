@@ -321,6 +321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["leakage_safe_split"] = pretrain.leakage_safe_split
     q["trimmed_mean_by_type"] = relational.trimmed_mean_by_type
     q["cms_heavy_hitters"] = textstats.cms_heavy_hitters
+    q["trade_matrix_nations"] = relational.trade_matrix_nations
+    q["events_percent_rank"] = relational.events_percent_rank
+    q["segment_priority_mix"] = relational.segment_priority_mix
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -522,6 +525,9 @@ def oracle_sql() -> dict[str, str]:
     sql["chi2_type_dow"] = relational.CHI2_TYPE_DOW_ORACLE
     sql["trimmed_mean_by_type"] = relational.TRIMMED_MEAN_BY_TYPE_ORACLE
     sql["leakage_safe_split"] = pretrain.leakage_safe_split_oracle()
+    sql["trade_matrix_nations"] = relational.TRADE_MATRIX_NATIONS_ORACLE
+    sql["events_percent_rank"] = relational.EVENTS_PERCENT_RANK_ORACLE
+    sql["segment_priority_mix"] = relational.SEGMENT_PRIORITY_MIX_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

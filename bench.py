@@ -269,6 +269,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "leakage_safe_split",
         "trimmed_mean_by_type",
         "cms_heavy_hitters",
+        "trade_matrix_nations",
+        "events_percent_rank",
+        "segment_priority_mix",
     ]
     times: dict[str, float] = {}
     for name in names:

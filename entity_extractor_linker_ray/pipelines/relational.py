@@ -8090,3 +8090,355 @@ FROM v
 WHERE rn > n * 10 // 100 AND rn <= n - n * 10 // 100
 GROUP BY event_type
 """
+
+
+def trade_matrix_nations(sf_dir: str):
+    """TPC-H Q7 shape generalized — the nation-to-nation trade matrix:
+    revenue per (customer nation, supplier nation, order year) over the
+    full orders x lineitem stream. Q7 restricts to one nation pair; the
+    matrix form answers every pair at once from the same single
+    exchange.
+
+    Shape mirrors :func:`local_supplier_revenue`: suppkey->nationkey
+    and custkey->nationkey collapse to broadcast sorted-array lookups
+    (dimension ladder; the documented 100-TB fallback for the customer
+    map is tagging custkeys into the exchange), lineitems pre-aggregate
+    revenue per (orderkey, supp_nation) INSIDE the batch, orders tag
+    (cust_nation, year), and both sides meet in ONE bucketed exchange
+    on hash(orderkey); each bucket emits (cust_nation, supp_nation,
+    year) partials, and the final aggregate is at most
+    25 x 25 x years rows."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_names = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    cust = collect_small(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        ["c_custkey", "c_nationkey"],
+    )
+    order_c = np.argsort(cust["c_custkey"].to_numpy())
+    cust_map = ray.put(
+        (cust["c_custkey"].to_numpy(dtype=np.int64)[order_c],
+         cust["c_nationkey"].to_numpy(dtype=np.int64)[order_c])
+    )
+    supp = collect_small(
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        ["s_suppkey", "s_nationkey"],
+    )
+    order_s = np.argsort(supp["s_suppkey"].to_numpy())
+    supp_map = ray.put(
+        (supp["s_suppkey"].to_numpy(dtype=np.int64)[order_s],
+         supp["s_nationkey"].to_numpy(dtype=np.int64)[order_s])
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def tag_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, nations = ray.get(cust_map)
+        cnat = _np_lookup(keys, nations,
+                          batch["o_custkey"].to_numpy(dtype=np.int64))
+        kept = batch.loc[cnat >= 0]
+        years = (
+            kept["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        n = len(kept)
+        return pd.DataFrame(
+            {"orderkey": kept["o_orderkey"].to_numpy(dtype=np.int64),
+             "side": np.zeros(n, dtype=np.int64),
+             "nationkey": cnat[cnat >= 0],
+             "year": years,
+             "revenue_centi": np.zeros(n, dtype=np.int64)}
+        )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_lines(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, nations = ray.get(supp_map)
+        snat = _np_lookup(keys, nations,
+                          batch["l_suppkey"].to_numpy(dtype=np.int64))
+        rev = _round_half_up(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy())
+            * 100.0
+        )
+        part = (
+            pd.DataFrame(
+                {"orderkey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+                 "nationkey": snat, "revenue_centi": rev}
+            )
+            .groupby(["orderkey", "nationkey"], sort=False)["revenue_centi"]
+            .sum().reset_index()
+        )
+        part["side"] = np.int64(1)
+        part["year"] = np.int64(0)
+        return part[
+            ["orderkey", "side", "nationkey", "year", "revenue_centi"]
+        ].astype({c: np.int64 for c in
+                  ("orderkey", "side", "nationkey", "year", "revenue_centi")})
+
+    unioned = orders.map_batches(tag_orders, batch_format="pandas").union(
+        lines.map_batches(tag_lines, batch_format="pandas")
+    )
+    keys3 = ["cust_nat", "supp_nat", "year"]
+
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        left = bucket[bucket["side"] == 0][["orderkey", "nationkey", "year"]]
+        left = left.rename(columns={"nationkey": "cust_nat"})
+        right = bucket[bucket["side"] == 1][
+            ["orderkey", "nationkey", "revenue_centi"]
+        ].rename(columns={"nationkey": "supp_nat"})
+        m = left.merge(right, on="orderkey", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {"cust_nat": pd.Series([], dtype=np.int64),
+                 "supp_nat": pd.Series([], dtype=np.int64),
+                 "year": pd.Series([], dtype=np.int64),
+                 "revenue_centi": pd.Series([], dtype=np.int64)}
+            )
+        return (
+            m.groupby(keys3, sort=False, as_index=False)["revenue_centi"].sum()
+            .astype({c: np.int64 for c in (*keys3, "revenue_centi")})
+        )
+
+    partials = grouped_aggregate(unioned, ["orderkey"], join_bucket,
+                                 coalesce=True)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket.groupby(keys3, sort=False, as_index=False)["revenue_centi"]
+            .sum()
+        )
+        out["cust_nation"] = out["cust_nat"].astype(int).map(nat_names)
+        out["supp_nation"] = out["supp_nat"].astype(int).map(nat_names)
+        return out[
+            ["cust_nation", "supp_nation", "year", "revenue_centi"]
+        ].astype({"year": np.int64, "revenue_centi": np.int64})
+
+    return grouped_aggregate(partials, keys3, final, num_partitions=8)
+
+
+TRADE_MATRIX_NATIONS_ORACLE = """
+SELECT cn.n_name AS cust_nation,
+       sn.n_name AS supp_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS year,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS revenue_centi
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def events_percent_rank(sf_dir: str):
+    """PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value) for
+    every event — the window-function shape where the naive plan
+    (shuffle all rows to one reducer per type, 5 hot keys) collapses.
+    Scale-correct plan: two passes, ZERO row shuffles. Pass 1 builds
+    the bounded (type, value_centi) count grid (bucketed two-phase
+    aggregate); the driver turns it into per-type sorted
+    (values, items-strictly-below, n) arrays — grid-sized, broadcast
+    once via ``ray.put``. Pass 2 tags every event row with
+    ``below / (n - 1)`` by vectorized searchsorted — embarrassingly
+    parallel, output streams. rank(min) semantics under ties match
+    RANK(); the single int/int double division is bit-exact vs the
+    explicit (RANK()-1)/(n-1) SQL."""
+    import ray
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    keys = ["event_type", "vc"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"event_type": batch["event_type"].astype(str).to_numpy(),
+             "vc": np.round(
+                 batch["value"].to_numpy(dtype=np.float64) * 100
+             ).astype(np.int64),
+             "c": np.ones(len(batch), dtype=np.int64)}
+        )
+        return out.groupby(keys, sort=False, as_index=False)["c"].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False, as_index=False)["c"].sum()
+            .astype({"vc": np.int64, "c": np.int64})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(events, keys, combine, partial=partial),
+        ["event_type", "vc", "c"],
+    )
+    lookup: dict[str, tuple] = {}
+    for et, g in grid.groupby("event_type", sort=False):
+        g = g.sort_values("vc", kind="stable")
+        c = g["c"].to_numpy(dtype=np.int64)
+        below = np.cumsum(c) - c
+        lookup[str(et)] = (g["vc"].to_numpy(dtype=np.int64), below,
+                           np.int64(c.sum()))
+    lookup_ref = ray.put(lookup)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(lookup_ref)
+        et = batch["event_type"].astype(str).to_numpy()
+        vc = np.round(
+            batch["value"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        pct = np.zeros(len(batch), dtype=np.float64)
+        for t in pd.unique(et):
+            m = et == t
+            values, below, n = lk[str(t)]
+            idx = np.searchsorted(values, vc[m])
+            pct[m] = 0.0 if n == 1 else below[idx].astype(np.float64) / (n - 1)
+        return pd.DataFrame(
+            {"event_id": batch["event_id"].to_numpy(dtype=np.int64),
+             "event_type": et, "value_centi": vc, "pct_rank": pct}
+        )
+
+    return events.map_batches(tag, batch_format="pandas")
+
+
+EVENTS_PERCENT_RANK_ORACLE = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_centi,
+         RANK() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(value * 100) AS BIGINT)
+         ) AS rnk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_id, event_type, value_centi,
+       CASE WHEN n = 1 THEN 0.0
+            ELSE CAST(rnk - 1 AS DOUBLE) / (n - 1) END AS pct_rank
+FROM v
+"""
+
+
+def segment_priority_mix(sf_dir: str):
+    """Customer-segment x order-priority contingency with within-
+    segment shares — the marketing-mix crosstab. customer is a FACT
+    table at scale, so the attach is a bucketed tagged-union join on
+    hash(custkey) (no broadcast); each bucket emits pre-counted
+    (segment, priority) partials, the final grid is |segments| x
+    |priorities| (~25 rows) and each share is ONE double division of
+    exact int64 counts."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+             "label": batch["o_orderpriority"].astype(str).to_numpy(),
+             "_side": np.zeros(len(batch), dtype=np.int64)}
+        )
+
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": batch["c_custkey"].to_numpy(dtype=np.int64),
+             "label": batch["c_mktsegment"].astype(str).to_numpy(),
+             "_side": np.ones(len(batch), dtype=np.int64)}
+        )
+
+    unioned = orders.map_batches(order_rows, batch_format="pandas").union(
+        cust.map_batches(cust_rows, batch_format="pandas")
+    )
+
+    def join_count(bucket: pd.DataFrame) -> pd.DataFrame:
+        o = bucket[bucket["_side"] == 0][["custkey", "label"]]
+        o = o.rename(columns={"label": "priority"})
+        c = bucket[bucket["_side"] == 1][["custkey", "label"]]
+        c = c.rename(columns={"label": "segment"})
+        m = o.merge(c, on="custkey", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {"segment": pd.Series([], dtype=str),
+                 "priority": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        m["n"] = np.int64(1)
+        return (
+            m.groupby(["segment", "priority"], sort=False, as_index=False)["n"]
+            .sum().astype({"n": np.int64})
+        )
+
+    partials = grouped_aggregate(unioned, ["custkey"], join_count,
+                                 coalesce=True)
+    grid = collect_small(partials, ["segment", "priority", "n"])
+    if grid.empty:
+        return pd.DataFrame(
+            {"segment": pd.Series([], dtype=str),
+             "priority": pd.Series([], dtype=str),
+             "n": pd.Series([], dtype=np.int64),
+             "seg_share": pd.Series([], dtype=np.float64)}
+        )
+    grid = (
+        grid.groupby(["segment", "priority"], sort=False, as_index=False)["n"]
+        .sum()
+    )
+    seg_tot = grid.groupby("segment")["n"].transform("sum").to_numpy(dtype=np.int64)
+    n = grid["n"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {"segment": grid["segment"].astype(str).to_numpy(),
+         "priority": grid["priority"].astype(str).to_numpy(),
+         "n": n,
+         "seg_share": n.astype(np.float64) / seg_tot}
+    )
+
+
+SEGMENT_PRIORITY_MIX_ORACLE = """
+WITH g AS (
+  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+         count(*) AS n
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1, 2
+)
+SELECT segment, priority, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY segment) AS seg_share
+FROM g
+"""

@@ -86,6 +86,9 @@ EMPTY_OK = [
     ("leakage_safe_split", 0),
     ("trimmed_mean_by_type", 0),
     ("cms_heavy_hitters", 0),
+    ("trade_matrix_nations", 0),
+    ("events_percent_rank", 0),
+    ("segment_priority_mix", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
