@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["trade_matrix_nations"] = relational.trade_matrix_nations
     q["events_percent_rank"] = relational.events_percent_rank
     q["segment_priority_mix"] = relational.segment_priority_mix
+    q["events_late_arrivals"] = relational.events_late_arrivals
+    q["revenue_rollup"] = relational.revenue_rollup
+    q["dup_rate_by_source"] = dedupe.dup_rate_by_source
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -528,6 +531,9 @@ def oracle_sql() -> dict[str, str]:
     sql["trade_matrix_nations"] = relational.TRADE_MATRIX_NATIONS_ORACLE
     sql["events_percent_rank"] = relational.EVENTS_PERCENT_RANK_ORACLE
     sql["segment_priority_mix"] = relational.SEGMENT_PRIORITY_MIX_ORACLE
+    sql["events_late_arrivals"] = relational.EVENTS_LATE_ARRIVALS_ORACLE
+    sql["revenue_rollup"] = relational.REVENUE_ROLLUP_ORACLE
+    sql["dup_rate_by_source"] = dedupe.dup_rate_by_source_oracle()
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

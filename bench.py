@@ -272,6 +272,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "trade_matrix_nations",
         "events_percent_rank",
         "segment_priority_mix",
+        "events_late_arrivals",
+        "revenue_rollup",
+        "dup_rate_by_source",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -865,3 +865,109 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE 100 * n_common >= 60 * (sa.n + sb.n - n_common)
 """
+
+
+def dup_rate_by_source(sf_dir: str):
+    """Near-duplicate contamination rate per source — the curation
+    dashboard number that decides which feeds need dedup attention:
+    per ``source``, total documents, documents involved in >= 1
+    verified n-gram-Jaccard pair, and the share (one double division
+    of exact counts). Shape: the pair stream collapses to distinct
+    dup doc_ids per batch, meets the (doc_id, source) scan in ONE
+    bucketed tagged-union join on hash(doc_id) (no broadcast — the
+    dup set is corpus-proportional in the worst case), and each
+    bucket emits per-source count partials; the final grid is
+    |sources| rows."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    pairs = ngram_jaccard_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+
+    def dup_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(np.concatenate(
+            [batch["doc_a"].to_numpy(dtype=np.int64),
+             batch["doc_b"].to_numpy(dtype=np.int64)]
+        ))
+        return pd.DataFrame(
+            {"doc_id": ids,
+             "source": np.full(len(ids), "", dtype=object),
+             "_side": np.ones(len(ids), dtype=np.int64)}
+        )
+
+    def doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+             "source": batch["source"].astype(str).to_numpy(),
+             "_side": np.zeros(len(batch), dtype=np.int64)}
+        )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(doc_rows, batch_format="pandas")
+    unioned = docs.union(pairs.map_batches(dup_rows, batch_format="pandas"))
+
+    def count_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket[bucket["_side"] == 0][["doc_id", "source"]]
+        dup_ids = np.unique(
+            bucket.loc[bucket["_side"] == 1, "doc_id"].to_numpy(dtype=np.int64)
+        )
+        if d.empty:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=str),
+                 "n_docs": pd.Series([], dtype=np.int64),
+                 "n_dup_docs": pd.Series([], dtype=np.int64)}
+            )
+        is_dup = np.isin(d["doc_id"].to_numpy(dtype=np.int64), dup_ids)
+        agg = pd.DataFrame(
+            {"source": d["source"].to_numpy(),
+             "n_docs": np.ones(len(d), dtype=np.int64),
+             "n_dup_docs": is_dup.astype(np.int64)}
+        )
+        return (
+            agg.groupby("source", sort=False, as_index=False)[
+                ["n_docs", "n_dup_docs"]
+            ].sum().astype({"n_docs": np.int64, "n_dup_docs": np.int64})
+        )
+
+    partials = grouped_aggregate(unioned, ["doc_id"], count_bucket)
+    grid = collect_small(partials, ["source", "n_docs", "n_dup_docs"])
+    if grid.empty:
+        return pd.DataFrame(
+            {"source": pd.Series([], dtype=str),
+             "n_docs": pd.Series([], dtype=np.int64),
+             "n_dup_docs": pd.Series([], dtype=np.int64),
+             "dup_share": pd.Series([], dtype=np.float64)}
+        )
+    g = (
+        grid.groupby("source", sort=False, as_index=False)[
+            ["n_docs", "n_dup_docs"]
+        ].sum()
+    )
+    n = g["n_docs"].to_numpy(dtype=np.int64)
+    d = g["n_dup_docs"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {"source": g["source"].astype(str).to_numpy(),
+         "n_docs": n, "n_dup_docs": d,
+         "dup_share": d.astype(np.float64) / n}
+    )
+
+
+def dup_rate_by_source_oracle() -> str:
+    return f"""
+WITH pairs AS ({NGRAM_JACCARD_ORACLE.strip()}),
+dup AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION
+  SELECT doc_b AS doc_id FROM pairs
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(u.doc_id) AS BIGINT) AS n_dup_docs,
+       CAST(count(u.doc_id) AS DOUBLE) / count(*) AS dup_share
+FROM documents d LEFT JOIN dup u USING (doc_id)
+GROUP BY 1
+"""

@@ -8442,3 +8442,259 @@ SELECT segment, priority, CAST(n AS BIGINT) AS n,
        CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY segment) AS seg_share
 FROM g
 """
+
+
+LATE_WINDOW_US = 300_000_000   # 5-minute tumbling event-time windows
+LATENESS_US = 60_000_000       # allowed lateness: 60 s behind watermark
+
+
+def events_late_arrivals(sf_dir: str):
+    """Streaming watermark semantics on a batch corpus: events arrive
+    in ``event_id`` order; the WATERMARK before event i is the max
+    event-time seen so far (exclusive prefix max) minus an allowed
+    lateness; an event whose own timestamp trails the watermark is
+    LATE and excluded from its window's on-time count — the
+    Beam/Flink late-data accounting, reproduced exactly.
+
+    The prefix max uses the same three bounded steps as the
+    :func:`events_running_total` prefix scan, keyed by a RANGE prefix
+    of the arrival key (``event_id // 2^14``): per-block max (one row
+    per block — bounded, driver-safe), exclusive driver scan over the
+    block maxes, then one bucketed pass where each block sorts by
+    arrival and takes a shifted ``np.maximum.accumulate`` seeded with
+    its block offset. The per-window on-time/late counts are a final
+    bounded two-phase aggregate."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    BLOCK = np.int64(1) << np.int64(14)
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def rows_of(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        eid = batch["event_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"event_id": eid, "ts_us": ts_us, "block": eid // BLOCK}
+        )
+
+    rows = events.map_batches(rows_of, batch_format="pandas")
+
+    def block_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("block", sort=False)["ts_us"].max().reset_index(
+            name="mx"
+        )
+        return out.astype({"block": np.int64, "mx": np.int64})
+
+    def block_final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return block_partial(bucket.rename(columns={"mx": "ts_us"}))
+
+    block_max = collect_small(
+        grouped_aggregate(rows.select_columns(["block", "ts_us"]), ["block"],
+                          block_final, partial=block_partial,
+                          num_partitions=8),
+        ["block", "mx"],
+    ).sort_values("block")
+    if block_max.empty:
+        return pd.DataFrame(
+            {"win": pd.Series([], dtype=np.int64),
+             "n_on_time": pd.Series([], dtype=np.int64),
+             "n_late": pd.Series([], dtype=np.int64)}
+        )
+    mx = block_max["mx"].to_numpy(dtype=np.int64)
+    # exclusive prefix max of block maxes; first block has no prior
+    excl = np.concatenate(
+        ([np.iinfo(np.int64).min], np.maximum.accumulate(mx)[:-1])
+    )
+    offsets = dict(zip(block_max["block"].tolist(), excl.tolist()))
+
+    def flag_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.sort_values(["block", "event_id"], kind="stable")
+        ts = df["ts_us"].to_numpy(dtype=np.int64)
+        blocks = df["block"].to_numpy(dtype=np.int64)
+        seed = df["block"].map(offsets).to_numpy(dtype=np.int64)
+        # per-block exclusive running max: shift the inclusive cummax
+        # right by one within each block segment, seed with the offset
+        start = np.ones(len(df), dtype=bool)
+        start[1:] = blocks[1:] != blocks[:-1]
+        # segmented exclusive cummax: an O(rows) pass per segment —
+        # the loop is over block segments per bucket (bounded), and
+        # each segment's body is a single vectorized accumulate
+        out_excl = np.empty(len(df), dtype=np.int64)
+        seg_bounds = np.append(np.where(start)[0], len(df))
+        for s, e in zip(seg_bounds[:-1], seg_bounds[1:]):
+            seg_inc = np.maximum.accumulate(ts[s:e])
+            out_excl[s] = seed[s]
+            if e - s > 1:
+                out_excl[s + 1:e] = np.maximum(seed[s], seg_inc[:-1])
+        # ts + L < wm, not ts < wm - L: the first-ever event's sentinel
+        # watermark is int64.min and subtracting would underflow
+        late = ts + LATENESS_US < out_excl
+        win = ts // LATE_WINDOW_US
+        agg = pd.DataFrame(
+            {"win": win,
+             "n_on_time": (~late).astype(np.int64),
+             "n_late": late.astype(np.int64)}
+        )
+        return (
+            agg.groupby("win", sort=False, as_index=False)[
+                ["n_on_time", "n_late"]
+            ].sum().astype({"win": np.int64})
+        )
+
+    flagged = grouped_aggregate(rows, ["block"], flag_bucket)
+
+    def win_final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("win", sort=False, as_index=False)[
+                ["n_on_time", "n_late"]
+            ].sum().astype(
+                {"win": np.int64, "n_on_time": np.int64, "n_late": np.int64}
+            )
+        )
+
+    return grouped_aggregate(flagged, ["win"], win_final, num_partitions=8)
+
+
+EVENTS_LATE_ARRIVALS_ORACLE = """
+WITH w AS (
+  SELECT CAST(epoch_us(ts) // 300000000 AS BIGINT) AS win,
+         epoch_us(ts) AS ts_us,
+         MAX(epoch_us(ts)) OVER (
+           ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT win,
+       CAST(count(*) FILTER (wm IS NULL OR ts_us >= wm - 60000000)
+            AS BIGINT) AS n_on_time,
+       CAST(count(*) FILTER (wm IS NOT NULL AND ts_us < wm - 60000000)
+            AS BIGINT) AS n_late
+FROM w GROUP BY 1
+"""
+
+
+def revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation) over order revenue — the OLAP
+    grouping-sets shape on the TPC-H side (the documents table has its
+    CUBE twin in ``ops/textstats.corpus_rollup/cube``): per-(region,
+    nation) revenue plus per-region and grand-total rows labeled
+    'ALL'. custkey→(region, nation) collapses to a broadcast lookup
+    (dimension ladder); revenue comes straight off orders
+    (o_totalprice — no lineitem join needed for this rollup); the
+    cell grid is ≤ 25 rows so the rollup itself is driver math."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nat = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    nat_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    nat_region = dict(zip(nat["n_nationkey"].astype(int), nat["r_name"]))
+
+    cust = collect_small(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        ["c_custkey", "c_nationkey"],
+    )
+    order_c = np.argsort(cust["c_custkey"].to_numpy())
+    cust_map = ray.put(
+        (cust["c_custkey"].to_numpy(dtype=np.int64)[order_c],
+         cust["c_nationkey"].to_numpy(dtype=np.int64)[order_c])
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, nations = ray.get(cust_map)
+        cnat = _np_lookup(keys, nations,
+                          batch["o_custkey"].to_numpy(dtype=np.int64))
+        kept = cnat >= 0
+        out = pd.DataFrame(
+            {"nationkey": cnat[kept],
+             "revenue_centi": np.round(
+                 batch["o_totalprice"].to_numpy(dtype=np.float64)[kept] * 100
+             ).astype(np.int64)}
+        )
+        return out.groupby("nationkey", sort=False, as_index=False)[
+            "revenue_centi"
+        ].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("nationkey", sort=False, as_index=False)[
+                "revenue_centi"
+            ].sum().astype({"nationkey": np.int64, "revenue_centi": np.int64})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(orders, ["nationkey"], combine, partial=partial,
+                          num_partitions=8),
+        ["nationkey", "revenue_centi"],
+    )
+    if grid.empty:
+        return pd.DataFrame(
+            {"region": pd.Series([], dtype=str),
+             "nation": pd.Series([], dtype=str),
+             "revenue_centi": pd.Series([], dtype=np.int64)}
+        )
+    grid["region"] = grid["nationkey"].astype(int).map(nat_region)
+    grid["nation"] = grid["nationkey"].astype(int).map(nat_name)
+    base = (
+        grid.groupby(["region", "nation"], sort=False, as_index=False)[
+            "revenue_centi"
+        ].sum()
+    )
+    per_region = (
+        base.groupby("region", sort=False, as_index=False)["revenue_centi"]
+        .sum().assign(nation="ALL")
+    )
+    grand = pd.DataFrame(
+        {"region": ["ALL"], "nation": ["ALL"],
+         "revenue_centi": [np.int64(base["revenue_centi"].sum())]}
+    )
+    out = pd.concat(
+        [base[["region", "nation", "revenue_centi"]],
+         per_region[["region", "nation", "revenue_centi"]], grand],
+        ignore_index=True,
+    )
+    return out.astype({"revenue_centi": np.int64})
+
+
+REVENUE_ROLLUP_ORACLE = """
+WITH base AS (
+  SELECT r_name AS region, n_name AS nation,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_centi
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, CAST(revenue_centi AS BIGINT) AS revenue_centi
+FROM base
+UNION ALL
+SELECT region, 'ALL', CAST(SUM(revenue_centi) AS BIGINT) FROM base GROUP BY 1
+UNION ALL
+SELECT 'ALL', 'ALL', CAST(SUM(revenue_centi) AS BIGINT) FROM base
+"""

@@ -89,6 +89,9 @@ EMPTY_OK = [
     ("trade_matrix_nations", 0),
     ("events_percent_rank", 0),
     ("segment_priority_mix", 0),
+    ("events_late_arrivals", 0),
+    ("revenue_rollup", 0),
+    ("dup_rate_by_source", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
