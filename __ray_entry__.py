@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_late_arrivals"] = relational.events_late_arrivals
     q["revenue_rollup"] = relational.revenue_rollup
     q["dup_rate_by_source"] = dedupe.dup_rate_by_source
+    q["media_exact_dedup"] = multimodal.media_exact_dedup
+    q["range_search"] = ann.range_search
+    q["knn_mips"] = ann.knn_mips
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -534,6 +537,9 @@ def oracle_sql() -> dict[str, str]:
     sql["events_late_arrivals"] = relational.EVENTS_LATE_ARRIVALS_ORACLE
     sql["revenue_rollup"] = relational.REVENUE_ROLLUP_ORACLE
     sql["dup_rate_by_source"] = dedupe.dup_rate_by_source_oracle()
+    sql["media_exact_dedup"] = multimodal.MEDIA_EXACT_DEDUP_ORACLE
+    sql["range_search"] = ann.range_search_oracle()
+    sql["knn_mips"] = ann.knn_mips_oracle()
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

@@ -275,6 +275,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_late_arrivals",
         "revenue_rollup",
         "dup_rate_by_source",
+        "media_exact_dedup",
+        "range_search",
+        "knn_mips",
     ]
     times: dict[str, float] = {}
     for name in names:

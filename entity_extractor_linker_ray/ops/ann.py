@@ -541,3 +541,144 @@ FROM (
 ) t
 GROUP BY 1
 """
+
+
+RANGE_TAU = 0.25  # cosine threshold (synthetic embeddings peak ~0.37)
+
+
+def range_search(sf_dir: str, n_queries: int = N_QUERIES,
+                 tau: float = RANGE_TAU):
+    """RANGE similarity search — every (query, vector) pair with
+    cosine >= tau, the epsilon-neighborhood dual of top-k. Same
+    broadcast-queries / per-batch-matmul shape as :func:`knn_brute`,
+    but output size is data-dependent: each batch emits only its
+    qualifying pairs (no partial top-k needed), ranked per query by
+    (-sim, neighbor_id) in a final per-query pass so the driver check
+    is order-free. Self-matches excluded. The threshold compare
+    happens on well-separated random sims (~1e-1 gaps); both engines
+    compute cosine in double, so the boundary cannot flip."""
+    import ray
+
+    queries_ref = ray.put(_query_matrix(sf_dir, n_queries))
+
+    class RangeFilter:
+        def __init__(self):
+            self.queries = ray.get(queries_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (vecs / norms) @ self.queries.T
+            ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            rows, cols = np.nonzero(sims >= tau)
+            return pd.DataFrame(
+                {"query_id": cols.astype(np.int64),
+                 "neighbor_id": ids[rows],
+                 "sim": sims[rows, cols]}
+            )
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        q = int(group["query_id"].iloc[0])
+        g = group[group["neighbor_id"] != q]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True])
+        return pd.DataFrame(
+            {"query_id": np.full(len(g), q, dtype=np.int64),
+             "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+             "rank": np.arange(1, len(g) + 1, dtype=np.int64)}
+        )
+
+    pairs = _read_embeddings(sf_dir).map_batches(
+        RangeFilter, batch_format="pandas", concurrency=(1, 16)
+    )
+    return pairs.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def range_search_oracle(n_queries: int = N_QUERIES,
+                        tau: float = RANGE_TAU) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {n_queries}),
+hits AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(q.qe, e.embedding) AS sim
+         FROM q CROSS JOIN embeddings e
+         WHERE e.vec_id <> q.query_id
+           AND list_cosine_similarity(q.qe, e.embedding) >= {tau})
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC)
+            AS BIGINT) AS rank
+FROM hits
+"""
+
+
+def knn_mips(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K):
+    """Exact MAXIMUM-INNER-PRODUCT top-k — the retrieval metric when
+    magnitudes carry signal (recommender scores, unnormalized text
+    embeddings): rank by raw <q, v>, data vectors NOT normalized
+    (queries are, making the two metrics genuinely differ). Same
+    partial-top-k-per-batch -> tiny per-query final shape as
+    :func:`knn_brute`; ordering output only (rank, not the score), so
+    the driver hash is float-bit-free."""
+    import ray
+
+    queries_ref = ray.put(_query_matrix(sf_dir, n_queries))
+
+    class PartialTopK:
+        def __init__(self):
+            self.queries = ray.get(queries_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+            sims = vecs @ self.queries.T  # raw inner products
+            ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            out = []
+            for q in range(self.queries.shape[0]):
+                col = sims[:, q]
+                keep = min(k + 1, len(ids))
+                top = np.argpartition(-col, keep - 1)[:keep]
+                for i in top:
+                    out.append((q, int(ids[i]), float(col[i])))
+            return pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        q = int(group["query_id"].iloc[0])
+        g = group[group["neighbor_id"] != q]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {"query_id": np.full(len(g), q, dtype=np.int64),
+             "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+             "rank": np.arange(1, len(g) + 1, dtype=np.int64)}
+        )
+
+    partials = _read_embeddings(sf_dir).map_batches(
+        PartialTopK, batch_format="pandas", concurrency=(1, 16)
+    )
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def knn_mips_oracle(n_queries: int = N_QUERIES, k: int = TOP_K) -> str:
+    """list_inner_product against the NORMALIZED query (replayed via
+    list_transform / list_sum to normalize q exactly as numpy does:
+    q / ||q||, then a plain inner product)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding,
+                        x -> x / sqrt(list_sum(
+                               list_transform(embedding, y -> y * y)))) AS qn
+  FROM embeddings WHERE vec_id < {n_queries}
+),
+sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                list_inner_product(q.qn, e.embedding) AS sim
+         FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM sims)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+"""

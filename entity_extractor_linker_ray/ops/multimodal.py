@@ -199,3 +199,55 @@ def sample_frames(sf_dir: str, n_frames: int = 4):
     return attach_payload(sf_dir).map_batches(
         kernel, batch_format="pyarrow", batch_size=64
     )
+
+
+def media_exact_dedup(sf_dir: str):
+    """Exact duplicate detection on the BINARY payload column — the
+    multimodal sibling of ``ops/dedupe.exact_dedup``: group payloads by
+    their sha256 digest, keep the lowest doc_id as survivor, count
+    copies. The digest is computed once per payload inside the scan
+    (256-bit key: collisions are cryptographically negligible, no
+    within-group byte-compare needed), and the only exchange moves
+    (digest, doc_id, 1) partials through the bucketed two-phase
+    aggregate — payload BYTES never cross the wire, which is the whole
+    point at image/video scale."""
+    import ray.data as rd  # noqa: F401  (attach_payload builds the scan)
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    payloads = attach_payload(sf_dir)
+
+    def digest_rows(batch: pa.Table) -> pd.DataFrame:
+        ps = batch.column("payload").to_pylist()
+        return pd.DataFrame(
+            {"sha256": [hashlib.sha256(p or b"").hexdigest() for p in ps],
+             "survivor_doc_id": batch.column("doc_id").to_numpy(
+                 zero_copy_only=False).astype(np.int64),
+             "n_copies": np.ones(len(ps), dtype=np.int64)}
+        )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("sha256", sort=False, as_index=False)
+            .agg(survivor_doc_id=("survivor_doc_id", "min"),
+                 n_copies=("n_copies", "sum"))
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("sha256", sort=False, as_index=False)
+            .agg(survivor_doc_id=("survivor_doc_id", "min"),
+                 n_copies=("n_copies", "sum"))
+            .astype({"survivor_doc_id": np.int64, "n_copies": np.int64})
+        )
+
+    rows = payloads.map_batches(digest_rows, batch_format="pyarrow")
+    return grouped_aggregate(rows, ["sha256"], combine, partial=partial)
+
+
+MEDIA_EXACT_DEDUP_ORACLE = """
+SELECT sha256(COALESCE(text, '')) AS sha256,
+       CAST(min(doc_id) AS BIGINT) AS survivor_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""

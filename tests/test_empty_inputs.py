@@ -92,11 +92,13 @@ EMPTY_OK = [
     ("events_late_arrivals", 0),
     ("revenue_rollup", 0),
     ("dup_rate_by_source", 0),
+    ("media_exact_dedup", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
 RAISES = ["kmeans_clusters", "kmeans_exemplars", "dedup_semantic_pairs",
-          "knn_brute", "knn_ivf", "knn_lsh", "knn_pq"]
+          "knn_brute", "knn_ivf", "knn_lsh", "knn_pq", "range_search",
+          "knn_mips"]
 
 
 class TestEmptyInputs:
