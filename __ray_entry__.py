@@ -330,6 +330,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["media_exact_dedup"] = multimodal.media_exact_dedup
     q["range_search"] = ann.range_search
     q["knn_mips"] = ann.knn_mips
+    q["order_price_median_by_priority"] = relational.order_price_median_by_priority
+    q["events_gap_interpolate"] = relational.events_gap_interpolate
+    q["quality_pass_wilson"] = textstats.quality_pass_wilson
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -540,6 +543,9 @@ def oracle_sql() -> dict[str, str]:
     sql["media_exact_dedup"] = multimodal.MEDIA_EXACT_DEDUP_ORACLE
     sql["range_search"] = ann.range_search_oracle()
     sql["knn_mips"] = ann.knn_mips_oracle()
+    sql["order_price_median_by_priority"] = relational.ORDER_PRICE_MEDIAN_ORACLE
+    sql["events_gap_interpolate"] = relational.EVENTS_GAP_INTERPOLATE_ORACLE
+    sql["quality_pass_wilson"] = textstats.QUALITY_PASS_WILSON_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

@@ -278,6 +278,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "media_exact_dedup",
         "range_search",
         "knn_mips",
+        "order_price_median_by_priority",
+        "events_gap_interpolate",
+        "quality_pass_wilson",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1246,3 +1246,104 @@ def cms_heavy_hitters(sf_dir: str, k: int = 20, depth: int = 4,
         .head(k).reset_index(drop=True)
         .astype({"est_count": np.int64})
     )
+
+
+WILSON_Z = 1.96  # 95% two-sided normal quantile (same literal in SQL)
+
+
+def quality_pass_wilson(sf_dir: str):
+    """Per-language quality pass rates with a Wilson-score LOWER bound
+    — the number a curation dashboard should show instead of the raw
+    rate (a 2/2 feed is not 'safer' than a 9800/10000 one). A doc
+    passes when it has >= 20 whitespace tokens and repetition
+    (100 - 100*distinct/total, floored) < 50 — the same integer
+    heuristics as :func:`quality_scores`. Counts aggregate two-phase
+    to a |langs|-row grid; the Wilson closed form is evaluated ONCE
+    per language on the driver with the exact expression shape the
+    SQL uses (every intermediate is one IEEE op), so the double
+    hash-matches."""
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    docs = read_split(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, t in zip(batch["lang"].astype(str), batch["text"].fillna("")):
+            tokens = t.split(" ") if t else []
+            total = len(tokens)
+            rep = 100 - (100 * len(set(tokens))) // total if total else 0
+            rows.append((lang, 1, 1 if (total >= 20 and rep < 50) else 0))
+        out = pd.DataFrame(rows, columns=["lang", "n", "n_pass"])
+        return out.groupby("lang", sort=False, as_index=False)[
+            ["n", "n_pass"]
+        ].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("lang", sort=False, as_index=False)[
+                ["n", "n_pass"]
+            ].sum().astype({"n": np.int64, "n_pass": np.int64})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(docs, ["lang"], combine, partial=partial,
+                          num_partitions=8),
+        ["lang", "n", "n_pass"],
+    )
+    if grid.empty:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype=str),
+             "n": pd.Series([], dtype=np.int64),
+             "n_pass": pd.Series([], dtype=np.int64),
+             "pass_rate": pd.Series([], dtype=np.float64),
+             "wilson_low": pd.Series([], dtype=np.float64)}
+        )
+    g = grid.groupby("lang", sort=False, as_index=False)[["n", "n_pass"]].sum()
+    n = g["n"].to_numpy(dtype=np.int64)
+    k = g["n_pass"].to_numpy(dtype=np.int64)
+    z = WILSON_Z
+    # each line is ONE closed-form step mirrored verbatim in the SQL
+    phat = k.astype(np.float64) / n
+    zz_n = (z * z) / n
+    denom = 1.0 + zz_n
+    center = phat + zz_n / 2.0
+    rad = (phat * (1.0 - phat) + zz_n / 4.0) / n
+    wilson_low = (center - z * np.sqrt(rad)) / denom
+    return pd.DataFrame(
+        {"lang": g["lang"].astype(str).to_numpy(),
+         "n": n, "n_pass": k, "pass_rate": phat, "wilson_low": wilson_low}
+    )
+
+
+QUALITY_PASS_WILSON_ORACLE = """
+WITH per_doc AS (
+  SELECT lang,
+         len(string_split(COALESCE(text, ''), ' ')) AS total,
+         CASE WHEN COALESCE(text, '') = '' THEN 0
+              ELSE 100 - (100 * len(list_distinct(
+                     string_split(text, ' ')))) // len(string_split(text, ' '))
+         END AS rep
+  FROM documents
+), g AS (
+  SELECT lang, count(*) AS n,
+         count(*) FILTER (total >= 20 AND rep < 50
+                          AND COALESCE(total, 0) > 0) AS n_pass
+  FROM per_doc GROUP BY 1
+), f AS (
+  SELECT lang, n, n_pass,
+         CAST(n_pass AS DOUBLE) / n AS phat,
+         (1.96 * 1.96) / n AS zz_n
+  FROM g
+)
+SELECT lang, CAST(n AS BIGINT) AS n, CAST(n_pass AS BIGINT) AS n_pass,
+       phat AS pass_rate,
+       ((phat + zz_n / 2.0)
+        - 1.96 * sqrt((phat * (1.0 - phat) + zz_n / 4.0) / n))
+       / (1.0 + zz_n) AS wilson_low
+FROM f
+"""

@@ -8698,3 +8698,245 @@ SELECT region, 'ALL', CAST(SUM(revenue_centi) AS BIGINT) FROM base GROUP BY 1
 UNION ALL
 SELECT 'ALL', 'ALL', CAST(SUM(revenue_centi) AS BIGINT) FROM base
 """
+
+
+def order_price_median_by_priority(sf_dir: str):
+    """EXACT grouped median of order price by priority — distributed
+    SELECTION, not a sort: o_totalprice spans ~10^7 distinct centi
+    values, so the bounded-grid trick behind ``events_type_percentiles``
+    does not apply. Two-pass histogram refinement instead:
+
+    1. per-(priority, coarse bucket) counts with bucket =
+       price_centi >> 12 (4096-centi bins; grid ≤ |priorities| x
+       price_range/4096 — bounded by the VALUE RANGE, not rows);
+       the driver walks each priority's histogram to locate the
+       bucket holding the k-th element (k = (n+1)//2, lower median)
+       and the residual rank inside it;
+    2. a second scan emits exact centi counts ONLY for rows inside
+       their priority's candidate bucket (a broadcast dict of one
+       bucket id per priority — each pass-2 partial is ≤ 4096 cells
+       per priority); the driver walks those to the residual rank.
+
+    log2(range/4096) more passes would be needed only if a single
+    bin exceeded driver memory — at 4096 distinct values per bin it
+    cannot. All counts int64; the median is an exact data value."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    SHIFT = np.int64(12)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def coarse_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pc = np.round(
+            batch["o_totalprice"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {"priority": batch["o_orderpriority"].astype(str).to_numpy(),
+             "bucket": pc >> SHIFT,
+             "c": np.ones(len(batch), dtype=np.int64)}
+        )
+        return out.groupby(["priority", "bucket"], sort=False,
+                           as_index=False)["c"].sum()
+
+    def coarse_combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["priority", "bucket"], sort=False,
+                           as_index=False)["c"].sum()
+            .astype({"bucket": np.int64, "c": np.int64})
+        )
+
+    hist = collect_small(
+        grouped_aggregate(orders, ["priority", "bucket"], coarse_combine,
+                          partial=coarse_partial, num_partitions=8),
+        ["priority", "bucket", "c"],
+    )
+    if hist.empty:
+        return pd.DataFrame(
+            {"priority": pd.Series([], dtype=str),
+             "n_orders": pd.Series([], dtype=np.int64),
+             "median_centi": pd.Series([], dtype=np.int64)}
+        )
+    # locate each priority's candidate bucket + residual rank
+    target: dict[str, tuple[int, int]] = {}
+    n_by_p: dict[str, int] = {}
+    for p, g in hist.groupby("priority", sort=False):
+        g = g.sort_values("bucket", kind="stable")
+        c = g["c"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        k = (n + 1) // 2
+        cum = np.cumsum(c)
+        i = int(np.searchsorted(cum, k))
+        residual = k - (int(cum[i - 1]) if i else 0)
+        target[str(p)] = (int(g["bucket"].to_numpy()[i]), residual)
+        n_by_p[str(p)] = n
+
+    def fine_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pr = batch["o_orderpriority"].astype(str).to_numpy()
+        pc = np.round(
+            batch["o_totalprice"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        want = np.array([target[p][0] for p in pr], dtype=np.int64)
+        m = (pc >> SHIFT) == want
+        out = pd.DataFrame(
+            {"priority": pr[m], "pc": pc[m],
+             "c": np.ones(int(m.sum()), dtype=np.int64)}
+        )
+        return out.groupby(["priority", "pc"], sort=False,
+                           as_index=False)["c"].sum()
+
+    def fine_combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["priority", "pc"], sort=False,
+                           as_index=False)["c"].sum()
+            .astype({"pc": np.int64, "c": np.int64})
+        )
+
+    fine = collect_small(
+        grouped_aggregate(orders, ["priority", "pc"], fine_combine,
+                          partial=fine_partial, num_partitions=8),
+        ["priority", "pc", "c"],
+    )
+    rows = []
+    for p, g in fine.groupby("priority", sort=False):
+        g = g.sort_values("pc", kind="stable")
+        cum = np.cumsum(g["c"].to_numpy(dtype=np.int64))
+        residual = target[str(p)][1]
+        i = int(np.searchsorted(cum, residual))
+        rows.append({"priority": str(p),
+                     "n_orders": np.int64(n_by_p[str(p)]),
+                     "median_centi": np.int64(g["pc"].to_numpy()[i])})
+    return pd.DataFrame(rows).astype(
+        {"n_orders": np.int64, "median_centi": np.int64}
+    )
+
+
+ORDER_PRICE_MEDIAN_ORACLE = """
+WITH p AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+), r AS (
+  SELECT priority, pc,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY pc) AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM p
+)
+SELECT priority,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN pc END) AS BIGINT)
+         AS median_centi
+FROM r GROUP BY priority
+"""
+
+
+def events_gap_interpolate(sf_dir: str):
+    """Dense hourly value series per event type with missing hours
+    LINEARLY INTERPOLATED between the neighboring present hours (the
+    time-series imputation sibling of :func:`events_gap_fill`'s
+    zero-fill). Present hours carry their exact int64 milli sum; a
+    missing hour h between present (h0, v0) and (h1, v1) gets
+    ``v0 + (v1-v0)*(h-h0)/(h1-h0)`` — integer products with ONE double
+    division, the same expression the SQL computes, so filled values
+    hash bit-exactly. Same bounded (type x hours) grid as gap_fill:
+    the interpolation runs vectorized inside each type's bucket via
+    searchsorted over the present hours."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.cluster import milli_round
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    US_PER_HOUR = 3_600_000_000
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        out = pd.DataFrame(
+            {"event_type": batch["event_type"].astype(str).to_numpy(),
+             "hour": ts_us // US_PER_HOUR,
+             "milli": milli_round(batch["value"].to_numpy(dtype=np.float64))}
+        )
+        return out.groupby(["event_type", "hour"], sort=False,
+                           as_index=False)["milli"].sum()
+
+    def interpolate(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby(["event_type", "hour"], sort=False,
+                           as_index=False)["milli"].sum()
+        )
+        frames = []
+        for et, t in g.groupby("event_type", sort=False):
+            t = t.sort_values("hour", kind="stable")
+            hours = t["hour"].to_numpy(dtype=np.int64)
+            vals = t["milli"].to_numpy(dtype=np.int64)
+            full = np.arange(hours[0], hours[-1] + 1, dtype=np.int64)
+            # index of the present hour at or before each full hour
+            idx = np.searchsorted(hours, full, side="right") - 1
+            h0, v0 = hours[idx], vals[idx]
+            nxt = np.minimum(idx + 1, len(hours) - 1)
+            h1, v1 = hours[nxt], vals[nxt]
+            present = h0 == full
+            span = np.where(h1 > h0, h1 - h0, 1)
+            interp = v0 + ((v1 - v0) * (full - h0)).astype(np.float64) / span
+            value = np.where(present, vals[idx].astype(np.float64), interp)
+            frames.append(pd.DataFrame(
+                {"event_type": np.full(len(full), et, dtype=object),
+                 "hour": full,
+                 "value_milli": value,
+                 "is_interpolated": (~present).astype(np.int64)}
+            ))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "hour": pd.Series([], dtype=np.int64),
+             "value_milli": pd.Series([], dtype=np.float64),
+             "is_interpolated": pd.Series([], dtype=np.int64)}
+        )
+
+    return grouped_aggregate(events, ["event_type"], interpolate,
+                             partial=partial, num_partitions=8)
+
+
+EVENTS_GAP_INTERPOLATE_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         SUM(CAST(round(value * 1000) AS BIGINT)) AS milli
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(hour) AS h_lo, max(hour) AS h_hi
+  FROM hourly GROUP BY 1
+), dense AS (
+  SELECT event_type, CAST(unnest(range(h_lo, h_hi + 1)) AS BIGINT) AS hour
+  FROM spans
+), j AS (
+  SELECT d.event_type, d.hour, h.milli,
+         LAST_VALUE(h.milli IGNORE NULLS) OVER (
+           PARTITION BY d.event_type ORDER BY d.hour) AS v0,
+         LAST_VALUE(CASE WHEN h.milli IS NOT NULL THEN d.hour END
+                    IGNORE NULLS) OVER (
+           PARTITION BY d.event_type ORDER BY d.hour) AS h0,
+         FIRST_VALUE(h.milli IGNORE NULLS) OVER (
+           PARTITION BY d.event_type ORDER BY d.hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+         FIRST_VALUE(CASE WHEN h.milli IS NOT NULL THEN d.hour END
+                     IGNORE NULLS) OVER (
+           PARTITION BY d.event_type ORDER BY d.hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS h1
+  FROM dense d
+  LEFT JOIN hourly h ON h.event_type = d.event_type AND h.hour = d.hour
+)
+SELECT event_type, hour,
+       CASE WHEN milli IS NOT NULL THEN CAST(milli AS DOUBLE)
+            ELSE v0 + CAST((v1 - v0) * (hour - h0) AS DOUBLE) / (h1 - h0)
+       END AS value_milli,
+       CAST(CASE WHEN milli IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_interpolated
+FROM j
+"""

@@ -93,6 +93,9 @@ EMPTY_OK = [
     ("revenue_rollup", 0),
     ("dup_rate_by_source", 0),
     ("media_exact_dedup", 0),
+    ("order_price_median_by_priority", 0),
+    ("events_gap_interpolate", 0),
+    ("quality_pass_wilson", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
