@@ -333,6 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["order_price_median_by_priority"] = relational.order_price_median_by_priority
     q["events_gap_interpolate"] = relational.events_gap_interpolate
     q["quality_pass_wilson"] = textstats.quality_pass_wilson
+    q["bm25_components"] = textstats.bm25_components
+    q["repeat_purchase_rate"] = relational.repeat_purchase_rate
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -546,6 +548,8 @@ def oracle_sql() -> dict[str, str]:
     sql["order_price_median_by_priority"] = relational.ORDER_PRICE_MEDIAN_ORACLE
     sql["events_gap_interpolate"] = relational.EVENTS_GAP_INTERPOLATE_ORACLE
     sql["quality_pass_wilson"] = textstats.QUALITY_PASS_WILSON_ORACLE
+    sql["bm25_components"] = textstats.BM25_COMPONENTS_ORACLE
+    sql["repeat_purchase_rate"] = relational.REPEAT_PURCHASE_RATE_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

@@ -281,6 +281,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "order_price_median_by_priority",
         "events_gap_interpolate",
         "quality_pass_wilson",
+        "bm25_components",
+        "repeat_purchase_rate",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1347,3 +1347,137 @@ SELECT lang, CAST(n AS BIGINT) AS n, CAST(n_pass AS BIGINT) AS n_pass,
        / (1.0 + zz_n) AS wilson_low
 FROM f
 """
+
+
+def bm25_components(sf_dir: str, k: int = 3):
+    """Per-document top-k terms with the BM25 length-normalized
+    term-frequency saturation factor (k1 = 1.2, b = 0.75) plus the raw
+    df for the idf side — emitted as COMPONENTS rather than a single
+    BM25 score because cross-engine ``ln`` is not bit-reproducible
+    (measured: DuckDB's ln differs from numpy's in the last ulp), so a
+    score containing ln could never be value-hash-gated; the saturation
+    factor is pure rational arithmetic and hashes exactly. Same
+    two-shuffle shape as :func:`tfidf_top_terms` (term-bucket df
+    attach, doc-bucket partial top-k) with dl attached at tokenize
+    time so the top-k partial can run before the doc exchange; avgdl
+    is a two-int global all-reduce."""
+    import re
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    split = re.compile(r"[^a-z0-9]+")
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tf_dl_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_term, out_tf, out_dl = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = [t for t in split.split((text or "").lower()) if t]
+            if not toks:
+                continue
+            counts = pd.Series(toks, dtype=object).value_counts()
+            out_doc.extend([int(doc_id)] * len(counts))
+            out_term.extend(counts.index.tolist())
+            out_tf.extend(counts.to_numpy(dtype=np.int64).tolist())
+            out_dl.extend([len(toks)] * len(counts))
+        return pd.DataFrame(
+            {"doc_id": np.array(out_doc, dtype=np.int64),
+             "term": np.array(out_term, dtype=object),
+             "tf": np.array(out_tf, dtype=np.int64),
+             "dl": np.array(out_dl, dtype=np.int64)}
+        )
+
+    tf_rows = docs.map_batches(tf_dl_rows, batch_format="pandas")
+
+    def totals_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks_per_doc = [
+            sum(1 for t in split.split((x or "").lower()) if t)
+            for x in batch["text"]
+        ]
+        arr = np.array(toks_per_doc, dtype=np.int64)
+        nz = arr > 0  # docs with zero tokens have no dl row in SQL either
+        return pd.DataFrame(
+            {"n_docs": [np.int64(nz.sum())],
+             "total_dl": [np.int64(arr[nz].sum())]}
+        )
+
+    totals = collect_small(
+        docs.map_batches(totals_partial, batch_format="pandas"),
+        ["n_docs", "total_dl"],
+    )
+    n_docs = np.int64(totals["n_docs"].sum())
+    if n_docs == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "term": pd.Series([], dtype=str),
+             "tf": pd.Series([], dtype=np.int64),
+             "df": pd.Series([], dtype=np.int64),
+             "dl": pd.Series([], dtype=np.int64),
+             "rank": pd.Series([], dtype=np.int64),
+             "tf_sat": pd.Series([], dtype=np.float64)}
+        )
+    avgdl = np.float64(totals["total_dl"].sum()) / n_docs
+
+    def df_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.copy()
+        out["df"] = out.groupby("term", sort=False)["term"].transform("size")
+        return out.astype(
+            {c: np.int64 for c in ("doc_id", "tf", "dl", "df")}
+        )
+
+    scored = grouped_aggregate(tf_rows, ["term"], df_bucket, num_partitions=16)
+
+    def head_k(frame: pd.DataFrame) -> pd.DataFrame:
+        ordered = frame.sort_values(
+            ["doc_id", "tf", "term"], ascending=[True, False, True],
+            kind="stable",
+        )
+        kept = ordered.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
+        kept["rank"] = kept.groupby("doc_id", sort=False).cumcount() + 1
+        tf = kept["tf"].to_numpy(dtype=np.int64)
+        dl = kept["dl"].to_numpy(dtype=np.int64)
+        dlr = dl.astype(np.float64) / avgdl
+        inner = 0.25 + 0.75 * dlr
+        kept["tf_sat"] = (tf * 2.2) / (tf + 1.2 * inner)
+        return kept[
+            ["doc_id", "term", "tf", "df", "dl", "rank", "tf_sat"]
+        ].astype({c: np.int64 for c in ("doc_id", "tf", "df", "dl", "rank")})
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return head_k(batch).drop(columns=["rank", "tf_sat"])
+
+    return grouped_aggregate(scored, ["doc_id"], head_k, partial=partial_topk)
+
+
+BM25_COMPONENTS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(COALESCE(text,'')),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
+         CAST(row_number() OVER (PARTITION BY tf.doc_id
+                                 ORDER BY tf.tf DESC, tf.term)
+              AS BIGINT) AS rank
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+)
+SELECT doc_id, term, tf, df, dl, rank,
+       (tf * CAST(2.2 AS DOUBLE))
+       / (tf + CAST(1.2 AS DOUBLE)
+               * (CAST(0.25 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl)))
+         AS tf_sat
+FROM ranked CROSS JOIN tot WHERE rank <= 3
+"""

@@ -8940,3 +8940,118 @@ SELECT event_type, hour,
          AS is_interpolated
 FROM j
 """
+
+
+REPEAT_WINDOW_US = np.int64(30) * 86_400_000_000  # 30 days
+
+
+def repeat_purchase_rate(sf_dir: str):
+    """New-customer repeat rate by acquisition cohort: for each
+    first-order month, how many new customers placed a SECOND order
+    within 30 days. The per-customer state is the classic mergeable
+    'two smallest' partial — each batch keeps at most the 2 earliest
+    (date, orderkey) rows per customer, partials merge by re-taking
+    the 2 smallest — so the exchange moves ≤ 2 rows per customer per
+    block regardless of order count (a whale customer with 10^6
+    orders costs the same as one with 2). The cohort grid is months ×
+    1, driver-finalized with one double division per cohort."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+
+    def two_smallest(frame: pd.DataFrame) -> pd.DataFrame:
+        g = frame.sort_values(["custkey", "ts_us", "okey"], kind="stable")
+        return g.groupby("custkey", sort=False).head(2).reset_index(drop=True)
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+             "okey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+             "ts_us": batch["o_orderdate"].to_numpy(
+                 dtype="datetime64[us]").astype(np.int64)}
+        )
+        return two_smallest(out)
+
+    def per_customer(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = two_smallest(bucket)
+        firsts = g.groupby("custkey", sort=False).nth(0)
+        seconds = g.groupby("custkey", sort=False).nth(1)
+        f_ts = firsts["ts_us"].to_numpy(dtype=np.int64)
+        months = f_ts.astype("datetime64[us]").astype("datetime64[M]")
+        m_int = months.astype(np.int64)  # months since 1970
+        first_month = (1970 + m_int // 12) * 100 + (m_int % 12 + 1)
+        sec = seconds.set_index(seconds["custkey"].to_numpy())["ts_us"]
+        sec_ts = (
+            sec.reindex(firsts["custkey"].to_numpy()).to_numpy(dtype=np.float64)
+        )
+        rep = (
+            np.isfinite(sec_ts)
+            & (sec_ts.astype(np.int64, copy=False) - f_ts <= REPEAT_WINDOW_US)
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {"first_month": first_month.astype(np.int64),
+             "n_customers": np.ones(len(firsts), dtype=np.int64),
+             "n_repeat_30d": rep}
+        )
+        return out.groupby("first_month", sort=False, as_index=False)[
+            ["n_customers", "n_repeat_30d"]
+        ].sum()
+
+    grid = collect_small(
+        grouped_aggregate(
+            orders.map_batches(prep, batch_format="pandas"),
+            ["custkey"], per_customer, coalesce=True,
+        ),
+        ["first_month", "n_customers", "n_repeat_30d"],
+    )
+    if grid.empty:
+        return pd.DataFrame(
+            {"first_month": pd.Series([], dtype=np.int64),
+             "n_customers": pd.Series([], dtype=np.int64),
+             "n_repeat_30d": pd.Series([], dtype=np.int64),
+             "repeat_share": pd.Series([], dtype=np.float64)}
+        )
+    g = grid.groupby("first_month", sort=False, as_index=False)[
+        ["n_customers", "n_repeat_30d"]
+    ].sum()
+    n = g["n_customers"].to_numpy(dtype=np.int64)
+    r = g["n_repeat_30d"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {"first_month": g["first_month"].to_numpy(dtype=np.int64),
+         "n_customers": n, "n_repeat_30d": r,
+         "repeat_share": r.astype(np.float64) / n}
+    )
+
+
+REPEAT_PURCHASE_RATE_ORACLE = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), firsts AS (
+  SELECT o_custkey, o_orderdate AS d1 FROM r WHERE rn = 1
+), seconds AS (
+  SELECT o_custkey, o_orderdate AS d2 FROM r WHERE rn = 2
+), per_cust AS (
+  SELECT f.o_custkey,
+         CAST(year(f.d1) * 100 + month(f.d1) AS BIGINT) AS first_month,
+         CASE WHEN s.d2 IS NOT NULL
+                   AND epoch_us(s.d2) - epoch_us(f.d1) <= 2592000000000
+              THEN 1 ELSE 0 END AS rep
+  FROM firsts f LEFT JOIN seconds s USING (o_custkey)
+)
+SELECT first_month,
+       count(*) AS n_customers,
+       CAST(SUM(rep) AS BIGINT) AS n_repeat_30d,
+       CAST(SUM(rep) AS DOUBLE) / count(*) AS repeat_share
+FROM per_cust GROUP BY 1
+"""

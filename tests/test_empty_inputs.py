@@ -96,6 +96,8 @@ EMPTY_OK = [
     ("order_price_median_by_priority", 0),
     ("events_gap_interpolate", 0),
     ("quality_pass_wilson", 0),
+    ("bm25_components", 0),
+    ("repeat_purchase_rate", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
