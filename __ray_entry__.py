@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_pass_wilson"] = textstats.quality_pass_wilson
     q["bm25_components"] = textstats.bm25_components
     q["repeat_purchase_rate"] = relational.repeat_purchase_rate
+    q["events_cusum_changepoint"] = relational.events_cusum_changepoint
+    q["zorder_prune_stats"] = relational.zorder_prune_stats
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -550,6 +552,8 @@ def oracle_sql() -> dict[str, str]:
     sql["quality_pass_wilson"] = textstats.QUALITY_PASS_WILSON_ORACLE
     sql["bm25_components"] = textstats.BM25_COMPONENTS_ORACLE
     sql["repeat_purchase_rate"] = relational.REPEAT_PURCHASE_RATE_ORACLE
+    sql["events_cusum_changepoint"] = relational.EVENTS_CUSUM_CHANGEPOINT_ORACLE
+    sql["zorder_prune_stats"] = relational.ZORDER_PRUNE_STATS_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

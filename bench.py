@@ -283,6 +283,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "quality_pass_wilson",
         "bm25_components",
         "repeat_purchase_rate",
+        "events_cusum_changepoint",
+        "zorder_prune_stats",
     ]
     times: dict[str, float] = {}
     for name in names:

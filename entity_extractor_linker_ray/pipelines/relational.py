@@ -9055,3 +9055,298 @@ SELECT first_month,
        CAST(SUM(rep) AS DOUBLE) / count(*) AS repeat_share
 FROM per_cust GROUP BY 1
 """
+
+
+def events_cusum_changepoint(sf_dir: str):
+    """Largest mean-shift change point per event type: the split of the
+    hourly timeline that maximizes |mean(value) before − after| — the
+    screening statistic behind CUSUM change detection. Sufficient
+    statistics are the bounded per-(type, hour) grid of exact int64
+    (Σmilli, n); the driver walks each type's prefix sums, evaluating
+    one closed-form double per candidate split (identical expression in
+    the window SQL, so the chosen split AND the shift value hash-match;
+    the argmax tie-break is (shift desc, hour asc))."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.cluster import milli_round
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    US_PER_HOUR = 3_600_000_000
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    keys = ["event_type", "hour"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        out = pd.DataFrame(
+            {"event_type": batch["event_type"].astype(str).to_numpy(),
+             "hour": ts_us // US_PER_HOUR,
+             "s": milli_round(batch["value"].to_numpy(dtype=np.float64)),
+             "c": np.ones(len(batch), dtype=np.int64)}
+        )
+        return out.groupby(keys, sort=False, as_index=False)[["s", "c"]].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False, as_index=False)[["s", "c"]].sum()
+            .astype({"hour": np.int64, "s": np.int64, "c": np.int64})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(events, keys, combine, partial=partial,
+                          num_partitions=8),
+        ["event_type", "hour", "s", "c"],
+    )
+    if grid.empty:
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "split_hour": pd.Series([], dtype=np.int64),
+             "n_before": pd.Series([], dtype=np.int64),
+             "n_after": pd.Series([], dtype=np.int64),
+             "mean_shift": pd.Series([], dtype=np.float64)}
+        )
+    rows = []
+    for et, g in grid.groupby("event_type", sort=False):
+        g = g.sort_values("hour", kind="stable")
+        if len(g) < 2:
+            continue
+        s = g["s"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        hours = g["hour"].to_numpy(dtype=np.int64)
+        cs, cc = np.cumsum(s), np.cumsum(c)
+        ts, tc = np.int64(cs[-1]), np.int64(cc[-1])
+        # candidate split AFTER hour i (exclude the final, empty-after)
+        cs_, cc_, h_ = cs[:-1], cc[:-1], hours[:-1]
+        shift = np.abs(
+            cs_.astype(np.float64) / cc_
+            - (ts - cs_).astype(np.float64) / (tc - cc_)
+        )
+        order = np.lexsort((h_, -shift))  # shift desc, hour asc
+        i = order[0]
+        rows.append(
+            {"event_type": str(et), "split_hour": np.int64(h_[i]),
+             "n_before": np.int64(cc_[i]), "n_after": np.int64(tc - cc_[i]),
+             "mean_shift": np.float64(shift[i])}
+        )
+    return pd.DataFrame(rows).astype(
+        {"split_hour": np.int64, "n_before": np.int64, "n_after": np.int64,
+         "mean_shift": np.float64}
+    )
+
+
+EVENTS_CUSUM_CHANGEPOINT_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         SUM(CAST(round(value * 1000) AS BIGINT)) AS s,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, hour,
+         SUM(s) OVER w AS cs, SUM(c) OVER w AS cc,
+         SUM(s) OVER (PARTITION BY event_type) AS ts,
+         SUM(c) OVER (PARTITION BY event_type) AS tc
+  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+), cand AS (
+  SELECT event_type, hour, cc, tc,
+         abs(CAST(cs AS DOUBLE) / cc
+             - CAST(ts - cs AS DOUBLE) / (tc - cc)) AS shift
+  FROM cum WHERE tc - cc > 0
+), best AS (
+  SELECT event_type, hour, cc, tc, shift,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY shift DESC, hour ASC) AS rn
+  FROM cand
+)
+SELECT event_type, hour AS split_hour,
+       CAST(cc AS BIGINT) AS n_before,
+       CAST(tc - cc AS BIGINT) AS n_after,
+       shift AS mean_shift
+FROM best WHERE rn = 1
+"""
+
+
+ZPRUNE_DIM_BITS = 8  # each dimension rank-normalized to 8 bits
+
+
+def zorder_prune_stats(sf_dir: str):
+    """WHY Z-order, measured: zone-map pruning effectiveness of the
+    Morton layout vs a single-key (partkey-sorted) layout under two box
+    predicates — a partkey range (where the single-key layout is
+    optimal) and a suppkey range (where it prunes nothing, while
+    Z-order still prunes to ~the box fraction). Each dimension is
+    normalized to 8 bits via exact integer scaling over its observed
+    [min, max] (domain-proportional at EVERY corpus size — a fixed bit
+    shift would collapse to one zone on a small domain), the Morton
+    key interleaves the two bytes, and zones are the top 4+4
+    interleaved bits (256 zones) vs the normalized partkey byte (256
+    zones). A row's zone is row-local — no global rank or sort — so
+    the whole statistic is one bounded two-phase distinct. Output: one
+    row per (scenario, layout) with matched rows, zone totals, zones
+    touched, touch share (single double division)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def minmax_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        p = batch["l_partkey"].to_numpy(dtype=np.int64)
+        s = batch["l_suppkey"].to_numpy(dtype=np.int64)
+        if not len(p):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64)
+                 for c in ("plo", "phi", "slo", "shi")}
+            )
+        return pd.DataFrame(
+            {"plo": [p.min()], "phi": [p.max()],
+             "slo": [s.min()], "shi": [s.max()]}
+        )
+
+    mm = collect_small(
+        lines.map_batches(minmax_partial, batch_format="pandas"),
+        ["plo", "phi", "slo", "shi"],
+    )
+    if mm.empty:
+        return pd.DataFrame(
+            {"scenario": pd.Series([], dtype=str),
+             "layout": pd.Series([], dtype=str),
+             "n_match": pd.Series([], dtype=np.int64),
+             "zones_total": pd.Series([], dtype=np.int64),
+             "zones_touched": pd.Series([], dtype=np.int64),
+             "touch_share": pd.Series([], dtype=np.float64)}
+        )
+    pmin, pmax = np.int64(mm["plo"].min()), np.int64(mm["phi"].max())
+    smin, smax = np.int64(mm["slo"].min()), np.int64(mm["shi"].max())
+    p_lo, p_hi = pmin + (pmax - pmin) * 3 // 8, pmin + (pmax - pmin) * 5 // 8
+    s_lo, s_hi = smin + (smax - smin) * 3 // 8, smin + (smax - smin) * 5 // 8
+    DIM = np.int64(1) << np.int64(ZPRUNE_DIM_BITS)
+
+    def zone_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        p = batch["l_partkey"].to_numpy(dtype=np.int64)
+        s = batch["l_suppkey"].to_numpy(dtype=np.int64)
+        p8 = (p - pmin) * DIM // (pmax - pmin + 1)
+        s8 = (s - smin) * DIM // (smax - smin + 1)
+        m = np.zeros(len(p), dtype=np.int64)
+        for i in range(ZPRUNE_DIM_BITS):
+            m |= ((p8 >> i) & 1) << (2 * i)
+            m |= ((s8 >> i) & 1) << (2 * i + 1)
+        zones = {"zorder": m >> ZPRUNE_DIM_BITS,  # top 4+4 bits: 256 zones
+                 "partkey_sorted": p8}            # 256 zones
+        masks = {"partkey_box": (p >= p_lo) & (p <= p_hi),
+                 "suppkey_box": (s >= s_lo) & (s <= s_hi),
+                 "ALL": np.ones(len(p), dtype=bool)}
+        frames = []
+        for lay, z in zones.items():
+            for scen, msk in masks.items():
+                zz = np.unique(z[msk])
+                n = np.int64(msk.sum())
+                frames.append(pd.DataFrame(
+                    {"scenario": np.full(len(zz), scen, dtype=object),
+                     "layout": np.full(len(zz), lay, dtype=object),
+                     "zone": zz,
+                     "n_match": np.full(len(zz), 0, dtype=np.int64)}
+                ))
+                # one sentinel row per (scenario, layout) carries the
+                # batch's matched-row count (zone -1 never occurs)
+                frames.append(pd.DataFrame(
+                    {"scenario": [scen], "layout": [lay],
+                     "zone": [np.int64(-1)], "n_match": [n]}
+                ))
+        return pd.concat(frames, ignore_index=True)
+
+    def zone_combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["scenario", "layout", "zone"], sort=False,
+                           as_index=False)["n_match"].sum()
+            .astype({"zone": np.int64, "n_match": np.int64})
+        )
+
+    zones = collect_small(
+        grouped_aggregate(
+            lines.map_batches(zone_rows, batch_format="pandas"),
+            ["scenario", "layout", "zone"], zone_combine, coalesce=True,
+        ),
+        ["scenario", "layout", "zone", "n_match"],
+    )
+    zones = zones.groupby(
+        ["scenario", "layout", "zone"], sort=False, as_index=False
+    )["n_match"].sum()
+    rows = []
+    totals = {}
+    for (scen, lay), g in zones.groupby(["scenario", "layout"], sort=False):
+        touched = np.int64((g["zone"].to_numpy(dtype=np.int64) >= 0).sum())
+        n = np.int64(g.loc[g["zone"] == -1, "n_match"].sum())
+        if scen == "ALL":
+            totals[lay] = touched
+        rows.append({"scenario": scen, "layout": lay,
+                     "n_match": n, "zones_touched": touched})
+    out = pd.DataFrame(rows)
+    out = out[out["scenario"] != "ALL"].copy()
+    out["zones_total"] = out["layout"].map(totals).astype(np.int64)
+    t = out["zones_touched"].to_numpy(dtype=np.int64)
+    tot = out["zones_total"].to_numpy(dtype=np.int64)
+    out["touch_share"] = t.astype(np.float64) / tot
+    return out[
+        ["scenario", "layout", "n_match", "zones_total", "zones_touched",
+         "touch_share"]
+    ].reset_index(drop=True).astype(
+        {"n_match": np.int64, "zones_total": np.int64,
+         "zones_touched": np.int64}
+    )
+
+
+ZORDER_PRUNE_STATS_ORACLE = f"""
+WITH bounds AS (
+  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+  FROM lineitem
+), scaled AS (
+  SELECT l_partkey AS p, l_suppkey AS s,
+         (l_partkey - pmin) * {1 << ZPRUNE_DIM_BITS} // (pmax - pmin + 1)
+           AS p8,
+         (l_suppkey - smin) * {1 << ZPRUNE_DIM_BITS} // (smax - smin + 1)
+           AS s8,
+         pmin + (pmax - pmin) * 3 // 8 AS p_lo,
+         pmin + (pmax - pmin) * 5 // 8 AS p_hi,
+         smin + (smax - smin) * 3 // 8 AS s_lo,
+         smin + (smax - smin) * 5 // 8 AS s_hi
+  FROM lineitem CROSS JOIN bounds
+), z AS (
+  SELECT p, s, p_lo, p_hi, s_lo, s_hi, p8,
+         (SELECT SUM(
+             ((p8 // CAST(pow(2, i) AS BIGINT)) % 2)
+               * CAST(pow(4, i) AS BIGINT)
+           + ((s8 // CAST(pow(2, i) AS BIGINT)) % 2)
+               * 2 * CAST(pow(4, i) AS BIGINT))
+          FROM range(0, {ZPRUNE_DIM_BITS}) t(i))
+           // {1 << ZPRUNE_DIM_BITS} AS zone_z
+  FROM scaled
+), scen AS (
+  SELECT 'partkey_box' AS scenario, zone_z, p8 AS zone_p,
+         (p >= p_lo AND p <= p_hi) AS hit FROM z
+  UNION ALL
+  SELECT 'suppkey_box', zone_z, p8,
+         (s >= s_lo AND s <= s_hi) AS hit FROM z
+), lay AS (
+  SELECT scenario, 'zorder' AS layout, zone_z AS zone, hit FROM scen
+  UNION ALL
+  SELECT scenario, 'partkey_sorted', zone_p, hit FROM scen
+)
+SELECT scenario, layout,
+       CAST(count(*) FILTER (hit) AS BIGINT) AS n_match,
+       CAST(count(DISTINCT zone) AS BIGINT) AS zones_total,
+       CAST(count(DISTINCT zone) FILTER (hit) AS BIGINT) AS zones_touched,
+       CAST(count(DISTINCT zone) FILTER (hit) AS DOUBLE)
+         / count(DISTINCT zone) AS touch_share
+FROM lay GROUP BY 1, 2
+"""

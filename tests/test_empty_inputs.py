@@ -98,6 +98,8 @@ EMPTY_OK = [
     ("quality_pass_wilson", 0),
     ("bm25_components", 0),
     ("repeat_purchase_rate", 0),
+    ("events_cusum_changepoint", 0),
+    ("zorder_prune_stats", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
