@@ -337,6 +337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["repeat_purchase_rate"] = relational.repeat_purchase_rate
     q["events_cusum_changepoint"] = relational.events_cusum_changepoint
     q["zorder_prune_stats"] = relational.zorder_prune_stats
+    q["embedding_covariance"] = ann.embedding_covariance
+    q["term_drift"] = textstats.term_drift
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -554,6 +556,8 @@ def oracle_sql() -> dict[str, str]:
     sql["repeat_purchase_rate"] = relational.REPEAT_PURCHASE_RATE_ORACLE
     sql["events_cusum_changepoint"] = relational.EVENTS_CUSUM_CHANGEPOINT_ORACLE
     sql["zorder_prune_stats"] = relational.ZORDER_PRUNE_STATS_ORACLE
+    sql["embedding_covariance"] = ann.embedding_covariance_oracle()
+    sql["term_drift"] = textstats.term_drift_oracle()
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

@@ -285,6 +285,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "repeat_purchase_rate",
         "events_cusum_changepoint",
         "zorder_prune_stats",
+        "embedding_covariance",
+        "term_drift",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -682,3 +682,91 @@ ranked AS (SELECT query_id, neighbor_id,
            FROM sims)
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 """
+
+
+COV_DIM = 64  # embeddings table vector length
+
+
+def embedding_covariance(sf_dir: str, d: int = COV_DIM):
+    """Distributed covariance matrix of the embedding columns — the
+    statistic behind PCA whitening / drift monitoring, computed the
+    mergeable way: each batch contributes the exact int64 second-moment
+    matrix X'X of milli-scaled vectors plus first moments and a count
+    (d x d + d + 1 numbers per batch, corpus-size-independent); the
+    driver sums partials and evaluates the closed form
+    ``(Σxy − Σx·Σy/n)/n`` once per (i ≤ j) pair in double — identical
+    expression in the SQL twin (which replays the milli scaling via
+    list indexing), so even the 2080 covariance doubles hash-match.
+    Population covariance, milli² units."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+        )
+        if X.shape[1] != d:
+            raise ValueError(f"expected {d}-dim embeddings, got {X.shape[1]}")
+        Xm = np.round(X * 1000).astype(np.int64)
+        S = Xm.T @ Xm  # (d, d) int64 second moments
+        s1 = Xm.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame(
+            {"i": np.concatenate([iu + 1, np.arange(1, d + 1), [0]]),
+             "j": np.concatenate([ju + 1, np.zeros(d, dtype=np.int64), [0]]),
+             "v": np.concatenate([S[iu, ju], s1, [np.int64(len(batch))]])}
+        ).astype({"i": np.int64, "j": np.int64, "v": np.int64})
+
+    parts = collect_small(
+        _read_embeddings(sf_dir).map_batches(partial, batch_format="pandas"),
+        ["i", "j", "v"],
+    )
+    if parts.empty:
+        raise ValueError("embedding_covariance requires a non-empty table")
+    agg = parts.groupby(["i", "j"], sort=False, as_index=False)["v"].sum()
+    n = np.int64(agg.loc[(agg["i"] == 0) & (agg["j"] == 0), "v"].sum())
+    firsts = agg[(agg["j"] == 0) & (agg["i"] > 0)].set_index("i")["v"]
+    pairs = agg[(agg["i"] > 0) & (agg["j"] > 0)].copy()
+    si = firsts.reindex(pairs["i"].to_numpy()).to_numpy(dtype=np.int64)
+    sj = firsts.reindex(pairs["j"].to_numpy()).to_numpy(dtype=np.int64)
+    sxy = pairs["v"].to_numpy(dtype=np.int64)
+    cov = (
+        sxy.astype(np.float64) - si.astype(np.float64) * sj / n
+    ) / n
+    return pd.DataFrame(
+        {"i": pairs["i"].to_numpy(dtype=np.int64),
+         "j": pairs["j"].to_numpy(dtype=np.int64),
+         "n": np.full(len(pairs), n, dtype=np.int64),
+         "sxy": sxy, "si": si, "sj": sj,
+         "cov_milli2": cov}
+    ).sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def embedding_covariance_oracle(d: int = COV_DIM) -> str:
+    return f"""
+WITH dims AS (SELECT CAST(unnest(range(1, {d + 1})) AS BIGINT) AS i),
+m AS (
+  SELECT e.vec_id, dims.i,
+         CAST(round(e.embedding[i] * 1000) AS BIGINT) AS x
+  FROM embeddings e CROSS JOIN dims
+), firsts AS (
+  SELECT i, SUM(x) AS s FROM m GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n FROM embeddings
+), pairs AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+  FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT p.i, p.j, CAST(n AS BIGINT) AS n,
+       CAST(p.sxy AS BIGINT) AS sxy,
+       CAST(fi.s AS BIGINT) AS si,
+       CAST(fj.s AS BIGINT) AS sj,
+       (CAST(p.sxy AS DOUBLE) - CAST(fi.s AS DOUBLE) * fj.s / n) / n
+         AS cov_milli2
+FROM pairs p
+JOIN firsts fi ON fi.i = p.i
+JOIN firsts fj ON fj.i = p.j
+CROSS JOIN tot
+"""

@@ -1481,3 +1481,111 @@ SELECT doc_id, term, tf, df, dl, rank,
          AS tf_sat
 FROM ranked CROSS JOIN tot WHERE rank <= 3
 """
+
+
+def term_drift(sf_dir: str, k: int = 20):
+    """Term-distribution drift between the two doc_id-parity halves of
+    the corpus — the train/serve (or old-snapshot/new-snapshot) drift
+    screen: per term the occurrence counts in each half and the L1
+    rate gap |ca/na − cb/nb|, top-k by (drift desc, term asc). The
+    half totals are a two-int all-reduce broadcast into the term
+    buckets, where drift is computed and each bucket surrenders its
+    local top-k — the final merge sorts ≤ buckets·k rows."""
+    import re
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    split = re.compile(r"[^a-z0-9]+")
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def term_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        terms: list[str] = []
+        sides: list[int] = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = [t for t in split.split((text or "").lower()) if t]
+            terms.extend(toks)
+            sides.extend([int(doc_id) % 2] * len(toks))
+        out = pd.DataFrame({"term": np.array(terms, dtype=object),
+                            "side": np.array(sides, dtype=np.int64)})
+        out["ca"] = (out["side"] == 0).astype(np.int64)
+        out["cb"] = (out["side"] == 1).astype(np.int64)
+        return (
+            out.groupby("term", sort=False, as_index=False)[["ca", "cb"]]
+            .sum()
+        )
+
+    rows = docs.map_batches(term_rows, batch_format="pandas")
+
+    def totals_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"na": [np.int64(batch["ca"].sum())],
+             "nb": [np.int64(batch["cb"].sum())]}
+        )
+
+    rows_mat = rows.materialize()  # small: ≤ vocab rows per block
+    totals = collect_small(
+        rows_mat.map_batches(totals_partial, batch_format="pandas"),
+        ["na", "nb"],
+    )
+    na = np.int64(totals["na"].sum())
+    nb = np.int64(totals["nb"].sum())
+    if na == 0 or nb == 0:
+        return pd.DataFrame(
+            {"term": pd.Series([], dtype=str),
+             "ca": pd.Series([], dtype=np.int64),
+             "cb": pd.Series([], dtype=np.int64),
+             "drift": pd.Series([], dtype=np.float64)}
+        )
+
+    def score_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("term", sort=False, as_index=False)[
+            ["ca", "cb"]
+        ].sum()
+        ca = g["ca"].to_numpy(dtype=np.int64)
+        cb = g["cb"].to_numpy(dtype=np.int64)
+        g["drift"] = np.abs(
+            ca.astype(np.float64) / na - cb.astype(np.float64) / nb
+        )
+        return (
+            g.sort_values(["drift", "term"], ascending=[False, True],
+                          kind="stable")
+            .head(k).astype({"ca": np.int64, "cb": np.int64})
+        )
+
+    cand = collect_small(
+        grouped_aggregate(rows_mat, ["term"], score_bucket, num_partitions=16),
+        ["term", "ca", "cb", "drift"],
+    )
+    return (
+        cand.sort_values(["drift", "term"], ascending=[False, True],
+                         kind="stable")
+        .head(k).reset_index(drop=True)
+    )
+
+
+def term_drift_oracle(k: int = 20) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS side,
+         unnest(list_filter(regexp_split_to_array(lower(COALESCE(text,'')),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), t AS (
+  SELECT term,
+         count(*) FILTER (side = 0) AS ca,
+         count(*) FILTER (side = 1) AS cb
+  FROM toks GROUP BY 1
+), tot AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb FROM t
+), scored AS (
+  SELECT term, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+         abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) AS drift
+  FROM t CROSS JOIN tot
+)
+SELECT term, ca, cb, drift FROM scored
+ORDER BY drift DESC, term ASC LIMIT {k}
+"""

@@ -100,12 +100,13 @@ EMPTY_OK = [
     ("repeat_purchase_rate", 0),
     ("events_cusum_changepoint", 0),
     ("zorder_prune_stats", 0),
+    ("term_drift", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
 RAISES = ["kmeans_clusters", "kmeans_exemplars", "dedup_semantic_pairs",
           "knn_brute", "knn_ivf", "knn_lsh", "knn_pq", "range_search",
-          "knn_mips"]
+          "knn_mips", "embedding_covariance"]
 
 
 class TestEmptyInputs:
