@@ -339,6 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["zorder_prune_stats"] = relational.zorder_prune_stats
     q["embedding_covariance"] = ann.embedding_covariance
     q["term_drift"] = textstats.term_drift
+    q["events_transition_dwell"] = relational.events_transition_dwell
+    q["docs_pii_scan"] = textstats.docs_pii_scan
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -558,6 +560,8 @@ def oracle_sql() -> dict[str, str]:
     sql["zorder_prune_stats"] = relational.ZORDER_PRUNE_STATS_ORACLE
     sql["embedding_covariance"] = ann.embedding_covariance_oracle()
     sql["term_drift"] = textstats.term_drift_oracle()
+    sql["events_transition_dwell"] = relational.EVENTS_TRANSITION_DWELL_ORACLE
+    sql["docs_pii_scan"] = textstats.DOCS_PII_SCAN_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

@@ -287,6 +287,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "zorder_prune_stats",
         "embedding_covariance",
         "term_drift",
+        "events_transition_dwell",
+        "docs_pii_scan",
     ]
     times: dict[str, float] = {}
     for name in names:

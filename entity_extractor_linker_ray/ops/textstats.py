@@ -1589,3 +1589,99 @@ WITH toks AS (
 SELECT term, ca, cb, drift FROM scored
 ORDER BY drift DESC, term ASC LIMIT {k}
 """
+
+
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_URL_RE = r"https?://[^ \t\n]+"
+
+
+def docs_pii_scan(sf_dir: str):
+    """PII / leakage screen per source: how many documents contain an
+    email address or a URL — the pre-release scan every training-data
+    export runs. Detection is a compiled-regex flag per doc inside the
+    scan (patterns chosen to behave identically under Python ``re``
+    and DuckDB RE2); counts aggregate two-phase to a |sources|-row
+    grid with one double division per share."""
+    import re
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    email_re = re.compile(PII_EMAIL_RE)
+    url_re = re.compile(PII_URL_RE)
+    docs = read_split(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for source, t in zip(batch["source"].astype(str),
+                             batch["text"].fillna("")):
+            low = t.lower()
+            rows.append((source, 1,
+                         1 if email_re.search(low) else 0,
+                         1 if url_re.search(low) else 0))
+        out = pd.DataFrame(
+            rows, columns=["source", "n_docs", "n_email", "n_url"]
+        )
+        return out.groupby("source", sort=False, as_index=False)[
+            ["n_docs", "n_email", "n_url"]
+        ].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("source", sort=False, as_index=False)[
+                ["n_docs", "n_email", "n_url"]
+            ].sum().astype(
+                {"n_docs": np.int64, "n_email": np.int64, "n_url": np.int64}
+            )
+        )
+
+    grid = collect_small(
+        grouped_aggregate(docs, ["source"], combine, partial=partial,
+                          num_partitions=8),
+        ["source", "n_docs", "n_email", "n_url"],
+    )
+    if grid.empty:
+        return pd.DataFrame(
+            {"source": pd.Series([], dtype=str),
+             "n_docs": pd.Series([], dtype=np.int64),
+             "n_email": pd.Series([], dtype=np.int64),
+             "n_url": pd.Series([], dtype=np.int64),
+             "email_share": pd.Series([], dtype=np.float64),
+             "url_share": pd.Series([], dtype=np.float64)}
+        )
+    g = grid.groupby("source", sort=False, as_index=False)[
+        ["n_docs", "n_email", "n_url"]
+    ].sum()
+    n = g["n_docs"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {"source": g["source"].astype(str).to_numpy(),
+         "n_docs": n,
+         "n_email": g["n_email"].to_numpy(dtype=np.int64),
+         "n_url": g["n_url"].to_numpy(dtype=np.int64),
+         "email_share": g["n_email"].to_numpy(dtype=np.int64).astype(
+             np.float64) / n,
+         "url_share": g["n_url"].to_numpy(dtype=np.int64).astype(
+             np.float64) / n}
+    )
+
+
+DOCS_PII_SCAN_ORACLE = f"""
+WITH flags AS (
+  SELECT source,
+         CASE WHEN regexp_matches(lower(COALESCE(text, '')),
+                                  '{PII_EMAIL_RE}') THEN 1 ELSE 0 END AS e,
+         CASE WHEN regexp_matches(lower(COALESCE(text, '')),
+                                  '{PII_URL_RE}') THEN 1 ELSE 0 END AS u
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(SUM(e) AS BIGINT) AS n_email,
+       CAST(SUM(u) AS BIGINT) AS n_url,
+       CAST(SUM(e) AS DOUBLE) / count(*) AS email_share,
+       CAST(SUM(u) AS DOUBLE) / count(*) AS url_share
+FROM flags GROUP BY 1
+"""

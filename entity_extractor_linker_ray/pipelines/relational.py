@@ -9350,3 +9350,93 @@ SELECT scenario, layout,
          / count(DISTINCT zone) AS touch_share
 FROM lay GROUP BY 1, 2
 """
+
+
+def events_transition_dwell(sf_dir: str):
+    """Dwell-time-aware Markov transitions: for every consecutive
+    within-user (type → next_type) pair, the count, exact µs gap sum,
+    and mean dwell — the timing signal :func:`events_transitions`'
+    count matrix lacks (how LONG users linger before each move). Same
+    one-exchange segment-kernel shape; gap sums ride as int64 next to
+    the counts, the mean is one double division per (type × type)
+    cell."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def pair_stats(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.copy()
+        df["ts_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        users = df["user_id"].to_numpy(dtype=np.int64)
+        types = df["event_type"].to_numpy(dtype=object)
+        ts = df["ts_us"].to_numpy(dtype=np.int64)
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "next_type": pd.Series([], dtype=object),
+                 "n_pairs": pd.Series([], dtype=np.int64),
+                 "gap_us_sum": pd.Series([], dtype=np.int64)}
+            )
+        same_user = users[1:] == users[:-1]
+        out = pd.DataFrame(
+            {"event_type": types[:-1][same_user],
+             "next_type": types[1:][same_user],
+             "n_pairs": np.ones(int(same_user.sum()), dtype=np.int64),
+             "gap_us_sum": (ts[1:] - ts[:-1])[same_user]}
+        )
+        return (
+            out.groupby(["event_type", "next_type"], sort=False,
+                        as_index=False)[["n_pairs", "gap_us_sum"]].sum()
+            .astype({"n_pairs": np.int64, "gap_us_sum": np.int64})
+        )
+
+    partials = grouped_aggregate(events, ["user_id"], pair_stats)
+    grid = collect_small(
+        partials, ["event_type", "next_type", "n_pairs", "gap_us_sum"]
+    )
+    if grid.empty:
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "next_type": pd.Series([], dtype=str),
+             "n_pairs": pd.Series([], dtype=np.int64),
+             "gap_us_sum": pd.Series([], dtype=np.int64),
+             "mean_gap_us": pd.Series([], dtype=np.float64)}
+        )
+    g = grid.groupby(["event_type", "next_type"], sort=False,
+                     as_index=False)[["n_pairs", "gap_us_sum"]].sum()
+    n = g["n_pairs"].to_numpy(dtype=np.int64)
+    s = g["gap_us_sum"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {"event_type": g["event_type"].astype(str).to_numpy(),
+         "next_type": g["next_type"].astype(str).to_numpy(),
+         "n_pairs": n, "gap_us_sum": s,
+         "mean_gap_us": s.astype(np.float64) / n}
+    )
+
+
+EVENTS_TRANSITION_DWELL_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         LEAD(event_type) OVER w AS next_type,
+         LEAD(epoch_us(ts)) OVER w AS next_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), pairs AS (
+  SELECT event_type, next_type, next_ts - ts_us AS gap
+  FROM seq WHERE next_type IS NOT NULL
+)
+SELECT event_type, next_type,
+       count(*) AS n_pairs,
+       CAST(SUM(gap) AS BIGINT) AS gap_us_sum,
+       CAST(SUM(gap) AS DOUBLE) / count(*) AS mean_gap_us
+FROM pairs GROUP BY 1, 2
+"""

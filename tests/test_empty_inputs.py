@@ -101,6 +101,8 @@ EMPTY_OK = [
     ("events_cusum_changepoint", 0),
     ("zorder_prune_stats", 0),
     ("term_drift", 0),
+    ("events_transition_dwell", 0),
+    ("docs_pii_scan", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
