@@ -341,6 +341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["term_drift"] = textstats.term_drift
     q["events_transition_dwell"] = relational.events_transition_dwell
     q["docs_pii_scan"] = textstats.docs_pii_scan
+    q["conv_chatml_export"] = _convs.conv_chatml_export
+    q["kg_random_walks"] = _ga.kg_random_walks
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -562,6 +564,8 @@ def oracle_sql() -> dict[str, str]:
     sql["term_drift"] = textstats.term_drift_oracle()
     sql["events_transition_dwell"] = relational.EVENTS_TRANSITION_DWELL_ORACLE
     sql["docs_pii_scan"] = textstats.DOCS_PII_SCAN_ORACLE
+    sql["conv_chatml_export"] = conversations.CONV_CHATML_EXPORT_ORACLE
+    sql["kg_random_walks"] = graph_algos.kg_random_walks_oracle()
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

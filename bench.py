@@ -289,6 +289,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "term_drift",
         "events_transition_dwell",
         "docs_pii_scan",
+        "conv_chatml_export",
+        "kg_random_walks",
     ]
     times: dict[str, float] = {}
     for name in names:

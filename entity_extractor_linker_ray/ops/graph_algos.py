@@ -2654,3 +2654,162 @@ LEFT JOIN h{rounds} h ON h.node = n.node
 LEFT JOIN a{rounds} a ON a.node = n.node"""
     )
     return "".join(parts)
+
+
+def kg_random_walks(sf_dir: str, steps: int = 3):
+    """Deterministic walk corpus over the undirected co-occurrence KG —
+    the data-generation step behind DeepWalk/node2vec-style graph
+    embeddings, made hash-gateable by replacing the RNG with a
+    reproducible selection rule: from node u at step t the walk moves
+    to the neighbor at index ``(7·len(u) + 3·t) mod deg(u)`` in u's
+    name-sorted adjacency list (pure integer arithmetic both engines
+    can compute; walks are diverse enough for a corpus while being
+    bit-identical everywhere). One walk starts at every node; each
+    step is ONE bucketed exchange joining the frontier to the
+    adjacency on hash(current) — adjacency ranks and degrees are
+    computed inside the bucket where all of u's edges are co-located,
+    so no global sort or driver-side graph state exists. Output:
+    (start_node, step, node) path rows, steps 0..``steps``."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.pipelines import simple_kg
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    base = simple_kg.kg_edges(sf_dir).select_columns(["subject", "object"])
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["subject"].astype(str).to_numpy()
+        o = batch["object"].astype(str).to_numpy()
+        out = pd.DataFrame(
+            {"u": np.concatenate([s, o]), "v": np.concatenate([o, s])}
+        )
+        return out.drop_duplicates()
+
+    edges = _compact(
+        base.map_batches(both_dirs, batch_format="pandas"), 8
+    ).materialize()
+
+    def init_frontier(batch: pd.DataFrame) -> pd.DataFrame:
+        u = pd.unique(batch["u"].astype(str).to_numpy())
+        return pd.DataFrame({"key": u, "start": u, "cur": u})
+
+    frontier = grouped_aggregate(
+        edges.map_batches(init_frontier, batch_format="pandas"),
+        ["key"],
+        lambda b: b.drop_duplicates(["start"])[["start", "cur"]].assign(
+            key=lambda d: d["cur"]
+        ),
+        num_partitions=8,
+    )
+    paths = [frontier.map_batches(
+        lambda b, s=0: pd.DataFrame(
+            {"start_node": b["start"].astype(str).to_numpy(),
+             "step": np.zeros(len(b), dtype=np.int64),
+             "node": b["cur"].astype(str).to_numpy()}
+        ),
+        batch_format="pandas",
+    )]
+
+    def tag_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": batch["u"].astype(str).to_numpy(),
+             "start": np.full(len(batch), "", dtype=object),
+             "cur": batch["v"].astype(str).to_numpy(),
+             "side": np.ones(len(batch), dtype=np.int64)}
+        )
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pandas")
+
+    for t in range(steps):
+        def tag_frontier(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": batch["cur"].astype(str).to_numpy(),
+                 "start": batch["start"].astype(str).to_numpy(),
+                 "cur": batch["cur"].astype(str).to_numpy(),
+                 "side": np.zeros(len(batch), dtype=np.int64)}
+            )
+
+        unioned = frontier.map_batches(
+            tag_frontier, batch_format="pandas"
+        ).union(tagged_edges)
+
+        def advance(bucket: pd.DataFrame, t=t) -> pd.DataFrame:
+            fr = bucket[bucket["side"] == 0][["key", "start"]]
+            adj = bucket[bucket["side"] == 1][["key", "cur"]].rename(
+                columns={"cur": "v"}
+            )
+            if fr.empty or adj.empty:
+                return pd.DataFrame(
+                    {"start": pd.Series([], dtype=str),
+                     "cur": pd.Series([], dtype=str)}
+                )
+            # both_dirs dedups per BATCH only; finish the global dedup
+            # here where all of u's edges are co-located
+            adj = adj.drop_duplicates(["key", "v"])
+            adj = adj.sort_values(["key", "v"], kind="stable")
+            adj["rn"] = adj.groupby("key", sort=False).cumcount()
+            deg = adj.groupby("key", sort=False)["v"].transform("size")
+            adj["deg"] = deg.to_numpy(dtype=np.int64)
+            klen = fr["key"].str.len().to_numpy(dtype=np.int64)
+            fr = fr.assign(want=np.int64(7) * klen + np.int64(3) * t)
+            m = fr.merge(adj, on="key", how="inner")
+            m = m[m["rn"] == m["want"] % m["deg"]]
+            return pd.DataFrame(
+                {"start": m["start"].astype(str).to_numpy(),
+                 "cur": m["v"].astype(str).to_numpy()}
+            )
+
+        frontier = grouped_aggregate(unioned, ["key"], advance,
+                                     num_partitions=8)
+        paths.append(frontier.map_batches(
+            lambda b, s=t + 1: pd.DataFrame(
+                {"start_node": b["start"].astype(str).to_numpy(),
+                 "step": np.full(len(b), s, dtype=np.int64),
+                 "node": b["cur"].astype(str).to_numpy()}
+            ),
+            batch_format="pandas",
+        ))
+        frontier = frontier.map_batches(
+            lambda b: b[["start", "cur"]], batch_format="pandas"
+        )
+
+    out = paths[0]
+    for p in paths[1:]:
+        out = out.union(p)
+    return out
+
+
+def kg_random_walks_oracle(steps: int = 3) -> str:
+    from entity_extractor_linker_ray.pipelines import simple_kg
+
+    edges_sql = simple_kg.oracle_sql()["kg_edges"]
+    parts = [f"""WITH base AS (
+  SELECT subject AS u, object AS v FROM ({edges_sql}) kg_e
+),
+edges AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM base UNION ALL SELECT v AS u, u AS v FROM base)
+),
+adj AS (
+  SELECT u, v,
+         CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS BIGINT)
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY u) AS BIGINT) AS deg
+  FROM edges
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+s0 AS (SELECT node AS start, node AS cur FROM nodes)"""]
+    for t in range(steps):
+        parts.append(f""",
+s{t + 1} AS (
+  SELECT s{t}.start, adj.v AS cur
+  FROM s{t} JOIN adj ON adj.u = s{t}.cur
+   AND adj.rn = (7 * length(s{t}.cur) + {3 * t}) % adj.deg
+)""")
+    selects = [
+        f"SELECT start AS start_node, CAST({s} AS BIGINT) AS step, "
+        f"cur AS node FROM s{s}"
+        for s in range(steps + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)

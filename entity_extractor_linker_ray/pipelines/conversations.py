@@ -196,3 +196,100 @@ SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
                      ELSE LEAST(12, words - 12 * ti) END) AS BIGINT) AS n_words
 FROM g GROUP BY 1, 2
 """
+
+
+def conv_chatml_export(sf_dir: str):
+    """Training-format export: each conversation rendered as ONE
+    chat-template string (``<|role|>text`` lines joined by newlines, in
+    turn order) plus turn and character counts — the packaging step
+    between transcript tables and an SFT data loader. Ordered string
+    aggregation uses the :func:`~entity_extractor_linker_ray.pipelines.
+    relational.user_journeys` segment-slice kernel: one bucketed
+    exchange on conv_id, one stable sort per bucket, one C-level join
+    into a single buffer, per-conversation slices at segment
+    boundaries — no per-row Python. Oracle replays the deterministic
+    turn synthesis in SQL and aggregates with ORDER BY string_agg."""
+    import ray.data as rd  # noqa: F401
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.synthetic import (
+        transcripts_dataset_from_documents,
+    )
+
+    turns = transcripts_dataset_from_documents(sf_dir)
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        line = (
+            "<|" + batch["role"].astype(str) + "|>"
+            + batch["text"].fillna("").astype(str)
+        )
+        return pd.DataFrame(
+            {"conv_id": batch["conv_id"].astype(str).to_numpy(),
+             "turn_idx": batch["turn_idx"].to_numpy(dtype=np.int64),
+             "line": line.to_numpy()}
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"conv_id": pd.Series([], dtype=str),
+                 "n_turns": pd.Series([], dtype=np.int64),
+                 "chatml": pd.Series([], dtype=str),
+                 "n_chars": pd.Series([], dtype=np.int64)}
+            )
+        df = bucket.sort_values(["conv_id", "turn_idx"], kind="stable")
+        convs = df["conv_id"].to_numpy()
+        with_sep = df["line"].astype(str) + "\n"
+        big = "".join(with_sep.tolist())
+        offs = np.concatenate(
+            ([0], np.cumsum(with_sep.str.len().to_numpy(dtype=np.int64)))
+        )
+        starts = np.flatnonzero(
+            np.concatenate(([True], convs[1:] != convs[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(convs)]))
+        chat = [big[offs[s]:offs[e] - 1] for s, e in zip(starts, ends)]
+        return pd.DataFrame(
+            {"conv_id": convs[starts],
+             "n_turns": (ends - starts).astype(np.int64),
+             "chatml": chat,
+             "n_chars": np.array([len(c) for c in chat], dtype=np.int64)}
+        )
+
+    return grouped_aggregate(
+        turns.map_batches(prep, batch_format="pandas"), ["conv_id"], combine
+    )
+
+
+CONV_CHATML_EXPORT_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(COALESCE(text, '')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, ' ') END AS words
+  FROM documents
+), t AS (
+  SELECT doc_id, words, len(words) AS wlen,
+         CASE WHEN len(words) = 0 THEN 1 ELSE (len(words) + 11) // 12 END
+           AS n_turns
+  FROM d
+), g AS (
+  SELECT doc_id, words, wlen, n_turns,
+         CAST(unnest(range(0, n_turns)) AS BIGINT) AS ti
+  FROM t
+), lines AS (
+  SELECT doc_id, n_turns, ti,
+         '<|' || CASE ti % 3 WHEN 0 THEN 'user'
+                             WHEN 1 THEN 'assistant'
+                             ELSE 'tool' END || '|>'
+         || array_to_string(words[ti * 12 + 1 : least((ti + 1) * 12, wlen)],
+                            ' ') AS line
+  FROM g
+)
+SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+       CAST(max(n_turns) AS BIGINT) AS n_turns,
+       string_agg(line, chr(10) ORDER BY ti) AS chatml,
+       CAST(length(string_agg(line, chr(10) ORDER BY ti)) AS BIGINT)
+         AS n_chars
+FROM lines GROUP BY 1
+"""

@@ -103,6 +103,8 @@ EMPTY_OK = [
     ("term_drift", 0),
     ("events_transition_dwell", 0),
     ("docs_pii_scan", 0),
+    ("conv_chatml_export", 0),
+    ("kg_random_walks", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
