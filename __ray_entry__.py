@@ -343,6 +343,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["docs_pii_scan"] = textstats.docs_pii_scan
     q["conv_chatml_export"] = _convs.conv_chatml_export
     q["kg_random_walks"] = _ga.kg_random_walks
+    q["customer_top2_order_gap"] = relational.customer_top2_order_gap
+    q["events_dow_anova_components"] = relational.events_dow_anova_components
+    q["supplier_nation_reach"] = relational.supplier_nation_reach
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -566,6 +569,9 @@ def oracle_sql() -> dict[str, str]:
     sql["docs_pii_scan"] = textstats.DOCS_PII_SCAN_ORACLE
     sql["conv_chatml_export"] = conversations.CONV_CHATML_EXPORT_ORACLE
     sql["kg_random_walks"] = graph_algos.kg_random_walks_oracle()
+    sql["customer_top2_order_gap"] = relational.CUSTOMER_TOP2_ORDER_GAP_ORACLE
+    sql["events_dow_anova_components"] = relational.EVENTS_DOW_ANOVA_ORACLE
+    sql["supplier_nation_reach"] = relational.SUPPLIER_NATION_REACH_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

@@ -291,6 +291,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "docs_pii_scan",
         "conv_chatml_export",
         "kg_random_walks",
+        "customer_top2_order_gap",
+        "events_dow_anova_components",
+        "supplier_nation_reach",
     ]
     times: dict[str, float] = {}
     for name in names:

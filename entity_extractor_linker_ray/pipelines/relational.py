@@ -9440,3 +9440,277 @@ SELECT event_type, next_type,
        CAST(SUM(gap) AS DOUBLE) / count(*) AS mean_gap_us
 FROM pairs GROUP BY 1, 2
 """
+
+
+def customer_top2_order_gap(sf_dir: str):
+    """Per-customer gap between the two LARGEST order prices — the
+    'is the top order an outlier for this account' feature. Mirror of
+    the :func:`repeat_purchase_rate` two-smallest partial: each batch
+    keeps at most the 2 priciest (price desc, orderkey asc) rows per
+    customer, partials merge by re-taking the two priciest, so a whale
+    account ships ≤ 2 rows per block. Single-order customers emit
+    gap 0 with ``n_orders_seen = 1`` (matching the COALESCE SQL)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+
+    def two_largest(frame: pd.DataFrame) -> pd.DataFrame:
+        g = frame.sort_values(["custkey", "price_c2", "okey"],
+                              ascending=[True, False, True], kind="stable")
+        return g.groupby("custkey", sort=False).head(2).reset_index(drop=True)
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+             "okey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+             "price_c2": np.round(
+                 batch["o_totalprice"].to_numpy(dtype=np.float64) * 100
+             ).astype(np.int64)}
+        )
+        return two_largest(out)
+
+    def finalize(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = two_largest(bucket)
+        firsts = g.groupby("custkey", sort=False).nth(0)
+        seconds = g.groupby("custkey", sort=False).nth(1)
+        top1 = firsts["price_c2"].to_numpy(dtype=np.int64)
+        sec = seconds.set_index(seconds["custkey"].to_numpy())["price_c2"]
+        sec_v = sec.reindex(firsts["custkey"].to_numpy()).to_numpy(
+            dtype=np.float64)
+        has2 = np.isfinite(sec_v)
+        top2 = np.where(has2, sec_v, 0).astype(np.int64)
+        return pd.DataFrame(
+            {"c_custkey": firsts["custkey"].to_numpy(dtype=np.int64),
+             "top1_centi": top1,
+             "top2_centi": top2,
+             "gap_centi": np.where(has2, top1 - top2, 0).astype(np.int64),
+             "n_orders_seen": (has2.astype(np.int64) + 1)}
+        )
+
+    return grouped_aggregate(
+        orders.map_batches(prep, batch_format="pandas"),
+        ["custkey"], finalize, coalesce=True,
+    )
+
+
+CUSTOMER_TOP2_ORDER_GAP_ORACLE = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                    o_orderkey ASC) AS rn
+  FROM orders
+), t1 AS (
+  SELECT o_custkey, pc AS top1 FROM r WHERE rn = 1
+), t2 AS (
+  SELECT o_custkey, pc AS top2 FROM r WHERE rn = 2
+)
+SELECT t1.o_custkey AS c_custkey,
+       top1 AS top1_centi,
+       COALESCE(top2, 0) AS top2_centi,
+       CASE WHEN top2 IS NULL THEN 0 ELSE top1 - top2 END AS gap_centi,
+       CASE WHEN top2 IS NULL THEN 1 ELSE 2 END AS n_orders_seen
+FROM t1 LEFT JOIN t2 USING (o_custkey)
+"""
+
+
+def events_dow_anova_components(sf_dir: str):
+    """One-way ANOVA sufficient statistics for event value by
+    day-of-week (dow = epoch_days % 7) — per-GROUP rows, because the
+    F statistic itself sums doubles across groups (accumulation-order-
+    dependent, hence never hash-gateable): per dow the exact int64
+    (n, Σcenti, Σcenti²) plus the two closed-form doubles any consumer
+    needs — the group mean and the within-group sum of squares
+    Σx² − (Σx)²/n. Centi scaling keeps Σx² under int64 at 10^9-row
+    scale (documented bound); the grid is 7 rows."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        vc = np.round(
+            batch["value"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {"dow": (ts_ns // 86_400_000_000_000) % 7,
+             "n": np.ones(len(batch), dtype=np.int64),
+             "s": vc, "ss": vc * vc}
+        )
+        return out.groupby("dow", sort=False, as_index=False)[
+            ["n", "s", "ss"]
+        ].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("dow", sort=False, as_index=False)[
+                ["n", "s", "ss"]
+            ].sum().astype({"dow": np.int64, "n": np.int64,
+                            "s": np.int64, "ss": np.int64})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(events, ["dow"], combine, partial=partial,
+                          num_partitions=8),
+        ["dow", "n", "s", "ss"],
+    )
+    if grid.empty:
+        return pd.DataFrame(
+            {"dow": pd.Series([], dtype=np.int64),
+             "n": pd.Series([], dtype=np.int64),
+             "sum_centi": pd.Series([], dtype=np.int64),
+             "sumsq_centi2": pd.Series([], dtype=np.int64),
+             "mean_centi": pd.Series([], dtype=np.float64),
+             "ss_within": pd.Series([], dtype=np.float64)}
+        )
+    g = grid.groupby("dow", sort=False, as_index=False)[["n", "s", "ss"]].sum()
+    n = g["n"].to_numpy(dtype=np.int64)
+    s = g["s"].to_numpy(dtype=np.int64)
+    ss = g["ss"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {"dow": g["dow"].to_numpy(dtype=np.int64),
+         "n": n, "sum_centi": s, "sumsq_centi2": ss,
+         "mean_centi": s.astype(np.float64) / n,
+         "ss_within": ss.astype(np.float64)
+         - s.astype(np.float64) * s / n}
+    )
+
+
+EVENTS_DOW_ANOVA_ORACLE = """
+WITH v AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 % 7 AS BIGINT) AS dow,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), g AS (
+  SELECT dow, count(*) AS n, SUM(vc) AS s, SUM(vc * vc) AS ss
+  FROM v GROUP BY 1
+)
+SELECT dow, CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) AS sum_centi,
+       CAST(ss AS BIGINT) AS sumsq_centi2,
+       CAST(s AS DOUBLE) / n AS mean_centi,
+       CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n AS ss_within
+FROM g
+"""
+
+
+def supplier_nation_reach(sf_dir: str):
+    """Market reach per supplier: how many distinct CUSTOMER nations a
+    supplier's lineitems were sold into, plus the order count — the
+    'export footprint' rollup over the lineitem⋈orders⋈customer chain.
+    The custkey→nationkey ladder broadcasts (as in Q5/Q7); lineitems
+    pre-dedup (orderkey, suppkey) per batch, ONE bucketed exchange on
+    hash(orderkey) tags each order's customer nation, and the final
+    distinct runs per (suppkey, nation) — a grid bounded by suppliers
+    × 25, never by lineitem count."""
+    import ray
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    cust = collect_small(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        ["c_custkey", "c_nationkey"],
+    )
+    order_c = np.argsort(cust["c_custkey"].to_numpy())
+    cust_map = ray.put(
+        (cust["c_custkey"].to_numpy(dtype=np.int64)[order_c],
+         cust["c_nationkey"].to_numpy(dtype=np.int64)[order_c])
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, nations = ray.get(cust_map)
+        cnat = _np_lookup(keys, nations,
+                          batch["o_custkey"].to_numpy(dtype=np.int64))
+        kept = cnat >= 0
+        return pd.DataFrame(
+            {"okey": batch["o_orderkey"].to_numpy(dtype=np.int64)[kept],
+             "suppkey": np.zeros(int(kept.sum()), dtype=np.int64),
+             "nat": cnat[kept],
+             "_side": np.ones(int(kept.sum()), dtype=np.int64)}
+        )
+
+    def line_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"okey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+             "suppkey": batch["l_suppkey"].to_numpy(dtype=np.int64)}
+        ).drop_duplicates()
+        out["nat"] = np.int64(0)
+        out["_side"] = np.int64(0)
+        return out.astype({c: np.int64 for c in out.columns})
+
+    unioned = orders.map_batches(order_rows, batch_format="pandas").union(
+        lines.map_batches(line_rows, batch_format="pandas")
+    )
+
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        o = bucket[bucket["_side"] == 1][["okey", "nat"]]
+        ln = bucket[bucket["_side"] == 0][["okey", "suppkey"]].drop_duplicates()
+        m = ln.merge(o, on="okey", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {"suppkey": pd.Series([], dtype=np.int64),
+                 "nat": pd.Series([], dtype=np.int64),
+                 "n_orders": pd.Series([], dtype=np.int64)}
+            )
+        return (
+            m.groupby(["suppkey", "nat"], sort=False, as_index=False)
+            .agg(n_orders=("okey", "nunique"))
+            .astype({"suppkey": np.int64, "nat": np.int64,
+                     "n_orders": np.int64})
+        )
+
+    partials = grouped_aggregate(unioned, ["okey"], join_bucket, coalesce=True)
+
+    def per_supplier(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["suppkey", "nat"], sort=False, as_index=False)[
+            "n_orders"
+        ].sum()
+        out = g.groupby("suppkey", sort=False).agg(
+            n_nations=("nat", "nunique"), n_orders=("n_orders", "sum")
+        ).reset_index()
+        return out.astype({"suppkey": np.int64, "n_nations": np.int64,
+                           "n_orders": np.int64})
+
+    return grouped_aggregate(partials, ["suppkey"], per_supplier,
+                             num_partitions=8)
+
+
+SUPPLIER_NATION_REACH_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT l.l_suppkey AS suppkey, o.o_orderkey, c.c_nationkey AS nat
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT suppkey,
+       CAST(count(DISTINCT nat) AS BIGINT) AS n_nations,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM pairs GROUP BY 1
+"""

@@ -105,6 +105,9 @@ EMPTY_OK = [
     ("docs_pii_scan", 0),
     ("conv_chatml_export", 0),
     ("kg_random_walks", 0),
+    ("customer_top2_order_gap", 0),
+    ("events_dow_anova_components", 0),
+    ("supplier_nation_reach", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
