@@ -346,6 +346,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customer_top2_order_gap"] = relational.customer_top2_order_gap
     q["events_dow_anova_components"] = relational.events_dow_anova_components
     q["supplier_nation_reach"] = relational.supplier_nation_reach
+    q["orders_interarrival_stats"] = relational.orders_interarrival_stats
+    q["doc_length_pct_by_lang"] = textstats.doc_length_pct_by_lang
+    q["payload_shards"] = multimodal.payload_shards
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -572,6 +575,8 @@ def oracle_sql() -> dict[str, str]:
     sql["customer_top2_order_gap"] = relational.CUSTOMER_TOP2_ORDER_GAP_ORACLE
     sql["events_dow_anova_components"] = relational.EVENTS_DOW_ANOVA_ORACLE
     sql["supplier_nation_reach"] = relational.SUPPLIER_NATION_REACH_ORACLE
+    sql["orders_interarrival_stats"] = relational.ORDERS_INTERARRIVAL_ORACLE
+    sql["doc_length_pct_by_lang"] = textstats.DOC_LENGTH_PCT_BY_LANG_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

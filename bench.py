@@ -294,6 +294,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "customer_top2_order_gap",
         "events_dow_anova_components",
         "supplier_nation_reach",
+        "orders_interarrival_stats",
+        "doc_length_pct_by_lang",
+        "payload_shards",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -251,3 +251,43 @@ SELECT sha256(COALESCE(text, '')) AS sha256,
        count(*) AS n_copies
 FROM documents GROUP BY 1
 """
+
+
+SHARD_BYTES = 256
+
+
+def payload_shards(sf_dir: str, shard_bytes: int = SHARD_BYTES):
+    """Fixed-size byte sharding of binary payloads — the chunking step
+    before content-defined dedup or ranged upload of large media:
+    each payload explodes into ``ceil(len/shard_bytes)`` shards with
+    (doc_id, shard_idx, n_bytes, sha256-of-shard). Binary stays Arrow
+    end to end; the explode is payload-local (no shuffle) and batch
+    size stays small because output bytes ≈ input bytes. Rows-only at
+    the driver (BLOB slicing is not portably SQL-replayable); planted
+    fixtures pin the boundary arithmetic."""
+    payloads = attach_payload(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        ps = batch.column("payload").to_pylist()
+        out_doc, out_idx, out_n, out_sha, out_bytes = [], [], [], [], []
+        for doc_id, p in zip(doc_ids, ps):
+            p = p or b""
+            n_shards = max(1, (len(p) + shard_bytes - 1) // shard_bytes)
+            for i in range(n_shards):
+                chunk = p[i * shard_bytes:(i + 1) * shard_bytes]
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_n.append(len(chunk))
+                out_sha.append(hashlib.sha256(chunk).hexdigest())
+                out_bytes.append(chunk)
+        return pa.table(
+            {"doc_id": pa.array(out_doc, pa.int64()),
+             "shard_idx": pa.array(out_idx, pa.int64()),
+             "n_bytes": pa.array(out_n, pa.int64()),
+             "sha256": pa.array(out_sha, pa.string()),
+             "shard": pa.array(out_bytes, pa.binary())}
+        )
+
+    return payloads.map_batches(explode, batch_format="pyarrow",
+                                batch_size=128)

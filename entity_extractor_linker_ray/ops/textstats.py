@@ -1685,3 +1685,84 @@ SELECT source, count(*) AS n_docs,
        CAST(SUM(u) AS DOUBLE) / count(*) AS url_share
 FROM flags GROUP BY 1
 """
+
+
+def doc_length_pct_by_lang(sf_dir: str):
+    """PERCENT_RANK of document length within its language — the
+    within-stratum percentile feature a curation rule consumes ("drop
+    the shortest 5% per language" without cross-language bias). Same
+    zero-row-shuffle plan as the events percent_rank: the bounded
+    (lang, n_chars) count grid becomes per-lang (values,
+    items-strictly-below, n) arrays broadcast once; a second
+    embarrassingly-parallel pass tags every doc row via searchsorted,
+    with RANK() tie semantics and ONE int/int double division."""
+    import ray
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    docs = read_split(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    keys = ["lang", "nc"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"lang": batch["lang"].astype(str).to_numpy(),
+             "nc": batch["n_chars"].to_numpy(dtype=np.int64),
+             "c": np.ones(len(batch), dtype=np.int64)}
+        )
+        return out.groupby(keys, sort=False, as_index=False)["c"].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False, as_index=False)["c"].sum()
+            .astype({"nc": np.int64, "c": np.int64})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(docs, keys, combine, partial=partial,
+                          num_partitions=8),
+        ["lang", "nc", "c"],
+    )
+    lookup: dict[str, tuple] = {}
+    for lg, g in grid.groupby("lang", sort=False):
+        g = g.sort_values("nc", kind="stable")
+        c = g["c"].to_numpy(dtype=np.int64)
+        below = np.cumsum(c) - c
+        lookup[str(lg)] = (g["nc"].to_numpy(dtype=np.int64), below,
+                           np.int64(c.sum()))
+    lookup_ref = ray.put(lookup)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(lookup_ref)
+        langs = batch["lang"].astype(str).to_numpy()
+        nc = batch["n_chars"].to_numpy(dtype=np.int64)
+        pct = np.zeros(len(batch), dtype=np.float64)
+        for lg in pd.unique(langs):
+            m = langs == lg
+            values, below, n = lk[str(lg)]
+            idx = np.searchsorted(values, nc[m])
+            pct[m] = 0.0 if n == 1 else below[idx].astype(np.float64) / (n - 1)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+             "lang": langs, "n_chars": nc, "pct_rank": pct}
+        )
+
+    return docs.map_batches(tag, batch_format="pandas")
+
+
+DOC_LENGTH_PCT_BY_LANG_ORACLE = """
+WITH v AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CASE WHEN n = 1 THEN 0.0
+            ELSE CAST(rnk - 1 AS DOUBLE) / (n - 1) END AS pct_rank
+FROM v
+"""

@@ -9714,3 +9714,91 @@ SELECT suppkey,
        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
 FROM pairs GROUP BY 1
 """
+
+
+def orders_interarrival_stats(sf_dir: str):
+    """Inter-order gap statistics per customer — the purchase-cadence
+    feature (how often does this account come back): count of gaps,
+    exact µs sum/min/max, and the mean (one double division). Same
+    one-exchange segment kernel as :func:`events_lag_gaps`: bucket on
+    hash(custkey), one stable sort per bucket, vectorized consecutive
+    diffs masked at customer boundaries, vectorized per-customer
+    rollup. Single-order customers have no gap and are absent (the
+    SQL's WHERE rn > 1 semantics)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+             "okey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+             "ts_us": batch["o_orderdate"].to_numpy(
+                 dtype="datetime64[us]").astype(np.int64)}
+        )
+
+    def gaps(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.sort_values(["custkey", "ts_us", "okey"], kind="stable")
+        cust = df["custkey"].to_numpy(dtype=np.int64)
+        ts = df["ts_us"].to_numpy(dtype=np.int64)
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"c_custkey": pd.Series([], dtype=np.int64),
+                 "n_gaps": pd.Series([], dtype=np.int64),
+                 "gap_us_sum": pd.Series([], dtype=np.int64),
+                 "gap_us_min": pd.Series([], dtype=np.int64),
+                 "gap_us_max": pd.Series([], dtype=np.int64),
+                 "mean_gap_us": pd.Series([], dtype=np.float64)}
+            )
+        same = cust[1:] == cust[:-1]
+        g = pd.DataFrame(
+            {"c_custkey": cust[1:][same], "gap": (ts[1:] - ts[:-1])[same]}
+        )
+        if g.empty:
+            return pd.DataFrame(
+                {"c_custkey": pd.Series([], dtype=np.int64),
+                 "n_gaps": pd.Series([], dtype=np.int64),
+                 "gap_us_sum": pd.Series([], dtype=np.int64),
+                 "gap_us_min": pd.Series([], dtype=np.int64),
+                 "gap_us_max": pd.Series([], dtype=np.int64),
+                 "mean_gap_us": pd.Series([], dtype=np.float64)}
+            )
+        out = g.groupby("c_custkey", sort=False).agg(
+            n_gaps=("gap", "size"), gap_us_sum=("gap", "sum"),
+            gap_us_min=("gap", "min"), gap_us_max=("gap", "max"),
+        ).reset_index()
+        n = out["n_gaps"].to_numpy(dtype=np.int64)
+        s = out["gap_us_sum"].to_numpy(dtype=np.int64)
+        out["mean_gap_us"] = s.astype(np.float64) / n
+        return out.astype(
+            {"c_custkey": np.int64, "n_gaps": np.int64,
+             "gap_us_sum": np.int64, "gap_us_min": np.int64,
+             "gap_us_max": np.int64}
+        )
+
+    return grouped_aggregate(
+        orders.map_batches(prep, batch_format="pandas"), ["custkey"], gaps
+    )
+
+
+ORDERS_INTERARRIVAL_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate)
+           - LAG(epoch_us(o_orderdate)) OVER w AS gap
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey AS c_custkey,
+       count(*) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS gap_us_sum,
+       CAST(MIN(gap) AS BIGINT) AS gap_us_min,
+       CAST(MAX(gap) AS BIGINT) AS gap_us_max,
+       CAST(SUM(gap) AS DOUBLE) / count(*) AS mean_gap_us
+FROM seq WHERE gap IS NOT NULL GROUP BY 1
+"""

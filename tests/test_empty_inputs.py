@@ -108,6 +108,9 @@ EMPTY_OK = [
     ("customer_top2_order_gap", 0),
     ("events_dow_anova_components", 0),
     ("supplier_nation_reach", 0),
+    ("orders_interarrival_stats", 0),
+    ("doc_length_pct_by_lang", 0),
+    ("payload_shards", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
