@@ -349,6 +349,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["orders_interarrival_stats"] = relational.orders_interarrival_stats
     q["doc_length_pct_by_lang"] = textstats.doc_length_pct_by_lang
     q["payload_shards"] = multimodal.payload_shards
+    q["customer_copurchase_pairs"] = dedupe.customer_copurchase_pairs
+    q["order_size_distribution"] = relational.order_size_distribution
+    q["events_seasonal_naive_mae"] = relational.events_seasonal_naive_mae
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -577,6 +580,9 @@ def oracle_sql() -> dict[str, str]:
     sql["supplier_nation_reach"] = relational.SUPPLIER_NATION_REACH_ORACLE
     sql["orders_interarrival_stats"] = relational.ORDERS_INTERARRIVAL_ORACLE
     sql["doc_length_pct_by_lang"] = textstats.DOC_LENGTH_PCT_BY_LANG_ORACLE
+    sql["customer_copurchase_pairs"] = dedupe.customer_copurchase_oracle()
+    sql["order_size_distribution"] = relational.ORDER_SIZE_DISTRIBUTION_ORACLE
+    sql["events_seasonal_naive_mae"] = relational.EVENTS_SEASONAL_NAIVE_MAE_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

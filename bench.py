@@ -297,6 +297,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "orders_interarrival_stats",
         "doc_length_pct_by_lang",
         "payload_shards",
+        "customer_copurchase_pairs",
+        "order_size_distribution",
+        "events_seasonal_naive_mae",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -971,3 +971,133 @@ SELECT d.source,
 FROM documents d LEFT JOIN dup u USING (doc_id)
 GROUP BY 1
 """
+
+
+COPURCHASE_DF_LO = 2
+COPURCHASE_DF_CAP = 40  # ~30 buyers/part in this corpus; cap bounds fan-out at cap^2
+COPURCHASE_MIN_SHARED = 3
+
+
+def customer_copurchase_pairs(sf_dir: str, df_lo: int = COPURCHASE_DF_LO,
+                              df_cap: int = COPURCHASE_DF_CAP,
+                              min_shared: int = COPURCHASE_MIN_SHARED):
+    """Set-similarity SELF-JOIN on purchase baskets: customer pairs
+    sharing >= ``min_shared`` distinct parts, scored by
+    ``100·common // min(|A|, |B|)`` (overlap coefficient) — the
+    collaborative-filtering candidate generator, built on the SAME
+    inverted-index pair machinery as the text dedup family
+    (:func:`_inverted_pair_stats`), proving it is content-agnostic:
+    postings here are (partkey, custkey) from ONE bucketed
+    lineitem⋈orders exchange, with the usual df window [df_lo,
+    df_cap] bounding per-key pair fan-out (a part everyone buys
+    generates O(df²) pairs — cap it, mirrored in the SQL so results
+    still hash-match)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+             "val": batch["o_custkey"].to_numpy(dtype=np.int64),
+             "_side": np.ones(len(batch), dtype=np.int64)}
+        )
+
+    def line_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"okey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+             "val": batch["l_partkey"].to_numpy(dtype=np.int64)}
+        ).drop_duplicates()
+        out["_side"] = np.int64(0)
+        return out
+
+    unioned = orders.map_batches(order_rows, batch_format="pandas").union(
+        lines.map_batches(line_rows, batch_format="pandas")
+    )
+
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        o = bucket[bucket["_side"] == 1][["okey", "val"]].rename(
+            columns={"val": "cust"}
+        )
+        ln = bucket[bucket["_side"] == 0][["okey", "val"]].rename(
+            columns={"val": "part"}
+        ).drop_duplicates()
+        m = ln.merge(o, on="okey", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {"g": pd.Series([], dtype=np.int64),
+                 "doc_id": pd.Series([], dtype=np.int64)}
+            )
+        return (
+            m[["part", "cust"]].drop_duplicates()
+            .rename(columns={"part": "g", "cust": "doc_id"})
+            .astype({"g": np.int64, "doc_id": np.int64})
+        )
+
+    postings = grouped_aggregate(unioned, ["okey"], join_bucket,
+                                 coalesce=True)
+
+    def post_dedup(bucket: pd.DataFrame) -> pd.DataFrame:
+        # (part, cust) pairs from different orderkey buckets can repeat
+        return bucket.drop_duplicates(["g", "doc_id"])
+
+    postings = grouped_aggregate(postings, ["g"], post_dedup,
+                                 num_partitions=16)
+
+    def finalize(pairs: pd.DataFrame) -> pd.DataFrame:
+        kept = pairs[pairs["n_common"] >= min_shared]
+        n_min = np.minimum(kept["n_a"].to_numpy(dtype=np.int64),
+                           kept["n_b"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {"cust_a": kept["doc_a"].to_numpy(dtype=np.int64),
+             "cust_b": kept["doc_b"].to_numpy(dtype=np.int64),
+             "n_common": kept["n_common"].to_numpy(dtype=np.int64),
+             "n_a": kept["n_a"].to_numpy(dtype=np.int64),
+             "n_b": kept["n_b"].to_numpy(dtype=np.int64),
+             "overlap_pct": (100 * kept["n_common"].to_numpy(
+                 dtype=np.int64)) // n_min}
+        )
+
+    out_schema = pa.schema(
+        [("cust_a", pa.int64()), ("cust_b", pa.int64()),
+         ("n_common", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64()),
+         ("overlap_pct", pa.int64())]
+    )
+    return _inverted_pair_stats(postings, df_lo, df_cap, finalize, out_schema)
+
+
+def customer_copurchase_oracle(df_lo: int = COPURCHASE_DF_LO,
+                               df_cap: int = COPURCHASE_DF_CAP,
+                               min_shared: int = COPURCHASE_MIN_SHARED) -> str:
+    return f"""
+WITH post AS (
+  SELECT DISTINCT l.l_partkey AS g, o.o_custkey AS c
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), df AS (
+  SELECT g, count(*) AS df FROM post GROUP BY 1
+), kept AS (
+  SELECT p.g, p.c FROM post p JOIN df USING (g)
+  WHERE df BETWEEN {df_lo} AND {df_cap}
+), sizes AS (
+  SELECT c, count(*) AS n FROM kept GROUP BY 1
+), pairs AS (
+  SELECT a.c AS cust_a, b.c AS cust_b, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.g = b.g AND a.c < b.c
+  GROUP BY 1, 2
+)
+SELECT cust_a, cust_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       (100 * n_common) // least(sa.n, sb.n) AS overlap_pct
+FROM pairs
+JOIN sizes sa ON sa.c = cust_a
+JOIN sizes sb ON sb.c = cust_b
+WHERE n_common >= {min_shared}
+"""

@@ -9802,3 +9802,163 @@ SELECT o_custkey AS c_custkey,
        CAST(SUM(gap) AS DOUBLE) / count(*) AS mean_gap_us
 FROM seq WHERE gap IS NOT NULL GROUP BY 1
 """
+
+
+def order_size_distribution(sf_dir: str):
+    """Distribution of order SIZES (lineitems per order) — the
+    lineitem-side sibling of the Q13 order-count distribution: first a
+    bucketed per-orderkey count (combiner-bounded partials), then the
+    histogram over counts — a grid bounded by the max basket size,
+    never by order count."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"okey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+             "n": np.ones(len(batch), dtype=np.int64)}
+        )
+        return out.groupby("okey", sort=False, as_index=False)["n"].sum()
+
+    def per_order(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("okey", sort=False, as_index=False)["n"].sum()
+        # combiner: within this bucket, collapse to (n_items, count)
+        h = g.groupby("n", sort=False).size().reset_index(name="n_orders")
+        return h.rename(columns={"n": "n_items"}).astype(
+            {"n_items": np.int64, "n_orders": np.int64}
+        )
+
+    partials = grouped_aggregate(lines, ["okey"], per_order, partial=partial)
+
+    def hist(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("n_items", sort=False, as_index=False)[
+                "n_orders"
+            ].sum().astype({"n_items": np.int64, "n_orders": np.int64})
+        )
+
+    return grouped_aggregate(partials, ["n_items"], hist, num_partitions=8)
+
+
+ORDER_SIZE_DISTRIBUTION_ORACLE = """
+WITH c AS (
+  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
+)
+SELECT CAST(n_items AS BIGINT) AS n_items, count(*) AS n_orders
+FROM c GROUP BY 1
+"""
+
+
+SEASONAL_LAG_HOURS = 168  # one week
+
+
+def events_seasonal_naive_mae(sf_dir: str, lag: int = SEASONAL_LAG_HOURS):
+    """Backtest of the SEASONAL-NAIVE forecaster (predict this hour's
+    event count with the count from the same hour last week) per event
+    type: pairs are formed over the DENSE hourly grid between each
+    type's first and last hour (missing hours are real zeros — a
+    forecaster scores against them too), the error is the exact int
+    |actual − predicted| summed over all hours ≥ lag past the start,
+    and MAE is one double division. Grid-bounded like gap_fill; the
+    shifted self-join is a vectorized array shift inside each type's
+    bucket."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    US_PER_HOUR = 3_600_000_000
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    keys = ["event_type", "hour"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        out = pd.DataFrame(
+            {"event_type": batch["event_type"].astype(str).to_numpy(),
+             "hour": ts_us // US_PER_HOUR,
+             "c": np.ones(len(batch), dtype=np.int64)}
+        )
+        return out.groupby(keys, sort=False, as_index=False)["c"].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False, as_index=False)["c"].sum()
+            .astype({"hour": np.int64, "c": np.int64})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(events, keys, combine, partial=partial,
+                          num_partitions=8),
+        ["event_type", "hour", "c"],
+    )
+    if grid.empty:
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "n_hours": pd.Series([], dtype=np.int64),
+             "abs_err_sum": pd.Series([], dtype=np.int64),
+             "mae": pd.Series([], dtype=np.float64)}
+        )
+    rows = []
+    for et, g in grid.groupby("event_type", sort=False):
+        g = g.sort_values("hour", kind="stable")
+        hours = g["hour"].to_numpy(dtype=np.int64)
+        lo, hi = hours[0], hours[-1]
+        span = int(hi - lo + 1)
+        if span <= lag:
+            continue
+        dense = np.zeros(span, dtype=np.int64)
+        dense[hours - lo] = g["c"].to_numpy(dtype=np.int64)
+        err = np.abs(dense[lag:] - dense[:-lag])
+        rows.append(
+            {"event_type": str(et),
+             "n_hours": np.int64(len(err)),
+             "abs_err_sum": np.int64(err.sum()),
+             "mae": np.float64(err.sum()) / len(err)}
+        )
+    if not rows:
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "n_hours": pd.Series([], dtype=np.int64),
+             "abs_err_sum": pd.Series([], dtype=np.int64),
+             "mae": pd.Series([], dtype=np.float64)}
+        )
+    return pd.DataFrame(rows).astype(
+        {"n_hours": np.int64, "abs_err_sum": np.int64, "mae": np.float64}
+    )
+
+
+EVENTS_SEASONAL_NAIVE_MAE_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM c GROUP BY 1
+), dense AS (
+  SELECT event_type, CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS hour
+  FROM spans
+), d AS (
+  SELECT dense.event_type, dense.hour, COALESCE(c.n, 0) AS n
+  FROM dense LEFT JOIN c
+    ON c.event_type = dense.event_type AND c.hour = dense.hour
+), pairs AS (
+  SELECT a.event_type, abs(a.n - b.n) AS err
+  FROM d a JOIN d b
+    ON b.event_type = a.event_type AND b.hour = a.hour - 168
+)
+SELECT event_type,
+       count(*) AS n_hours,
+       CAST(SUM(err) AS BIGINT) AS abs_err_sum,
+       CAST(SUM(err) AS DOUBLE) / count(*) AS mae
+FROM pairs GROUP BY 1
+"""

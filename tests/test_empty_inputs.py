@@ -111,6 +111,9 @@ EMPTY_OK = [
     ("orders_interarrival_stats", 0),
     ("doc_length_pct_by_lang", 0),
     ("payload_shards", 0),
+    ("customer_copurchase_pairs", 0),
+    ("order_size_distribution", 0),
+    ("events_seasonal_naive_mae", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
