@@ -352,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customer_copurchase_pairs"] = dedupe.customer_copurchase_pairs
     q["order_size_distribution"] = relational.order_size_distribution
     q["events_seasonal_naive_mae"] = relational.events_seasonal_naive_mae
+    q["events_type_trigrams"] = relational.events_type_trigrams
+    q["tail_value_share"] = relational.tail_value_share
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -583,6 +585,8 @@ def oracle_sql() -> dict[str, str]:
     sql["customer_copurchase_pairs"] = dedupe.customer_copurchase_oracle()
     sql["order_size_distribution"] = relational.ORDER_SIZE_DISTRIBUTION_ORACLE
     sql["events_seasonal_naive_mae"] = relational.EVENTS_SEASONAL_NAIVE_MAE_ORACLE
+    sql["events_type_trigrams"] = relational.EVENTS_TYPE_TRIGRAMS_ORACLE
+    sql["tail_value_share"] = relational.TAIL_VALUE_SHARE_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

@@ -300,6 +300,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "customer_copurchase_pairs",
         "order_size_distribution",
         "events_seasonal_naive_mae",
+        "events_type_trigrams",
+        "tail_value_share",
     ]
     times: dict[str, float] = {}
     for name in names:

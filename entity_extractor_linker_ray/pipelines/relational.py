@@ -9962,3 +9962,184 @@ SELECT event_type,
        CAST(SUM(err) AS DOUBLE) / count(*) AS mae
 FROM pairs GROUP BY 1
 """
+
+
+def events_type_trigrams(sf_dir: str, k: int = 25):
+    """Sequence mining over per-user event streams: the top-k most
+    frequent consecutive TYPE TRIGRAMS (a → b → c within one user,
+    (ts, event_id) order) — one step up from the Markov pair matrix
+    toward behavioral motif discovery. Same one-exchange segment
+    kernel as :func:`events_transitions` with a double shift; the
+    trigram key space is |types|³ (bounded), so the final top-k is a
+    tiny sort with the total (count desc, a, b, c) tie-break mirrored
+    in the oracle."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def trigram_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.copy()
+        df["ts_us"] = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        users = df["user_id"].to_numpy(dtype=np.int64)
+        types = df["event_type"].to_numpy(dtype=object)
+        if len(df) < 3:
+            return pd.DataFrame(
+                {"t1": pd.Series([], dtype=object),
+                 "t2": pd.Series([], dtype=object),
+                 "t3": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        same = (users[2:] == users[1:-1]) & (users[1:-1] == users[:-2])
+        out = pd.DataFrame(
+            {"t1": types[:-2][same], "t2": types[1:-1][same],
+             "t3": types[2:][same]}
+        )
+        out["n"] = np.int64(1)
+        return out.groupby(["t1", "t2", "t3"], sort=False,
+                           as_index=False)["n"].sum()
+
+    partials = grouped_aggregate(events, ["user_id"], trigram_counts)
+    grid = collect_small(partials, ["t1", "t2", "t3", "n"])
+    if grid.empty:
+        return pd.DataFrame(
+            {"t1": pd.Series([], dtype=str), "t2": pd.Series([], dtype=str),
+             "t3": pd.Series([], dtype=str),
+             "n": pd.Series([], dtype=np.int64),
+             "rank": pd.Series([], dtype=np.int64)}
+        )
+    g = grid.groupby(["t1", "t2", "t3"], sort=False, as_index=False)["n"].sum()
+    g = g.sort_values(["n", "t1", "t2", "t3"],
+                      ascending=[False, True, True, True],
+                      kind="stable").head(k).reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g.astype({"n": np.int64, "rank": np.int64})
+
+
+EVENTS_TYPE_TRIGRAMS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT t1, t2, t3, count(*) AS n
+  FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, CAST(n AS BIGINT) AS n,
+       CAST(row_number() OVER (
+         ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC) AS BIGINT) AS rank
+FROM g
+ORDER BY rank LIMIT 25
+"""
+
+
+def tail_value_share(sf_dir: str, pct: int = 99):
+    """Heavy-tail accounting per event type: the exact p99 value
+    cutoff (quantile_disc — the smallest value with cumulative count
+    ≥ ceil(0.99·n), from the bounded value-centi grid), how many
+    events sit at-or-above it, and what share of the type's TOTAL
+    value they carry — 'does the top 1% of events dominate the
+    volume'. All counts/sums exact int64; the share is one double
+    division; the cutoff selection replays DuckDB's quantile_disc
+    convention bit-for-bit."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    keys = ["event_type", "vc"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"event_type": batch["event_type"].astype(str).to_numpy(),
+             "vc": np.round(
+                 batch["value"].to_numpy(dtype=np.float64) * 100
+             ).astype(np.int64),
+             "c": np.ones(len(batch), dtype=np.int64)}
+        )
+        return out.groupby(keys, sort=False, as_index=False)["c"].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False, as_index=False)["c"].sum()
+            .astype({"vc": np.int64, "c": np.int64})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(events, keys, combine, partial=partial,
+                          num_partitions=8),
+        ["event_type", "vc", "c"],
+    )
+    if grid.empty:
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "n_events": pd.Series([], dtype=np.int64),
+             "cutoff_centi": pd.Series([], dtype=np.int64),
+             "n_tail": pd.Series([], dtype=np.int64),
+             "tail_sum_centi": pd.Series([], dtype=np.int64),
+             "tail_share": pd.Series([], dtype=np.float64)}
+        )
+    rows = []
+    for et, g in grid.groupby("event_type", sort=False):
+        g = g.sort_values("vc", kind="stable")
+        vc = g["vc"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        n = np.int64(c.sum())
+        cum = np.cumsum(c)
+        # quantile_disc(pct/100): smallest value with cum >= ceil(p*n)
+        target = -((-pct * n) // 100)  # ceil(pct*n/100) in ints
+        i = int(np.searchsorted(cum, target))
+        cutoff = np.int64(vc[i])
+        tail_mask = vc >= cutoff
+        n_tail = np.int64(c[tail_mask].sum())
+        tail_sum = np.int64((vc[tail_mask] * c[tail_mask]).sum())
+        total = np.int64((vc * c).sum())
+        rows.append(
+            {"event_type": str(et), "n_events": n,
+             "cutoff_centi": cutoff, "n_tail": n_tail,
+             "tail_sum_centi": tail_sum,
+             "tail_share": np.float64(tail_sum) / total}
+        )
+    return pd.DataFrame(rows).astype(
+        {"n_events": np.int64, "cutoff_centi": np.int64,
+         "n_tail": np.int64, "tail_sum_centi": np.int64,
+         "tail_share": np.float64}
+    )
+
+
+TAIL_VALUE_SHARE_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), cut AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(quantile_disc(vc, 0.99) AS BIGINT) AS cutoff
+  FROM v GROUP BY 1
+)
+SELECT v.event_type,
+       CAST(max(cut.n) AS BIGINT) AS n_events,
+       CAST(max(cut.cutoff) AS BIGINT) AS cutoff_centi,
+       CAST(count(*) FILTER (vc >= cutoff) AS BIGINT) AS n_tail,
+       CAST(SUM(vc) FILTER (vc >= cutoff) AS BIGINT) AS tail_sum_centi,
+       CAST(SUM(vc) FILTER (vc >= cutoff) AS DOUBLE) / SUM(vc)
+         AS tail_share
+FROM v JOIN cut USING (event_type)
+GROUP BY 1
+"""

@@ -114,6 +114,8 @@ EMPTY_OK = [
     ("customer_copurchase_pairs", 0),
     ("order_size_distribution", 0),
     ("events_seasonal_naive_mae", 0),
+    ("events_type_trigrams", 0),
+    ("tail_value_share", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
