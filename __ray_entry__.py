@@ -354,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_seasonal_naive_mae"] = relational.events_seasonal_naive_mae
     q["events_type_trigrams"] = relational.events_type_trigrams
     q["tail_value_share"] = relational.tail_value_share
+    q["doc_quantiles_incremental"] = incremental.doc_quantiles_incremental
+    q["events_value_scaled"] = relational.events_value_scaled
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -587,6 +589,10 @@ def oracle_sql() -> dict[str, str]:
     sql["events_seasonal_naive_mae"] = relational.EVENTS_SEASONAL_NAIVE_MAE_ORACLE
     sql["events_type_trigrams"] = relational.EVENTS_TYPE_TRIGRAMS_ORACLE
     sql["tail_value_share"] = relational.TAIL_VALUE_SHARE_ORACLE
+    # mergeable-state build must be value-identical to from-scratch
+    sql["doc_quantiles_incremental"] = textstats.TEXT_ORACLES[
+        "doc_length_quantiles"]
+    sql["events_value_scaled"] = relational.EVENTS_VALUE_SCALED_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

@@ -302,6 +302,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_seasonal_naive_mae",
         "events_type_trigrams",
         "tail_value_share",
+        "doc_quantiles_incremental",
+        "events_value_scaled",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -10143,3 +10143,93 @@ SELECT v.event_type,
 FROM v JOIN cut USING (event_type)
 GROUP BY 1
 """
+
+
+def events_value_scaled(sf_dir: str):
+    """Min-max feature scaling of event value WITHIN its type — the
+    standard ML-feature normalization step, as a two-pass enrichment:
+    per-type exact int (min, max) via one bounded aggregate, broadcast
+    as a tiny dict, then an embarrassingly-parallel tag pass computing
+    ``(v − min) / (max − min)`` — integer subtractions, ONE double
+    division per row, bit-exact vs the window SQL. Constant-valued
+    types scale to 0.0 (the 0/0 guard, mirrored in the CASE)."""
+    import ray
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"event_type": batch["event_type"].astype(str).to_numpy(),
+             "vc": np.round(
+                 batch["value"].to_numpy(dtype=np.float64) * 100
+             ).astype(np.int64)}
+        )
+        return out.groupby("event_type", sort=False, as_index=False).agg(
+            lo=("vc", "min"), hi=("vc", "max")
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("event_type", sort=False, as_index=False).agg(
+                lo=("lo", "min"), hi=("hi", "max")
+            ).astype({"lo": np.int64, "hi": np.int64})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(
+            events.map_batches(partial, batch_format="pandas"),
+            ["event_type"], combine, num_partitions=4,
+        ),
+        ["event_type", "lo", "hi"],
+    )
+    bounds = {
+        str(r.event_type): (np.int64(r.lo), np.int64(r.hi))
+        for r in grid.itertuples()
+    }
+    bounds_ref = ray.put(bounds)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        bd = ray.get(bounds_ref)
+        et = batch["event_type"].astype(str).to_numpy()
+        vc = np.round(
+            batch["value"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        scaled = np.zeros(len(batch), dtype=np.float64)
+        for t in pd.unique(et):
+            m = et == t
+            lo, hi = bd[str(t)]
+            if hi > lo:
+                scaled[m] = (vc[m] - lo).astype(np.float64) / (hi - lo)
+        return pd.DataFrame(
+            {"event_id": batch["event_id"].to_numpy(dtype=np.int64),
+             "event_type": et, "value_centi": vc, "scaled": scaled}
+        )
+
+    return events.map_batches(tag, batch_format="pandas")
+
+
+EVENTS_VALUE_SCALED_ORACLE = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         MIN(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY event_type) AS lo,
+         MAX(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY event_type) AS hi
+  FROM events
+)
+SELECT event_id, event_type, vc AS value_centi,
+       CASE WHEN hi > lo
+            THEN CAST(vc - lo AS DOUBLE) / (hi - lo)
+            ELSE 0.0 END AS scaled
+FROM v
+"""

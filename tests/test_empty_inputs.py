@@ -116,6 +116,8 @@ EMPTY_OK = [
     ("events_seasonal_naive_mae", 0),
     ("events_type_trigrams", 0),
     ("tail_value_share", 0),
+    ("doc_quantiles_incremental", 0),
+    ("events_value_scaled", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
