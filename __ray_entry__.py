@@ -356,6 +356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tail_value_share"] = relational.tail_value_share
     q["doc_quantiles_incremental"] = incremental.doc_quantiles_incremental
     q["events_value_scaled"] = relational.events_value_scaled
+    q["dedup_cluster_sizes"] = _ga.dedup_cluster_sizes
+    q["supplier_balance_outliers"] = relational.supplier_balance_outliers
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -593,6 +595,9 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_quantiles_incremental"] = textstats.TEXT_ORACLES[
         "doc_length_quantiles"]
     sql["events_value_scaled"] = relational.EVENTS_VALUE_SCALED_ORACLE
+    sql["dedup_cluster_sizes"] = graph_algos.dedup_cluster_sizes_oracle()
+    sql["supplier_balance_outliers"] = (
+        relational.SUPPLIER_BALANCE_OUTLIERS_ORACLE)
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

@@ -304,6 +304,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "tail_value_share",
         "doc_quantiles_incremental",
         "events_value_scaled",
+        "dedup_cluster_sizes",
+        "supplier_balance_outliers",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -2813,3 +2813,55 @@ s{t + 1} AS (
     ]
     parts.append("\n" + "\nUNION ALL\n".join(selects))
     return "".join(parts)
+
+
+def dedup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster SIZE distribution — the curation dashboard's
+    'how big are our duplicate families' histogram (a few huge
+    clusters mean template spam; many pairs mean boilerplate):
+    connected components over the verified n-gram-Jaccard pairs
+    (:func:`duplicate_clusters`), then two bounded aggregates — member
+    count per cluster, cluster count per size. Output is bounded by
+    the largest family size, never by corpus size."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    clusters = duplicate_clusters(sf_dir)
+
+    def size_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"cluster_id": batch["cluster_id"].to_numpy(dtype=np.int64),
+             "n": np.ones(len(batch), dtype=np.int64)}
+        )
+        return out.groupby("cluster_id", sort=False, as_index=False)["n"].sum()
+
+    def per_cluster(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("cluster_id", sort=False, as_index=False)["n"].sum()
+        h = g.groupby("n", sort=False).size().reset_index(name="n_clusters")
+        return h.rename(columns={"n": "cluster_size"}).astype(
+            {"cluster_size": np.int64, "n_clusters": np.int64}
+        )
+
+    partials = grouped_aggregate(clusters, ["cluster_id"], per_cluster,
+                                 partial=size_partial, num_partitions=8)
+
+    def hist(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("cluster_size", sort=False, as_index=False)[
+                "n_clusters"
+            ].sum().astype({"cluster_size": np.int64, "n_clusters": np.int64})
+        )
+
+    return grouped_aggregate(partials, ["cluster_size"], hist,
+                             num_partitions=4)
+
+
+def dedup_cluster_sizes_oracle() -> str:
+    return f"""
+WITH clusters AS ({duplicate_clusters_oracle().strip()}),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters
+FROM sizes GROUP BY 1
+"""

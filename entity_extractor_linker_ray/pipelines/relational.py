@@ -10233,3 +10233,95 @@ SELECT event_id, event_type, vc AS value_centi,
             ELSE 0.0 END AS scaled
 FROM v
 """
+
+
+def supplier_balance_outliers(sf_dir: str, z_centi: int = 150):
+    """Account-balance outliers: suppliers whose balance sits more
+    than ``z_centi/100`` standard deviations from the corpus mean —
+    the z-score screen every ingest-quality gate runs. Sufficient
+    statistics are the exact int64 (n, Σcenti, Σcenti²) three-int
+    all-reduce (per-batch partials, one tiny driver combine); the
+    flag pass recomputes z = (v − s/n) / sqrt(ss/n − (s/n)²) per row
+    with the SAME expression shape as the SQL, so the flagged set and
+    the z doubles both hash-match. Degenerate corpora (n < 2 or zero
+    variance) flag nothing."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = np.round(
+            batch["s_acctbal"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"n": [np.int64(len(batch))],
+             "s": [np.int64(vc.sum())],
+             "ss": [np.int64((vc * vc).sum())]}
+        )
+
+    tot = collect_small(
+        supp.map_batches(partial, batch_format="pandas"), ["n", "s", "ss"]
+    )
+    n = np.int64(tot["n"].sum())
+    empty = pd.DataFrame(
+        {"s_suppkey": pd.Series([], dtype=np.int64),
+         "s_nationkey": pd.Series([], dtype=np.int64),
+         "balance_centi": pd.Series([], dtype=np.int64),
+         "z_score": pd.Series([], dtype=np.float64)}
+    )
+    if n < 2:
+        return empty
+    s_sum = np.int64(tot["s"].sum())
+    ss = np.int64(tot["ss"].sum())
+    mean = np.float64(s_sum) / n
+    var = np.float64(ss) / n - mean * mean
+    if var <= 0:
+        return empty
+    sd = np.sqrt(var)
+    thresh = np.float64(z_centi) / 100
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = np.round(
+            batch["s_acctbal"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        z = (vc - mean) / sd
+        keep = np.abs(z) > thresh
+        return pd.DataFrame(
+            {"s_suppkey": batch["s_suppkey"].to_numpy(dtype=np.int64)[keep],
+             "s_nationkey": batch["s_nationkey"].to_numpy(
+                 dtype=np.int64)[keep],
+             "balance_centi": vc[keep],
+             "z_score": z[keep]}
+        )
+
+    return supp.map_batches(flag, batch_format="pandas")
+
+
+SUPPLIER_BALANCE_OUTLIERS_ORACLE = """
+WITH g AS (
+  SELECT count(*) AS n,
+         SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS s,
+         SUM(CAST(round(s_acctbal * 100) AS BIGINT)
+             * CAST(round(s_acctbal * 100) AS BIGINT)) AS ss
+  FROM supplier
+), z AS (
+  SELECT sp.s_suppkey, sp.s_nationkey,
+         CAST(round(sp.s_acctbal * 100) AS BIGINT) AS balance_centi,
+         (CAST(round(sp.s_acctbal * 100) AS BIGINT)
+          - CAST(g.s AS DOUBLE) / g.n)
+         / sqrt(CAST(g.ss AS DOUBLE) / g.n
+                - (CAST(g.s AS DOUBLE) / g.n)
+                  * (CAST(g.s AS DOUBLE) / g.n)) AS z_score
+  FROM supplier sp CROSS JOIN g
+  WHERE g.n >= 2
+    AND CAST(g.ss AS DOUBLE) / g.n
+        - (CAST(g.s AS DOUBLE) / g.n) * (CAST(g.s AS DOUBLE) / g.n) > 0
+)
+SELECT s_suppkey, s_nationkey, balance_centi, z_score
+FROM z WHERE abs(z_score) > CAST(1.5 AS DOUBLE)
+"""

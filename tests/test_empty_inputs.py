@@ -118,6 +118,8 @@ EMPTY_OK = [
     ("tail_value_share", 0),
     ("doc_quantiles_incremental", 0),
     ("events_value_scaled", 0),
+    ("dedup_cluster_sizes", 0),
+    ("supplier_balance_outliers", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
