@@ -358,6 +358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_value_scaled"] = relational.events_value_scaled
     q["dedup_cluster_sizes"] = _ga.dedup_cluster_sizes
     q["supplier_balance_outliers"] = relational.supplier_balance_outliers
+    q["events_zero_hour_share"] = relational.events_zero_hour_share
+    q["customer_value_corr"] = relational.customer_value_corr
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -598,6 +600,8 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_cluster_sizes"] = graph_algos.dedup_cluster_sizes_oracle()
     sql["supplier_balance_outliers"] = (
         relational.SUPPLIER_BALANCE_OUTLIERS_ORACLE)
+    sql["events_zero_hour_share"] = relational.EVENTS_ZERO_HOUR_SHARE_ORACLE
+    sql["customer_value_corr"] = relational.CUSTOMER_VALUE_CORR_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

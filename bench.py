@@ -306,6 +306,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "events_value_scaled",
         "dedup_cluster_sizes",
         "supplier_balance_outliers",
+        "events_zero_hour_share",
+        "customer_value_corr",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -10325,3 +10325,209 @@ WITH g AS (
 SELECT s_suppkey, s_nationkey, balance_centi, z_score
 FROM z WHERE abs(z_score) > CAST(1.5 AS DOUBLE)
 """
+
+
+def events_zero_hour_share(sf_dir: str):
+    """Coverage gaps per type: over the dense hourly grid between a
+    type's first and last event, how many hours saw ZERO events and
+    what share of the span that is — the liveness/telemetry-health
+    number behind alerting ("this stream goes dark 30% of hours").
+    Same bounded grid as :func:`events_gap_fill`; one closed-form
+    double per type."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    US_PER_HOUR = 3_600_000_000
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    keys = ["event_type", "hour"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        out = pd.DataFrame(
+            {"event_type": batch["event_type"].astype(str).to_numpy(),
+             "hour": ts_us // US_PER_HOUR,
+             "c": np.ones(len(batch), dtype=np.int64)}
+        )
+        return out.groupby(keys, sort=False, as_index=False)["c"].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False, as_index=False)["c"].sum()
+            .astype({"hour": np.int64, "c": np.int64})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(events, keys, combine, partial=partial,
+                          num_partitions=8),
+        ["event_type", "hour", "c"],
+    )
+    if grid.empty:
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "span_hours": pd.Series([], dtype=np.int64),
+             "present_hours": pd.Series([], dtype=np.int64),
+             "zero_hours": pd.Series([], dtype=np.int64),
+             "zero_share": pd.Series([], dtype=np.float64)}
+        )
+    rows = []
+    for et, g in grid.groupby("event_type", sort=False):
+        hours = g["hour"].to_numpy(dtype=np.int64)
+        span = np.int64(hours.max() - hours.min() + 1)
+        present = np.int64(len(np.unique(hours)))
+        zero = np.int64(span - present)
+        rows.append(
+            {"event_type": str(et), "span_hours": span,
+             "present_hours": present, "zero_hours": zero,
+             "zero_share": np.float64(zero) / span}
+        )
+    return pd.DataFrame(rows).astype(
+        {"span_hours": np.int64, "present_hours": np.int64,
+         "zero_hours": np.int64, "zero_share": np.float64}
+    )
+
+
+EVENTS_ZERO_HOUR_SHARE_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour
+  FROM events
+), g AS (
+  SELECT event_type,
+         max(hour) - min(hour) + 1 AS span_hours,
+         count(DISTINCT hour) AS present_hours
+  FROM h GROUP BY 1
+)
+SELECT event_type,
+       CAST(span_hours AS BIGINT) AS span_hours,
+       CAST(present_hours AS BIGINT) AS present_hours,
+       CAST(span_hours - present_hours AS BIGINT) AS zero_hours,
+       CAST(span_hours - present_hours AS DOUBLE) / span_hours
+         AS zero_share
+FROM g
+"""
+
+
+def customer_value_corr(sf_dir: str):
+    """Exact Pearson correlation between a customer's account balance
+    and their total order revenue — the 'does stated balance predict
+    spend' check, and the cross-TABLE sibling of ``lineitem_corr``:
+    per-customer revenue comes from ONE bucketed aggregate over
+    orders, the balance attaches in the same bucket (tagged union on
+    hash(custkey) — customer is a fact table, no broadcast), and the
+    per-bucket partials are the five exact int64 sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) that any split merges losslessly. The
+    closed form evaluates ONCE in double (same expression as the SQL:
+    see oracle-float-parity), so even corr hash-matches. Balance in
+    centi, revenue in DOLLARS (floor) to keep Σxy under int64 at
+    10^9-customer scale."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": batch["c_custkey"].to_numpy(dtype=np.int64),
+             "v": np.round(
+                 batch["c_acctbal"].to_numpy(dtype=np.float64) * 100
+             ).astype(np.int64),
+             "_side": np.zeros(len(batch), dtype=np.int64)}
+        )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"custkey": batch["o_custkey"].to_numpy(dtype=np.int64),
+             "v": np.floor(
+                 batch["o_totalprice"].to_numpy(dtype=np.float64)
+             ).astype(np.int64)}
+        )
+        out = out.groupby("custkey", sort=False, as_index=False)["v"].sum()
+        out["_side"] = np.int64(1)
+        return out
+
+    unioned = cust.map_batches(cust_rows, batch_format="pandas").union(
+        orders.map_batches(order_rows, batch_format="pandas")
+    )
+
+    def moments(bucket: pd.DataFrame) -> pd.DataFrame:
+        bal = bucket[bucket["_side"] == 0][["custkey", "v"]].rename(
+            columns={"v": "x"}
+        )
+        rev = bucket[bucket["_side"] == 1].groupby(
+            "custkey", sort=False, as_index=False)["v"].sum().rename(
+            columns={"v": "y"}
+        )
+        m = bal.merge(rev, on="custkey", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64)
+                 for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+            )
+        x = m["x"].to_numpy(dtype=np.int64)
+        y = m["y"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"n": [np.int64(len(m))], "sx": [np.int64(x.sum())],
+             "sy": [np.int64(y.sum())], "sxy": [np.int64((x * y).sum())],
+             "sxx": [np.int64((x * x).sum())],
+             "syy": [np.int64((y * y).sum())]}
+        )
+
+    parts = collect_small(
+        grouped_aggregate(unioned, ["custkey"], moments, coalesce=True),
+        ["n", "sx", "sy", "sxy", "sxx", "syy"],
+    )
+    n = np.int64(parts["n"].sum())
+    if n < 2:
+        return pd.DataFrame(
+            {"n_customers": pd.Series([], dtype=np.int64),
+             "corr": pd.Series([], dtype=np.float64)}
+        )
+    sx = np.int64(parts["sx"].sum())
+    sy = np.int64(parts["sy"].sum())
+    sxy = np.int64(parts["sxy"].sum())
+    sxx = np.int64(parts["sxx"].sum())
+    syy = np.int64(parts["syy"].sum())
+    num = np.float64(n) * sxy - np.float64(sx) * sy
+    den = np.sqrt(np.float64(n) * sxx - np.float64(sx) * sx) * np.sqrt(
+        np.float64(n) * syy - np.float64(sy) * sy
+    )
+    return pd.DataFrame(
+        {"n_customers": [n], "corr": [num / den]}
+    )
+
+
+CUSTOMER_VALUE_CORR_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(o_totalprice) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x, rev.y
+  FROM customer JOIN rev ON rev.o_custkey = c_custkey
+), m AS (
+  SELECT count(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         AS corr
+FROM m
+"""

@@ -120,6 +120,8 @@ EMPTY_OK = [
     ("events_value_scaled", 0),
     ("dedup_cluster_sizes", 0),
     ("supplier_balance_outliers", 0),
+    ("events_zero_hour_share", 0),
+    ("customer_value_corr", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
