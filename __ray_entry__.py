@@ -360,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["supplier_balance_outliers"] = relational.supplier_balance_outliers
     q["events_zero_hour_share"] = relational.events_zero_hour_share
     q["customer_value_corr"] = relational.customer_value_corr
+    q["vocab_growth_curve"] = textstats.vocab_growth_curve
+    q["part_brand_return_rate"] = relational.part_brand_return_rate
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -602,6 +604,8 @@ def oracle_sql() -> dict[str, str]:
         relational.SUPPLIER_BALANCE_OUTLIERS_ORACLE)
     sql["events_zero_hour_share"] = relational.EVENTS_ZERO_HOUR_SHARE_ORACLE
     sql["customer_value_corr"] = relational.CUSTOMER_VALUE_CORR_ORACLE
+    sql["vocab_growth_curve"] = textstats.VOCAB_GROWTH_CURVE_ORACLE
+    sql["part_brand_return_rate"] = relational.PART_BRAND_RETURN_RATE_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

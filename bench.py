@@ -308,6 +308,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "supplier_balance_outliers",
         "events_zero_hour_share",
         "customer_value_corr",
+        "vocab_growth_curve",
+        "part_brand_return_rate",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1766,3 +1766,123 @@ SELECT doc_id, lang, n_chars,
             ELSE CAST(rnk - 1 AS DOUBLE) / (n - 1) END AS pct_rank
 FROM v
 """
+
+
+def vocab_growth_curve(sf_dir: str):
+    """Heaps-law vocabulary growth: how many NEW distinct terms each
+    ingest decile (by doc_id order) contributes, and the cumulative
+    vocabulary — the curve that sizes tokenizers/vocabularies before a
+    full-corpus pass. A term's arrival decile is the decile of its
+    MIN doc_id — a per-term min aggregate (bucketed two-phase), never
+    a sequential scan; doc-id bounds are a two-int all-reduce and the
+    final curve is a ≤10-row cumsum on the driver."""
+    import re
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    split = re.compile(r"[^a-z0-9]+")
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bounds_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        if not len(ids):
+            return pd.DataFrame({"mn": pd.Series([], dtype=np.int64),
+                                 "mx": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"mn": [ids.min()], "mx": [ids.max()]})
+
+    b = collect_small(
+        docs.map_batches(bounds_partial, batch_format="pandas"), ["mn", "mx"]
+    )
+    if b.empty:
+        return pd.DataFrame(
+            {"decile": pd.Series([], dtype=np.int64),
+             "n_docs": pd.Series([], dtype=np.int64),
+             "new_terms": pd.Series([], dtype=np.int64),
+             "vocab_size": pd.Series([], dtype=np.int64)}
+        )
+    mn, mx = np.int64(b["mn"].min()), np.int64(b["mx"].max())
+    span = np.int64(mx - mn + 1)
+
+    def first_seen_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        terms: list[str] = []
+        ids: list[int] = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = set(t for t in split.split((text or "").lower()) if t)
+            terms.extend(toks)
+            ids.extend([int(doc_id)] * len(toks))
+        out = pd.DataFrame({"term": np.array(terms, dtype=object),
+                            "d": np.array(ids, dtype=np.int64)})
+        return out.groupby("term", sort=False, as_index=False)["d"].min()
+
+    def first_seen_combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("term", sort=False, as_index=False)["d"].min()
+        # combiner: collapse to per-decile new-term counts right here
+        dec = (g["d"].to_numpy(dtype=np.int64) - mn) * 10 // span
+        out = pd.DataFrame({"decile": dec,
+                            "new_terms": np.ones(len(g), dtype=np.int64)})
+        return out.groupby("decile", sort=False, as_index=False)[
+            "new_terms"
+        ].sum().astype({"decile": np.int64, "new_terms": np.int64})
+
+    fs = collect_small(
+        grouped_aggregate(
+            docs.map_batches(first_seen_partial, batch_format="pandas"),
+            ["term"], first_seen_combine, num_partitions=16,
+        ),
+        ["decile", "new_terms"],
+    )
+    fs = fs.groupby("decile", sort=False, as_index=False)["new_terms"].sum()
+
+    def docs_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dec = (batch["doc_id"].to_numpy(dtype=np.int64) - mn) * 10 // span
+        out = pd.DataFrame({"decile": dec,
+                            "n_docs": np.ones(len(batch), dtype=np.int64)})
+        return out.groupby("decile", sort=False, as_index=False)[
+            "n_docs"
+        ].sum()
+
+    dd = collect_small(
+        docs.map_batches(docs_partial, batch_format="pandas"),
+        ["decile", "n_docs"],
+    ).groupby("decile", sort=False, as_index=False)["n_docs"].sum()
+
+    out = dd.merge(fs, on="decile", how="left").fillna({"new_terms": 0})
+    out = out.sort_values("decile").reset_index(drop=True)
+    out["new_terms"] = out["new_terms"].astype(np.int64)
+    out["vocab_size"] = np.cumsum(out["new_terms"].to_numpy(dtype=np.int64))
+    return out.astype(
+        {"decile": np.int64, "n_docs": np.int64, "new_terms": np.int64,
+         "vocab_size": np.int64}
+    )
+
+
+VOCAB_GROWTH_CURVE_ORACLE = """
+WITH bounds AS (
+  SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents
+), toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             regexp_split_to_array(lower(COALESCE(text,'')), '[^a-z0-9]+'),
+             x -> x <> ''))) AS term
+  FROM documents
+), fs AS (
+  SELECT term, min(doc_id) AS d FROM toks GROUP BY 1
+), fd AS (
+  SELECT (d - mn) * 10 // (mx - mn + 1) AS decile,
+         count(*) AS new_terms
+  FROM fs CROSS JOIN bounds GROUP BY 1
+), docs_d AS (
+  SELECT (doc_id - mn) * 10 // (mx - mn + 1) AS decile,
+         count(*) AS n_docs
+  FROM documents CROSS JOIN bounds GROUP BY 1
+)
+SELECT CAST(docs_d.decile AS BIGINT) AS decile,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(new_terms, 0) AS BIGINT) AS new_terms,
+       CAST(SUM(COALESCE(new_terms, 0))
+            OVER (ORDER BY docs_d.decile) AS BIGINT) AS vocab_size
+FROM docs_d LEFT JOIN fd ON fd.decile = docs_d.decile
+"""

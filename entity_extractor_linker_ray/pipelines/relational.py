@@ -10531,3 +10531,91 @@ SELECT CAST(n AS BIGINT) AS n_customers,
          AS corr
 FROM m
 """
+
+
+def part_brand_return_rate(sf_dir: str):
+    """Return rate per part brand — the merchandising-quality rollup:
+    lineitems attach their brand via the broadcast partkey→brand
+    lookup (dimension ladder, as Q5/Q7 do for nations) and the counts
+    collapse two-phase to a |brands|-row grid with one double division
+    per brand."""
+    import ray
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    part = collect_small(
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        ),
+        ["p_partkey", "p_brand"],
+    )
+    order_p = np.argsort(part["p_partkey"].to_numpy())
+    keys_sorted = part["p_partkey"].to_numpy(dtype=np.int64)[order_p]
+    brands_sorted = part["p_brand"].astype(str).to_numpy()[order_p]
+    part_map = ray.put((keys_sorted, brands_sorted))
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_returnflag"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, brands = ray.get(part_map)
+        pk = batch["l_partkey"].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(keys, pk)
+        idx = np.clip(idx, 0, len(keys) - 1)
+        hit = keys[idx] == pk
+        out = pd.DataFrame(
+            {"brand": brands[idx][hit],
+             "n_lines": np.ones(int(hit.sum()), dtype=np.int64),
+             "n_returns": (
+                 batch["l_returnflag"].astype(str).to_numpy()[hit] == "R"
+             ).astype(np.int64)}
+        )
+        return out.groupby("brand", sort=False, as_index=False)[
+            ["n_lines", "n_returns"]
+        ].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("brand", sort=False, as_index=False)[
+                ["n_lines", "n_returns"]
+            ].sum().astype({"n_lines": np.int64, "n_returns": np.int64})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(lines, ["brand"], combine, partial=partial,
+                          num_partitions=8),
+        ["brand", "n_lines", "n_returns"],
+    )
+    if grid.empty:
+        return pd.DataFrame(
+            {"p_brand": pd.Series([], dtype=str),
+             "n_lines": pd.Series([], dtype=np.int64),
+             "n_returns": pd.Series([], dtype=np.int64),
+             "return_share": pd.Series([], dtype=np.float64)}
+        )
+    g = grid.groupby("brand", sort=False, as_index=False)[
+        ["n_lines", "n_returns"]
+    ].sum()
+    n = g["n_lines"].to_numpy(dtype=np.int64)
+    r = g["n_returns"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {"p_brand": g["brand"].astype(str).to_numpy(),
+         "n_lines": n, "n_returns": r,
+         "return_share": r.astype(np.float64) / n}
+    )
+
+
+PART_BRAND_RETURN_RATE_ORACLE = """
+SELECT p_brand,
+       count(*) AS n_lines,
+       CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n_returns,
+       CAST(count(*) FILTER (l_returnflag = 'R') AS DOUBLE) / count(*)
+         AS return_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY 1
+"""

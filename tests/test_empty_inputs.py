@@ -122,6 +122,8 @@ EMPTY_OK = [
     ("supplier_balance_outliers", 0),
     ("events_zero_hour_share", 0),
     ("customer_value_corr", 0),
+    ("vocab_growth_curve", 0),
+    ("part_brand_return_rate", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
