@@ -362,6 +362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customer_value_corr"] = relational.customer_value_corr
     q["vocab_growth_curve"] = textstats.vocab_growth_curve
     q["part_brand_return_rate"] = relational.part_brand_return_rate
+    q["char_class_profile"] = textstats.char_class_profile
+    q["lineitem_qty_price_histogram2d"] = (
+        relational.lineitem_qty_price_histogram2d)
     # --- full stub-LLM KG pipeline (vs reference semantics; rows-only
     #     driver check — golden parity is asserted in pytest) ----------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
@@ -606,6 +609,9 @@ def oracle_sql() -> dict[str, str]:
     sql["customer_value_corr"] = relational.CUSTOMER_VALUE_CORR_ORACLE
     sql["vocab_growth_curve"] = textstats.VOCAB_GROWTH_CURVE_ORACLE
     sql["part_brand_return_rate"] = relational.PART_BRAND_RETURN_RATE_ORACLE
+    sql["char_class_profile"] = textstats.CHAR_CLASS_PROFILE_ORACLE
+    sql["lineitem_qty_price_histogram2d"] = (
+        relational.LINEITEM_QTY_PRICE_HIST2D_ORACLE)
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

@@ -310,6 +310,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "customer_value_corr",
         "vocab_growth_curve",
         "part_brand_return_rate",
+        "char_class_profile",
+        "lineitem_qty_price_histogram2d",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1886,3 +1886,99 @@ SELECT CAST(docs_d.decile AS BIGINT) AS decile,
             OVER (ORDER BY docs_d.decile) AS BIGINT) AS vocab_size
 FROM docs_d LEFT JOIN fd ON fd.decile = docs_d.decile
 """
+
+
+def char_class_profile(sf_dir: str):
+    """Character-class composition per source — the encoding/garbage
+    screen (a feed whose digit or punctuation share jumps is usually
+    broken upstream): per source the exact totals of characters,
+    ASCII digits, spaces, and lowercase letters, plus one-division
+    shares. Counting is vectorized ``str.count`` with the same regex
+    classes DuckDB's regexp_replace removes; the grid is
+    |sources|-bounded."""
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    docs = read_split(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        out = pd.DataFrame(
+            {"source": batch["source"].astype(str).to_numpy(),
+             "n_chars": text.str.len().to_numpy(dtype=np.int64),
+             "n_digits": text.str.count(r"[0-9]").to_numpy(dtype=np.int64),
+             "n_spaces": text.str.count(r" ").to_numpy(dtype=np.int64),
+             "n_lower": text.str.count(r"[a-z]").to_numpy(dtype=np.int64)}
+        )
+        return out.groupby("source", sort=False, as_index=False)[
+            ["n_chars", "n_digits", "n_spaces", "n_lower"]
+        ].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("source", sort=False, as_index=False)[
+                ["n_chars", "n_digits", "n_spaces", "n_lower"]
+            ].sum().astype({c: np.int64 for c in
+                            ("n_chars", "n_digits", "n_spaces", "n_lower")})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(docs, ["source"], combine, partial=partial,
+                          num_partitions=8),
+        ["source", "n_chars", "n_digits", "n_spaces", "n_lower"],
+    )
+    if grid.empty:
+        return pd.DataFrame(
+            {"source": pd.Series([], dtype=str),
+             "n_chars": pd.Series([], dtype=np.int64),
+             "n_digits": pd.Series([], dtype=np.int64),
+             "n_spaces": pd.Series([], dtype=np.int64),
+             "n_lower": pd.Series([], dtype=np.int64),
+             "digit_share": pd.Series([], dtype=np.float64),
+             "space_share": pd.Series([], dtype=np.float64)}
+        )
+    g = grid.groupby("source", sort=False, as_index=False)[
+        ["n_chars", "n_digits", "n_spaces", "n_lower"]
+    ].sum()
+    n = g["n_chars"].to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {"source": g["source"].astype(str).to_numpy(),
+         "n_chars": n,
+         "n_digits": g["n_digits"].to_numpy(dtype=np.int64),
+         "n_spaces": g["n_spaces"].to_numpy(dtype=np.int64),
+         "n_lower": g["n_lower"].to_numpy(dtype=np.int64),
+         "digit_share": g["n_digits"].to_numpy(dtype=np.int64).astype(
+             np.float64) / n,
+         "space_share": g["n_spaces"].to_numpy(dtype=np.int64).astype(
+             np.float64) / n}
+    )
+
+
+CHAR_CLASS_PROFILE_ORACLE = """
+WITH d AS (
+  SELECT source,
+         length(COALESCE(text, '')) AS n_chars,
+         length(COALESCE(text, ''))
+           - length(regexp_replace(COALESCE(text, ''), '[0-9]', '', 'g'))
+           AS n_digits,
+         length(COALESCE(text, ''))
+           - length(regexp_replace(COALESCE(text, ''), ' ', '', 'g'))
+           AS n_spaces,
+         length(COALESCE(text, ''))
+           - length(regexp_replace(COALESCE(text, ''), '[a-z]', '', 'g'))
+           AS n_lower
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(n_digits) AS BIGINT) AS n_digits,
+       CAST(SUM(n_spaces) AS BIGINT) AS n_spaces,
+       CAST(SUM(n_lower) AS BIGINT) AS n_lower,
+       CAST(SUM(n_digits) AS DOUBLE) / SUM(n_chars) AS digit_share,
+       CAST(SUM(n_spaces) AS DOUBLE) / SUM(n_chars) AS space_share
+FROM d GROUP BY 1
+"""

@@ -10619,3 +10619,62 @@ SELECT p_brand,
 FROM lineitem JOIN part ON p_partkey = l_partkey
 GROUP BY 1
 """
+
+
+QTY_BAND = 10          # quantity band width
+PRICE_BAND_C2 = 1_000_000  # price band width: $10,000 in centi
+
+
+def lineitem_qty_price_histogram2d(sf_dir: str):
+    """2-D banded histogram of (quantity, extended price) — the
+    numeric×numeric contingency a pricing dashboard heatmaps (the 1-D
+    sibling is ``events_value_histogram``): fixed-width integer bands
+    (qty // 10, price_centi // 10^6), counts plus exact revenue per
+    cell, all through one bounded two-phase aggregate (the grid is
+    value-domain-bounded)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    )
+    keys = ["qty_band", "price_band"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qty = batch["l_quantity"].to_numpy(dtype=np.float64).astype(np.int64)
+        pc = np.round(
+            batch["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        out = pd.DataFrame(
+            {"qty_band": qty // QTY_BAND,
+             "price_band": pc // PRICE_BAND_C2,
+             "n_lines": np.ones(len(batch), dtype=np.int64),
+             "revenue_centi": pc}
+        )
+        return out.groupby(keys, sort=False, as_index=False)[
+            ["n_lines", "revenue_centi"]
+        ].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False, as_index=False)[
+                ["n_lines", "revenue_centi"]
+            ].sum().astype({"qty_band": np.int64, "price_band": np.int64,
+                            "n_lines": np.int64, "revenue_centi": np.int64})
+        )
+
+    return grouped_aggregate(lines, keys, combine, partial=partial,
+                             num_partitions=8)
+
+
+LINEITEM_QTY_PRICE_HIST2D_ORACLE = """
+SELECT CAST(CAST(l_quantity AS BIGINT) // 10 AS BIGINT) AS qty_band,
+       CAST(CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000
+            AS BIGINT) AS price_band,
+       count(*) AS n_lines,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_centi
+FROM lineitem GROUP BY 1, 2
+"""

@@ -124,6 +124,8 @@ EMPTY_OK = [
     ("customer_value_corr", 0),
     ("vocab_growth_curve", 0),
     ("part_brand_return_rate", 0),
+    ("char_class_profile", 0),
+    ("lineitem_qty_price_histogram2d", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
