@@ -35,11 +35,18 @@ def _read_embeddings(sf_dir: str):
 
 
 def _query_matrix(sf_dir: str, n_queries: int = N_QUERIES):
-    """Deterministic query set: the embeddings of vec_id 0..n-1."""
+    """Deterministic query set: the embeddings of vec_id 0..n-1.
+
+    Predicate is pushed into the parquet scan (``filters=``) so only the
+    row groups containing the query ids are decoded — the driver never
+    reads the full embeddings table (at 10^10 vectors that read would be
+    a driver OOM; with pushdown it is O(row_group))."""
     import pyarrow.parquet as pq
 
     table = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
     )
     frame = table.to_pandas().set_index("vec_id").sort_index()
     missing = [i for i in range(n_queries) if i not in frame.index]
@@ -47,7 +54,7 @@ def _query_matrix(sf_dir: str, n_queries: int = N_QUERIES):
         raise ValueError(
             f"ANN query set requires vec_ids 0..{n_queries - 1}; "
             f"missing {missing[:5]}{'...' if len(missing) > 5 else ''} "
-            f"(embeddings table has {len(frame)} rows)"
+            f"(scan of vec_id < {n_queries} returned {len(frame)} rows)"
         )
     rows = frame.loc[range(n_queries), "embedding"]
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in rows])

@@ -1945,16 +1945,25 @@ def char_class_profile(sf_dir: str):
         ["n_chars", "n_digits", "n_spaces", "n_lower"]
     ].sum()
     n = g["n_chars"].to_numpy(dtype=np.int64)
+    # Guard n==0 (a source whose texts are all empty): numpy 0/0 gives
+    # NaN while SQL double/0 gives NULL — both sides pin that edge to 0.
+    safe_n = np.where(n == 0, np.int64(1), n).astype(np.float64)
+    digit_share = np.where(
+        n == 0, 0.0,
+        g["n_digits"].to_numpy(dtype=np.int64).astype(np.float64) / safe_n,
+    )
+    space_share = np.where(
+        n == 0, 0.0,
+        g["n_spaces"].to_numpy(dtype=np.int64).astype(np.float64) / safe_n,
+    )
     return pd.DataFrame(
         {"source": g["source"].astype(str).to_numpy(),
          "n_chars": n,
          "n_digits": g["n_digits"].to_numpy(dtype=np.int64),
          "n_spaces": g["n_spaces"].to_numpy(dtype=np.int64),
          "n_lower": g["n_lower"].to_numpy(dtype=np.int64),
-         "digit_share": g["n_digits"].to_numpy(dtype=np.int64).astype(
-             np.float64) / n,
-         "space_share": g["n_spaces"].to_numpy(dtype=np.int64).astype(
-             np.float64) / n}
+         "digit_share": digit_share,
+         "space_share": space_share}
     )
 
 
@@ -1978,7 +1987,11 @@ SELECT source,
        CAST(SUM(n_digits) AS BIGINT) AS n_digits,
        CAST(SUM(n_spaces) AS BIGINT) AS n_spaces,
        CAST(SUM(n_lower) AS BIGINT) AS n_lower,
-       CAST(SUM(n_digits) AS DOUBLE) / SUM(n_chars) AS digit_share,
-       CAST(SUM(n_spaces) AS DOUBLE) / SUM(n_chars) AS space_share
+       CASE WHEN SUM(n_chars) = 0 THEN 0.0
+            ELSE CAST(SUM(n_digits) AS DOUBLE) / SUM(n_chars)
+       END AS digit_share,
+       CASE WHEN SUM(n_chars) = 0 THEN 0.0
+            ELSE CAST(SUM(n_spaces) AS DOUBLE) / SUM(n_chars)
+       END AS space_share
 FROM d GROUP BY 1
 """

@@ -23,22 +23,62 @@ from entity_extractor_linker_ray.stages.kg_stage import (
 from entity_extractor_linker_ray.state.kb import build_kb
 
 
+def _estimated_input_bytes(ds) -> int | None:
+    """Best-effort input size from block metadata (for parquet reads
+    this is a footer-metadata estimate — no data is scanned)."""
+    try:
+        size = ds.size_bytes()
+        return int(size) if size is not None else None
+    except Exception:
+        return None
+
+
 def build_kg_datasets(
     transcripts_ds,
     cfg: dict | None = None,
     kb_records: list[dict] | None = None,
-    materialize: bool = True,
+    materialize: bool | None = None,
+    checkpoint_dir: str | None = None,
     **ray_opts,
 ):
     """Wire the full pipeline; returns a dict of Datasets.
 
-    ``materialize=True`` pins the (small relative to input) unified
-    records so the entities/triples splits don't re-execute the LLM
-    stage — right for interactive/test scale. At corpus scale use
-    ``pipelines/checkpoint.py`` instead, which streams the records to
-    partitioned Parquet and reads the splits back (resumable).
+    ``materialize`` (default ``None`` = auto):
+
+    * ``True`` — pin the (small relative to input) unified records in
+      the object store so the entities/triples splits don't re-execute
+      the LLM stage. Right for interactive/test scale only.
+    * ``False`` — leave the record stream lazy; each split re-executes
+      the actor stage when consumed. Correct but pays the extraction
+      cost per consumer.
+    * ``None`` — decide from the estimated input size: at most
+      ``MATERIALIZE_MAX_INPUT_BYTES`` (default 2 GiB) pins; anything
+      larger (the corpus-scale case) routes through the RESUMABLE
+      checkpoint path (``pipelines/checkpoint.py``): records stream to
+      partitioned Parquet under ``checkpoint_dir`` (or
+      ``cfg["KG_CHECKPOINT_DIR"]``, or a fresh ``/tmp`` dir) and every
+      returned split reads back from disk — nothing
+      corpus-proportional is ever pinned in the object store, and a
+      crashed run resumes by bucket. A naive 100-TB caller therefore
+      gets the streaming path by default instead of discovering the
+      pinned-records OOM the hard way.
     """
     cfg = get_config(cfg)
+    if materialize is None:
+        limit = int(cfg.get("MATERIALIZE_MAX_INPUT_BYTES") or (2 << 30))
+        est = _estimated_input_bytes(transcripts_ds)
+        if est is not None and est > limit:
+            if kb_records is not None:
+                # checkpoint runner builds the snapshot KB itself; with
+                # a caller-supplied KB fall back to the lazy stream
+                # (still nothing pinned) rather than silently dropping it
+                materialize = False
+            else:
+                return _build_kg_datasets_checkpointed(
+                    transcripts_ds, cfg, checkpoint_dir
+                )
+        else:
+            materialize = True
     docs = assemble_documents(
         transcripts_ds, num_partitions=int(cfg.get("RAY_DOC_BLOCKS") or 64)
     )
@@ -70,5 +110,46 @@ def build_kg_datasets(
     if cfg.get("COLLECT_TRAINING_DATA", False):
         from entity_extractor_linker_ray.stages.kg_stage import split_training
 
+        out["training"] = split_training(records)
+    return out
+
+
+def _build_kg_datasets_checkpointed(transcripts_ds, cfg, checkpoint_dir):
+    """Corpus-scale path of :func:`build_kg_datasets`: one streaming
+    pass writes the record stream to resumable partitioned Parquet
+    (``pipelines/checkpoint.py``), then every returned split is a lazy
+    read over those files — nothing corpus-proportional is pinned."""
+    import tempfile
+
+    from entity_extractor_linker_ray.pipelines.checkpoint import (
+        read_checkpointed,
+        run_kg_checkpointed,
+    )
+    from entity_extractor_linker_ray.stages.kg_stage import (
+        split_compendium,
+        split_entities,
+        split_training,
+        split_triples,
+    )
+
+    out_dir = checkpoint_dir or cfg.get("KG_CHECKPOINT_DIR") or tempfile.mkdtemp(
+        prefix="kg-checkpoint-"
+    )
+    manifest = run_kg_checkpointed(transcripts_ds, out_dir, cfg)
+    records = read_checkpointed(out_dir)
+    docs = assemble_documents(
+        transcripts_ds, num_partitions=int(cfg.get("RAY_DOC_BLOCKS") or 64)
+    )
+    out = {
+        "documents": docs,
+        "records": records,
+        "entities": split_entities(records),
+        "triples": split_triples(records),
+        "checkpoint_dir": out_dir,
+        "manifest": manifest,
+    }
+    if cfg.get("ENABLE_COMPENDIUM", False):
+        out["compendium"] = split_compendium(records)
+    if cfg.get("COLLECT_TRAINING_DATA", False):
         out["training"] = split_training(records)
     return out

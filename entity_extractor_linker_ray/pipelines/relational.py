@@ -7871,9 +7871,20 @@ def events_ks_stat(sf_dir: str, type_a: str = "click",
 
     counts = grouped_aggregate(events, ["v"], combine, partial=partial)
     df = collect_small(counts, ["v", "ca", "cb"])
-    if df.empty or df["ca"].sum() == 0 or df["cb"].sum() == 0:
+    if df.empty:
         return pd.DataFrame(
             {"n_a": [np.int64(0)], "n_b": [np.int64(0)], "ks_d": [0.0]}
+        )
+    if df["ca"].sum() == 0 or df["cb"].sum() == 0:
+        # One side absent: report the present side's true count (matching
+        # the oracle, whose NULL division coalesces ks_d to 0 but still
+        # sums the real marginal) rather than zeroing both.
+        return pd.DataFrame(
+            {
+                "n_a": [np.int64(df["ca"].sum())],
+                "n_b": [np.int64(df["cb"].sum())],
+                "ks_d": [0.0],
+            }
         )
     df = df.sort_values("v", kind="stable")
     n_a = np.int64(df["ca"].sum())
@@ -10643,7 +10654,12 @@ def lineitem_qty_price_histogram2d(sf_dir: str):
     keys = ["qty_band", "price_band"]
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        qty = batch["l_quantity"].to_numpy(dtype=np.float64).astype(np.int64)
+        # floor, not truncate-vs-round: np truncation and DuckDB's
+        # half-away CAST only agree on integral data; floor() is the
+        # same function in both engines for any input.
+        qty = np.floor(
+            batch["l_quantity"].to_numpy(dtype=np.float64)
+        ).astype(np.int64)
         pc = np.round(
             batch["l_extendedprice"].to_numpy(dtype=np.float64) * 100
         ).astype(np.int64)
@@ -10670,7 +10686,7 @@ def lineitem_qty_price_histogram2d(sf_dir: str):
 
 
 LINEITEM_QTY_PRICE_HIST2D_ORACLE = """
-SELECT CAST(CAST(l_quantity AS BIGINT) // 10 AS BIGINT) AS qty_band,
+SELECT CAST(CAST(floor(l_quantity) AS BIGINT) // 10 AS BIGINT) AS qty_band,
        CAST(CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000
             AS BIGINT) AS price_band,
        count(*) AS n_lines,

@@ -103,3 +103,79 @@ class TestLineitemQtyPriceHistogram2d:
             got[sorted(got.columns)], exp[sorted(exp.columns)],
             check_dtype=False,
         )
+
+
+class TestCharClassEmptySource:
+    def test_all_empty_texts_zero_shares(self, ray_session, tmp_path):
+        """ADVICE r2: a source whose texts are all empty must emit 0.0
+        shares (not NaN) and match the oracle's CASE-guarded division."""
+        import duckdb
+
+        from entity_extractor_linker_ray.ops.textstats import (
+            CHAR_CLASS_PROFILE_ORACLE,
+            char_class_profile,
+        )
+
+        pd.DataFrame(
+            {"doc_id": [0, 1, 2],
+             "text": ["", "", "a1 b"],
+             "source": ["empty_feed", "empty_feed", "ok"]}
+        ).to_parquet(tmp_path / "documents.parquet")
+        got = (
+            char_class_profile(str(tmp_path))
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        exp = (
+            con.execute(CHAR_CLASS_PROFILE_ORACLE)
+            .df()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        empty = got[got["source"] == "empty_feed"].iloc[0]
+        assert empty["n_chars"] == 0
+        assert empty["digit_share"] == 0.0 and empty["space_share"] == 0.0
+        for col in ("n_chars", "n_digits", "digit_share", "space_share"):
+            assert list(got[col]) == list(exp[col])
+
+
+class TestHist2dNonIntegralQuantity:
+    def test_fractional_quantity_band_floor(self, ray_session, tmp_path):
+        """ADVICE r2: band assignment is floor() in BOTH engines, so a
+        fractional quantity like 25.5 lands in band 2 on both sides
+        (np truncation vs DuckDB half-away CAST used to disagree)."""
+        import duckdb
+
+        from entity_extractor_linker_ray.pipelines.relational import (
+            LINEITEM_QTY_PRICE_HIST2D_ORACLE,
+            lineitem_qty_price_histogram2d,
+        )
+
+        pd.DataFrame(
+            {"l_quantity": [25.5, 24.5, 9.99],
+             "l_extendedprice": [100.0, 100.0, 100.0]}
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        got = (
+            lineitem_qty_price_histogram2d(str(tmp_path))
+            .to_pandas()
+            .sort_values(["qty_band", "price_band"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
+        )
+        exp = (
+            con.execute(LINEITEM_QTY_PRICE_HIST2D_ORACLE)
+            .df()
+            .sort_values(["qty_band", "price_band"])
+            .reset_index(drop=True)
+        )
+        # 24.5 and 25.5 both floor into band 2 (one merged cell, n=2);
+        # 9.99 floors into band 0
+        assert list(got["qty_band"]) == list(exp["qty_band"]) == [0, 2]
+        assert list(got["n_lines"]) == list(exp["n_lines"]) == [1, 2]

@@ -213,3 +213,76 @@ class TestDirectWrite:
         assert int(manifest["n_triples"].sum()) == int(
             (expected["record_type"] == "triple").sum()
         )
+
+
+class TestAutoMaterializeGate:
+    def test_large_input_takes_checkpoint_path(
+        self, ray_session, tiny_transcripts, tmp_path
+    ):
+        """materialize=None + input above MATERIALIZE_MAX_INPUT_BYTES
+        → the resumable checkpoint path (records read back from
+        partitioned Parquet, manifest present, triples identical to the
+        pinned path)."""
+        import os
+
+        import ray.data as rd
+
+        from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
+
+        ds = rd.from_arrow(tiny_transcripts)
+        cfg = H.engine_config(
+            {"RAY_NUM_BUCKETS": 4, "MATERIALIZE_MAX_INPUT_BYTES": 1}
+        )
+        out = build_kg_datasets(
+            ds, cfg, checkpoint_dir=str(tmp_path / "auto-ckpt")
+        )
+        assert out["checkpoint_dir"] == str(tmp_path / "auto-ckpt")
+        assert os.path.exists(os.path.join(out["checkpoint_dir"], "manifest.json"))
+        done = [
+            b
+            for b, i in out["manifest"]["buckets"].items()
+            if i["status"] == "done"
+        ]
+        assert len(done) == 4
+
+        pinned = build_kg_datasets(ds, H.engine_config(), materialize=True)
+        pd.testing.assert_frame_equal(
+            _canon_triples(out["triples"].to_pandas()),
+            _canon_triples(pinned["triples"].to_pandas()),
+        )
+
+    def test_small_input_pins(self, ray_session, tiny_transcripts):
+        """materialize=None + small input → the pinned (materialized)
+        path: no checkpoint keys in the output dict."""
+        import ray.data as rd
+
+        from entity_extractor_linker_ray.pipelines.kg import build_kg_datasets
+
+        out = build_kg_datasets(rd.from_arrow(tiny_transcripts), H.engine_config())
+        assert "checkpoint_dir" not in out
+        assert out["triples"].count() > 0
+
+
+class TestConfigMigrationWarnings:
+    def test_absent_reference_keys_warn_once(self):
+        import warnings
+
+        from entity_extractor_linker_ray import config as config_mod
+
+        config_mod._warned_keys.clear()
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            cfg = config_mod.get_config(
+                {"CACHE_DIR": "/tmp/x", "USER_AGENT": "ua", "MODE": "extract"}
+            )
+        assert cfg["MODE"] == "extract"
+        msgs = [str(w.message) for w in caught if "config keys ignored" in str(w.message)]
+        assert len(msgs) == 1
+        assert "CACHE_DIR" in msgs[0] and "USER_AGENT" in msgs[0]
+
+        with warnings.catch_warnings(record=True) as caught2:
+            warnings.simplefilter("always")
+            config_mod.get_config({"CACHE_DIR": "/tmp/x"})
+        assert not [
+            w for w in caught2 if "config keys ignored" in str(w.message)
+        ]  # warned once per process only

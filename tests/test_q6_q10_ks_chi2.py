@@ -237,3 +237,30 @@ class TestChi2TypeDow:
             got[sorted(got.columns)], exp[sorted(exp.columns)],
             check_dtype=False,
         )
+
+
+class TestKsOneSideEmpty:
+    def test_present_side_count_survives(self, ray_session, tmp_path):
+        """ADVICE r2: when exactly one of the two types is absent the op
+        must still report the present side's true count (ks_d pinned to
+        0), matching the oracle's NULL-coalesced division."""
+        import duckdb
+
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_KS_STAT_ORACLE,
+            events_ks_stat,
+        )
+
+        pd.DataFrame(
+            {"event_type": ["click", "click", "view"],
+             "value": [1.25, 2.50, 9.0]}
+        ).to_parquet(tmp_path / "events.parquet")
+        got = events_ks_stat(str(tmp_path))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        exp = con.execute(EVENTS_KS_STAT_ORACLE).df()
+        assert int(got.iloc[0]["n_a"]) == int(exp.iloc[0]["n_a"]) == 2
+        assert int(got.iloc[0]["n_b"]) == int(exp.iloc[0]["n_b"]) == 0
+        assert float(got.iloc[0]["ks_d"]) == float(exp.iloc[0]["ks_d"]) == 0.0
