@@ -46,13 +46,22 @@ def extract_entities(text: str, cfg: dict, llm) -> list[dict]:
     (``services/openai_service.py:24-131``). In generate mode entities
     are marked implicit (``openai_service.py:115``)."""
     mode = cfg.get("MODE", "extract")
+    if mode == "generate":
+        # generate mode prompts for a TOPIC, not text spans
+        # (``core/generator.py:78-190``): its own prompt family, citation
+        # pinned to "generated", entities marked implicit
+        raw = llm.chat(
+            prompts.generation_messages(
+                text, cfg.get("MAX_ENTITIES", 15), cfg.get("LANGUAGE", "en")
+            )
+        )
+        return parse_entity_lines(raw, inferred="implicit")
     raw = llm.chat(
         prompts.extraction_messages(
             text, cfg.get("MAX_ENTITIES", 15), cfg.get("LANGUAGE", "en")
         )
     )
-    inferred = "explicit" if mode != "generate" else "implicit"
-    return parse_entity_lines(raw, inferred=inferred)
+    return parse_entity_lines(raw, inferred="explicit")
 
 
 def infer_entities(text: str, entities: list[dict], cfg: dict, llm) -> list[dict]:

@@ -31,6 +31,31 @@ def extraction_messages(text: str, max_entities: int, language: str = "en") -> l
     ]
 
 
+def generation_messages(topic: str, max_entities: int, language: str = "en") -> list[dict]:
+    """Generate-mode entity generation (``generation_prompts.py:6-45``):
+    the reference prompts for entities about a TOPIC rather than spans
+    from a text; output stays the semicolon wire contract with citation
+    pinned to "generated". The marker phrase and the
+    ``topic ... .\\n\\nOutput format`` structure match the reference so
+    the stub parses the topic identically from both code bases."""
+    system = (
+        f"Generate exactly {max_entities} implicit, logical entities "
+        f"relevant to the topic: {topic}.\n\n"
+        "Output format: one semicolon-separated line per entity: "
+        "name; type; wikipedia_url; citation. Set citation to "
+        '"generated". No JSON, no extra text.'
+    )
+    user = (
+        f"Provide exactly {max_entities} implicit entities as "
+        "semicolon-separated lines: name; type; wikipedia_url; citation. "
+        "One entity per line. No JSON."
+    )
+    return [
+        {"role": "system", "content": system},
+        {"role": "user", "content": user},
+    ]
+
+
 def entity_inference_messages(
     text: str, explicit_entities: list[dict], max_entities: int, language: str = "en"
 ) -> list[dict]:

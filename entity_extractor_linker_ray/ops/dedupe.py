@@ -708,6 +708,24 @@ def _inverted_pair_stats(key_rows, df_lo: int, df_cap: int, finalize,
     return result.union(rd.from_arrow(out_schema.empty_table()))
 
 
+# per-session cache of the materialized verified-pair stream: the
+# n-gram pair machinery is the most expensive dedup step, and FIVE
+# consumers start from it (dedup_ngram_jaccard, duplicate_clusters →
+# survivors/cluster_sizes/curate/leakage_safe_split, dup_rate_by_source).
+# The driver runs every query in one process — the pair computation
+# should run once per sf_dir, not per consumer. Mirrors
+# graph_algos._KG_EDGES_CACHE; the materialized Dataset is bounded by
+# pair count (df-cap-bounded), not corpus size.
+_NGRAM_PAIRS_CACHE: dict = {}
+
+
+def ngram_pairs_materialized(sf_dir: str):
+    """Memoized :func:`ngram_jaccard_pairs` at default parameters."""
+    if sf_dir not in _NGRAM_PAIRS_CACHE:
+        _NGRAM_PAIRS_CACHE[sf_dir] = ngram_jaccard_pairs(sf_dir).materialize()
+    return _NGRAM_PAIRS_CACHE[sf_dir]
+
+
 def ngram_jaccard_pairs(
     sf_dir: str,
     threshold_pct: int = 60,
@@ -885,7 +903,7 @@ def dup_rate_by_source(sf_dir: str):
         grouped_aggregate,
     )
 
-    pairs = ngram_jaccard_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    pairs = ngram_pairs_materialized(sf_dir).select_columns(["doc_a", "doc_b"])
 
     def dup_rows(batch: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(np.concatenate(

@@ -56,10 +56,10 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 25):
     import pyarrow as pa
     import ray.data as rd
 
-    from entity_extractor_linker_ray.ops.dedupe import ngram_jaccard_pairs
+    from entity_extractor_linker_ray.ops.dedupe import ngram_pairs_materialized
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
-    pairs = ngram_jaccard_pairs(sf_dir).select_columns(["doc_a", "doc_b"]).materialize()
+    pairs = ngram_pairs_materialized(sf_dir).select_columns(["doc_a", "doc_b"])
 
     def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch["doc_a"].to_numpy(dtype=np.int64)
@@ -142,6 +142,20 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 25):
     )
 
 
+# per-session cache of the materialized duplicate clustering — the
+# iterative label propagation runs once per sf_dir; its four consumers
+# (dedup_survivors, dedup_cluster_sizes, curate_documents,
+# leakage_safe_split) read the pinned result.
+_DUP_CLUSTERS_CACHE: dict = {}
+
+
+def duplicate_clusters_cached(sf_dir: str):
+    """Memoized :func:`duplicate_clusters` at default parameters."""
+    if sf_dir not in _DUP_CLUSTERS_CACHE:
+        _DUP_CLUSTERS_CACHE[sf_dir] = duplicate_clusters(sf_dir).materialize()
+    return _DUP_CLUSTERS_CACHE[sf_dir]
+
+
 def dedup_survivors(sf_dir: str):
     """Survivorship policy over the near-dup components: per cluster,
     keep the doc with the MOST tokens (doc_id tiebreak) and report the
@@ -158,7 +172,7 @@ def dedup_survivors(sf_dir: str):
     from entity_extractor_linker_ray.ops.readers import read_split
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
-    clusters = duplicate_clusters(sf_dir)
+    clusters = duplicate_clusters_cached(sf_dir)
 
     def tag_clusters(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -548,38 +562,27 @@ r{i} AS (
     return "".join(parts)
 
 
-def kg_triangles(sf_dir: str, num_partitions: int = 8):
-    """Triangle count over the co-occurrence KG — the graph-motif
-    aggregate behind clustering coefficients and community features.
+def triangles(canon_edges_ds, num_partitions: int = 8,
+              max_wedge_deg: int | None = None):
+    """Triangle count over a CANONICAL undirected edge Dataset
+    (columns ``u``/``v``, u < v, one row per distinct unordered pair).
 
     Standard distributed plan, two bucketed equi-joins and no driver
-    graph state: canonicalize to undirected edges with src < dst
-    (dedup), JOIN edges⋈edges on the shared middle vertex to build
+    graph state: JOIN edges⋈edges on the shared middle vertex to build
     wedges (u < v < w ordering makes each triangle counted exactly
     once), then semi-join wedges against the edge set on (u, w). Both
     joins are the tagged-union + ``grouped_aggregate`` shape. Skew
     note: wedge count is Σ deg(v)², so a celebrity vertex explodes the
-    intermediate — production graphs cap or sample high-degree
-    vertices' wedge lists (documented trade; the KG's degrees are
-    bounded by the vocabulary here)."""
+    intermediate — ``max_wedge_deg`` caps each middle vertex's
+    above-neighbor list (the production cap-or-sample trade; the count
+    is then exact on the degree-capped graph). None = uncapped (the
+    toy KG's degrees are bounded by the vocabulary)."""
     import pyarrow as pa
     import ray.data as rd
 
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
-    def canon(batch: pd.DataFrame) -> pd.DataFrame:
-        u = batch["subject"].astype(str)
-        v = batch["object"].astype(str)
-        lo = np.where(u < v, u, v)
-        hi = np.where(u < v, v, u)
-        return pd.DataFrame({"u": lo, "v": hi})[lo != hi]
-
-    edges = grouped_aggregate(
-        _kg_edges_materialized(sf_dir).map_batches(canon, batch_format="pandas"),
-        ["u", "v"],
-        lambda b: b[["u", "v"]].drop_duplicates(),
-        num_partitions=num_partitions,
-    ).materialize()
+    edges = canon_edges_ds
 
     # wedges: for middle vertex m, all ordered pairs (a, c) of its
     # neighbors with a < c — join edges to edges on the middle vertex.
@@ -601,6 +604,8 @@ def kg_triangles(sf_dir: str, num_partitions: int = 8):
             # (pair y,z) — the node-iterator ordering that makes the
             # count exactly-once instead of once per middle
             nbrs = np.sort(grp.loc[grp["other"] > m, "other"].unique())
+            if max_wedge_deg is not None and len(nbrs) > max_wedge_deg:
+                nbrs = nbrs[:max_wedge_deg]
             if len(nbrs) < 2:
                 continue
             ia, ic = np.triu_indices(len(nbrs), k=1)
@@ -647,6 +652,28 @@ def kg_triangles(sf_dir: str, num_partitions: int = 8):
     return counts.repartition(1).map_batches(total, batch_format="pandas").union(
         rd.from_arrow(out_schema.empty_table())
     )
+
+
+def kg_triangles(sf_dir: str, num_partitions: int = 8):
+    """Triangle count over the co-occurrence KG: canonicalize the KG
+    edge list to distinct undirected (u, v) pairs, then the generic
+    :func:`triangles` plan."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["subject"].astype(str)
+        v = batch["object"].astype(str)
+        lo = np.where(u < v, u, v)
+        hi = np.where(u < v, v, u)
+        return pd.DataFrame({"u": lo, "v": hi})[lo != hi]
+
+    edges = grouped_aggregate(
+        _kg_edges_materialized(sf_dir).map_batches(canon, batch_format="pandas"),
+        ["u", "v"],
+        lambda b: b[["u", "v"]].drop_duplicates(),
+        num_partitions=num_partitions,
+    ).materialize()
+    return triangles(edges, num_partitions=num_partitions)
 
 
 def kg_triangles_oracle() -> str:
@@ -2825,7 +2852,7 @@ def dedup_cluster_sizes(sf_dir: str):
     the largest family size, never by corpus size."""
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
-    clusters = duplicate_clusters(sf_dir)
+    clusters = duplicate_clusters_cached(sf_dir)
 
     def size_partial(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(

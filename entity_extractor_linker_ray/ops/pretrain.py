@@ -689,10 +689,12 @@ def leakage_safe_split(sf_dir: str, val_pct: int = 10):
     broadcast of either side."""
     import ray.data as rd
 
-    from entity_extractor_linker_ray.ops.graph_algos import duplicate_clusters
+    from entity_extractor_linker_ray.ops.graph_algos import (
+        duplicate_clusters_cached,
+    )
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
-    clusters = duplicate_clusters(sf_dir)
+    clusters = duplicate_clusters_cached(sf_dir)
 
     def doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

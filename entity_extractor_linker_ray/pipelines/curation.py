@@ -35,7 +35,7 @@ def curate_documents(sf_dir: str):
     import pyarrow as pa
 
     from entity_extractor_linker_ray.ops.dedupe import exact_dedup
-    from entity_extractor_linker_ray.ops.graph_algos import duplicate_clusters
+    from entity_extractor_linker_ray.ops.graph_algos import duplicate_clusters_cached
     from entity_extractor_linker_ray.ops.readers import read_split
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
@@ -83,7 +83,7 @@ def curate_documents(sf_dir: str):
         )
 
     survivors = exact_dedup(sf_dir).map_batches(tag_survivor, batch_format="pandas")
-    drops = duplicate_clusters(sf_dir).map_batches(tag_drop, batch_format="pandas")
+    drops = duplicate_clusters_cached(sf_dir).map_batches(tag_drop, batch_format="pandas")
     attrs = read_split(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
     ).map_batches(tag_attrs, batch_format="pandas")

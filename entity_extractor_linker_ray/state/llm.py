@@ -113,6 +113,9 @@ class StubLLMClient:
         if ("entity recognition and Wikidata" in system
                 or "Entitätserkennung" in system):
             return self._synonyms(user)
+        if ("entities relevant to the topic" in system
+                or "Entitäten zum Thema" in system):
+            return self._generate_entities(system)
         if "recognizing and linking entities" in system or "Erkennung und Verlinkung von Entitäten" in system:
             return self._extract_entities(system, user)
         if "enriching an existing entity list" in system or "Entitätenliste anreichert" in system:
@@ -165,6 +168,29 @@ class StubLLMClient:
         for f in self.find_mentions(text)[:limit]:
             rec = f["rec"]
             lines.append(f"{rec['label']}; {rec['type']}; {rec['llm_url']}; {f['span']}")
+        return "\n".join(lines)
+
+    # -- generate mode ---------------------------------------------------
+    _TOPIC_RE = re.compile(
+        r"(?:relevant to the topic|Entitäten zum Thema): (.*?)\.\n\n"
+        r"(?:Output format|Ausgabeformat)",
+        re.DOTALL,
+    )
+
+    def _generate_entities(self, system: str) -> str:
+        """Generate-mode rule (``generation_prompts.py:6-45``): the
+        prompt carries a TOPIC, not a text block; the deterministic
+        stand-in 'generates' the KB entities mentioned in the topic with
+        the prompt-mandated citation \"generated\". Works unchanged for
+        the reference's prompt and the engine's (same structural
+        markers)."""
+        m = self._TOPIC_RE.search(system)
+        topic = m.group(1) if m else ""
+        limit = self._limit(system, 15)
+        lines = []
+        for f in self.find_mentions(topic)[:limit]:
+            rec = f["rec"]
+            lines.append(f"{rec['label']}; {rec['type']}; {rec['llm_url']}; generated")
         return "\n".join(lines)
 
     # -- entity inference ----------------------------------------------

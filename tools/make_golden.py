@@ -1,0 +1,205 @@
+"""Generate golden-parquet oracles for the stub-LLM flagship pipeline.
+
+The flagship KG pipeline (``pipelines/kg.py`` with the deterministic
+stub LLM + snapshot KB) is not SQL-expressible, so its driver gate used
+to be rows-only. This tool pins its expected output by running the
+REFERENCE code itself (``/root/reference`` via
+``tests/reference_harness.py`` — real parsers/dedup/KGC under the same
+deterministic stubs) over the transcripts derived from each testdata
+``documents`` table, converting the per-conversation results into the
+engine's flat output schemas, and writing them as parquet under
+``golden/<sf_name>/``. ``oracle_sql()`` then reads these files from
+DuckDB (dispatched on a corpus content marker), turning the seven
+``kg_pipeline_*`` queries plus the generate/chunked variants into full
+value-hash gates.
+
+The conversion maps only reference-native fields (entity/type/inferred/
+citations/URLs/ids and relationship rows); the single derived column,
+``canonical_id``, uses the reference's own dedup key ``wikipedia_url or
+name`` (``orchestrator.py:58``). ``tests/test_golden_files.py``
+re-derives the sf0.001 goldens from the reference on every pytest run
+and asserts byte-equality with the committed files, so the pinned
+parquet cannot silently drift from the reference.
+
+Usage: python tools/make_golden.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+GOLDEN_DIR = os.path.join(REPO, "golden")
+
+DEFAULT_SFS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+# Engine-default semantics keys (config.py DEFAULT_CONFIG) expressed as
+# overrides on reference_config — the variant queries run the ENGINE
+# defaults plus their own flags, so the reference must too.
+ENGINE_DEFAULT_OVERRIDES = {
+    "ENABLE_ENTITY_INFERENCE": False,
+    "ENABLE_RELATIONS_INFERENCE": False,
+    "ENABLE_KGC": False,
+    "USE_WIKIDATA": False,
+    "USE_DBPEDIA": False,
+}
+
+VARIANTS = {
+    # flagship: reference_config() defaults == __ray_entry__._kg_full_outputs cfg
+    "kg_pipeline": {},
+    "kg_generate": {
+        **ENGINE_DEFAULT_OVERRIDES,
+        "MODE": "generate",
+        "RELATION_EXTRACTION": True,
+    },
+    "kg_chunked": {
+        **ENGINE_DEFAULT_OVERRIDES,
+        "TEXT_CHUNKING": True,
+        "TEXT_CHUNK_SIZE": 300,
+        "TEXT_CHUNK_OVERLAP": 50,
+        "RELATION_EXTRACTION": True,
+    },
+}
+
+TRIPLE_COLS = [
+    "conv_id", "ord", "subject", "predicate", "object", "inferred",
+    "subject_type", "object_type", "subject_inferred", "object_inferred",
+    "subject_id", "object_id",
+]
+ENTITY_LINK_COLS = [
+    "conv_id", "ord", "entity", "type", "inferred", "citation",
+    "citation_start", "citation_end", "wikipedia_url", "wikipedia_label",
+    "wikidata_id", "dbpedia_uri", "canonical_id",
+]
+
+
+def reference_results(sf_dir: str, overrides: dict):
+    from entity_extractor_linker_ray.synthetic import documents_to_transcripts_batch
+    from tests import reference_harness as H
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    transcripts = documents_to_transcripts_batch(docs)
+    return H.run_reference(transcripts, overrides)
+
+
+def convert(golden: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Per-conv reference results → (triples, entity_links) frames in
+    the engine's column layout. Deterministic row order (conv, ord)."""
+    tri_rows: list[dict] = []
+    ent_rows: list[dict] = []
+    for conv in sorted(golden):
+        result = golden[conv]
+        canonical: dict[str, str] = {}
+        for ordn, e in enumerate(result["entities"]):
+            src = e.get("sources", {})
+            wp = src.get("wikipedia", {})
+            cid = wp.get("url") or e["entity"] or ""
+            canonical.setdefault(e["entity"], cid)
+            d = e["details"]
+            ent_rows.append(
+                {
+                    "conv_id": conv, "ord": ordn, "entity": e["entity"],
+                    "type": d["typ"], "inferred": d["inferred"],
+                    "citation": d["citation"],
+                    "citation_start": d["citation_start"],
+                    "citation_end": d["citation_end"],
+                    "wikipedia_url": wp.get("url", ""),
+                    "wikipedia_label": wp.get("label", ""),
+                    "wikidata_id": src.get("wikidata", {}).get("id", ""),
+                    "dbpedia_uri": src.get("dbpedia", {}).get("resource_uri", ""),
+                    "canonical_id": cid,
+                }
+            )
+        for ordn, r in enumerate(result["relationships"]):
+            tri_rows.append(
+                {
+                    "conv_id": conv, "ord": ordn,
+                    "subject": r["subject"], "predicate": r["predicate"],
+                    "object": r["object"], "inferred": r.get("inferred", ""),
+                    "subject_type": r.get("subject_type", ""),
+                    "object_type": r.get("object_type", ""),
+                    "subject_inferred": r.get("subject_inferred", ""),
+                    "object_inferred": r.get("object_inferred", ""),
+                    "subject_id": canonical.get(r["subject"], r["subject"]),
+                    "object_id": canonical.get(r["object"], r["object"]),
+                }
+            )
+    tri = pd.DataFrame(tri_rows, columns=TRIPLE_COLS)
+    ent = pd.DataFrame(ent_rows, columns=ENTITY_LINK_COLS)
+    return tri, ent
+
+
+def corpus_marker(sf_dir: str) -> int:
+    """Content marker used by the oracle SQL to pick the right golden:
+    exact sum of the documents table's n_chars column."""
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"])
+    return int(pd.Series(t.column("n_chars").to_pylist()).sum())
+
+
+def write_frame(df: pd.DataFrame, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # fixed column order + deterministic rows → stable bytes for git
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+
+
+def build_sf(sf_dir: str) -> dict:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(GOLDEN_DIR, sf_name)
+    files: dict[str, str] = {}
+
+    t0 = time.time()
+    flagship = reference_results(sf_dir, VARIANTS["kg_pipeline"])
+    tri, ent = convert(flagship)
+    write_frame(tri, os.path.join(out_dir, "kg_pipeline_triples.parquet"))
+    write_frame(ent, os.path.join(out_dir, "kg_pipeline_entity_links.parquet"))
+    files["kg_pipeline_triples"] = f"{sf_name}/kg_pipeline_triples.parquet"
+    files["kg_pipeline_entity_links"] = f"{sf_name}/kg_pipeline_entity_links.parquet"
+    print(f"  flagship: {len(tri)} triples / {len(ent)} entities "
+          f"({time.time() - t0:.1f}s)")
+
+    for variant in ("kg_generate", "kg_chunked"):
+        t0 = time.time()
+        res = reference_results(sf_dir, VARIANTS[variant])
+        vtri, _ = convert(res)
+        name = f"{variant}_triples"
+        write_frame(vtri, os.path.join(out_dir, f"{name}.parquet"))
+        files[name] = f"{sf_name}/{name}.parquet"
+        print(f"  {variant}: {len(vtri)} triples ({time.time() - t0:.1f}s)")
+
+    return {"marker": corpus_marker(sf_dir), "files": files}
+
+
+def main() -> int:
+    sfs = sys.argv[1:] or DEFAULT_SFS
+    manifest_path = os.path.join(GOLDEN_DIR, "manifest.json")
+    manifest = {"dirs": {}}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+    for sf_dir in sfs:
+        sf_name = os.path.basename(os.path.normpath(sf_dir))
+        print(f"golden for {sf_name} ...")
+        manifest["dirs"][sf_name] = build_sf(sf_dir)
+    with open(manifest_path, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    print(f"wrote {manifest_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
