@@ -381,6 +381,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["char_class_profile"] = textstats.char_class_profile
     q["lineitem_qty_price_histogram2d"] = (
         relational.lineitem_qty_price_histogram2d)
+    # --- synthetic power-law graph (non-toy regime for the iterative
+    #     graph kernels; seed-derived, sf_dir ignored; rows-only —
+    #     replica/brute-force checks live in tests/test_synthetic_graph) -
+    from entity_extractor_linker_ray.ops import synthetic_graph as _sg
+
+    q["biggraph_degree_stats"] = _sg.biggraph_degree_stats
+    q["biggraph_pagerank"] = _sg.biggraph_pagerank
+    q["biggraph_kcore"] = _sg.biggraph_kcore
+    q["biggraph_triangles"] = _sg.biggraph_triangles
     # --- full stub-LLM KG pipeline (vs reference semantics; value-gated
     #     against golden parquet produced by the reference code — see
     #     _golden_oracles; full 70-col entities stays rows-only) --------

@@ -312,6 +312,13 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "part_brand_return_rate",
         "char_class_profile",
         "lineitem_qty_price_histogram2d",
+        # synthetic 10^5-node power-law graph: the iterative kernels'
+        # compute regime (degree_stats first — it warms the memoized
+        # edge list the other three reuse)
+        "biggraph_degree_stats",
+        "biggraph_pagerank",
+        "biggraph_kcore",
+        "biggraph_triangles",
     ]
     times: dict[str, float] = {}
     for name in names:
