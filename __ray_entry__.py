@@ -215,6 +215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["multimodal_decode"] = multimodal.decode_features
     q["multimodal_resize"] = multimodal.resize_images
     q["multimodal_frames"] = multimodal.sample_frames
+    # REAL image formats (byte-accurate PPM/BMP codec, oracle-gated)
+    q["image_decode_stats"] = multimodal.image_decode_stats
+    q["image_resize_stats"] = multimodal.image_resize_stats
     # --- relational / stream-shaped -----------------------------------
     q["events_hourly"] = relational.events_hourly
     q["events_orders_asof"] = relational.events_orders_asof
@@ -560,6 +563,8 @@ def oracle_sql() -> dict[str, str]:
     sql["knn_brute"] = ann.knn_brute_oracle()
     sql["label_centroids"] = ann.LABEL_CENTROIDS_ORACLE
     sql["multimodal_meta"] = multimodal.MULTIMODAL_META_ORACLE
+    sql["image_decode_stats"] = multimodal.IMAGE_DECODE_STATS_ORACLE
+    sql["image_resize_stats"] = multimodal.IMAGE_RESIZE_STATS_ORACLE
     sql["events_hourly"] = relational.EVENTS_HOURLY_ORACLE
     sql["events_orders_asof"] = relational.EVENTS_ASOF_ORACLE
     sql["orders_events_range_join"] = relational.ORDERS_EVENTS_RANGE_ORACLE

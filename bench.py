@@ -319,6 +319,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "biggraph_pagerank",
         "biggraph_kcore",
         "biggraph_triangles",
+        "image_decode_stats",
+        "image_resize_stats",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1,0 +1,153 @@
+"""Byte-accurate mini image codec: PPM (P6) / PGM (P5) / 24-bit BMP.
+
+No image library exists in this environment, so the multimodal decode
+actors used deterministic stand-ins. These are REAL format
+implementations — binary PPM/PGM per the Netpbm spec (ASCII header with
+whitespace/comment handling, maxval 255, raw raster) and uncompressed
+24-bit BI_RGB BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows,
+BGR byte order, rows padded to 4 bytes) — enough for an actual image
+format to exercise the actor contract end to end (decode → pixels →
+features/resize → re-encode), pytest-gated byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 → binary PPM (P6, maxval 255)."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"encode_ppm expects HxWx3, got {pixels.shape}")
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
+
+
+def encode_pgm(pixels: np.ndarray) -> bytes:
+    """HxW uint8 → binary PGM (P5, maxval 255)."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if pixels.ndim != 2:
+        raise ValueError(f"encode_pgm expects HxW, got {pixels.shape}")
+    h, w = pixels.shape
+    return f"P5\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 (RGB) → uncompressed 24-bit BMP (bottom-up, BGR,
+    4-byte row padding)."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"encode_bmp expects HxWx3, got {pixels.shape}")
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    raster = bytearray()
+    bgr = pixels[:, :, ::-1]  # RGB → BGR
+    for row in range(h - 1, -1, -1):  # bottom-up
+        raster += bgr[row].tobytes() + b"\x00" * pad
+    data_size = len(raster)
+    file_size = 14 + 40 + data_size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size,
+                       2835, 2835, 0, 0)
+    return header + info + bytes(raster)
+
+
+def _pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a PNM header (magic, width, height, maxval, data offset)
+    with Netpbm whitespace + ``#`` comment handling."""
+    magic = payload[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and comments
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval per spec
+    w, h, maxval = fields
+    return magic, w, h, maxval, pos
+
+
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """payload → (width, height, HxWx3 uint8 RGB). Supports P6 PPM,
+    P5 PGM (expanded to gray RGB), and 24-bit BI_RGB BMP. Raises
+    ValueError for anything else (the capability check)."""
+    if payload[:2] in (b"P6", b"P5"):
+        magic, w, h, maxval, off = _pnm_header(payload)
+        if maxval != 255:
+            raise ValueError(f"unsupported PNM maxval {maxval}")
+        channels = 3 if magic == b"P6" else 1
+        need = w * h * channels
+        raster = payload[off:off + need]
+        if len(raster) != need:
+            raise ValueError(
+                f"truncated PNM raster: need {need}, have {len(raster)}"
+            )
+        arr = np.frombuffer(raster, dtype=np.uint8)
+        if channels == 3:
+            return w, h, arr.reshape(h, w, 3).copy()
+        gray = arr.reshape(h, w)
+        return w, h, np.repeat(gray[:, :, None], 3, axis=2)
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        header_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+        if bpp != 24 or compression != 0:
+            raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+        bottom_up = h > 0
+        h = abs(h)
+        row_bytes = w * 3
+        stride = row_bytes + ((-row_bytes) % 4)
+        need = stride * h
+        raster = payload[data_off:data_off + need]
+        if len(raster) != need:
+            raise ValueError(
+                f"truncated BMP raster: need {need}, have {len(raster)}"
+            )
+        rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+        bgr = rows[:, :row_bytes].reshape(h, w, 3)
+        if bottom_up:
+            bgr = bgr[::-1]
+        return w, h, bgr[:, :, ::-1].copy()  # BGR → RGB
+    raise ValueError(f"unsupported image format (magic {payload[:2]!r})")
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (pixel-center convention), HxWx3 →
+    out_h x out_w x 3. Pure integer index math — deterministic."""
+    h, w = pixels.shape[:2]
+    ys = ((np.arange(out_h) * 2 + 1) * h) // (2 * out_h)
+    xs = ((np.arange(out_w) * 2 + 1) * w) // (2 * out_w)
+    return pixels[ys][:, xs]
+
+
+def synth_image(doc_id: int, width: int = 24, height: int = 16) -> np.ndarray:
+    """Deterministic RGB test image for ``doc_id``: gradient base +
+    id-mixed stripes (pure integer function — same bytes everywhere)."""
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    r = (x * 255) // max(width - 1, 1)
+    g = (y * 255) // max(height - 1, 1)
+    b = ((x + y + doc_id) * 37) % 256
+    img = np.stack(
+        [np.broadcast_to(r, (height, width)),
+         np.broadcast_to(g, (height, width)),
+         b],
+        axis=2,
+    )
+    return img.astype(np.uint8)

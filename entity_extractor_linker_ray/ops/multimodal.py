@@ -291,3 +291,195 @@ def payload_shards(sf_dir: str, shard_bytes: int = SHARD_BYTES):
 
     return payloads.map_batches(explode, batch_format="pyarrow",
                                 batch_size=128)
+
+
+# ----------------------------------------------------------------------
+# REAL image formats (PPM / BMP) through the actor contract
+# ----------------------------------------------------------------------
+
+IMG_W, IMG_H = 24, 16
+RESIZE_W, RESIZE_H = 8, 8
+
+
+def attach_image_payload(sf_dir: str):
+    """A REAL image payload column: one deterministic 24x16 RGB image
+    per document, encoded as actual binary PPM (P6) or 24-bit BMP
+    (doc_id % 3 == 0) bytes — `functions/imaging.py` implements the
+    formats byte-accurately, so the decode actors downstream parse
+    genuine rasters instead of hash stand-ins."""
+    from entity_extractor_linker_ray.functions.imaging import (
+        encode_bmp,
+        encode_ppm,
+        synth_image,
+    )
+    from entity_extractor_linker_ray.ops.readers import read_split
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        payloads, fmts = [], []
+        for doc_id in doc_ids:
+            img = synth_image(int(doc_id), IMG_W, IMG_H)
+            if doc_id % 3 == 0:
+                payloads.append(encode_bmp(img))
+                fmts.append("bmp")
+            else:
+                payloads.append(encode_ppm(img))
+                fmts.append("ppm")
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "payload": pa.array(payloads, pa.binary()),
+             "format": pa.array(fmts, pa.string())}
+        )
+
+    return docs.map_batches(kernel, batch_format="pyarrow", batch_size=256)
+
+
+class RealImageDecoder:
+    """Actor-pool decode stage over REAL image bytes: parses the PPM/BMP
+    raster (`functions/imaging.decode_image`) and emits exact integer
+    channel sums + one closed-form mean — the same
+    int-sufficient-statistics discipline the relational oracles use, so
+    the whole decode chain is DuckDB-hash-gateable."""
+
+    def __init__(self):
+        from entity_extractor_linker_ray.functions.imaging import decode_image
+
+        self.decode = decode_image  # a real impl binds its codec here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        rows = {k: [] for k in
+                ("doc_id", "format", "width", "height", "n_pixels",
+                 "sum_r", "sum_g", "sum_b", "mean_b")}
+        for doc_id, payload, fmt in zip(
+            doc_ids, batch.column("payload").to_pylist(),
+            batch.column("format").to_pylist(),
+        ):
+            w, h, px = self.decode(payload)
+            sums = px.astype(np.int64).sum(axis=(0, 1))
+            n = w * h
+            rows["doc_id"].append(doc_id)
+            rows["format"].append(fmt)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_pixels"].append(n)
+            rows["sum_r"].append(int(sums[0]))
+            rows["sum_g"].append(int(sums[1]))
+            rows["sum_b"].append(int(sums[2]))
+            rows["mean_b"].append(int(sums[2]) / n)
+        return pa.table(
+            {"doc_id": pa.array(rows["doc_id"], pa.int64()),
+             "format": pa.array(rows["format"], pa.string()),
+             "width": pa.array(rows["width"], pa.int64()),
+             "height": pa.array(rows["height"], pa.int64()),
+             "n_pixels": pa.array(rows["n_pixels"], pa.int64()),
+             "sum_r": pa.array(rows["sum_r"], pa.int64()),
+             "sum_g": pa.array(rows["sum_g"], pa.int64()),
+             "sum_b": pa.array(rows["sum_b"], pa.int64()),
+             "mean_b": pa.array(rows["mean_b"], pa.float64())}
+        )
+
+
+def image_decode_stats(sf_dir: str):
+    """REAL-format decode → per-image channel statistics, through the
+    decoder actor pool. Oracle-gated: the synthesized raster is a pure
+    integer function of (doc_id, x, y), which DuckDB replays with a
+    range() cross join — so a single wrong byte anywhere in the
+    encode→decode chain breaks the value hash."""
+    return attach_image_payload(sf_dir).map_batches(
+        RealImageDecoder,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 4),
+    )
+
+
+IMAGE_DECODE_STATS_ORACLE = f"""
+WITH px AS (
+  SELECT d.doc_id, x.range AS x, y.range AS y
+  FROM documents d, range({IMG_W}) x, range({IMG_H}) y
+), vals AS (
+  SELECT doc_id,
+         (x * 255) // {IMG_W - 1} AS r,
+         (y * 255) // {IMG_H - 1} AS g,
+         ((x + y + doc_id) * 37) % 256 AS b
+  FROM px
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       CAST({IMG_W} AS BIGINT) AS width,
+       CAST({IMG_H} AS BIGINT) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(b) AS DOUBLE) / count(*) AS mean_b
+FROM vals GROUP BY 1
+"""
+
+
+def image_resize_stats(sf_dir: str):
+    """REAL nearest-neighbor resize (24x16 → 8x8) of the decoded
+    raster, re-encoded as PPM, with exact channel sums of the RESIZED
+    image — oracle-gated because the pixel-center index math
+    ``src = ((2*i + 1) * in) // (2 * out)`` replays in SQL."""
+    from entity_extractor_linker_ray.functions.imaging import (
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    payloads = attach_image_payload(sf_dir)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        out = {k: [] for k in ("doc_id", "out_w", "out_h", "n_bytes",
+                               "sum_r", "sum_g", "sum_b")}
+        for doc_id, payload in zip(doc_ids, batch.column("payload").to_pylist()):
+            _, _, px = decode_image(payload)
+            small = resize_nearest(px, RESIZE_W, RESIZE_H)
+            sums = small.astype(np.int64).sum(axis=(0, 1))
+            out["doc_id"].append(doc_id)
+            out["out_w"].append(RESIZE_W)
+            out["out_h"].append(RESIZE_H)
+            out["n_bytes"].append(len(encode_ppm(small)))
+            out["sum_r"].append(int(sums[0]))
+            out["sum_g"].append(int(sums[1]))
+            out["sum_b"].append(int(sums[2]))
+        return pa.table(
+            {"doc_id": pa.array(out["doc_id"], pa.int64()),
+             "out_w": pa.array(out["out_w"], pa.int64()),
+             "out_h": pa.array(out["out_h"], pa.int64()),
+             "n_bytes": pa.array(out["n_bytes"], pa.int64()),
+             "sum_r": pa.array(out["sum_r"], pa.int64()),
+             "sum_g": pa.array(out["sum_g"], pa.int64()),
+             "sum_b": pa.array(out["sum_b"], pa.int64())}
+        )
+
+    return payloads.map_batches(kernel, batch_format="pyarrow", batch_size=128)
+
+
+IMAGE_RESIZE_STATS_ORACLE = f"""
+WITH idx AS (
+  SELECT ((2 * i.range + 1) * {IMG_H}) // (2 * {RESIZE_H}) AS y,
+         ((2 * j.range + 1) * {IMG_W}) // (2 * {RESIZE_W}) AS x
+  FROM range({RESIZE_H}) i, range({RESIZE_W}) j
+), vals AS (
+  SELECT d.doc_id,
+         (idx.x * 255) // {IMG_W - 1} AS r,
+         (idx.y * 255) // {IMG_H - 1} AS g,
+         ((idx.x + idx.y + d.doc_id) * 37) % 256 AS b
+  FROM documents d, idx
+)
+SELECT doc_id,
+       CAST({RESIZE_W} AS BIGINT) AS out_w,
+       CAST({RESIZE_H} AS BIGINT) AS out_h,
+       -- P6 header "P6\\n8 8\\n255\\n" (11 bytes) + 8*8*3 raster
+       CAST(11 + {RESIZE_W} * {RESIZE_H} * 3 AS BIGINT) AS n_bytes,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM vals GROUP BY 1
+"""

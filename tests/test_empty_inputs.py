@@ -126,6 +126,8 @@ EMPTY_OK = [
     ("part_brand_return_rate", 0),
     ("char_class_profile", 0),
     ("lineitem_qty_price_histogram2d", 0),
+    ("image_decode_stats", 0),
+    ("image_resize_stats", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
