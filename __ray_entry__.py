@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["biggraph_pagerank"] = _sg.biggraph_pagerank
     q["biggraph_kcore"] = _sg.biggraph_kcore
     q["biggraph_triangles"] = _sg.biggraph_triangles
+    q["biggraph_components"] = _sg.biggraph_components
     # --- full stub-LLM KG pipeline (vs reference semantics; value-gated
     #     against golden parquet produced by the reference code — see
     #     _golden_oracles; full 70-col entities stays rows-only) --------

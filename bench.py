@@ -319,6 +319,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "biggraph_pagerank",
         "biggraph_kcore",
         "biggraph_triangles",
+        "biggraph_components",
         "image_decode_stats",
         "image_resize_stats",
     ]

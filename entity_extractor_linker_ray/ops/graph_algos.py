@@ -50,25 +50,17 @@ def _labels_min(bucket: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def duplicate_clusters(sf_dir: str, max_iters: int = 25):
-    """(doc_id, cluster_id) for every document in >=1 verified
-    near-dup pair; cluster_id = min doc_id of its component."""
-    import pyarrow as pa
-    import ray.data as rd
-
-    from entity_extractor_linker_ray.ops.dedupe import ngram_pairs_materialized
+def min_label_components(edges, max_iters: int = 25,
+                         num_partitions: int = 16):
+    """Generic hash-min connected components over a message-edge
+    Dataset with int64 columns ``s`` → ``d`` (pass BOTH directions for
+    an undirected graph). Returns (node, label) where label = min node
+    id of the component. Each round is two bucketed two-phase
+    exchanges; convergence is the monotone label-sum check; state is
+    `_compact`-pinned so block counts don't ratchet."""
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
-    pairs = ngram_pairs_materialized(sf_dir).select_columns(["doc_a", "doc_b"])
-
-    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
-        a = batch["doc_a"].to_numpy(dtype=np.int64)
-        b = batch["doc_b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {"s": np.concatenate([a, b]), "d": np.concatenate([b, a])}
-        )
-
-    edges = _compact(pairs.map_batches(both_dirs, batch_format="pandas"), 16)
+    edges = _compact(edges, num_partitions)
 
     def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch["s"].to_numpy(dtype=np.int64)
@@ -76,9 +68,9 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 25):
 
     labels = grouped_aggregate(
         edges.map_batches(init_labels, batch_format="pandas"), ["node"], _labels_min,
-        num_partitions=16,
+        num_partitions=num_partitions,
     )
-    labels = _compact(labels, 16)
+    labels = _compact(labels, num_partitions)
     prev_sum = labels.sum("label") or 0
 
     def tag_labels(batch: pd.DataFrame) -> pd.DataFrame:
@@ -97,7 +89,9 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 25):
              "side": np.ones(len(batch), dtype=np.int64)}
         )
 
-    tagged_edges = _compact(edges.map_batches(tag_edges, batch_format="pandas"), 16)
+    tagged_edges = _compact(
+        edges.map_batches(tag_edges, batch_format="pandas"), num_partitions
+    )
 
     def send_msgs(bucket: pd.DataFrame) -> pd.DataFrame:
         own = bucket[bucket["side"] == 0][["key", "node", "label"]]
@@ -118,17 +112,46 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 25):
         unioned = labels.map_batches(tag_labels, batch_format="pandas").union(
             tagged_edges
         )
-        # the frontier is pair-involved docs only — small; fewer buckets
-        # cut the per-round barrier cost
-        candidates = grouped_aggregate(unioned, ["key"], send_msgs, num_partitions=16)
+        candidates = grouped_aggregate(
+            unioned, ["key"], send_msgs, num_partitions=num_partitions
+        )
         labels = _compact(
-            grouped_aggregate(candidates, ["node"], _labels_min, num_partitions=16), 16
+            grouped_aggregate(
+                candidates, ["node"], _labels_min, num_partitions=num_partitions
+            ),
+            num_partitions,
         )
         new_sum = labels.sum("label") or 0
         if new_sum == prev_sum:
-            logger.info("duplicate_clusters converged after %d rounds", it + 1)
+            logger.info("min_label_components converged after %d rounds", it + 1)
             break
         prev_sum = new_sum
+    return labels
+
+
+def duplicate_clusters(sf_dir: str, max_iters: int = 25):
+    """(doc_id, cluster_id) for every document in >=1 verified
+    near-dup pair; cluster_id = min doc_id of its component."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.dedupe import ngram_pairs_materialized
+
+    pairs = ngram_pairs_materialized(sf_dir).select_columns(["doc_a", "doc_b"])
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy(dtype=np.int64)
+        b = batch["doc_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"s": np.concatenate([a, b]), "d": np.concatenate([b, a])}
+        )
+
+    # the frontier is pair-involved docs only — small; fewer buckets
+    # cut the per-round barrier cost
+    labels = min_label_components(
+        pairs.map_batches(both_dirs, batch_format="pandas"),
+        max_iters=max_iters, num_partitions=16,
+    )
 
     def rename(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

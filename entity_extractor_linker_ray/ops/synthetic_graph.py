@@ -200,6 +200,65 @@ def biggraph_triangles(sf_dir: str = "", n_nodes: int = N_NODES,
     return triangles(edges, num_partitions=32, max_wedge_deg=wedge_cap)
 
 
+def biggraph_components(sf_dir: str = "", n_nodes: int = N_NODES,
+                        avg_deg: int = AVG_DEG, seed: int = 7,
+                        max_iters: int = 25):
+    """Connected components (undirected view) on the synthetic graph
+    via the generic hash-min label propagation
+    (`ops/graph_algos.min_label_components`) — per-round message volume
+    is 2|E| ≈ 2.5 M, the compute regime the dedup-cluster kernel claims
+    to serve. Output is the bounded component-size profile: one row per
+    log2-size band with component and node counts (the giant-component
+    structure of the power-law graph), never |V| rows at the driver."""
+    from entity_extractor_linker_ray.ops.graph_algos import (
+        min_label_components,
+    )
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["src"].to_numpy(dtype=np.int64)
+        d = batch["dst"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"s": np.concatenate([s, d]), "d": np.concatenate([d, s])}
+        )
+
+    labels = min_label_components(
+        _edges_materialized(n_nodes, avg_deg, seed).map_batches(
+            both_dirs, batch_format="pandas"
+        ),
+        max_iters=max_iters, num_partitions=32,
+    )
+
+    def size_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("label", sort=False).size().reset_index(name="n")
+        return g.astype({"label": np.int64, "n": np.int64})
+
+    sizes = grouped_aggregate(
+        labels.map_batches(size_partial, batch_format="pandas"),
+        ["label"],
+        lambda b: b.groupby("label", sort=False, as_index=False)["n"].sum(),
+        num_partitions=32,
+    )
+
+    def band_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].to_numpy(dtype=np.int64)
+        band = np.floor(np.log2(np.maximum(n, 1))).astype(np.int64)
+        out = pd.DataFrame({"size_band": band,
+                            "n_components": np.ones(len(band), dtype=np.int64),
+                            "n_nodes": n})
+        return out.groupby("size_band", sort=False, as_index=False).sum()
+
+    return grouped_aggregate(
+        sizes.map_batches(band_partial, batch_format="pandas"),
+        ["size_band"],
+        lambda b: b.groupby("size_band", sort=False, as_index=False)[
+            ["n_components", "n_nodes"]
+        ].sum().astype({"size_band": np.int64, "n_components": np.int64,
+                        "n_nodes": np.int64}),
+        num_partitions=4,
+    )
+
+
 def biggraph_degree_stats(sf_dir: str = "", n_nodes: int = N_NODES,
                           avg_deg: int = AVG_DEG, seed: int = 7):
     """Degree-distribution profile of the synthetic graph: per

@@ -141,3 +141,77 @@ class TestKernelsOnGeneratedGraph:
         assert int(df["sum_degree"].sum()) == len(edges)
         assert int(df["n_nodes"].sum()) == edges["src"].nunique()
         assert df["degree_band"].max() >= 5  # tail bands populated
+
+
+def _union_find_labels(pairs: pd.DataFrame) -> dict[int, int]:
+    """Local replica: min-id component label per node via union-find."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["src"], pairs["dst"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+class TestComponents:
+    def test_planted_components_exact(self, ray_session):
+        """min_label_components on a hand-planted multi-component edge
+        list returns the exact min-id labeling (chain, triangle-with-
+        bridge, isolated pair)."""
+        import ray.data as rd
+
+        from entity_extractor_linker_ray.ops.graph_algos import (
+            min_label_components,
+        )
+
+        pairs = pd.DataFrame(
+            {"src": [1, 2, 3, 10, 11, 10, 20, 30, 31],
+             "dst": [2, 3, 4, 11, 12, 12, 21, 31, 32]}
+        )
+        msgs = pd.concat(
+            [pairs.rename(columns={"src": "s", "dst": "d"}),
+             pairs.rename(columns={"src": "d", "dst": "s"})],
+            ignore_index=True,
+        )[["s", "d"]].astype(np.int64)
+        got = (
+            min_label_components(rd.from_pandas(msgs), num_partitions=4)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        exp = _union_find_labels(pairs)
+        assert dict(zip(got["node"], got["label"])) == exp
+
+    def test_biggraph_components_matches_union_find(self, ray_session, edges=None):
+        """Banded component profile at n=3000 equals the union-find
+        replica's band histogram of the same generated edge set."""
+        e = _edges_df(N_SMALL, 8)
+        labels = _union_find_labels(e)
+        sizes = pd.Series(list(labels.values())).value_counts()
+        bands = np.floor(np.log2(np.maximum(sizes.to_numpy(), 1))).astype(int)
+        exp = (
+            pd.DataFrame({"size_band": bands, "n": sizes.to_numpy()})
+            .groupby("size_band")
+            .agg(n_components=("n", "size"), n_nodes=("n", "sum"))
+            .reset_index()
+        )
+        got = (
+            sg.biggraph_components(n_nodes=N_SMALL)
+            .to_pandas()
+            .sort_values("size_band")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got, exp.astype({"size_band": np.int64, "n_components": np.int64,
+                             "n_nodes": np.int64}),
+            check_dtype=False,
+        )
+        # every edge-touching node is accounted for exactly once
+        assert int(got["n_nodes"].sum()) == len(labels)
