@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_value_bands"] = relational.events_value_bands
     q["normalized_fingerprints"] = textstats.normalized_fingerprints
     q["bpe_token_counts"] = textstats.bpe_token_counts
+    q["bpe_merge_candidates"] = textstats.bpe_merge_candidates
+    q["winnow_fingerprints"] = textstats.winnow_fingerprints
     from entity_extractor_linker_ray.pipelines import conversations as _convs
 
     q["conv_stats"] = _convs.conv_stats
@@ -624,6 +626,8 @@ def oracle_sql() -> dict[str, str]:
     sql["events_value_bands"] = relational.EVENTS_VALUE_BANDS_ORACLE
     sql["normalized_fingerprints"] = textstats.NORMALIZED_FINGERPRINTS_ORACLE
     sql["bpe_token_counts"] = textstats.BPE_TOKEN_COUNTS_ORACLE
+    sql["bpe_merge_candidates"] = textstats.BPE_MERGE_CANDIDATES_ORACLE
+    sql["winnow_fingerprints"] = textstats.WINNOW_FINGERPRINTS_ORACLE
     from entity_extractor_linker_ray.pipelines import conversations
 
     sql["conv_stats"] = conversations.CONV_STATS_ORACLE

@@ -320,6 +320,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "biggraph_kcore",
         "biggraph_triangles",
         "biggraph_components",
+        "bpe_merge_candidates",
+        "winnow_fingerprints",
         "image_decode_stats",
         "image_resize_stats",
     ]

@@ -1995,3 +1995,179 @@ SELECT source,
        END AS space_share
 FROM d GROUP BY 1
 """
+
+
+BPE_MERGE_K = 32
+
+
+def bpe_merge_candidates(sf_dir: str, k: int = BPE_MERGE_K):
+    """First BPE merge round of tokenizer training: global counts of
+    adjacent CHARACTER pairs inside alphabetic pretokens, weighted by
+    occurrence (every instance of a word contributes its pairs — the
+    statistic byte-pair-encoding greedily merges on). Returns the top-k
+    pairs by (count desc, pair asc).
+
+    Scale shape: per batch the words are flattened into ONE
+    space-separated byte blob and the pair histogram is computed with
+    two numpy slices + ``np.unique`` (no Python loop over words); each
+    batch emits <= 52*52 partial rows, so the wire carries
+    alphabet²-bounded partials, never tokens. The global merge is a
+    bucketed two-phase sum over a <= 2,704-key domain, and the final
+    ordered head runs on one block of that bounded table."""
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    word_re = re.compile(r"[A-Za-z]+")
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def pair_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        words: list[str] = []
+        for text in batch["text"].fillna(""):
+            words.extend(word_re.findall(text))
+        if not words:
+            return pd.DataFrame({"pair_code": np.array([], dtype=np.int64),
+                                 "n": np.array([], dtype=np.int64)})
+        blob = np.frombuffer(" ".join(words).encode("ascii"), dtype=np.uint8)
+        left, right = blob[:-1], blob[1:]
+        mask = (left != 32) & (right != 32)
+        code = left[mask].astype(np.int64) * 256 + right[mask]
+        uniq, cnt = np.unique(code, return_counts=True)
+        return pd.DataFrame({"pair_code": uniq.astype(np.int64),
+                             "n": cnt.astype(np.int64)})
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    totals = grouped_aggregate(
+        docs.map_batches(pair_partials, batch_format="pandas"),
+        ["pair_code"],
+        lambda b: b.groupby("pair_code", sort=False, as_index=False)["n"].sum(),
+        num_partitions=4,
+    )
+
+    def head_k(frame: pd.DataFrame) -> pd.DataFrame:
+        codes = frame["pair_code"].to_numpy(dtype=np.int64)
+        pairs = [chr(c >> 8) + chr(c & 0xFF) for c in codes]
+        out = pd.DataFrame({"pair": pairs,
+                            "n": frame["n"].to_numpy(dtype=np.int64)})
+        out = out.sort_values(["n", "pair"], ascending=[False, True],
+                              kind="stable").head(k)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out.reset_index(drop=True)
+
+    schema = pa.schema([("pair", pa.string()), ("n", pa.int64()),
+                        ("rank", pa.int64())])
+    return totals.repartition(1).map_batches(
+        head_k, batch_format="pandas"
+    ).union(rd.from_arrow(schema.empty_table()))
+
+
+BPE_MERGE_CANDIDATES_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]+')) AS w
+  FROM documents
+), pairs AS (
+  SELECT substr(w, CAST(ix AS INTEGER), 2) AS pair
+  FROM (SELECT w, unnest(range(1, len(w))) AS ix FROM words)
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, pair) AS BIGINT)
+         AS rank
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_MERGE_K}
+"""
+
+
+WINNOW_K = 8        # k-gram length (characters)
+WINNOW_W = 4        # winnowing window (grams)
+WINNOW_B = 257      # polynomial hash base
+WINNOW_M = 2**31 - 1
+
+
+def winnow_fingerprints(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every character k-gram with a polynomial rolling hash, then select
+    the minimum of each w-gram window — the guarantee is that any
+    shared substring of length >= k + w - 1 contributes at least one
+    IDENTICAL selected fingerprint to both documents, at ~1/w the
+    storage of the full gram set. Emits per doc: gram count, distinct
+    selected fingerprints, and their min/max (docs shorter than
+    k + w - 1 characters have no full window and emit nothing).
+
+    All-integer pipeline: codepoint * B^j mod M polynomial hash (sum
+    fits int64 by construction: 8 terms x 2^51), vectorized as one
+    sliding-window matmul + two strided reductions per batch — and the
+    SAME arithmetic replays in SQL as an 8-term inline polynomial with
+    a windowed MIN, so the driver hash-gates every fingerprint."""
+    docs = read_split(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    weights = np.array(
+        [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)],
+        dtype=np.int64,
+    )
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {key: [] for key in
+               ("doc_id", "n_grams", "n_fps", "fp_min", "fp_max")}
+        for doc_id, text in zip(
+            batch["doc_id"].to_numpy(dtype=np.int64), batch["text"].fillna("")
+        ):
+            n_grams = len(text) - k + 1
+            if n_grams < w:
+                continue
+            cp = np.frombuffer(
+                text.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            grams = np.lib.stride_tricks.sliding_window_view(cp, k)
+            fps = (grams @ weights) % WINNOW_M
+            wins = np.lib.stride_tricks.sliding_window_view(fps, w).min(axis=1)
+            sel = np.unique(wins)
+            out["doc_id"].append(doc_id)
+            out["n_grams"].append(n_grams)
+            out["n_fps"].append(len(sel))
+            out["fp_min"].append(int(sel[0]))
+            out["fp_max"].append(int(sel[-1]))
+        return pd.DataFrame(
+            {key: np.array(vals, dtype=np.int64)
+             for key, vals in out.items()}
+        )
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+def _winnow_poly_sql(k: int = WINNOW_K) -> str:
+    terms = " + ".join(
+        f"CAST(ascii(substr(t, CAST(ix + {j} AS INTEGER), 1)) AS BIGINT) "
+        f"* {pow(WINNOW_B, k - 1 - j, WINNOW_M)}"
+        for j in range(k)
+    )
+    return f"({terms}) % {WINNOW_M}"
+
+
+WINNOW_FINGERPRINTS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+), g AS (
+  SELECT doc_id, ix, {_winnow_poly_sql()} AS fp,
+         len(t) - {WINNOW_K} + 1 AS n_grams
+  FROM (SELECT doc_id, t,
+               unnest(range(1, len(t) - {WINNOW_K} + 2)) AS ix
+        FROM d)
+), wins AS (
+  SELECT doc_id, n_grams, ix,
+         min(fp) OVER (PARTITION BY doc_id ORDER BY ix
+                       ROWS BETWEEN CURRENT ROW
+                       AND {WINNOW_W - 1} FOLLOWING) AS wmin
+  FROM g
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fps,
+       CAST(MIN(wmin) AS BIGINT) AS fp_min,
+       CAST(MAX(wmin) AS BIGINT) AS fp_max
+FROM wins
+WHERE ix <= n_grams - {WINNOW_W} + 1 AND n_grams >= {WINNOW_W}
+GROUP BY doc_id, n_grams
+"""

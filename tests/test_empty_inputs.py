@@ -128,6 +128,8 @@ EMPTY_OK = [
     ("lineitem_qty_price_histogram2d", 0),
     ("image_decode_stats", 0),
     ("image_resize_stats", 0),
+    ("bpe_merge_candidates", 0),
+    ("winnow_fingerprints", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
