@@ -386,6 +386,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["char_class_profile"] = textstats.char_class_profile
     q["lineitem_qty_price_histogram2d"] = (
         relational.lineitem_qty_price_histogram2d)
+    q["q21_suppliers_kept_waiting"] = relational.q21_suppliers_kept_waiting
+    q["q22_idle_customer_balance"] = relational.q22_idle_customer_balance
+    q["nation_market_share"] = relational.nation_market_share
+    q["unigram_commonness"] = textstats.unigram_commonness
+    q["source_token_diversity"] = textstats.source_token_diversity
     # --- synthetic power-law graph (non-toy regime for the iterative
     #     graph kernels; seed-derived, sf_dir ignored; rows-only —
     #     replica/brute-force checks live in tests/test_synthetic_graph) -
@@ -761,6 +766,13 @@ def oracle_sql() -> dict[str, str]:
     sql["char_class_profile"] = textstats.CHAR_CLASS_PROFILE_ORACLE
     sql["lineitem_qty_price_histogram2d"] = (
         relational.LINEITEM_QTY_PRICE_HIST2D_ORACLE)
+    sql["q21_suppliers_kept_waiting"] = (
+        relational.q21_suppliers_kept_waiting_oracle())
+    sql["q22_idle_customer_balance"] = (
+        relational.q22_idle_customer_balance_oracle())
+    sql["nation_market_share"] = relational.nation_market_share_oracle()
+    sql["unigram_commonness"] = textstats.UNIGRAM_COMMONNESS_ORACLE
+    sql["source_token_diversity"] = textstats.SOURCE_TOKEN_DIVERSITY_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

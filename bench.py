@@ -324,6 +324,11 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "winnow_fingerprints",
         "image_decode_stats",
         "image_resize_stats",
+        "q21_suppliers_kept_waiting",
+        "q22_idle_customer_balance",
+        "nation_market_share",
+        "unigram_commonness",
+        "source_token_diversity",
     ]
     times: dict[str, float] = {}
     for name in names:

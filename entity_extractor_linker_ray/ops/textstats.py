@@ -2171,3 +2171,210 @@ FROM wins
 WHERE ix <= n_grams - {WINNOW_W} + 1 AND n_grams >= {WINNOW_W}
 GROUP BY doc_id, n_grams
 """
+
+
+def unigram_commonness(sf_dir: str):
+    """CCNet-style corpus-LM document quality signal, integer-exact:
+    train a unigram 'model' (global term counts) on the corpus itself,
+    then score every document by the mean commonness of its tokens in
+    parts-per-million — ``cpm(term) = global_count * 10^6 // N_total``
+    (floor division, bit-identical in pandas and DuckDB). Documents
+    dominated by rare/garbled tokens score low, exactly the signal the
+    CCNet perplexity filter thresholds on — but with integer sufficient
+    statistics instead of ``ln`` (cross-engine ``ln`` differs in the
+    last ulp, see :func:`bm25_components`), so the value hash gates it.
+
+    Scale shape — the :func:`tfidf_top_terms` two-shuffle plan, no
+    vocabulary broadcast: (1) (doc, term, tf) partials shuffle on
+    ``term``; a term's bucket holds ALL its postings, so the global
+    count is a local ``transform('sum')`` and the cpm attach costs
+    nothing; (2) the (doc, tf*cpm) contributions shuffle on ``doc`` and
+    sum. ``N_total`` is a one-int all-reduce done before stage 1. The
+    only float is the final ``mean_cpm = sum_cpm / n_tokens``, one
+    closed-form double over two exact int64s."""
+    import re
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    split = re.compile(r"[^a-z0-9]+")
+    docs = read_split(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_term, out_tf = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = [t for t in split.split((text or "").lower()) if t]
+            if not toks:
+                continue
+            counts = pd.Series(toks, dtype=object).value_counts()
+            out_doc.extend([int(doc_id)] * len(counts))
+            out_term.extend(counts.index.tolist())
+            out_tf.extend(counts.to_numpy(dtype=np.int64).tolist())
+        return pd.DataFrame(
+            {"doc_id": np.array(out_doc, dtype=np.int64),
+             "term": np.array(out_term, dtype=object),
+             "tf": np.array(out_tf, dtype=np.int64)}
+        )
+
+    tf = docs.map_batches(tf_rows, batch_format="pandas")
+
+    def n_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(batch["tf"].sum())]})
+
+    n_total = int(
+        collect_small(
+            tf.map_batches(n_partial, batch_format="pandas"), ["n"]
+        )["n"].sum()
+    )
+
+    def attach_cpm(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.copy()
+        c = g.groupby("term", sort=False)["tf"].transform("sum")
+        cpm = (c.to_numpy(dtype=np.int64) * 1_000_000) // n_total
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+             "tf": g["tf"].to_numpy(dtype=np.int64),
+             "contrib": g["tf"].to_numpy(dtype=np.int64) * cpm}
+        )
+
+    scored = grouped_aggregate(tf, ["term"], attach_cpm, num_partitions=16)
+
+    def per_doc(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("doc_id", sort=False).agg(
+            n_tokens=("tf", "sum"), sum_cpm=("contrib", "sum")
+        ).reset_index()
+        g["mean_cpm"] = (
+            g["sum_cpm"].to_numpy(dtype=np.float64)
+            / g["n_tokens"].to_numpy(dtype=np.float64)
+        )
+        return g.astype({"doc_id": np.int64, "n_tokens": np.int64,
+                         "sum_cpm": np.int64})
+
+    return grouped_aggregate(scored, ["doc_id"], per_doc, num_partitions=8)
+
+
+UNIGRAM_COMMONNESS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(COALESCE(text,'')),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(tf) AS BIGINT) AS n FROM tf
+), c AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.tf * ((c.cnt * 1000000) // t.n)) AS BIGINT) AS sum_cpm,
+       CAST(SUM(tf.tf * ((c.cnt * 1000000) // t.n)) AS DOUBLE)
+         / CAST(SUM(tf.tf) AS DOUBLE) AS mean_cpm
+FROM tf JOIN c USING (term) CROSS JOIN tot t
+GROUP BY 1
+"""
+
+
+def source_token_diversity(sf_dir: str):
+    """Per-source lexical diversity — the corpus-mix health check a
+    pretraining pipeline runs per provider: token count N, vocabulary
+    size V, type-token ratio V/N, and the Gini-Simpson diversity index
+    ``1 - Σ c_t² / N²`` (the probability two random tokens differ — a
+    repetition/templating detector that, unlike Shannon entropy, needs
+    NO ``ln`` so it value-hashes exactly; Σ c², N, V are integer
+    sufficient statistics, each final a single closed-form double).
+
+    Scale shape: (source, term, tf) partials shuffle ONCE on ``term``
+    (not on source — sources are few and would skew); a term's bucket
+    holds all its (source, term) postings, so the bucket emits exact
+    per-source partials (Σc, V-count, Σc²) that SUM across buckets
+    because term sets are disjoint. The final per-source add-up is
+    source-bounded."""
+    import re
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    split = re.compile(r"[^a-z0-9]+")
+    docs = read_split(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"])
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out_src, out_term, out_tf = [], [], []
+        for src, text in zip(batch["source"], batch["text"]):
+            toks = [t for t in split.split((text or "").lower()) if t]
+            if not toks:
+                continue
+            counts = pd.Series(toks, dtype=object).value_counts()
+            out_src.extend([str(src)] * len(counts))
+            out_term.extend(counts.index.tolist())
+            out_tf.extend(counts.to_numpy(dtype=np.int64).tolist())
+        return pd.DataFrame(
+            {"source": np.array(out_src, dtype=object),
+             "term": np.array(out_term, dtype=object),
+             "tf": np.array(out_tf, dtype=np.int64)}
+        )
+
+    tf = docs.map_batches(tf_rows, batch_format="pandas")
+
+    def bucket_partials(bucket: pd.DataFrame) -> pd.DataFrame:
+        per_st = (
+            bucket.groupby(["source", "term"], sort=False)["tf"]
+            .sum().reset_index()
+        )
+        c = per_st["tf"].to_numpy(dtype=np.int64)
+        per_st["c2"] = c * c
+        g = per_st.groupby("source", sort=False).agg(
+            n_part=("tf", "sum"), v_part=("term", "size"), c2_part=("c2", "sum")
+        ).reset_index()
+        return g.astype({"n_part": np.int64, "v_part": np.int64,
+                         "c2_part": np.int64})
+
+    partials = grouped_aggregate(tf, ["term"], bucket_partials,
+                                 num_partitions=16)
+    small = collect_small(partials, ["source", "n_part", "v_part", "c2_part"])
+    out = small.groupby("source", as_index=False)[
+        ["n_part", "v_part", "c2_part"]
+    ].sum()
+    out = out.rename(columns={"n_part": "n_tokens", "v_part": "vocab",
+                              "c2_part": "sum_c2"})
+    n = out["n_tokens"].to_numpy(dtype=np.float64)
+    out["ttr"] = out["vocab"].to_numpy(dtype=np.float64) / n
+    out["gini_simpson"] = (
+        1.0 - out["sum_c2"].to_numpy(dtype=np.float64) / (n * n)
+    )
+    out = out.sort_values("source").reset_index(drop=True)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    out["vocab"] = out["vocab"].astype(np.int64)
+    out["sum_c2"] = out["sum_c2"].astype(np.int64)
+    return out
+
+
+SOURCE_TOKEN_DIVERSITY_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(COALESCE(text,'')),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+       CAST(count(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+       1.0 - CAST(SUM(c * c) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+         AS gini_simpson
+FROM tf GROUP BY 1
+"""

@@ -10694,3 +10694,466 @@ SELECT CAST(CAST(floor(l_quantity) AS BIGINT) // 10 AS BIGINT) AS qty_band,
          AS revenue_centi
 FROM lineitem GROUP BY 1, 2
 """
+
+
+def q21_suppliers_kept_waiting(sf_dir: str, late_days: int = 60):
+    """TPC-H-Q21 shape adapted to this schema (lineitem has no
+    commit/receipt dates — "late" is ``l_shipdate > o_orderdate +
+    late_days``): for finished ('F') multi-supplier orders where
+    EXACTLY ONE supplier shipped late, blame that supplier; count
+    blames per supplier. The reference query's EXISTS/NOT-EXISTS pair
+    collapses to per-order distinct-supplier counting, which runs
+    WHERE the order's lines already meet its header.
+
+    Shape: ONE bucketed exchange on hash(orderkey) — order headers
+    (date + status) and lineitem (suppkey, shipdate) rows meet in the
+    bucket; each bucket computes per-order ``nunique`` supplier /
+    late-supplier counts vectorized and emits at most one blamed
+    suppkey per order. The second exchange is the tiny supplier-name
+    attach (suppliers are dimension-bounded), done driver-side via
+    ``collect_small`` exactly like the other dimension ladders.
+    Output is every blamed supplier (no LIMIT ambiguity), sorted
+    numwait desc / s_name asc.
+    """
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    late_us = int(late_days) * 86_400_000_000
+
+    def line_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ship_us = (
+            batch["l_shipdate"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {"okey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+             "suppkey": batch["l_suppkey"].to_numpy(dtype=np.int64),
+             "ship_us": ship_us,
+             "odate_us": np.zeros(len(batch), dtype=np.int64),
+             "side": np.zeros(len(batch), dtype=np.int64)}
+        )
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[batch["o_orderstatus"] == "F"]
+        odate_us = (
+            keep["o_orderdate"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {"okey": keep["o_orderkey"].to_numpy(dtype=np.int64),
+             "suppkey": np.zeros(len(keep), dtype=np.int64),
+             "ship_us": np.zeros(len(keep), dtype=np.int64),
+             "odate_us": odate_us,
+             "side": np.ones(len(keep), dtype=np.int64)}
+        )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(line_rows, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+    ).map_batches(order_rows, batch_format="pandas")
+
+    def blame(bucket: pd.DataFrame) -> pd.DataFrame:
+        heads = bucket[bucket["side"] == 1]
+        if heads.empty:
+            return pd.DataFrame({"suppkey": np.array([], dtype=np.int64),
+                                 "numwait": np.array([], dtype=np.int64)})
+        odate = heads.drop_duplicates("okey").set_index("okey")["odate_us"]
+        li = bucket[bucket["side"] == 0].copy()
+        li["odate_us"] = li["okey"].map(odate)
+        li = li[li["odate_us"].notna()]  # 'F' orders only
+        li["late"] = (
+            li["ship_us"] > li["odate_us"].astype(np.int64) + late_us
+        )
+        g = li.groupby("okey", sort=False).agg(n_supp=("suppkey", "nunique"))
+        lg = (
+            li[li["late"]].groupby("okey", sort=False)["suppkey"]
+            .agg(["nunique", "max"])
+        )
+        g["n_late_supp"] = lg["nunique"].reindex(g.index).fillna(0).astype(int)
+        g["late_one"] = lg["max"].reindex(g.index)
+        blamed = g[(g["n_supp"] > 1) & (g["n_late_supp"] == 1)]
+        out = (
+            blamed.groupby("late_one", sort=False).size().reset_index()
+        )
+        return pd.DataFrame(
+            {"suppkey": out["late_one"].to_numpy(dtype=np.int64),
+             "numwait": out[0].to_numpy(dtype=np.int64)}
+        )
+
+    partials = grouped_aggregate(
+        lines.union(orders), ["okey"], blame, num_partitions=16,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("suppkey", sort=False)["numwait"].sum().reset_index()
+        return g.astype({"suppkey": np.int64, "numwait": np.int64})
+
+    agg = grouped_aggregate(partials, ["suppkey"], final, num_partitions=4)
+    small = collect_small(agg, ["suppkey", "numwait"])
+
+    names = collect_small(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]),
+        ["s_suppkey", "s_name"],
+    )
+    out = small.merge(names, left_on="suppkey", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "numwait"]].sort_values(
+        ["numwait", "s_name"], ascending=[False, True]
+    ).reset_index(drop=True)
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return out
+
+
+def q21_suppliers_kept_waiting_oracle(late_days: int = 60) -> str:
+    return f"""
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate
+                   + INTERVAL {int(late_days)} DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+           AS n_late_supp,
+         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_one
+  FROM li GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order p JOIN supplier s ON s.s_suppkey = p.late_one
+WHERE p.n_supp > 1 AND p.n_late_supp = 1
+GROUP BY 1, 2
+"""
+
+
+def q22_idle_customer_balance(sf_dir: str,
+                              segments: tuple = ("AUTOMOBILE", "FURNITURE",
+                                                 "MACHINERY")):
+    """TPC-H-Q22 shape adapted to this schema (customers have no phone
+    — the country-prefix set becomes a market-segment set; every
+    synthetic customer has at least one order, so Q22's "no orders"
+    becomes "no URGENT orders" to keep the anti-join non-vacuous):
+    customers in the segment set whose balance exceeds the average
+    POSITIVE balance of that same population and who have placed no
+    1-URGENT order, summarized per segment. The classic
+    broadcast-scalar + anti-join pattern.
+
+    The above-average cut is integer-exact: instead of comparing
+    against a float mean, qualify with ``bal_c * cnt > sum_c`` (both
+    sides int64; cnt/sum_c are the two-int global all-reduce over the
+    positive-balance population), so no float can flip a boundary
+    customer — the oracle replays the identical integer inequality.
+    The anti join is ONE bucketed exchange on hash(custkey): order
+    custkeys arrive per-batch-deduped, qualifying customers keep only
+    rows whose custkey saw no order row; the exchange output is
+    per-segment partial sums, so the final aggregate is
+    segment-bounded."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    seg_set = set(segments)
+
+    cust_cols = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def bal_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[batch["c_mktsegment"].isin(seg_set)]
+        bal_c = np.round(
+            keep["c_acctbal"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        pos = bal_c[bal_c > 0]
+        return pd.DataFrame({"sum_c": [int(pos.sum())],
+                             "cnt": [int(len(pos))]})
+
+    totals = collect_small(
+        cust_cols.map_batches(bal_partial, batch_format="pandas"),
+        ["sum_c", "cnt"],
+    )
+    sum_c = int(totals["sum_c"].sum())
+    cnt = int(totals["cnt"].sum())
+
+    def qualifying(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[batch["c_mktsegment"].isin(seg_set)]
+        bal_c = np.round(
+            keep["c_acctbal"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        m = bal_c * cnt > sum_c
+        keep = keep[m]
+        return pd.DataFrame(
+            {"custkey": keep["c_custkey"].to_numpy(dtype=np.int64),
+             "segment": keep["c_mktsegment"].astype(str).to_numpy(),
+             "bal_c": bal_c[m],
+             "side": np.zeros(m.sum(), dtype=np.int64)}
+        )
+
+    def order_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        urgent = batch[batch["o_orderpriority"] == "1-URGENT"]
+        keys = np.unique(urgent["o_custkey"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {"custkey": keys,
+             "segment": np.full(len(keys), "", dtype=object),
+             "bal_c": np.zeros(len(keys), dtype=np.int64),
+             "side": np.ones(len(keys), dtype=np.int64)}
+        )
+
+    cands = cust_cols.map_batches(qualifying, batch_format="pandas")
+    okeys = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(order_keys, batch_format="pandas")
+
+    def anti(bucket: pd.DataFrame) -> pd.DataFrame:
+        has_order = set(
+            bucket.loc[bucket["side"] == 1, "custkey"].tolist()
+        )
+        c = bucket[bucket["side"] == 0]
+        c = c[~c["custkey"].isin(has_order)]
+        g = c.groupby("segment", sort=False).agg(
+            numcust=("custkey", "size"), totacctbal_cents=("bal_c", "sum")
+        ).reset_index()
+        return g.astype({"numcust": np.int64, "totacctbal_cents": np.int64})
+
+    partials = grouped_aggregate(
+        cands.union(okeys), ["custkey"], anti, num_partitions=16,
+    )
+    small = collect_small(partials, ["segment", "numcust", "totacctbal_cents"])
+    out = small.groupby("segment", sort=False, as_index=False)[
+        ["numcust", "totacctbal_cents"]
+    ].sum().sort_values("segment").reset_index(drop=True)
+    out["numcust"] = out["numcust"].astype(np.int64)
+    out["totacctbal_cents"] = out["totacctbal_cents"].astype(np.int64)
+    return out
+
+
+def q22_idle_customer_balance_oracle(
+        segments: tuple = ("AUTOMOBILE", "FURNITURE", "MACHINERY")) -> str:
+    seg_list = ", ".join(f"'{s}'" for s in segments)
+    return f"""
+WITH pop AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer WHERE c_mktsegment IN ({seg_list})
+), tot AS (
+  SELECT CAST(SUM(CASE WHEN bal_c > 0 THEN bal_c ELSE 0 END) AS BIGINT)
+           AS sum_c,
+         CAST(SUM(CASE WHEN bal_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+  FROM pop
+)
+SELECT p.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(p.bal_c) AS BIGINT) AS totacctbal_cents
+FROM pop p, tot t
+WHERE p.bal_c * t.cnt > t.sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = p.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
+def nation_market_share(sf_dir: str, region: str = "ASIA"):
+    """TPC-H-Q8 shape generalized: per order year, each supplier
+    nation's share of the revenue billed to customers of one REGION.
+    Q8 fixes a single focus nation; the matrix form answers every
+    supplier nation at once from the same single fact exchange.
+
+    Shape: the dimension ladder (supplier→nation, customer→nation→
+    region) collapses to sorted-array broadcast lookups via
+    ``ray.put`` (dimensions are ~10^-4 of fact bytes at TPC-H ratios;
+    the 100-TB fallback is tagging custkeys into the exchange as in
+    :func:`trade_matrix_nations`). Lineitems pre-aggregate exact c4
+    revenue per (orderkey, supp_nation) INSIDE each batch; orders keep
+    only in-region customers and tag the year; both meet in ONE
+    bucketed exchange on hash(orderkey). The final table is at most
+    |nations| x |years| rows, so the per-year total + share divide is
+    a driver-side closed form over exact int64s (``100.0 * rev /
+    total``), written identically in the oracle."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    region_keys = set(
+        reg.loc[reg["r_name"] == region, "r_regionkey"].astype(int)
+    )
+    in_region_nations = set(
+        nation.loc[nation["n_regionkey"].astype(int).isin(region_keys),
+                   "n_nationkey"].astype(int)
+    )
+    nat_names = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    cust = collect_small(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        ["c_custkey", "c_nationkey"],
+    )
+    cust = cust[cust["c_nationkey"].astype(int).isin(in_region_nations)]
+    ck = np.sort(cust["c_custkey"].to_numpy(dtype=np.int64))
+    cust_ref = ray.put(ck)
+
+    supp = collect_small(
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        ["s_suppkey", "s_nationkey"],
+    )
+    order_s = np.argsort(supp["s_suppkey"].to_numpy())
+    supp_ref = ray.put(
+        (supp["s_suppkey"].to_numpy(dtype=np.int64)[order_s],
+         supp["s_nationkey"].to_numpy(dtype=np.int64)[order_s])
+    )
+
+    class LinePartial:
+        def __init__(self):
+            self.sk, self.sn = ray.get(supp_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cents = np.round(
+                batch["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+            ).astype(np.int64)
+            pct = np.round(
+                batch["l_discount"].to_numpy(dtype=np.float64) * 100
+            ).astype(np.int64)
+            rev = cents * (100 - pct)
+            sup = batch["l_suppkey"].to_numpy(dtype=np.int64)
+            idx = np.searchsorted(self.sk, sup)
+            idx = np.clip(idx, 0, len(self.sk) - 1)
+            nkey = np.where(self.sk[idx] == sup, self.sn[idx], -1)
+            part = (
+                pd.DataFrame(
+                    {"okey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+                     "supp_nkey": nkey, "rev_c4": rev}
+                )
+                .groupby(["okey", "supp_nkey"], sort=False)["rev_c4"]
+                .sum().reset_index()
+            )
+            part["year"] = np.zeros(len(part), dtype=np.int64)
+            part["side"] = np.zeros(len(part), dtype=np.int64)
+            return part.astype({"okey": np.int64, "supp_nkey": np.int64,
+                                "rev_c4": np.int64})
+
+    class OrderRows:
+        def __init__(self):
+            self.ck = ray.get(cust_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cust_k = batch["o_custkey"].to_numpy(dtype=np.int64)
+            idx = np.searchsorted(self.ck, cust_k)
+            idx = np.clip(idx, 0, max(len(self.ck) - 1, 0))
+            in_reg = (
+                (self.ck[idx] == cust_k) if len(self.ck) else
+                np.zeros(len(batch), dtype=bool)
+            )
+            keep = batch[in_reg]
+            years = (
+                keep["o_orderdate"].to_numpy().astype("datetime64[Y]")
+                .astype(np.int64) + 1970
+            )
+            return pd.DataFrame(
+                {"okey": keep["o_orderkey"].to_numpy(dtype=np.int64),
+                 "supp_nkey": np.full(len(keep), -1, dtype=np.int64),
+                 "rev_c4": np.zeros(len(keep), dtype=np.int64),
+                 "year": years, "side": np.ones(len(keep), dtype=np.int64)}
+            )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(LinePartial, batch_format="pandas", concurrency=(1, 8))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(OrderRows, batch_format="pandas", concurrency=(1, 4))
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        heads = bucket[bucket["side"] == 1]
+        if heads.empty:
+            return pd.DataFrame(
+                {"o_year": np.array([], dtype=np.int64),
+                 "supp_nkey": np.array([], dtype=np.int64),
+                 "rev_c4": np.array([], dtype=np.int64)}
+            )
+        yr = heads.drop_duplicates("okey").set_index("okey")["year"]
+        li = bucket[bucket["side"] == 0].copy()
+        li["o_year"] = li["okey"].map(yr)
+        li = li[li["o_year"].notna()]
+        g = (
+            li.groupby([li["o_year"].astype(np.int64), "supp_nkey"],
+                       sort=False)["rev_c4"].sum().reset_index()
+        )
+        return g.astype({"o_year": np.int64, "supp_nkey": np.int64,
+                         "rev_c4": np.int64})
+
+    partials = grouped_aggregate(
+        lines.union(orders), ["okey"], per_bucket, num_partitions=16,
+    )
+    small = collect_small(partials, ["o_year", "supp_nkey", "rev_c4"])
+    agg = small.groupby(["o_year", "supp_nkey"], as_index=False)["rev_c4"].sum()
+    agg["year_rev_c4"] = agg.groupby("o_year")["rev_c4"].transform("sum")
+    agg["supp_nation"] = agg["supp_nkey"].map(nat_names).fillna("UNKNOWN")
+    agg["share_pct"] = 100.0 * agg["rev_c4"] / agg["year_rev_c4"]
+    out = agg[["o_year", "supp_nation", "rev_c4", "year_rev_c4",
+               "share_pct"]].sort_values(["o_year", "supp_nation"])
+    out = out.reset_index(drop=True)
+    out["o_year"] = out["o_year"].astype(np.int64)
+    out["rev_c4"] = out["rev_c4"].astype(np.int64)
+    out["year_rev_c4"] = out["year_rev_c4"].astype(np.int64)
+    return out
+
+
+def nation_market_share_oracle(region: str = "ASIA") -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         n_s.n_name AS supp_nation,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c4
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n_c ON n_c.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n_c.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n_s ON n_s.n_nationkey = s.s_nationkey
+  WHERE r.r_name = '{region}'
+), agg AS (
+  SELECT o_year, supp_nation, CAST(SUM(rev_c4) AS BIGINT) AS rev_c4
+  FROM base GROUP BY 1, 2
+)
+SELECT o_year, supp_nation, rev_c4,
+       CAST(SUM(rev_c4) OVER (PARTITION BY o_year) AS BIGINT)
+         AS year_rev_c4,
+       100.0 * CAST(rev_c4 AS DOUBLE)
+             / CAST(SUM(rev_c4) OVER (PARTITION BY o_year) AS DOUBLE)
+         AS share_pct
+FROM agg
+"""
