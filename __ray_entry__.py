@@ -286,6 +286,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["conv_stats"] = _convs.conv_stats
     q["conv_role_words"] = _convs.conv_role_words
+    q["conv_sft_pairs"] = _convs.conv_sft_pairs
+    q["conv_turn_dedup"] = _convs.turn_dedup_stats
+    q["conv_context_growth"] = _convs.conv_context_growth
+    q["conv_tool_sequences"] = _convs.conv_tool_sequences
     q["events_per_user_distribution"] = relational.events_per_user_distribution
     q["events_mad"] = relational.events_mad
     q["engaged_users"] = relational.engaged_users
@@ -637,6 +641,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["conv_stats"] = conversations.CONV_STATS_ORACLE
     sql["conv_role_words"] = conversations.CONV_ROLE_WORDS_ORACLE
+    sql["conv_sft_pairs"] = conversations.CONV_SFT_PAIRS_ORACLE
+    sql["conv_turn_dedup"] = conversations.CONV_TURN_DEDUP_ORACLE
+    sql["conv_context_growth"] = conversations.CONV_CONTEXT_GROWTH_ORACLE
+    sql["conv_tool_sequences"] = conversations.CONV_TOOL_SEQUENCES_ORACLE
     sql["events_per_user_distribution"] = (
         relational.EVENTS_PER_USER_DISTRIBUTION_ORACLE
     )

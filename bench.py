@@ -205,6 +205,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "event_type_shares",
         "table_checksums",
         "conv_stats",
+        "conv_sft_pairs",
+        "conv_turn_dedup",
+        "conv_context_growth",
+        "conv_tool_sequences",
         "top_parts_with_ties",
         "events_value_bands",
         "normalized_fingerprints",

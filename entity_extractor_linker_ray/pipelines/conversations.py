@@ -261,6 +261,402 @@ def conv_chatml_export(sf_dir: str):
     )
 
 
+def conv_sft_pairs(sf_dir: str):
+    """Instruction-response pair mining: for every user turn that is
+    immediately followed by an assistant turn in the same conversation,
+    count the pair and its prompt/response character volumes — the
+    selection step between raw agent transcripts and an SFT dataset.
+
+    Shape: adjacency needs turn order, so this is the window-scan
+    bucket shape (no ``partial`` — raw per-turn rows move, one stable
+    sort per conv_id bucket, vectorized shift compare). Conversations
+    with no qualifying pair (single-turn) emit no row, matching the
+    oracle's GROUP BY over pairs only."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.synthetic import (
+        transcripts_dataset_from_documents,
+    )
+
+    turns = transcripts_dataset_from_documents(sf_dir)
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": batch["conv_id"].astype(str).to_numpy(),
+             "turn_idx": batch["turn_idx"].to_numpy(dtype=np.int64),
+             "role": batch["role"].astype(str).to_numpy(),
+             "n_chars": batch["text"].fillna("").str.len().to_numpy(np.int64)}
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"conv_id": pd.Series([], dtype=str),
+             "n_pairs": pd.Series([], dtype=np.int64),
+             "prompt_chars": pd.Series([], dtype=np.int64),
+             "response_chars": pd.Series([], dtype=np.int64)}
+        )
+        if bucket.empty:
+            return empty
+        df = bucket.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy()
+        ch = df["n_chars"].to_numpy(dtype=np.int64)
+        nxt_same = np.concatenate((conv[1:] == conv[:-1], [False]))
+        nxt_role = np.concatenate((role[1:], [""]))
+        is_pair = nxt_same & (role == "user") & (nxt_role == "assistant")
+        if not is_pair.any():
+            return empty
+        resp = np.concatenate((ch[1:], [np.int64(0)]))
+        pairs = pd.DataFrame(
+            {"conv_id": conv[is_pair],
+             "prompt_chars": ch[is_pair],
+             "response_chars": resp[is_pair]}
+        )
+        return (
+            pairs.groupby("conv_id", sort=False)
+            .agg(n_pairs=("prompt_chars", "size"),
+                 prompt_chars=("prompt_chars", "sum"),
+                 response_chars=("response_chars", "sum"))
+            .reset_index()
+            .astype({"n_pairs": np.int64, "prompt_chars": np.int64,
+                     "response_chars": np.int64})
+        )
+
+    return grouped_aggregate(
+        turns.map_batches(prep, batch_format="pandas"), ["conv_id"], combine
+    )
+
+
+# Pairs replay: user turns sit at ti%3=0 and the following turn (when it
+# exists) is always 'assistant' (ti%3=1), so lead(n_chars) NULL-ness is
+# exactly the pair predicate.
+CONV_SFT_PAIRS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(COALESCE(text, '')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, ' ') END AS words
+  FROM documents
+), t AS (
+  SELECT doc_id, words, len(words) AS wlen,
+         CASE WHEN len(words) = 0 THEN 1 ELSE (len(words) + 11) // 12 END
+           AS n_turns
+  FROM d
+), g AS (
+  SELECT doc_id, words, wlen,
+         CAST(unnest(range(0, n_turns)) AS BIGINT) AS ti
+  FROM t
+), chars AS (
+  SELECT doc_id, ti,
+         length(array_to_string(
+             words[ti * 12 + 1 : least((ti + 1) * 12, wlen)], ' '))
+           AS n_chars
+  FROM g
+), p AS (
+  SELECT doc_id, ti, n_chars,
+         lead(n_chars) OVER (PARTITION BY doc_id ORDER BY ti) AS next_chars
+  FROM chars
+)
+SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+       count(*) AS n_pairs,
+       CAST(sum(n_chars) AS BIGINT) AS prompt_chars,
+       CAST(sum(next_chars) AS BIGINT) AS response_chars
+FROM p WHERE ti % 3 = 0 AND next_chars IS NOT NULL
+GROUP BY 1
+"""
+
+
+def turn_dedup_stats(sf_dir: str):
+    """Message-level exact dedup over the WHOLE corpus: group turns by
+    (role, text) across every conversation, then roll up per role —
+    total turns, distinct texts, duplicate-turn count (total −
+    distinct) and the largest duplicate group. This is the transcript
+    analog of document exact-dedup: boilerplate tool outputs and
+    repeated user prompts show up as heavy (role, text) groups.
+
+    Shape: phase 1 is the high-cardinality two-phase aggregate on
+    (role, text) — per-batch partial counts so the exchange moves one
+    row per distinct batch-local text, and each (role, text) group
+    lands wholly in one hash bucket, so phase 1 can ALREADY collapse
+    each bucket to ≤3 per-role partial rows (sum/count/max are
+    mergeable). Phase 2 merges ≤ 64×3 tiny partials — nothing
+    text-sized crosses the second exchange."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.synthetic import (
+        transcripts_dataset_from_documents,
+    )
+
+    turns = transcripts_dataset_from_documents(sf_dir)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"role": batch["role"].astype(str).to_numpy(),
+             "text": batch["text"].fillna("").astype(str).to_numpy(),
+             "cnt": np.int64(1)}
+        )
+        return (
+            df.groupby(["role", "text"], sort=False)
+            .agg(cnt=("cnt", "sum"))
+            .reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"role": pd.Series([], dtype=str),
+                 "n_turns": pd.Series([], dtype=np.int64),
+                 "n_distinct_texts": pd.Series([], dtype=np.int64),
+                 "n_dup_turns": pd.Series([], dtype=np.int64),
+                 "max_group": pd.Series([], dtype=np.int64)}
+            )
+        per_text = (
+            bucket.groupby(["role", "text"], sort=False)
+            .agg(cnt=("cnt", "sum"))
+            .reset_index()
+        )
+        out = (
+            per_text.groupby("role", sort=False)
+            .agg(n_turns=("cnt", "sum"),
+                 n_distinct_texts=("cnt", "size"),
+                 max_group=("cnt", "max"))
+            .reset_index()
+        )
+        out["n_dup_turns"] = out["n_turns"] - out["n_distinct_texts"]
+        return out[["role", "n_turns", "n_distinct_texts", "n_dup_turns",
+                    "max_group"]].astype(
+            {c: np.int64 for c in ("n_turns", "n_distinct_texts",
+                                   "n_dup_turns", "max_group")}
+        )
+
+    bucket_partials = grouped_aggregate(turns, ["role", "text"], combine,
+                                        partial=partial)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket.groupby("role", sort=False)
+            .agg(n_turns=("n_turns", "sum"),
+                 n_distinct_texts=("n_distinct_texts", "sum"),
+                 n_dup_turns=("n_dup_turns", "sum"),
+                 max_group=("max_group", "max"))
+            .reset_index()
+        )
+        return out.astype(
+            {c: np.int64 for c in ("n_turns", "n_distinct_texts",
+                                   "n_dup_turns", "max_group")}
+        )
+
+    return grouped_aggregate(bucket_partials, ["role"], final)
+
+
+CONV_TURN_DEDUP_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(COALESCE(text, '')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, ' ') END AS words
+  FROM documents
+), t AS (
+  SELECT doc_id, words, len(words) AS wlen,
+         CASE WHEN len(words) = 0 THEN 1 ELSE (len(words) + 11) // 12 END
+           AS n_turns
+  FROM d
+), g AS (
+  SELECT doc_id, words, wlen,
+         CAST(unnest(range(0, n_turns)) AS BIGINT) AS ti
+  FROM t
+), lines AS (
+  SELECT CASE CAST(ti % 3 AS INTEGER) WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         array_to_string(words[ti * 12 + 1 : least((ti + 1) * 12, wlen)],
+                         ' ') AS txt
+  FROM g
+), grp AS (
+  SELECT role, txt, count(*) AS c FROM lines GROUP BY 1, 2
+)
+SELECT role,
+       CAST(sum(c) AS BIGINT) AS n_turns,
+       count(*) AS n_distinct_texts,
+       CAST(sum(c) - count(*) AS BIGINT) AS n_dup_turns,
+       CAST(max(c) AS BIGINT) AS max_group
+FROM grp GROUP BY 1
+"""
+
+
+def conv_context_growth(sf_dir: str):
+    """Context-window budgeting: per conversation, the total character
+    volume a context window would accumulate and how many turns it
+    takes to cross a 256-char budget (0 if the conversation never
+    does) — the feature behind 'how deep into the transcript does the
+    context fill' analyses. Window-scan bucket shape: stable sort per
+    bucket, segment-reset cumulative sum (vectorized via cumsum minus
+    per-segment base), threshold search via a masked argmin."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.synthetic import (
+        transcripts_dataset_from_documents,
+    )
+
+    turns = transcripts_dataset_from_documents(sf_dir)
+    BUDGET = 256
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": batch["conv_id"].astype(str).to_numpy(),
+             "turn_idx": batch["turn_idx"].to_numpy(dtype=np.int64),
+             "n_chars": batch["text"].fillna("").str.len().to_numpy(np.int64)}
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"conv_id": pd.Series([], dtype=str),
+                 "n_turns": pd.Series([], dtype=np.int64),
+                 "total_chars": pd.Series([], dtype=np.int64),
+                 "turns_to_256": pd.Series([], dtype=np.int64)}
+            )
+        df = bucket.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        ch = df["n_chars"].to_numpy(dtype=np.int64)
+        n = len(conv)
+        starts = np.flatnonzero(np.concatenate(([True], conv[1:] != conv[:-1])))
+        ends = np.concatenate((starts[1:], [n]))
+        cs = np.cumsum(ch)
+        base = np.repeat(cs[starts] - ch[starts], ends - starts)
+        run = cs - base
+        # first in-segment position (1-based) where run >= BUDGET
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, ends - starts) + 1
+        hit = np.where(run >= BUDGET, pos, np.int64(np.iinfo(np.int64).max))
+        first_hit = np.minimum.reduceat(hit, starts)
+        first_hit = np.where(first_hit == np.iinfo(np.int64).max, 0, first_hit)
+        return pd.DataFrame(
+            {"conv_id": conv[starts],
+             "n_turns": (ends - starts).astype(np.int64),
+             "total_chars": run[ends - 1].astype(np.int64),
+             "turns_to_256": first_hit.astype(np.int64)}
+        )
+
+    return grouped_aggregate(
+        turns.map_batches(prep, batch_format="pandas"), ["conv_id"], combine
+    )
+
+
+CONV_CONTEXT_GROWTH_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(COALESCE(text, '')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, ' ') END AS words
+  FROM documents
+), t AS (
+  SELECT doc_id, words, len(words) AS wlen,
+         CASE WHEN len(words) = 0 THEN 1 ELSE (len(words) + 11) // 12 END
+           AS n_turns
+  FROM d
+), g AS (
+  SELECT doc_id, words, wlen,
+         CAST(unnest(range(0, n_turns)) AS BIGINT) AS ti
+  FROM t
+), chars AS (
+  SELECT doc_id, ti,
+         length(array_to_string(
+             words[ti * 12 + 1 : least((ti + 1) * 12, wlen)], ' '))
+           AS n_chars
+  FROM g
+), r AS (
+  SELECT doc_id, ti, n_chars,
+         sum(n_chars) OVER (PARTITION BY doc_id ORDER BY ti
+                            ROWS UNBOUNDED PRECEDING) AS run
+  FROM chars
+)
+SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+       count(*) AS n_turns,
+       CAST(max(run) AS BIGINT) AS total_chars,
+       CAST(COALESCE(min(CASE WHEN run >= 256 THEN ti + 1 END), 0) AS BIGINT)
+         AS turns_to_256
+FROM r GROUP BY 1
+"""
+
+
+def conv_tool_sequences(sf_dir: str):
+    """Agent tool-call analytics: per conversation that calls at least
+    one tool, the ordered tool-call sequence (joined with ``>``), call
+    count and distinct-tool count — the 'what did the agent actually
+    do' rollup. Filter to tool turns happens INSIDE the prep kernel
+    (rows with empty ``tool`` never enter the exchange), then the
+    ordered join reuses the chatml segment-slice shape."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.synthetic import (
+        transcripts_dataset_from_documents,
+    )
+
+    turns = transcripts_dataset_from_documents(sf_dir)
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        tool = batch["tool"].fillna("").astype(str)
+        keep = tool.str.len() > 0
+        return pd.DataFrame(
+            {"conv_id": batch["conv_id"].astype(str).to_numpy()[keep.to_numpy()],
+             "turn_idx": batch["turn_idx"].to_numpy(dtype=np.int64)[keep.to_numpy()],
+             "tool": tool.to_numpy()[keep.to_numpy()]}
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"conv_id": pd.Series([], dtype=str),
+                 "n_tool_calls": pd.Series([], dtype=np.int64),
+                 "n_distinct_tools": pd.Series([], dtype=np.int64),
+                 "tool_seq": pd.Series([], dtype=str)}
+            )
+        df = bucket.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy()
+        with_sep = df["tool"].astype(str) + ">"
+        big = "".join(with_sep.tolist())
+        offs = np.concatenate(
+            ([0], np.cumsum(with_sep.str.len().to_numpy(dtype=np.int64)))
+        )
+        starts = np.flatnonzero(np.concatenate(([True], conv[1:] != conv[:-1])))
+        ends = np.concatenate((starts[1:], [len(conv)]))
+        seqs = [big[offs[s]:offs[e] - 1] for s, e in zip(starts, ends)]
+        ndist = (
+            df.groupby("conv_id", sort=False)["tool"].nunique()
+            .reindex(conv[starts]).to_numpy(dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {"conv_id": conv[starts],
+             "n_tool_calls": (ends - starts).astype(np.int64),
+             "n_distinct_tools": ndist,
+             "tool_seq": seqs}
+        )
+
+    return grouped_aggregate(
+        turns.map_batches(prep, batch_format="pandas"), ["conv_id"], combine
+    )
+
+
+CONV_TOOL_SEQUENCES_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(COALESCE(text, '')) = 0 THEN 0
+              ELSE len(string_split(text, ' ')) END AS words
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         CASE WHEN words = 0 THEN 1 ELSE (words + 11) // 12 END AS n_turns
+  FROM d
+), g AS (
+  SELECT doc_id, CAST(unnest(range(0, n_turns)) AS BIGINT) AS ti FROM t
+), tools AS (
+  SELECT doc_id, ti,
+         CASE WHEN ti % 6 = 2 THEN 'search' ELSE 'calculator' END AS tool
+  FROM g WHERE ti % 6 IN (2, 4)
+)
+SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+       count(*) AS n_tool_calls,
+       count(DISTINCT tool) AS n_distinct_tools,
+       string_agg(tool, '>' ORDER BY ti) AS tool_seq
+FROM tools GROUP BY 1
+"""
+
+
 CONV_CHATML_EXPORT_ORACLE = """
 WITH d AS (
   SELECT doc_id,
