@@ -218,6 +218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # REAL image formats (byte-accurate PPM/BMP codec, oracle-gated)
     q["image_decode_stats"] = multimodal.image_decode_stats
     q["image_resize_stats"] = multimodal.image_resize_stats
+    # REAL audio (RIFF/WAVE PCM16) + video (concatenated-PPM stream)
+    q["audio_decode_stats"] = multimodal.audio_decode_stats
+    q["audio_downsample_stats"] = multimodal.audio_downsample_stats
+    q["video_frame_stats"] = multimodal.video_frame_stats
     # --- relational / stream-shaped -----------------------------------
     q["events_hourly"] = relational.events_hourly
     q["events_orders_asof"] = relational.events_orders_asof
@@ -577,6 +581,9 @@ def oracle_sql() -> dict[str, str]:
     sql["multimodal_meta"] = multimodal.MULTIMODAL_META_ORACLE
     sql["image_decode_stats"] = multimodal.IMAGE_DECODE_STATS_ORACLE
     sql["image_resize_stats"] = multimodal.IMAGE_RESIZE_STATS_ORACLE
+    sql["audio_decode_stats"] = multimodal.AUDIO_DECODE_STATS_ORACLE
+    sql["audio_downsample_stats"] = multimodal.AUDIO_DOWNSAMPLE_STATS_ORACLE
+    sql["video_frame_stats"] = multimodal.VIDEO_FRAME_STATS_ORACLE
     sql["events_hourly"] = relational.EVENTS_HOURLY_ORACLE
     sql["events_orders_asof"] = relational.EVENTS_ASOF_ORACLE
     sql["orders_events_range_join"] = relational.ORDERS_EVENTS_RANGE_ORACLE

@@ -209,6 +209,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "conv_turn_dedup",
         "conv_context_growth",
         "conv_tool_sequences",
+        "audio_decode_stats",
+        "video_frame_stats",
         "top_parts_with_ties",
         "events_value_bands",
         "normalized_fingerprints",

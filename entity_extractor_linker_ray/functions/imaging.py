@@ -136,6 +136,37 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return pixels[ys][:, xs]
 
 
+def decode_ppm_stream(payload: bytes) -> list[tuple[int, int, np.ndarray]]:
+    """Concatenated binary PPM frames → list of (w, h, HxWx3 RGB).
+
+    Back-to-back P6 images are a real video interchange format (what
+    ``ffmpeg -f image2pipe -vcodec ppm`` reads/writes); the parser
+    loops the single-image decoder over the stream, re-parsing each
+    header, and rejects trailing garbage."""
+    frames: list[tuple[int, int, np.ndarray]] = []
+    pos = 0
+    while pos < len(payload):
+        chunk = payload[pos:]
+        if chunk[:2] != b"P6":
+            raise ValueError(
+                f"PPM stream: expected P6 at offset {pos}, got {chunk[:2]!r}"
+            )
+        magic, w, h, maxval, off = _pnm_header(chunk)
+        if maxval != 255:
+            raise ValueError(f"unsupported PNM maxval {maxval}")
+        need = w * h * 3
+        raster = chunk[off:off + need]
+        if len(raster) != need:
+            raise ValueError(
+                f"truncated frame at offset {pos}: need {need}, have {len(raster)}"
+            )
+        frames.append(
+            (w, h, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy())
+        )
+        pos += off + need
+    return frames
+
+
 def synth_image(doc_id: int, width: int = 24, height: int = 16) -> np.ndarray:
     """Deterministic RGB test image for ``doc_id``: gradient base +
     id-mixed stripes (pure integer function — same bytes everywhere)."""

@@ -483,3 +483,292 @@ SELECT doc_id,
        CAST(SUM(b) AS BIGINT) AS sum_b
 FROM vals GROUP BY 1
 """
+
+
+# --- REAL audio format: RIFF/WAVE PCM16 ------------------------------
+
+AUDIO_RATE = 8000
+
+
+def attach_audio_payload(sf_dir: str):
+    """A REAL audio payload column: one deterministic PCM16 WAV clip
+    per document — `functions/audio.py` implements the RIFF container
+    byte-accurately. Realism knobs that force a spec-correct parser:
+    stereo every 5th doc (interleaved frames), and a ``LIST`` junk
+    chunk between ``fmt `` and ``data`` every 4th doc (decoders must
+    WALK chunks, not assume the 44-byte layout)."""
+    from entity_extractor_linker_ray.functions.audio import (
+        encode_wav,
+        synth_samples,
+    )
+    from entity_extractor_linker_ray.ops.readers import read_split
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        payloads, chans = [], []
+        for doc_id in doc_ids:
+            doc_id = int(doc_id)
+            channels = 2 if doc_id % 5 == 0 else 1
+            frames = 480 + (doc_id % 7) * 160
+            stream = synth_samples(doc_id, frames * channels)
+            payloads.append(
+                encode_wav(stream, AUDIO_RATE, channels,
+                           junk_chunk=(doc_id % 4 == 0))
+            )
+            chans.append(channels)
+        return pa.table(
+            {"doc_id": pa.array([int(d) for d in doc_ids], pa.int64()),
+             "payload": pa.array(payloads, pa.binary()),
+             "n_channels": pa.array(chans, pa.int64())}
+        )
+
+    return docs.map_batches(kernel, batch_format="pyarrow", batch_size=256)
+
+
+class RealAudioDecoder:
+    """Actor-pool decode stage over REAL WAV bytes: walks the RIFF
+    chunks (`functions/audio.decode_wav`) and emits exact integer
+    sufficient statistics (Σ|v|, max|v|, Σv²) plus one closed-form
+    double — the decode chain is DuckDB-hash-gateable because the
+    synthesized stream is a pure integer function of (doc_id, i)."""
+
+    def __init__(self):
+        from entity_extractor_linker_ray.functions.audio import decode_wav
+
+        self.decode = decode_wav  # a real impl binds its codec here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("doc_id", "n_channels", "sample_rate",
+                               "n_samples", "sum_abs", "max_abs",
+                               "sum_sq", "mean_sq")}
+        for doc_id, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            rate, channels, stream = self.decode(payload)
+            v = stream.astype(np.int64)
+            n = len(v)
+            sum_sq = int((v * v).sum())
+            out["doc_id"].append(int(doc_id))
+            out["n_channels"].append(channels)
+            out["sample_rate"].append(rate)
+            out["n_samples"].append(n)
+            out["sum_abs"].append(int(np.abs(v).sum()))
+            out["max_abs"].append(int(np.abs(v).max()))
+            out["sum_sq"].append(sum_sq)
+            out["mean_sq"].append(sum_sq / n)
+        return pa.table(
+            {"doc_id": pa.array(out["doc_id"], pa.int64()),
+             "n_channels": pa.array(out["n_channels"], pa.int64()),
+             "sample_rate": pa.array(out["sample_rate"], pa.int64()),
+             "n_samples": pa.array(out["n_samples"], pa.int64()),
+             "sum_abs": pa.array(out["sum_abs"], pa.int64()),
+             "max_abs": pa.array(out["max_abs"], pa.int64()),
+             "sum_sq": pa.array(out["sum_sq"], pa.int64()),
+             "mean_sq": pa.array(out["mean_sq"], pa.float64())}
+        )
+
+
+def audio_decode_stats(sf_dir: str):
+    """REAL-format audio decode → per-clip sample statistics, through
+    the decoder actor pool. Oracle-gated: DuckDB replays the PCM
+    synthesis with one range() expansion, so a single wrong byte
+    anywhere in the RIFF encode→chunk-walk→decode chain breaks the
+    value hash."""
+    return attach_audio_payload(sf_dir).map_batches(
+        RealAudioDecoder,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 4),
+    )
+
+
+AUDIO_DECODE_STATS_ORACLE = f"""
+WITH params AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS n_channels,
+         (480 + (doc_id % 7) * 160) AS n_frames
+  FROM documents
+), idx AS (
+  SELECT doc_id, n_channels, n_frames * n_channels AS n,
+         CAST(unnest(range(0, n_frames * n_channels)) AS BIGINT) AS i
+  FROM params
+), s AS (
+  SELECT doc_id, n_channels, n,
+         ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS v
+  FROM idx
+)
+SELECT doc_id,
+       CAST(max(n_channels) AS BIGINT) AS n_channels,
+       CAST({AUDIO_RATE} AS BIGINT) AS sample_rate,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(v)) AS BIGINT) AS max_abs,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(sum(v * v) AS DOUBLE) / max(n) AS mean_sq
+FROM s GROUP BY 1
+"""
+
+
+def audio_downsample_stats(sf_dir: str):
+    """REAL audio decimation: decode the WAV, keep every other FRAME
+    (all channels of kept frames — the interleave-aware half of the
+    stream), re-encode as a canonical WAV and report exact stats plus
+    the re-encoded byte size. The frame-parity keep rule
+    ``(i // channels) % 2 == 0`` replays verbatim in SQL."""
+    from entity_extractor_linker_ray.functions.audio import decode_wav, encode_wav
+
+    payloads = attach_audio_payload(sf_dir)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("doc_id", "n_out", "sum_abs_out", "wav_bytes")}
+        for doc_id, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            rate, channels, stream = decode_wav(payload)
+            i = np.arange(len(stream), dtype=np.int64)
+            keep = (i // channels) % 2 == 0
+            kept = stream[keep]
+            wav = encode_wav(kept, rate // 2, channels)
+            out["doc_id"].append(int(doc_id))
+            out["n_out"].append(int(keep.sum()))
+            out["sum_abs_out"].append(int(np.abs(kept.astype(np.int64)).sum()))
+            out["wav_bytes"].append(len(wav))
+        return pa.table(
+            {"doc_id": pa.array(out["doc_id"], pa.int64()),
+             "n_out": pa.array(out["n_out"], pa.int64()),
+             "sum_abs_out": pa.array(out["sum_abs_out"], pa.int64()),
+             "wav_bytes": pa.array(out["wav_bytes"], pa.int64())}
+        )
+
+    return payloads.map_batches(kernel, batch_format="pyarrow", batch_size=128)
+
+
+AUDIO_DOWNSAMPLE_STATS_ORACLE = """
+WITH params AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS n_channels,
+         (480 + (doc_id % 7) * 160) AS n_frames
+  FROM documents
+), idx AS (
+  SELECT doc_id, n_channels,
+         CAST(unnest(range(0, n_frames * n_channels)) AS BIGINT) AS i
+  FROM params
+), s AS (
+  SELECT doc_id,
+         ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS v
+  FROM idx WHERE (i // n_channels) % 2 = 0
+)
+SELECT doc_id,
+       count(*) AS n_out,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs_out,
+       -- canonical WAV: 12 RIFF + 24 fmt + 8 data header + 2 bytes/sample
+       CAST(44 + 2 * count(*) AS BIGINT) AS wav_bytes
+FROM s GROUP BY 1
+"""
+
+
+# --- REAL video format: concatenated-PPM stream (image2pipe) ----------
+
+VID_W, VID_H = 8, 6
+
+
+def attach_video_payload(sf_dir: str):
+    """A REAL video payload column: back-to-back binary PPM frames —
+    the ``ffmpeg -f image2pipe -vcodec ppm`` interchange format — with
+    3 + doc_id%5 frames per clip, each frame the deterministic
+    `synth_image` raster shifted by 7·frame_idx."""
+    from entity_extractor_linker_ray.functions.imaging import (
+        encode_ppm,
+        synth_image,
+    )
+    from entity_extractor_linker_ray.ops.readers import read_split
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc_ids = [int(d) for d in batch.column("doc_id").to_pylist()]
+        payloads, nframes = [], []
+        for doc_id in doc_ids:
+            n = 3 + doc_id % 5
+            payloads.append(
+                b"".join(
+                    encode_ppm(synth_image(doc_id + 7 * f, VID_W, VID_H))
+                    for f in range(n)
+                )
+            )
+            nframes.append(n)
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()),
+             "payload": pa.array(payloads, pa.binary()),
+             "n_frames": pa.array(nframes, pa.int64())}
+        )
+
+    return docs.map_batches(kernel, batch_format="pyarrow", batch_size=256)
+
+
+def video_frame_stats(sf_dir: str):
+    """REAL video frame sampling: parse the concatenated-PPM stream
+    (`functions/imaging.decode_ppm_stream` re-parses every header —
+    a fixed-stride slice would NOT survive a format change), keep the
+    even frames, and emit exact per-frame channel sums. Oracle-gated
+    via the same range()-replay as the image stages."""
+    from entity_extractor_linker_ray.functions.imaging import decode_ppm_stream
+
+    payloads = attach_video_payload(sf_dir)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("doc_id", "frame_idx", "n_frames",
+                               "sum_r", "sum_g", "sum_b")}
+        for doc_id, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            frames = decode_ppm_stream(payload)
+            for f, (w, h, px) in enumerate(frames):
+                if f % 2:
+                    continue
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(f)
+                out["n_frames"].append(len(frames))
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+        return pa.table(
+            {"doc_id": pa.array(out["doc_id"], pa.int64()),
+             "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+             "n_frames": pa.array(out["n_frames"], pa.int64()),
+             "sum_r": pa.array(out["sum_r"], pa.int64()),
+             "sum_g": pa.array(out["sum_g"], pa.int64()),
+             "sum_b": pa.array(out["sum_b"], pa.int64())}
+        )
+
+    return payloads.map_batches(kernel, batch_format="pyarrow", batch_size=128)
+
+
+VIDEO_FRAME_STATS_ORACLE = f"""
+WITH params AS (
+  SELECT doc_id, 3 + doc_id % 5 AS n_frames FROM documents
+), fr AS (
+  SELECT doc_id, n_frames,
+         CAST(unnest(range(0, n_frames)) AS BIGINT) AS f
+  FROM params
+), vals AS (
+  SELECT fr.doc_id, fr.n_frames, fr.f,
+         (x.range * 255) // {VID_W - 1} AS r,
+         (y.range * 255) // {VID_H - 1} AS g,
+         ((x.range + y.range + fr.doc_id + 7 * fr.f) * 37) % 256 AS b
+  FROM fr, range({VID_W}) x, range({VID_H}) y
+  WHERE fr.f % 2 = 0
+)
+SELECT doc_id, f AS frame_idx,
+       CAST(max(n_frames) AS BIGINT) AS n_frames,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM vals GROUP BY 1, 2
+"""
