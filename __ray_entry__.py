@@ -394,6 +394,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["char_class_profile"] = textstats.char_class_profile
     q["lineitem_qty_price_histogram2d"] = (
         relational.lineitem_qty_price_histogram2d)
+    q["q13_order_count_distribution"] = relational.q13_order_count_distribution
+    q["q15_top_supplier"] = relational.q15_top_supplier
+    q["q17_small_quantity_revenue"] = relational.q17_small_quantity_revenue
+    q["q19_disjunctive_revenue"] = relational.q19_disjunctive_revenue
+    q["q9_profit_by_nation_year"] = relational.q9_profit_by_nation_year
     q["q21_suppliers_kept_waiting"] = relational.q21_suppliers_kept_waiting
     q["q22_idle_customer_balance"] = relational.q22_idle_customer_balance
     q["nation_market_share"] = relational.nation_market_share
@@ -781,6 +786,14 @@ def oracle_sql() -> dict[str, str]:
     sql["char_class_profile"] = textstats.CHAR_CLASS_PROFILE_ORACLE
     sql["lineitem_qty_price_histogram2d"] = (
         relational.LINEITEM_QTY_PRICE_HIST2D_ORACLE)
+    sql["q13_order_count_distribution"] = (
+        relational.Q13_ORDER_COUNT_DISTRIBUTION_ORACLE)
+    sql["q15_top_supplier"] = relational.q15_top_supplier_oracle()
+    sql["q17_small_quantity_revenue"] = (
+        relational.q17_small_quantity_revenue_oracle())
+    sql["q19_disjunctive_revenue"] = relational.q19_disjunctive_revenue_oracle()
+    sql["q9_profit_by_nation_year"] = (
+        relational.q9_profit_by_nation_year_oracle())
     sql["q21_suppliers_kept_waiting"] = (
         relational.q21_suppliers_kept_waiting_oracle())
     sql["q22_idle_customer_balance"] = (

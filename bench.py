@@ -211,6 +211,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "conv_tool_sequences",
         "audio_decode_stats",
         "video_frame_stats",
+        "q13_order_count_distribution",
+        "q17_small_quantity_revenue",
+        "q19_disjunctive_revenue",
+        "q9_profit_by_nation_year",
         "top_parts_with_ties",
         "events_value_bands",
         "normalized_fingerprints",

@@ -11157,3 +11157,558 @@ SELECT o_year, supp_nation, rev_c4,
          AS share_pct
 FROM agg
 """
+
+
+def q13_order_count_distribution(sf_dir: str):
+    """TPC-H-Q13 shape: the distribution of customers by order count,
+    INCLUDING the zero-order customers the LEFT JOIN exists for.
+
+    Shape: orders pre-aggregate per-batch counts per custkey, one
+    bucketed exchange sums them (customer-cardinality groups), a
+    second tiny exchange rolls counts into the distribution (the
+    domain is at most max-orders-per-customer values). The zero row
+    never touches the join: it is ``total customers − customers with
+    ≥1 order``, a driver-side subtraction of two scalars — the
+    100-TB-safe replacement for materializing a customer×orders LEFT
+    JOIN. Reference shape: TPC-H Q13 (no comment filter; the schema
+    has no o_comment)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby("o_custkey", sort=False).size()
+            .reset_index(name="c_count")
+        )
+        return g.astype({"o_custkey": np.int64, "c_count": np.int64})
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby("o_custkey", sort=False)["c_count"].sum()
+            .reset_index()
+        )
+        return g.astype({"o_custkey": np.int64, "c_count": np.int64})
+
+    per_cust = grouped_aggregate(orders, ["o_custkey"], partial=partial,
+                                 combine=combine)
+
+    def dist(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby("c_count", sort=False).size()
+            .reset_index(name="custdist")
+        )
+        return g.astype({"c_count": np.int64, "custdist": np.int64})
+
+    out = collect_small(
+        grouped_aggregate(per_cust, ["c_count"], dist),
+        ["c_count", "custdist"],
+    )
+    out = (
+        out.groupby("c_count", sort=False)["custdist"].sum().reset_index()
+        .astype({"c_count": np.int64, "custdist": np.int64})
+    )
+    total_customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    zero = int(total_customers) - int(out["custdist"].sum())
+    if zero > 0:
+        out = pd.concat(
+            [out, pd.DataFrame({"c_count": [np.int64(0)],
+                                "custdist": [np.int64(zero)]})],
+            ignore_index=True,
+        )
+    return out.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+Q13_ORDER_COUNT_DISTRIBUTION_ORACLE = """
+WITH per AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+FROM per GROUP BY 1
+"""
+
+
+def q15_top_supplier(sf_dir: str,
+                     start: str = "1996-01-01", end: str = "1996-04-01"):
+    """TPC-H-Q15 shape: the supplier(s) with the maximum revenue over a
+    three-month ship window — Q15's view + WHERE total = max(total),
+    ties kept. Revenue is the exact integer c4 form (cents ×
+    (100 − discount%)) summed as int64, so the max comparison can never
+    flip on float association order; the single displayed double is the
+    closed form c4/10⁴.
+
+    Shape: one two-phase aggregate over suppkey (supplier-bounded
+    groups), then the max + name attach on the supplier-cardinality
+    result driver-side."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    lo = np.datetime64(start, "us").astype(np.int64)
+    hi = np.datetime64(end, "us").astype(np.int64)
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ship = (
+            batch["l_shipdate"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keep = (ship >= lo) & (ship < hi)
+        b = batch[keep]
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        pct = np.round(
+            b["l_discount"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"suppkey": b["l_suppkey"].to_numpy(dtype=np.int64),
+             "rev_c4": cents * (100 - pct)}
+        )
+        return (
+            df.groupby("suppkey", sort=False)["rev_c4"].sum().reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("suppkey", sort=False)["rev_c4"].sum().reset_index()
+        return g.astype({"suppkey": np.int64, "rev_c4": np.int64})
+
+    rev = collect_small(
+        grouped_aggregate(lines, ["suppkey"], combine, partial=partial),
+        ["suppkey", "rev_c4"],
+    )
+    rev = (
+        rev.groupby("suppkey", sort=False)["rev_c4"].sum().reset_index()
+    )
+    if rev.empty:
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype=np.int64),
+             "s_name": pd.Series([], dtype=str),
+             "total_rev_c4": pd.Series([], dtype=np.int64),
+             "total_revenue": pd.Series([], dtype=np.float64)}
+        )
+    top = rev[rev["rev_c4"] == rev["rev_c4"].max()]
+
+    names = collect_small(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]),
+        ["s_suppkey", "s_name"],
+    )
+    out = top.merge(names, left_on="suppkey", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name"]].assign(
+        total_rev_c4=top["rev_c4"].to_numpy(dtype=np.int64),
+        total_revenue=top["rev_c4"].to_numpy(dtype=np.float64) / 10000.0,
+    )
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q15_top_supplier_oracle(start: str = "1996-01-01",
+                            end: str = "1996-04-01") -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_c4
+  FROM lineitem
+  WHERE l_shipdate >= DATE '{start}' AND l_shipdate < DATE '{end}'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.rev_c4 AS total_rev_c4,
+       CAST(r.rev_c4 AS DOUBLE) / 10000 AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rev_c4 = (SELECT max(rev_c4) FROM rev)
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13"):
+    """TPC-H-Q17 shape: average yearly revenue lost if small-quantity
+    orders (qty < 20% of the part's average order quantity) for one
+    brand were no longer taken. The correlated ``avg(l_quantity)``
+    subquery needs no second pass: the per-part average comes from the
+    SAME lineitem rows, so brand-filtered part keys and lineitem rows
+    meet in ONE bucketed exchange on hash(partkey) and each bucket
+    both computes the per-part mean and applies the cut. The cut is
+    the cross-multiplied integer inequality ``5·qty_c·cnt < Σqty_c``
+    (qty < avg/5 with no float division anywhere); the one double is
+    the closed form Σprice_c/100/7."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    def part_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[batch["p_brand"] == brand]
+        return pd.DataFrame(
+            {"pkey": keep["p_partkey"].to_numpy(dtype=np.int64),
+             "qty_c": np.zeros(len(keep), dtype=np.int64),
+             "price_c": np.zeros(len(keep), dtype=np.int64),
+             "side": np.ones(len(keep), dtype=np.int64)}
+        )
+
+    def line_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pkey": batch["l_partkey"].to_numpy(dtype=np.int64),
+             "qty_c": np.round(
+                 batch["l_quantity"].to_numpy(dtype=np.float64) * 100
+             ).astype(np.int64),
+             "price_c": np.round(
+                 batch["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+             ).astype(np.int64),
+             "side": np.zeros(len(batch), dtype=np.int64)}
+        )
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(part_rows, batch_format="pandas")
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(line_rows, batch_format="pandas")
+
+    def cut(bucket: pd.DataFrame) -> pd.DataFrame:
+        keys = set(bucket.loc[bucket["side"] == 1, "pkey"].tolist())
+        li = bucket[(bucket["side"] == 0) & bucket["pkey"].isin(keys)]
+        if li.empty:
+            return pd.DataFrame({"n_rows": np.array([], dtype=np.int64),
+                                 "revenue_c": np.array([], dtype=np.int64)})
+        st = li.groupby("pkey", sort=False)["qty_c"].agg(["sum", "count"])
+        sum_qty = li["pkey"].map(st["sum"]).to_numpy(dtype=np.int64)
+        cnt = li["pkey"].map(st["count"]).to_numpy(dtype=np.int64)
+        small = 5 * li["qty_c"].to_numpy(dtype=np.int64) * cnt < sum_qty
+        return pd.DataFrame(
+            {"n_rows": [np.int64(small.sum())],
+             "revenue_c": [np.int64(li["price_c"].to_numpy()[small].sum())]}
+        )
+
+    partials = collect_small(
+        grouped_aggregate(lines.union(parts), ["pkey"], cut,
+                          num_partitions=16, coalesce=True),
+        ["n_rows", "revenue_c"],
+    )
+    n = int(partials["n_rows"].sum()) if len(partials) else 0
+    rev_c = int(partials["revenue_c"].sum()) if len(partials) else 0
+    return pd.DataFrame(
+        {"n_rows": [np.int64(n)], "revenue_c": [np.int64(rev_c)],
+         "avg_yearly": [rev_c / 100.0 / 7.0]}
+    )
+
+
+def q17_small_quantity_revenue_oracle(brand: str = "Brand#13") -> str:
+    return f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{brand}'
+), st AS (
+  SELECT *,
+         sum(qty_c) OVER (PARTITION BY l_partkey) AS sum_qty,
+         count(*) OVER (PARTITION BY l_partkey) AS cnt
+  FROM li
+)
+SELECT count(*) AS n_rows,
+       CAST(COALESCE(sum(price_c), 0) AS BIGINT) AS revenue_c,
+       CAST(COALESCE(sum(price_c), 0) AS DOUBLE) / 100 / 7 AS avg_yearly
+FROM st WHERE 5 * qty_c * cnt < sum_qty
+"""
+
+
+_Q19_DISJUNCTS = (
+    ("Brand#11", 1, 15, 100, 1100),
+    ("Brand#12", 1, 25, 1000, 2000),
+    ("Brand#13", 1, 50, 2000, 3000),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H-Q19 shape: discounted revenue under an OR of three
+    (brand, size range, quantity range) predicates — the classic
+    disjunctive join predicate that defeats naive pushdown. Part
+    attributes (brand, size) and lineitem rows meet in ONE bucketed
+    exchange on hash(partkey); each bucket evaluates all three
+    disjuncts vectorized and emits a single partial (count, Σc4).
+    Quantity bounds are in integer cents so the band edges are
+    convention-pinned (no float BETWEEN)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    brands = sorted({d[0] for d in _Q19_DISJUNCTS})
+
+    def part_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[batch["p_brand"].isin(brands)]
+        return pd.DataFrame(
+            {"pkey": keep["p_partkey"].to_numpy(dtype=np.int64),
+             # fixed-width unicode, not object: Ray's block size
+             # estimator can't size empty object arrays
+             "brand": keep["p_brand"].to_numpy(dtype="U16"),
+             "size": keep["p_size"].to_numpy(dtype=np.int64),
+             "qty_c": np.zeros(len(keep), dtype=np.int64),
+             "rev_c4": np.zeros(len(keep), dtype=np.int64),
+             "side": np.ones(len(keep), dtype=np.int64)}
+        )
+
+    def line_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        pct = np.round(
+            batch["l_discount"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"pkey": batch["l_partkey"].to_numpy(dtype=np.int64),
+             "brand": np.full(len(batch), "", dtype="U16"),
+             "size": np.zeros(len(batch), dtype=np.int64),
+             "qty_c": np.round(
+                 batch["l_quantity"].to_numpy(dtype=np.float64) * 100
+             ).astype(np.int64),
+             "rev_c4": cents * (100 - pct),
+             "side": np.zeros(len(batch), dtype=np.int64)}
+        )
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(part_rows, batch_format="pandas")
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(line_rows, batch_format="pandas")
+
+    def evaluate(bucket: pd.DataFrame) -> pd.DataFrame:
+        p = bucket[bucket["side"] == 1].drop_duplicates("pkey").set_index("pkey")
+        li = bucket[(bucket["side"] == 0) & bucket["pkey"].isin(p.index)]
+        if li.empty:
+            return pd.DataFrame({"n_rows": np.array([], dtype=np.int64),
+                                 "revenue_c4": np.array([], dtype=np.int64)})
+        brand = li["pkey"].map(p["brand"]).to_numpy()
+        size = li["pkey"].map(p["size"]).to_numpy(dtype=np.int64)
+        qty = li["qty_c"].to_numpy(dtype=np.int64)
+        keep = np.zeros(len(li), dtype=bool)
+        for b, slo, shi, qlo, qhi in _Q19_DISJUNCTS:
+            keep |= ((brand == b) & (size >= slo) & (size <= shi)
+                     & (qty >= qlo) & (qty <= qhi))
+        return pd.DataFrame(
+            {"n_rows": [np.int64(keep.sum())],
+             "revenue_c4": [np.int64(li["rev_c4"].to_numpy()[keep].sum())]}
+        )
+
+    partials = collect_small(
+        grouped_aggregate(lines.union(parts), ["pkey"], evaluate,
+                          num_partitions=16, coalesce=True),
+        ["n_rows", "revenue_c4"],
+    )
+    n = int(partials["n_rows"].sum()) if len(partials) else 0
+    rev = int(partials["revenue_c4"].sum()) if len(partials) else 0
+    return pd.DataFrame(
+        {"n_rows": [np.int64(n)], "revenue_c4": [np.int64(rev)],
+         "revenue": [rev / 10000.0]}
+    )
+
+
+def q19_disjunctive_revenue_oracle() -> str:
+    ors = " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+        f"AND CAST(round(l.l_quantity * 100) AS BIGINT) "
+        f"BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in _Q19_DISJUNCTS
+    )
+    return f"""
+SELECT count(*) AS n_rows,
+       CAST(COALESCE(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)
+            AS BIGINT) AS revenue_c4,
+       CAST(COALESCE(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 0)
+            AS DOUBLE) / 10000 AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {ors}
+"""
+
+
+def q9_profit_by_nation_year(sf_dir: str, token: str = "widget"):
+    """TPC-H-Q9 shape adapted (no partsupp table, so profit =
+    discounted revenue): per (supplier nation, order year) revenue for
+    parts whose name contains ``token``. Dimension ladder (part-name
+    filter → partkey set, supplier → nationkey, nation → name) rides
+    broadcast sorted arrays exactly like
+    :func:`nation_market_share`; lineitems pre-aggregate exact c4 per
+    (orderkey, nationkey) inside each batch; ONE fact exchange on
+    hash(orderkey) attaches the order year. Final is |nations|×|years|
+    rows. Reference shape: TPC-H Q9."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_names = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    part = collect_small(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_name"]),
+        ["p_partkey", "p_name"],
+    )
+    pk = np.sort(
+        part.loc[part["p_name"].str.contains(token, regex=False),
+                 "p_partkey"].to_numpy(dtype=np.int64)
+    )
+    part_ref = ray.put(pk)
+
+    supp = collect_small(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        ["s_suppkey", "s_nationkey"],
+    )
+    order_s = np.argsort(supp["s_suppkey"].to_numpy())
+    supp_ref = ray.put(
+        (supp["s_suppkey"].to_numpy(dtype=np.int64)[order_s],
+         supp["s_nationkey"].to_numpy(dtype=np.int64)[order_s])
+    )
+
+    class LinePartial:
+        def __init__(self):
+            self.pk = ray.get(part_ref)
+            self.sk, self.sn = ray.get(supp_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            pkey = batch["l_partkey"].to_numpy(dtype=np.int64)
+            idx = np.searchsorted(self.pk, pkey)
+            idx = np.clip(idx, 0, max(len(self.pk) - 1, 0))
+            in_tok = (
+                (self.pk[idx] == pkey) if len(self.pk)
+                else np.zeros(len(batch), dtype=bool)
+            )
+            b = batch[in_tok]
+            cents = np.round(
+                b["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+            ).astype(np.int64)
+            pct = np.round(
+                b["l_discount"].to_numpy(dtype=np.float64) * 100
+            ).astype(np.int64)
+            sup = b["l_suppkey"].to_numpy(dtype=np.int64)
+            sidx = np.clip(np.searchsorted(self.sk, sup), 0,
+                           max(len(self.sk) - 1, 0))
+            nkey = np.where(self.sk[sidx] == sup, self.sn[sidx], -1)
+            out = (
+                pd.DataFrame(
+                    {"okey": b["l_orderkey"].to_numpy(dtype=np.int64),
+                     "nkey": nkey,
+                     "rev_c4": cents * (100 - pct)}
+                )
+                .groupby(["okey", "nkey"], sort=False)["rev_c4"]
+                .sum().reset_index()
+            )
+            out["year"] = np.zeros(len(out), dtype=np.int64)
+            out["side"] = np.zeros(len(out), dtype=np.int64)
+            return out.astype({"okey": np.int64, "nkey": np.int64,
+                               "rev_c4": np.int64})
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        years = (
+            batch["o_orderdate"].to_numpy().astype("datetime64[Y]")
+            .astype(np.int64) + 1970
+        )
+        return pd.DataFrame(
+            {"okey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+             "nkey": np.full(len(batch), -1, dtype=np.int64),
+             "rev_c4": np.zeros(len(batch), dtype=np.int64),
+             "year": years,
+             "side": np.ones(len(batch), dtype=np.int64)}
+        )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(LinePartial, batch_format="pandas", concurrency=(1, 8))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pandas")
+
+    def attach_year(bucket: pd.DataFrame) -> pd.DataFrame:
+        heads = bucket[bucket["side"] == 1]
+        years = heads.drop_duplicates("okey").set_index("okey")["year"]
+        li = bucket[bucket["side"] == 0].copy()
+        li["year"] = li["okey"].map(years)
+        li = li[li["year"].notna()]
+        g = (
+            li.groupby(["nkey", "year"], sort=False)["rev_c4"]
+            .sum().reset_index()
+        )
+        return g.astype({"nkey": np.int64, "year": np.int64,
+                         "rev_c4": np.int64})
+
+    partials = grouped_aggregate(
+        lines.union(orders), ["okey"], attach_year, num_partitions=16,
+    )
+    small = collect_small(partials, ["nkey", "year", "rev_c4"])
+    if small.empty:
+        return pd.DataFrame(
+            {"nation": pd.Series([], dtype=str),
+             "o_year": pd.Series([], dtype=np.int64),
+             "profit_c4": pd.Series([], dtype=np.int64),
+             "profit": pd.Series([], dtype=np.float64)}
+        )
+    g = (
+        small.groupby(["nkey", "year"], sort=False)["rev_c4"]
+        .sum().reset_index()
+    )
+    g["nation"] = g["nkey"].map(nat_names).astype(str)
+    return pd.DataFrame(
+        {"nation": g["nation"],
+         "o_year": g["year"].astype(np.int64),
+         "profit_c4": g["rev_c4"].astype(np.int64),
+         "profit": g["rev_c4"].to_numpy(dtype=np.float64) / 10000.0}
+    ).sort_values(["nation", "o_year"]).reset_index(drop=True)
+
+
+def q9_profit_by_nation_year_oracle(token: str = "widget") -> str:
+    return f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS profit_c4,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000 AS profit
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_name LIKE '%{token}%'
+GROUP BY 1, 2
+"""
