@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["q22_idle_customer_balance"] = relational.q22_idle_customer_balance
     q["nation_market_share"] = relational.nation_market_share
     q["unigram_commonness"] = textstats.unigram_commonness
+    q["bigram_commonness"] = textstats.bigram_commonness
     q["source_token_diversity"] = textstats.source_token_diversity
     # --- synthetic power-law graph (non-toy regime for the iterative
     #     graph kernels; seed-derived, sf_dir ignored; rows-only —
@@ -800,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
         relational.q22_idle_customer_balance_oracle())
     sql["nation_market_share"] = relational.nation_market_share_oracle()
     sql["unigram_commonness"] = textstats.UNIGRAM_COMMONNESS_ORACLE
+    sql["bigram_commonness"] = textstats.BIGRAM_COMMONNESS_ORACLE
     sql["source_token_diversity"] = textstats.SOURCE_TOKEN_DIVERSITY_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 

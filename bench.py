@@ -215,6 +215,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "q17_small_quantity_revenue",
         "q19_disjunctive_revenue",
         "q9_profit_by_nation_year",
+        "bigram_commonness",
         "top_parts_with_ties",
         "events_value_bands",
         "normalized_fingerprints",

@@ -2378,3 +2378,115 @@ SELECT source,
          AS gini_simpson
 FROM tf GROUP BY 1
 """
+
+
+def bigram_commonness(sf_dir: str):
+    """Conditional bigram LM quality signal, integer-exact: score every
+    document by the mean conditional commonness of its adjacent token
+    pairs — ``cond_ppm(w1, w2) = c(w1, w2) · 10⁶ // c_first(w1)`` where
+    ``c_first`` counts bigrams starting with ``w1``. This is the
+    2-gram refinement of :func:`unigram_commonness` (the KenLM-style
+    perplexity proxy without ``ln``): text whose next-token choices are
+    typical of the corpus scores high, garbled or spliced text scores
+    low.
+
+    Scale shape — ONE term-side exchange, not two: bigram partials
+    shuffle on ``w1`` ONLY, so a bucket holds every bigram sharing a
+    first token and BOTH aggregates the ratio needs — c(w1,w2)
+    (groupby w1,w2) and c_first(w1) (transform sum) — are local to the
+    bucket. Then the (doc, tf·ppm) contributions shuffle on doc_id and
+    sum. Docs with <2 tokens emit no row (no bigrams), matching the
+    oracle's range(len−1) expansion."""
+    import re
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    split = re.compile(r"[^a-z0-9]+")
+    docs = read_split(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    def bigram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_w1, out_w2 = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = [t for t in split.split((text or "").lower()) if t]
+            if len(toks) < 2:
+                continue
+            out_doc.extend([int(doc_id)] * (len(toks) - 1))
+            out_w1.extend(toks[:-1])
+            out_w2.extend(toks[1:])
+        df = pd.DataFrame(
+            {"doc_id": np.array(out_doc, dtype=np.int64),
+             "w1": np.array(out_w1, dtype=object),
+             "w2": np.array(out_w2, dtype=object)}
+        )
+        return (
+            df.groupby(["doc_id", "w1", "w2"], sort=False).size()
+            .reset_index(name="tf").astype({"tf": np.int64})
+        )
+
+    tf = docs.map_batches(bigram_rows, batch_format="pandas")
+
+    def attach_ppm(bucket: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            bucket.groupby(["w1", "w2"], sort=False)["tf"].transform("sum")
+            .to_numpy(dtype=np.int64)
+        )
+        cf = (
+            bucket.groupby("w1", sort=False)["tf"].transform("sum")
+            .to_numpy(dtype=np.int64)
+        )
+        ppm = (c * 1_000_000) // cf
+        return pd.DataFrame(
+            {"doc_id": bucket["doc_id"].to_numpy(dtype=np.int64),
+             "tf": bucket["tf"].to_numpy(dtype=np.int64),
+             "contrib": bucket["tf"].to_numpy(dtype=np.int64) * ppm}
+        )
+
+    scored = grouped_aggregate(tf, ["w1"], attach_ppm, num_partitions=16)
+
+    def per_doc(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("doc_id", sort=False).agg(
+            n_bigrams=("tf", "sum"), sum_ppm=("contrib", "sum")
+        ).reset_index()
+        g["mean_cond_ppm"] = (
+            g["sum_ppm"].to_numpy(dtype=np.float64)
+            / g["n_bigrams"].to_numpy(dtype=np.float64)
+        )
+        return g.astype({"doc_id": np.int64, "n_bigrams": np.int64,
+                         "sum_ppm": np.int64})
+
+    return grouped_aggregate(scored, ["doc_id"], per_doc, num_partitions=8)
+
+
+BIGRAM_COMMONNESS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                           '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), idx AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(0, len(toks) - 1)) AS BIGINT) AS i
+  FROM d WHERE len(toks) >= 2
+), big AS (
+  SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2 FROM idx
+), tfb AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+  FROM big GROUP BY 1, 2, 3
+), cb AS (
+  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c FROM tfb GROUP BY 1, 2
+), cf AS (
+  SELECT w1, CAST(SUM(tf) AS BIGINT) AS cfirst FROM tfb GROUP BY 1
+), scored AS (
+  SELECT t.doc_id, t.tf, (cb.c * 1000000) // cf.cfirst AS ppm
+  FROM tfb t
+  JOIN cb ON cb.w1 = t.w1 AND cb.w2 = t.w2
+  JOIN cf ON cf.w1 = t.w1
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       CAST(sum(tf * ppm) AS BIGINT) AS sum_ppm,
+       CAST(sum(tf * ppm) AS DOUBLE) / sum(tf) AS mean_cond_ppm
+FROM scored GROUP BY 1
+"""
