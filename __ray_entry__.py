@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_length_quantiles"] = textstats.doc_length_quantiles
     q["token_totals"] = textstats.token_totals
     q["quality_scores"] = textstats.quality_scores
+    q["gopher_quality_flags"] = textstats.gopher_quality_flags
     q["fingerprints"] = textstats.fingerprints
     q["kgram_fingerprints"] = textstats.kgram_fingerprints
     q["lang_id"] = textstats.lang_id
@@ -352,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cms_heavy_hitters"] = textstats.cms_heavy_hitters
     q["trade_matrix_nations"] = relational.trade_matrix_nations
     q["events_percent_rank"] = relational.events_percent_rank
+    q["events_cume_dist"] = relational.events_cume_dist
     q["segment_priority_mix"] = relational.segment_priority_mix
     q["events_late_arrivals"] = relational.events_late_arrivals
     q["revenue_rollup"] = relational.revenue_rollup
@@ -743,6 +745,8 @@ def oracle_sql() -> dict[str, str]:
     sql["leakage_safe_split"] = pretrain.leakage_safe_split_oracle()
     sql["trade_matrix_nations"] = relational.TRADE_MATRIX_NATIONS_ORACLE
     sql["events_percent_rank"] = relational.EVENTS_PERCENT_RANK_ORACLE
+    sql["events_cume_dist"] = relational.EVENTS_CUME_DIST_ORACLE
+    sql["gopher_quality_flags"] = textstats.GOPHER_QUALITY_FLAGS_ORACLE
     sql["segment_priority_mix"] = relational.SEGMENT_PRIORITY_MIX_ORACLE
     sql["events_late_arrivals"] = relational.EVENTS_LATE_ARRIVALS_ORACLE
     sql["revenue_rollup"] = relational.REVENUE_ROLLUP_ORACLE

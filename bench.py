@@ -216,6 +216,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "q19_disjunctive_revenue",
         "q9_profit_by_nation_year",
         "bigram_commonness",
+        "gopher_quality_flags",
+        "events_cume_dist",
         "top_parts_with_ties",
         "events_value_bands",
         "normalized_fingerprints",

@@ -2490,3 +2490,81 @@ SELECT doc_id,
        CAST(sum(tf * ppm) AS DOUBLE) / sum(tf) AS mean_cond_ppm
 FROM scored GROUP BY 1
 """
+
+
+def gopher_quality_flags(sf_dir: str):
+    """Gopher-style rule-based quality gate with per-rule attribution:
+    each document gets four 0/1 rule flags — word count in [50, 10⁵],
+    mean word length in [3, 10] (the integer cross-multiplied form
+    ``3n ≤ Σchars ≤ 10n``, no float mean), ≥80% of words containing a
+    letter (``10·alpha ≥ 8·n``), and ≥2 stopwords — plus the composed
+    ``pass_all``. Unlike :func:`quality_scores` (continuous scores for
+    threshold tuning) this is the rule-set semantics a curation recipe
+    applies verbatim, and the attribution columns say WHICH rule killed
+    a document. Embarrassingly parallel scan, integer-only, oracle
+    replays every rule with list kernels. Rule set follows Rae et al.
+    2021 (Gopher) §A1.1 adapted to the schema's single-space corpus."""
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            toks = t.split(" ") if t else []
+            n = len(toks)
+            sum_chars = sum(len(w) for w in toks)
+            alpha = sum(1 for w in toks if any(c.isalpha() for c in w))
+            stop = sum(1 for w in toks if w in _STOPWORDS)
+            r_wc = 50 <= n <= 100_000
+            r_ml = 3 * n <= sum_chars <= 10 * n
+            r_al = 10 * alpha >= 8 * n
+            r_st = stop >= 2
+            rows.append((int(doc_id), n, sum_chars, alpha, stop,
+                         int(r_wc), int(r_ml), int(r_al), int(r_st),
+                         int(r_wc and r_ml and r_al and r_st)))
+        out = pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_words", "sum_word_chars", "n_alpha_words",
+                     "n_stopwords", "r_wordcount", "r_meanlen", "r_alpha",
+                     "r_stopwords", "pass_all"],
+        )
+        return out.astype({c: np.int64 for c in out.columns})
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+GOPHER_QUALITY_FLAGS_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN length(COALESCE(text, '')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, ' ') END AS toks
+  FROM documents
+), agg AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(length(array_to_string(toks, '')) AS BIGINT)
+           AS sum_word_chars,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_filter(toks, t -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','are','was',
+              'were','be','been','it','this','that'], t))) AS BIGINT)
+           AS n_stopwords
+  FROM s
+)
+SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_stopwords,
+       CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+         AS r_wordcount,
+       CASE WHEN 3 * n_words <= sum_word_chars
+             AND sum_word_chars <= 10 * n_words THEN 1 ELSE 0 END
+         AS r_meanlen,
+       CASE WHEN 10 * n_alpha_words >= 8 * n_words THEN 1 ELSE 0 END
+         AS r_alpha,
+       CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS r_stopwords,
+       CASE WHEN n_words BETWEEN 50 AND 100000
+             AND 3 * n_words <= sum_word_chars
+             AND sum_word_chars <= 10 * n_words
+             AND 10 * n_alpha_words >= 8 * n_words
+             AND n_stopwords >= 2 THEN 1 ELSE 0 END AS pass_all
+FROM agg
+"""

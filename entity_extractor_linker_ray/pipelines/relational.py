@@ -11712,3 +11712,84 @@ JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_name LIKE '%{token}%'
 GROUP BY 1, 2
 """
+
+
+def events_cume_dist(sf_dir: str):
+    """CUME_DIST() OVER (PARTITION BY event_type ORDER BY value) for
+    every event — the companion to :func:`events_percent_rank` with
+    ≤-tie semantics instead of <. Same zero-row-shuffle plan: pass 1
+    builds the bounded (type, value_centi) count grid; the driver
+    broadcasts per-type sorted (values, cumulative-at-or-below, n)
+    arrays; pass 2 tags rows by vectorized ``searchsorted(side=
+    'right')``. The single double is the exact int/int division
+    ``at_or_below / n`` — identical to SQL's CUME_DIST rational."""
+    import ray
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    keys = ["event_type", "vc"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"event_type": batch["event_type"].astype(str).to_numpy(),
+             "vc": np.round(
+                 batch["value"].to_numpy(dtype=np.float64) * 100
+             ).astype(np.int64),
+             "c": np.ones(len(batch), dtype=np.int64)}
+        )
+        return out.groupby(keys, sort=False, as_index=False)["c"].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False, as_index=False)["c"].sum()
+            .astype({"vc": np.int64, "c": np.int64})
+        )
+
+    grid = collect_small(
+        grouped_aggregate(events, keys, combine, partial=partial),
+        ["event_type", "vc", "c"],
+    )
+    lookup: dict[str, tuple] = {}
+    for et, g in grid.groupby("event_type", sort=False):
+        g = g.sort_values("vc", kind="stable")
+        c = g["c"].to_numpy(dtype=np.int64)
+        lookup[str(et)] = (g["vc"].to_numpy(dtype=np.int64),
+                           np.cumsum(c), np.int64(c.sum()))
+    lookup_ref = ray.put(lookup)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(lookup_ref)
+        et = batch["event_type"].astype(str).to_numpy()
+        vc = np.round(
+            batch["value"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        cume = np.empty(len(batch), dtype=np.float64)
+        for t in np.unique(et):
+            vals, at_or_below, n = lk[str(t)]
+            m = et == t
+            idx = np.searchsorted(vals, vc[m], side="right")
+            cume[m] = at_or_below[idx - 1] / n
+        return pd.DataFrame(
+            {"event_id": batch["event_id"].to_numpy(dtype=np.int64),
+             "event_type": et,
+             "value": batch["value"].to_numpy(dtype=np.float64),
+             "cume_dist": cume}
+        )
+
+    return events.map_batches(tag, batch_format="pandas")
+
+
+EVENTS_CUME_DIST_ORACLE = """
+SELECT event_id, event_type, value,
+       CUME_DIST() OVER (PARTITION BY event_type ORDER BY value)
+         AS cume_dist
+FROM events
+"""
