@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["knn_lsh"] = ann.knn_lsh
     q["knn_ivf"] = ann.knn_ivf
     q["knn_pq"] = ann.knn_pq
+    q["knn_sq8"] = ann.knn_sq8
     # --- multimodal plumbing ------------------------------------------
     q["multimodal_meta"] = multimodal.multimodal_meta
     q["multimodal_decode"] = multimodal.decode_features
@@ -295,6 +296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["conv_turn_dedup"] = _convs.turn_dedup_stats
     q["conv_context_growth"] = _convs.conv_context_growth
     q["conv_tool_sequences"] = _convs.conv_tool_sequences
+    q["conv_first_turn_dupes"] = _convs.conv_first_turn_dupes
+    q["conv_stale_turns"] = _convs.conv_stale_turns
     q["events_per_user_distribution"] = relational.events_per_user_distribution
     q["events_mad"] = relational.events_mad
     q["engaged_users"] = relational.engaged_users
@@ -407,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["unigram_commonness"] = textstats.unigram_commonness
     q["bigram_commonness"] = textstats.bigram_commonness
     q["source_token_diversity"] = textstats.source_token_diversity
+    q["q4_order_priority_check"] = relational.q4_order_priority_check
+    q["events_hopping_window"] = relational.events_hopping_window
     # --- synthetic power-law graph (non-toy regime for the iterative
     #     graph kernels; seed-derived, sf_dir ignored; rows-only —
     #     replica/brute-force checks live in tests/test_synthetic_graph) -
@@ -660,6 +665,8 @@ def oracle_sql() -> dict[str, str]:
     sql["conv_turn_dedup"] = conversations.CONV_TURN_DEDUP_ORACLE
     sql["conv_context_growth"] = conversations.CONV_CONTEXT_GROWTH_ORACLE
     sql["conv_tool_sequences"] = conversations.CONV_TOOL_SEQUENCES_ORACLE
+    sql["conv_first_turn_dupes"] = conversations.CONV_FIRST_TURN_DUPES_ORACLE
+    sql["conv_stale_turns"] = conversations.CONV_STALE_TURNS_ORACLE
     sql["events_per_user_distribution"] = (
         relational.EVENTS_PER_USER_DISTRIBUTION_ORACLE
     )
@@ -807,6 +814,8 @@ def oracle_sql() -> dict[str, str]:
     sql["unigram_commonness"] = textstats.UNIGRAM_COMMONNESS_ORACLE
     sql["bigram_commonness"] = textstats.BIGRAM_COMMONNESS_ORACLE
     sql["source_token_diversity"] = textstats.SOURCE_TOKEN_DIVERSITY_ORACLE
+    sql["q4_order_priority_check"] = relational.q4_order_priority_check_oracle()
+    sql["events_hopping_window"] = relational.EVENTS_HOPPING_WINDOW_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

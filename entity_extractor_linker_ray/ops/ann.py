@@ -777,3 +777,86 @@ JOIN firsts fi ON fi.i = p.i
 JOIN firsts fj ON fj.i = p.j
 CROSS JOIN tot
 """
+
+
+def knn_sq8(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K,
+            sample_rows: int = 4096, refine_mult: int = 8):
+    """Scalar-quantization (SQ8) top-k: uint8 codes + exact re-rank —
+    the simplest ANN memory scale path (4× smaller than float32, 8×
+    smaller than float64; unlike PQ the codes keep per-dimension
+    resolution, so the approximate scores are already close and a
+    small refine multiple suffices). Per-dimension [min, max] ranges
+    are fit on the same bounded driver-side sample as the PQ/IVF
+    codebooks and broadcast once; each batch then (a) normalizes, (b)
+    quantizes every dimension to ``round(255·(x−min)/(max−min))``, (c)
+    scores all codes against the pre-quantized query with ONE matmul
+    in the code domain (a per-dimension-affine approximation of the
+    cosine — close because SQ8 keeps full dimensional resolution), and
+    (d) exact-scores only the per-batch top ``refine_mult·(k+1)``
+    candidates from the raw vectors already in the batch, which
+    repairs any order the affine approximation perturbed. Same tiny
+    partial-top-k merge as :func:`knn_brute`; approximate by design —
+    recall vs brute is asserted in pytest, rows-only at the driver."""
+    import ray
+
+    queries = _query_matrix(sf_dir, n_queries)
+    sample = _stream_sample(sf_dir, sample_rows)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit_sample = sample / norms
+    lo = unit_sample.min(axis=0)
+    hi = unit_sample.max(axis=0)
+    span = np.where(hi - lo <= 0, 1.0, hi - lo)
+    ctx_ref = ray.put((queries, lo, span))
+
+    class Sq8TopK:
+        def __init__(self):
+            self.queries, self.lo, self.span = ray.get(ctx_ref)
+            # quantized queries (float retained: q_codes @ codes.T is
+            # exact in float64 for values ≤ 255·255·dim ≪ 2^53)
+            qn = np.linalg.norm(self.queries, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            uq = self.queries / qn
+            self.q_codes = np.clip(
+                np.round(255.0 * (uq - self.lo) / self.span), 0, 255
+            )
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+            )
+            nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            unit = vecs / nrm
+            codes = np.clip(
+                np.round(255.0 * (unit - self.lo) / self.span), 0, 255
+            )
+            ids = batch["vec_id"].to_numpy()
+            n_refine = min(len(ids), refine_mult * (k + 1))
+            approx = codes @ self.q_codes.T  # (n_rows, n_queries)
+            out = []
+            for q in range(len(self.queries)):
+                cand = np.argpartition(-approx[:, q], n_refine - 1)[:n_refine]
+                exact = unit[cand] @ (
+                    self.queries[q] / max(np.linalg.norm(self.queries[q]), 1e-30)
+                )
+                for i, s in zip(cand, exact):
+                    out.append((q, int(ids[i]), float(s)))
+            return pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        q = int(group["query_id"].iloc[0])
+        g = group[group["neighbor_id"] != q]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(g), q, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"].to_numpy(dtype=np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    partials = _read_embeddings(sf_dir).map_batches(
+        Sq8TopK, batch_format="pandas", concurrency=(1, 16)
+    )
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")

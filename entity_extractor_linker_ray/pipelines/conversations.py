@@ -657,6 +657,206 @@ FROM tools GROUP BY 1
 """
 
 
+def conv_first_turn_dupes(sf_dir: str):
+    """Shared-opening-prompt detection: conversations grouped by the
+    md5 of their FIRST turn's text, reporting every group that at least
+    two conversations share — the transcript analog of URL/prefix dedup
+    (system prompts and templated openers show up as heavy first-turn
+    groups; this corpus has real collisions, not a planted fixture).
+
+    Shape: the ``turn_idx == 0`` filter runs INSIDE the scan kernel, so
+    exactly one narrow (md5, conv_id) row per conversation leaves the
+    read — the exchange is conversation-cardinality no matter how long
+    the transcripts are. Per-batch partials pre-group (count + min
+    conv_id are mergeable), one bucketed exchange on the digest, and
+    the ``n_convs >= 2`` cut happens in the bucket."""
+    import hashlib
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.synthetic import (
+        transcripts_dataset_from_documents,
+    )
+
+    turns = transcripts_dataset_from_documents(sf_dir)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        first = batch[batch["turn_idx"].to_numpy() == 0]
+        if first.empty:
+            return pd.DataFrame(
+                {"first_turn_md5": pd.Series([], dtype=str),
+                 "n_convs": pd.Series([], dtype=np.int64),
+                 "first_conv_id": pd.Series([], dtype=str)}
+            )
+        md5 = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in first["text"].fillna("").astype(str)
+        ]
+        df = pd.DataFrame(
+            {"first_turn_md5": md5,
+             "n_convs": np.int64(1),
+             "first_conv_id": first["conv_id"].astype(str).to_numpy()}
+        )
+        return (
+            df.groupby("first_turn_md5", sort=False)
+            .agg(n_convs=("n_convs", "sum"),
+                 first_conv_id=("first_conv_id", "min"))
+            .reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"first_turn_md5": pd.Series([], dtype=str),
+                 "n_convs": pd.Series([], dtype=np.int64),
+                 "first_conv_id": pd.Series([], dtype=str)}
+            )
+        m = (
+            bucket.groupby("first_turn_md5", sort=False)
+            .agg(n_convs=("n_convs", "sum"),
+                 first_conv_id=("first_conv_id", "min"))
+            .reset_index()
+        )
+        m = m[m["n_convs"] >= 2]
+        return m.astype({"n_convs": np.int64})
+
+    return grouped_aggregate(turns, ["first_turn_md5"], combine,
+                             partial=partial)
+
+
+# First turn = the document's first min(12, wlen) words (empty doc →
+# empty first turn, still one conversation in the '' group).
+CONV_FIRST_TURN_DUPES_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(COALESCE(text, '')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, ' ') END AS words
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         array_to_string(words[1 : least(12, len(words))], ' ') AS txt
+  FROM d
+)
+SELECT md5(txt) AS first_turn_md5,
+       count(*) AS n_convs,
+       min('doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0'))
+         AS first_conv_id
+FROM lines GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def conv_stale_turns(sf_dir: str):
+    """Cross-conversation boilerplate attribution: for every
+    conversation, how many of its turns repeat a (role, text) pair that
+    FIRST occurred earlier in the corpus (global first = minimum
+    (conv_id, turn_idx), conv_ids being zero-padded so lexicographic
+    order is corpus order) — the per-conversation 'how much of this
+    transcript is recycled content' signal that turn-level exact dedup
+    (:func:`turn_dedup_stats`) aggregates away. Conversations whose
+    every turn is globally novel emit no row.
+
+    Shape: one bucketed exchange on hash(role, text) — every occurrence
+    of a text lands in one bucket, so the global first-occurrence key
+    is bucket-local (min of a sortable ``conv_id#turn`` string); stale
+    occurrences collapse to per-conversation partial counts INSIDE the
+    bucket, then a second conversation-cardinality exchange sums them.
+    Nothing text-sized crosses the second exchange."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.synthetic import (
+        transcripts_dataset_from_documents,
+    )
+
+    turns = transcripts_dataset_from_documents(sf_dir)
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        ti = batch["turn_idx"].to_numpy(dtype=np.int64)
+        conv = pd.Series(batch["conv_id"].astype(str).to_numpy())
+        occ = conv + "#" + pd.Series(ti).astype(str).str.zfill(8)
+        return pd.DataFrame(
+            {"role": batch["role"].astype(str).to_numpy(),
+             "text": batch["text"].fillna("").astype(str).to_numpy(),
+             "conv_id": conv.to_numpy(),
+             "occ_key": occ.to_numpy()}
+        )
+
+    def stale_partials(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"conv_id": pd.Series([], dtype=str),
+             "n_stale_turns": pd.Series([], dtype=np.int64)}
+        )
+        if bucket.empty:
+            return empty
+        first = bucket.groupby(["role", "text"], sort=False)["occ_key"].transform(
+            "min"
+        )
+        stale = bucket[bucket["occ_key"].to_numpy() != first.to_numpy()]
+        if stale.empty:
+            return empty
+        return (
+            stale.groupby("conv_id", sort=False)
+            .size()
+            .rename("n_stale_turns")
+            .reset_index()
+            .astype({"n_stale_turns": np.int64})
+        )
+
+    partials = grouped_aggregate(
+        turns.map_batches(prep, batch_format="pandas"),
+        ["role", "text"], stale_partials,
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"conv_id": pd.Series([], dtype=str),
+                 "n_stale_turns": pd.Series([], dtype=np.int64)}
+            )
+        return (
+            bucket.groupby("conv_id", sort=False)
+            .agg(n_stale_turns=("n_stale_turns", "sum"))
+            .reset_index()
+            .astype({"n_stale_turns": np.int64})
+        )
+
+    return grouped_aggregate(partials, ["conv_id"], final)
+
+
+CONV_STALE_TURNS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(COALESCE(text, '')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, ' ') END AS words
+  FROM documents
+), t AS (
+  SELECT doc_id, words, len(words) AS wlen,
+         CASE WHEN len(words) = 0 THEN 1 ELSE (len(words) + 11) // 12 END
+           AS n_turns
+  FROM d
+), g AS (
+  SELECT doc_id, words, wlen,
+         CAST(unnest(range(0, n_turns)) AS BIGINT) AS ti
+  FROM t
+), lines AS (
+  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+         'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') || '#'
+           || lpad(CAST(ti AS VARCHAR), 8, '0') AS occ_key,
+         CASE CAST(ti % 3 AS INTEGER) WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         array_to_string(words[ti * 12 + 1 : least((ti + 1) * 12, wlen)],
+                         ' ') AS txt
+  FROM g
+), marked AS (
+  SELECT conv_id, occ_key,
+         min(occ_key) OVER (PARTITION BY role, txt) AS first_key
+  FROM lines
+)
+SELECT conv_id, count(*) AS n_stale_turns
+FROM marked WHERE occ_key <> first_key
+GROUP BY 1
+"""
+
+
 CONV_CHATML_EXPORT_ORACLE = """
 WITH d AS (
   SELECT doc_id,

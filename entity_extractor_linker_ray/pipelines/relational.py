@@ -11793,3 +11793,206 @@ SELECT event_id, event_type, value,
          AS cume_dist
 FROM events
 """
+
+
+def q4_order_priority_check(sf_dir: str, late_days: int = 30,
+                            lo: str = "1996-01-01", hi: str = "1996-04-01"):
+    """TPC-H-Q4 shape (order-priority checking): count orders per
+    ``o_orderpriority`` placed in one quarter where EXISTS at least one
+    lineitem shipped more than ``late_days`` after the order date (the
+    schema has no commitdate/receiptdate — reference Q4's
+    ``l_commitdate < l_receiptdate`` becomes the same late-shipment
+    predicate :func:`q21_suppliers_kept_waiting` uses).
+
+    Shape: the quarter filter prunes the orders scan FIRST (only ~4%
+    of headers enter the exchange); lineitem collapses per batch to a
+    mergeable per-orderkey ``max(l_shipdate)`` partial — EXISTS over a
+    monotone predicate needs only the maximum, so one int64 per
+    (batch, orderkey) crosses the wire, never the lines. Both sides
+    meet in ONE bucketed hash(orderkey) exchange; the bucket emits
+    per-priority partial counts and the final exchange is bounded by
+    the 5-value priority domain.
+    """
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    late_us = int(late_days) * 86_400_000_000
+    lo_us = int(np.datetime64(lo, "us").astype(np.int64))
+    hi_us = int(np.datetime64(hi, "us").astype(np.int64))
+
+    def line_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ship_us = (
+            batch["l_shipdate"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {"okey": batch["l_orderkey"].to_numpy(dtype=np.int64),
+             "max_ship_us": ship_us}
+        )
+        out = (
+            df.groupby("okey", sort=False)
+            .agg(max_ship_us=("max_ship_us", "max"))
+            .reset_index()
+        )
+        out["odate_us"] = np.int64(0)
+        out["priority"] = ""
+        out["side"] = np.int64(0)
+        return out
+
+    def order_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        odate_us = (
+            batch["o_orderdate"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keep = (odate_us >= lo_us) & (odate_us < hi_us)
+        return pd.DataFrame(
+            {"okey": batch["o_orderkey"].to_numpy(dtype=np.int64)[keep],
+             "max_ship_us": np.zeros(int(keep.sum()), dtype=np.int64),
+             "odate_us": odate_us[keep],
+             "priority": batch["o_orderpriority"].astype(str).to_numpy()[keep],
+             "side": np.ones(int(keep.sum()), dtype=np.int64)}
+        )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(line_rows, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_rows, batch_format="pandas")
+
+    def exists_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"o_orderpriority": pd.Series([], dtype=str),
+             "order_count": pd.Series([], dtype=np.int64)}
+        )
+        heads = bucket[bucket["side"] == 1]
+        if heads.empty:
+            return empty
+        ship = (
+            bucket[bucket["side"] == 0]
+            .groupby("okey", sort=False)["max_ship_us"].max()
+        )
+        hs = heads["okey"].map(ship)
+        late = hs.notna().to_numpy() & (
+            hs.fillna(np.int64(0)).to_numpy(dtype=np.int64)
+            > heads["odate_us"].to_numpy(dtype=np.int64) + late_us
+        )
+        kept = heads[late]
+        if kept.empty:
+            return empty
+        return (
+            kept.groupby("priority", sort=False).size()
+            .rename("order_count").reset_index()
+            .rename(columns={"priority": "o_orderpriority"})
+            .astype({"order_count": np.int64})
+        )
+
+    partials = grouped_aggregate(
+        lines.union(orders), ["okey"], exists_counts, num_partitions=16
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("o_orderpriority", sort=False)
+            .agg(order_count=("order_count", "sum"))
+            .reset_index()
+            .astype({"order_count": np.int64})
+        )
+
+    return grouped_aggregate(partials, ["o_orderpriority"], final,
+                             num_partitions=2)
+
+
+def q4_order_priority_check_oracle(late_days: int = 30,
+                                   lo: str = "1996-01-01",
+                                   hi: str = "1996-04-01") -> str:
+    return f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{lo}'
+  AND o.o_orderdate < TIMESTAMP '{hi}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {int(late_days)} DAY
+  )
+GROUP BY 1
+"""
+
+
+def events_hopping_window(sf_dir: str, width_us: int = 3_600_000_000,
+                          hop_us: int = 1_800_000_000):
+    """Hopping-window aggregate (the overlapping-window streaming shape
+    the tumbling :func:`events_hourly` and sliding :func:`events_sliding`
+    ops don't cover): per (event_type, window_start) with 1-hour
+    windows advancing every 30 minutes, event count and exact
+    value-centi sum. With ``width = 2·hop`` every event belongs to
+    EXACTLY two windows — ``floor_hop(ts)`` and ``floor_hop(ts) − hop``
+    — so the per-batch partial double-emits each row into its two
+    window keys (a bounded ×2 fan-out, not a cross join) and
+    pre-aggregates; the single exchange is bounded by the
+    types × windows key domain, independent of event count. The oracle
+    replays the same two-window expansion with ``unnest``.
+    """
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    assert width_us == 2 * hop_us, "exact-2-windows expansion needs width=2*hop"
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        anchor = ts_us - ts_us % hop_us
+        win = np.concatenate((anchor, anchor - hop_us))
+        et = batch["event_type"].astype(str).to_numpy()
+        vc = np.round(
+            batch["value"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": np.concatenate((et, et)),
+             "win_start_us": win,
+             "n_events": np.int64(1),
+             "sum_value_centi": np.concatenate((vc, vc))}
+        )
+        return (
+            df.groupby(["event_type", "win_start_us"], sort=False)
+            .agg(n_events=("n_events", "sum"),
+                 sum_value_centi=("sum_value_centi", "sum"))
+            .reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["event_type", "win_start_us"], sort=False)
+            .agg(n_events=("n_events", "sum"),
+                 sum_value_centi=("sum_value_centi", "sum"))
+            .reset_index()
+            .astype({"win_start_us": np.int64, "n_events": np.int64,
+                     "sum_value_centi": np.int64})
+        )
+
+    return grouped_aggregate(events, ["event_type", "win_start_us"], combine,
+                             partial=partial, num_partitions=8)
+
+
+EVENTS_HOPPING_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(ts) % 1800000000 AS anchor,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), w AS (
+  SELECT event_type, vc,
+         unnest([anchor, anchor - 1800000000]) AS win_start_us
+  FROM e
+)
+SELECT event_type, CAST(win_start_us AS BIGINT) AS win_start_us,
+       count(*) AS n_events,
+       CAST(sum(vc) AS BIGINT) AS sum_value_centi
+FROM w GROUP BY 1, 2
+"""
