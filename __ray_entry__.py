@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kmeans_clusters"] = cluster.kmeans_clusters
     q["dedup_semantic_pairs"] = cluster.semantic_dup_pairs
     q["kmeans_exemplars"] = cluster.kmeans_exemplars
+    q["kmeans_separation"] = cluster.kmeans_separation
     from entity_extractor_linker_ray.pipelines import incremental
 
     q["kg_nodes_incremental"] = incremental.kg_nodes_incremental
@@ -298,6 +299,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["conv_tool_sequences"] = _convs.conv_tool_sequences
     q["conv_first_turn_dupes"] = _convs.conv_first_turn_dupes
     q["conv_stale_turns"] = _convs.conv_stale_turns
+    q["conv_turn_overlap"] = _convs.conv_turn_overlap
+    q["conv_context_budget"] = _convs.conv_context_budget
+    q["conv_common_assistant_turns"] = _convs.conv_common_assistant_turns
+    q["conv_preference_pairs"] = _convs.conv_preference_pairs
     q["events_per_user_distribution"] = relational.events_per_user_distribution
     q["events_mad"] = relational.events_mad
     q["engaged_users"] = relational.engaged_users
@@ -412,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["source_token_diversity"] = textstats.source_token_diversity
     q["q4_order_priority_check"] = relational.q4_order_priority_check
     q["events_hopping_window"] = relational.events_hopping_window
+    q["compaction_plan"] = relational.compaction_plan
     # --- synthetic power-law graph (non-toy regime for the iterative
     #     graph kernels; seed-derived, sf_dir ignored; rows-only —
     #     replica/brute-force checks live in tests/test_synthetic_graph) -
@@ -433,6 +439,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_pipeline_connections"] = lambda sf: _kg_full_outputs(sf, "connections")
     q["kg_pipeline_type_distribution"] = lambda sf: _kg_full_outputs(sf, "type_distribution")
     q["kg_pipeline_linked_counts"] = lambda sf: _kg_full_outputs(sf, "linked_counts")
+    # schema induction over the constructed KG (round 3; value-gated
+    # against the same golden triples)
+    from entity_extractor_linker_ray.stages import graph as _graph
+
+    q["kg_predicate_profile"] = lambda sf: _graph.predicate_profile(
+        _kg_full_outputs(sf, "triples")
+    )
+    q["kg_schema_signatures"] = lambda sf: _graph.schema_signatures(
+        _kg_full_outputs(sf, "triples")
+    )
+    q["kg_inverse_predicates"] = lambda sf: _graph.inverse_predicate_candidates(
+        _kg_full_outputs(sf, "triples")
+    )
+    q["kg_negative_samples"] = lambda sf: _graph.negative_samples(
+        _kg_full_outputs(sf, "triples")
+    )
     # feature-flag variants (generate mode A2, chunking M1+§3.2)
     q["kg_generate_triples"] = lambda sf: _kg_variant_triples(
         sf, {"MODE": "generate", "RELATION_EXTRACTION": True}
@@ -557,6 +579,65 @@ SELECT CAST(count(*) AS BIGINT) AS total_entities,
          / count(*) AS dbpedia_percent
 FROM e
 """
+    # stages/graph.py schema-induction family (round 3): plain SQL over
+    # the reference-produced golden triples
+    sql["kg_predicate_profile"] = f"""
+SELECT predicate,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subject) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT object) AS BIGINT) AS n_objects,
+       CAST(count(*) FILTER (inferred = 'implicit') AS BIGINT)
+         AS n_implicit
+FROM {tri} t GROUP BY 1
+"""
+    sql["kg_schema_signatures"] = f"""
+SELECT subject_type, predicate, object_type,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subject || chr(31) || object) AS BIGINT)
+         AS n_entity_pairs
+FROM {tri} t GROUP BY 1, 2, 3
+"""
+    sql["kg_negative_samples"] = f"""
+WITH t AS (
+  SELECT DISTINCT subject, predicate, object FROM {tri} g
+), ents AS (
+  SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS idx
+  FROM (SELECT subject AS entity FROM t UNION SELECT object FROM t)
+), preds AS (
+  SELECT predicate, row_number() OVER (ORDER BY predicate) - 1 AS idx
+  FROM (SELECT DISTINCT predicate FROM t)
+), n AS (SELECT count(*) AS n_ents FROM ents),
+drawn AS (
+  SELECT t.subject, t.predicate, t.object,
+         ((es.idx * 2654435761 + ps.idx * 40503 + eo.idx * 2654435789)
+          % 4294967296) % n.n_ents AS neg_idx
+  FROM t
+  JOIN ents es ON es.entity = t.subject
+  JOIN preds ps ON ps.predicate = t.predicate
+  JOIN ents eo ON eo.entity = t.object
+  CROSS JOIN n
+), cand AS (
+  SELECT d.subject, d.predicate, d.object, en.entity AS neg_object
+  FROM drawn d JOIN ents en ON en.idx = d.neg_idx
+)
+SELECT c.subject, c.predicate, c.object, c.neg_object,
+       CAST(CASE WHEN tt.object IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_true_negative
+FROM cand c LEFT JOIN t tt
+  ON tt.subject = c.subject AND tt.predicate = c.predicate
+ AND tt.object = c.neg_object
+"""
+    sql["kg_inverse_predicates"] = f"""
+WITH t AS (
+  SELECT DISTINCT subject, predicate, object FROM {tri} g
+  WHERE subject <> object
+)
+SELECT t1.predicate AS pred_a, t2.predicate AS pred_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM t t1 JOIN t t2
+  ON t2.subject = t1.object AND t2.object = t1.subject
+GROUP BY 1, 2
+"""
     return sql
 
 
@@ -667,6 +748,12 @@ def oracle_sql() -> dict[str, str]:
     sql["conv_tool_sequences"] = conversations.CONV_TOOL_SEQUENCES_ORACLE
     sql["conv_first_turn_dupes"] = conversations.CONV_FIRST_TURN_DUPES_ORACLE
     sql["conv_stale_turns"] = conversations.CONV_STALE_TURNS_ORACLE
+    sql["conv_turn_overlap"] = conversations.CONV_TURN_OVERLAP_ORACLE
+    sql["conv_context_budget"] = conversations.conv_context_budget_oracle()
+    sql["conv_common_assistant_turns"] = (
+        conversations.conv_common_assistant_turns_oracle()
+    )
+    sql["conv_preference_pairs"] = conversations.CONV_PREFERENCE_PAIRS_ORACLE
     sql["events_per_user_distribution"] = (
         relational.EVENTS_PER_USER_DISTRIBUTION_ORACLE
     )
@@ -724,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
     sql["kmeans_clusters"] = cluster.kmeans_oracle()
     sql["dedup_semantic_pairs"] = cluster.semantic_dup_oracle()
     sql["kmeans_exemplars"] = cluster.kmeans_exemplars_oracle()
+    sql["kmeans_separation"] = cluster.kmeans_separation_oracle()
     # incremental builds must be value-identical to the from-scratch
     # builds — they share the simple_kg oracles verbatim
     sql["kg_nodes_incremental"] = sql["kg_nodes"]
@@ -816,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
     sql["source_token_diversity"] = textstats.SOURCE_TOKEN_DIVERSITY_ORACLE
     sql["q4_order_priority_check"] = relational.q4_order_priority_check_oracle()
     sql["events_hopping_window"] = relational.EVENTS_HOPPING_WINDOW_ORACLE
+    sql["compaction_plan"] = relational.compaction_plan_oracle()
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

@@ -443,3 +443,101 @@ FROM (
   FROM fin
 ) WHERE rn = 1"""
     )
+
+
+def kmeans_separation(sf_dir: str, k: int = K_CLUSTERS, iters: int = N_ITERS):
+    """Cluster-quality profile under the final centroids: per cluster,
+    member count, summed exact d2 to the OWN centroid (cohesion) and
+    summed exact d2 to the SECOND-nearest centroid (separation) — the
+    integer-exact core of a silhouette/Davies-Bouldin style diagnostic,
+    kept as raw sums so any normalized score derives bit-reproducibly
+    downstream. Second-nearest uses the same (d2, cluster) tiebreak as
+    the assignment itself, so the oracle's ``row_number() = 2`` pick
+    matches exactly.
+
+    Shape: one extra argmin over the SAME n×k distance matrix the
+    assignment already computes — per-batch partials collapse to ≤ k
+    rows, one tiny cluster-keyed final merge. Per-point d2_own ≤
+    d2_second by construction, so intra_d2 ≤ nearest_other_d2 holds per
+    cluster (asserted in pytest)."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    embs, centroids = _fit(sf_dir, k, iters)
+
+    def partial(batch: pa.Table, *, c: np.ndarray) -> pd.DataFrame:
+        _, vecs = _milli_matrix(batch)
+        vv = np.einsum("ij,ij->i", vecs, vecs)
+        cc = np.einsum("ij,ij->i", c, c)
+        d2 = vv[:, None] - 2 * (vecs @ c.T) + cc[None, :]
+        best = np.argmin(d2, axis=1)  # first occurrence = low cluster
+        rows = np.arange(len(vecs))
+        d2_own = d2[rows, best]
+        d2_masked = d2.copy()
+        d2_masked[rows, best] = np.iinfo(np.int64).max
+        second = np.argmin(d2_masked, axis=1)
+        d2_sec = d2[rows, second]
+        kk = c.shape[0]
+        return pd.DataFrame(
+            {
+                "cluster": np.arange(kk, dtype=np.int64),
+                "n_members": np.bincount(best, minlength=kk).astype(np.int64),
+                "intra_d2": np.bincount(
+                    best, weights=d2_own, minlength=kk
+                ).astype(np.int64),
+                "nearest_other_d2": np.bincount(
+                    best, weights=d2_sec, minlength=kk
+                ).astype(np.int64),
+            }
+        )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"cluster": np.array([], dtype=np.int64),
+                 "n_members": np.array([], dtype=np.int64),
+                 "intra_d2": np.array([], dtype=np.int64),
+                 "nearest_other_d2": np.array([], dtype=np.int64)}
+            )
+        out = (
+            bucket.groupby("cluster", sort=True)
+            .agg(n_members=("n_members", "sum"),
+                 intra_d2=("intra_d2", "sum"),
+                 nearest_other_d2=("nearest_other_d2", "sum"))
+            .reset_index()
+        )
+        # empty clusters contribute zero-rows from every batch; the
+        # SQL group over fin never sees them
+        out = out[out["n_members"] > 0]
+        return out.astype({c: np.int64 for c in out.columns})
+
+    parts = embs.map_batches(partial, batch_format="pyarrow",
+                             fn_kwargs={"c": centroids})
+    return grouped_aggregate(parts, ["cluster"], final, num_partitions=4)
+
+
+def kmeans_separation_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS) -> str:
+    """Shared kmeans WITH-block + a ``row_number() = 2`` second-nearest
+    CTE joined back to the final assignment."""
+    return (
+        _kmeans_with_block(k, iters)
+        + f""",
+sec AS (
+  SELECT vec_id, d2 FROM (
+    SELECT v.vec_id,
+           SUM((v.milli - c.milli) * (v.milli - c.milli)) AS d2,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY SUM((v.milli - c.milli) * (v.milli - c.milli)),
+                      c.cluster
+           ) AS rn
+    FROM v JOIN c{iters} c USING (pos)
+    GROUP BY v.vec_id, c.cluster
+  ) WHERE rn = 2
+)
+SELECT f.cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(f.d2) AS BIGINT) AS intra_d2,
+       CAST(sum(s.d2) AS BIGINT) AS nearest_other_d2
+FROM fin f JOIN sec s USING (vec_id)
+GROUP BY 1"""
+    )

@@ -889,3 +889,485 @@ SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
          AS n_chars
 FROM lines GROUP BY 1
 """
+
+
+def conv_turn_overlap(sf_dir: str):
+    """Consecutive-turn lexical-overlap profile — the degenerate-dialogue
+    screen an SFT corpus needs (a conversation whose adjacent turns keep
+    repeating the same tokens is a looping agent or templated filler,
+    and token-overlap between turn ``ti`` and ``ti+1`` is the standard
+    cheap signal). Per conversation: number of adjacent turn pairs, the
+    summed distinct-token intersection size, and the summed distinct-
+    token union size across those pairs — exact integers, so the
+    downstream Jaccard ``inter_sum / union_sum`` is reproducible to the
+    bit from this row. Conversations with a single turn emit no row.
+
+    Shape: conversations are document-atomic by construction (one
+    documents row → one conversation, derived inside the scan kernel:
+    ``synthetic.turns_from_document``), so the WHOLE op is scan-local —
+    zero exchanges, embarrassingly parallel, and the text never leaves
+    the read task. A general transcript source without that atomicity
+    would need one conv_id-keyed repartition first; this is the same
+    partitioning note as the chatml export."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        conv_ids, n_pairs, inter_sums, union_sums = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_numpy(), batch["text"].fillna("").astype(str)
+        ):
+            words = text.split()
+            if len(words) <= 12:  # 0 or 1 turns -> no adjacent pair
+                continue
+            n_turns = (len(words) + 11) // 12
+            toks = [
+                set(words[ti * 12 : (ti + 1) * 12]) for ti in range(n_turns)
+            ]
+            inter = sum(len(toks[i] & toks[i + 1]) for i in range(n_turns - 1))
+            union = sum(len(toks[i] | toks[i + 1]) for i in range(n_turns - 1))
+            conv_ids.append(f"doc-{doc_id:010d}")
+            n_pairs.append(n_turns - 1)
+            inter_sums.append(inter)
+            union_sums.append(union)
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series(conv_ids, dtype=str),
+                "n_pairs": pd.Series(n_pairs, dtype=np.int64),
+                "inter_sum": pd.Series(inter_sums, dtype=np.int64),
+                "union_sum": pd.Series(union_sums, dtype=np.int64),
+            }
+        )
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+CONV_TURN_OVERLAP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE length(COALESCE(text, '')) > 0
+), t AS (
+  SELECT doc_id, words, len(words) AS wlen,
+         (len(words) + 11) // 12 AS n_turns
+  FROM d WHERE len(words) > 12
+), g AS (
+  SELECT doc_id, words, wlen,
+         CAST(unnest(range(0, n_turns)) AS BIGINT) AS ti
+  FROM t
+), lines AS (
+  SELECT doc_id, ti,
+         list_distinct(words[ti * 12 + 1 : least((ti + 1) * 12, wlen)])
+           AS toks
+  FROM g
+), pairs AS (
+  SELECT a.doc_id,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         len(list_distinct(list_concat(a.toks, b.toks))) AS uni
+  FROM lines a JOIN lines b
+    ON b.doc_id = a.doc_id AND b.ti = a.ti + 1
+)
+SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+       count(*) AS n_pairs,
+       CAST(sum(inter) AS BIGINT) AS inter_sum,
+       CAST(sum(uni) AS BIGINT) AS union_sum
+FROM pairs GROUP BY 1
+"""
+
+
+def conv_context_budget(sf_dir: str, budget_words: int = 48):
+    """Context-window truncation accounting — the keep-the-last-K-turns
+    rule every chat trainer applies before tokenization: walking turns
+    from the END of the conversation, keep while the running word total
+    stays within ``budget_words``; the first turn that would overflow
+    (and everything before it) is dropped. Per conversation: total
+    turns, kept turns, kept words, dropped turns. A final turn that
+    alone exceeds the budget keeps zero turns — the conversation is
+    untrainable at this context size, which is exactly the row a corpus
+    owner wants to see.
+
+    Shape: turn text collapses to ONE int64 word count inside the scan
+    (narrow (conv_id, ti, words) rows on the wire), then a single
+    conversation-cardinality bucketed exchange; the suffix scan runs
+    vectorized per bucket (sort + grouped cumsum). Unlike the
+    scan-local ops this one deliberately does NOT lean on document
+    atomicity — it exercises the general any-source transcript path."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.synthetic import (
+        transcripts_dataset_from_documents,
+    )
+
+    turns = transcripts_dataset_from_documents(sf_dir)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        words = np.where(
+            text.str.len().to_numpy() > 0,
+            text.str.count(" ").to_numpy(dtype=np.int64) + 1,
+            np.int64(0),
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"].astype(str).to_numpy(),
+                "ti": batch["turn_idx"].to_numpy(dtype=np.int64),
+                "words": words,
+            }
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype=str),
+                    "n_turns": pd.Series([], dtype=np.int64),
+                    "kept_turns": pd.Series([], dtype=np.int64),
+                    "kept_words": pd.Series([], dtype=np.int64),
+                    "dropped_turns": pd.Series([], dtype=np.int64),
+                }
+            )
+        b = bucket.sort_values(
+            ["conv_id", "ti"], ascending=[True, False], kind="stable"
+        )
+        revcum = b.groupby("conv_id", sort=False)["words"].cumsum()
+        keep = (revcum <= budget_words).to_numpy()
+        b = b.assign(
+            kept=keep.astype(np.int64),
+            kept_w=np.where(keep, b["words"].to_numpy(), np.int64(0)),
+        )
+        m = (
+            b.groupby("conv_id", sort=False)
+            .agg(
+                n_turns=("ti", "size"),
+                kept_turns=("kept", "sum"),
+                kept_words=("kept_w", "sum"),
+            )
+            .reset_index()
+        )
+        m["dropped_turns"] = m["n_turns"] - m["kept_turns"]
+        return m.astype(
+            {c: np.int64 for c in ("n_turns", "kept_turns", "kept_words",
+                                   "dropped_turns")}
+        )
+
+    return grouped_aggregate(
+        turns.map_batches(partial, batch_format="pandas"),
+        ["conv_id"], combine,
+    )
+
+
+def conv_context_budget_oracle(budget_words: int = 48) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(COALESCE(text, '')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, ' ') END AS words
+  FROM documents
+), t AS (
+  SELECT doc_id, len(words) AS wlen,
+         CASE WHEN len(words) = 0 THEN 1 ELSE (len(words) + 11) // 12 END
+           AS n_turns
+  FROM d
+), g AS (
+  SELECT doc_id, wlen, n_turns,
+         CAST(unnest(range(0, n_turns)) AS BIGINT) AS ti
+  FROM t
+), lines AS (
+  SELECT doc_id, ti,
+         CASE WHEN wlen = 0 THEN 0
+              WHEN ti = n_turns - 1 THEN wlen - ti * 12
+              ELSE 12 END AS turn_words
+  FROM g
+), scan AS (
+  SELECT doc_id, ti, turn_words,
+         sum(turn_words) OVER (PARTITION BY doc_id ORDER BY ti DESC
+                               ROWS UNBOUNDED PRECEDING) AS revcum
+  FROM lines
+)
+SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN revcum <= {budget_words} THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept_turns,
+       CAST(sum(CASE WHEN revcum <= {budget_words} THEN turn_words
+                     ELSE 0 END) AS BIGINT) AS kept_words,
+       CAST(count(*)
+            - sum(CASE WHEN revcum <= {budget_words} THEN 1 ELSE 0 END)
+            AS BIGINT) AS dropped_turns
+FROM scan GROUP BY 1
+"""
+
+
+def conv_common_assistant_turns(sf_dir: str, min_count: int = 2):
+    """Boilerplate-response inventory — the per-TEXT view of assistant-
+    turn duplication (:func:`conv_stale_turns` charges recycled content
+    to conversations; this lists the recycled responses themselves):
+    every assistant turn text that occurs at least ``min_count`` times
+    corpus-wide, with its total occurrence count, the number of
+    distinct conversations it appears in, and the lexicographically
+    first conversation as the example to pull. Texts travel as md5
+    digests — the full response never crosses an exchange.
+
+    Shape: role filter + digest inside the scan; per-batch partials
+    pre-group on (digest, conv_id) so wire rows are bounded by distinct
+    pairs per batch; one digest-keyed bucketed exchange where the
+    distinct-conversation count is bucket-local."""
+    import hashlib
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.synthetic import (
+        transcripts_dataset_from_documents,
+    )
+
+    turns = transcripts_dataset_from_documents(sf_dir)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "text_md5": pd.Series([], dtype=str),
+                "conv_id": pd.Series([], dtype=str),
+                "cnt": pd.Series([], dtype=np.int64),
+            }
+        )
+        a = batch[batch["role"].to_numpy() == "assistant"]
+        if a.empty:
+            return empty
+        md5 = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in a["text"].fillna("").astype(str)
+        ]
+        df = pd.DataFrame(
+            {
+                "text_md5": md5,
+                "conv_id": a["conv_id"].astype(str).to_numpy(),
+                "cnt": np.int64(1),
+            }
+        )
+        return (
+            df.groupby(["text_md5", "conv_id"], sort=False)
+            .agg(cnt=("cnt", "sum"))
+            .reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "text_md5": pd.Series([], dtype=str),
+                "n_occurrences": pd.Series([], dtype=np.int64),
+                "n_convs": pd.Series([], dtype=np.int64),
+                "first_conv_id": pd.Series([], dtype=str),
+            }
+        )
+        if bucket.empty:
+            return empty
+        m = (
+            bucket.groupby("text_md5", sort=False)
+            .agg(
+                n_occurrences=("cnt", "sum"),
+                n_convs=("conv_id", "nunique"),
+                first_conv_id=("conv_id", "min"),
+            )
+            .reset_index()
+        )
+        m = m[m["n_occurrences"] >= min_count]
+        return m.astype({"n_occurrences": np.int64, "n_convs": np.int64})
+
+    return grouped_aggregate(turns.map_batches(partial, batch_format="pandas"),
+                             ["text_md5"], combine)
+
+
+def conv_common_assistant_turns_oracle(min_count: int = 2) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(COALESCE(text, '')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, ' ') END AS words
+  FROM documents
+), t AS (
+  SELECT doc_id, words, len(words) AS wlen,
+         CASE WHEN len(words) = 0 THEN 1 ELSE (len(words) + 11) // 12 END
+           AS n_turns
+  FROM d
+), g AS (
+  SELECT doc_id, words, wlen,
+         CAST(unnest(range(0, n_turns)) AS BIGINT) AS ti
+  FROM t
+), lines AS (
+  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+         array_to_string(words[ti * 12 + 1 : least((ti + 1) * 12, wlen)],
+                         ' ') AS txt
+  FROM g WHERE ti % 3 = 1
+)
+SELECT md5(txt) AS text_md5,
+       count(*) AS n_occurrences,
+       count(DISTINCT conv_id) AS n_convs,
+       min(conv_id) AS first_conv_id
+FROM lines GROUP BY 1 HAVING count(*) >= {min_count}
+"""
+
+
+def conv_preference_pairs(sf_dir: str):
+    """Preference-pair synthesis from response variation — the RLHF
+    data op that mines naturally-occurring A/B responses: conversations
+    that open with the SAME user prompt (identical first-turn text) but
+    continue with DIFFERENT assistant first responses yield one
+    (prompt, chosen, rejected) row per prompt group. The deterministic
+    stand-in for a reward model ranks by response length (more words
+    wins — the classic verbosity prior, which is exactly why the rule
+    must be explicit and reproducible), ties broken by md5 so the pair
+    is stable under any execution order: chosen = (max words, min md5),
+    rejected = (min words, max md5). Groups whose responses are all
+    identical produce no pair; single-turn conversations have no
+    response and never become candidates.
+
+    Shape: the scan collapses each conversation to ONE narrow row
+    (prompt digest, response digest, response word count) — turn text
+    never leaves the read task — then one prompt-cardinality bucketed
+    exchange picks the argmax/argmin per group vectorized."""
+    import hashlib
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.synthetic import (
+        transcripts_dataset_from_documents,
+    )
+
+    turns = transcripts_dataset_from_documents(sf_dir)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"prompt_md5": pd.Series([], dtype=str),
+             "resp_md5": pd.Series([], dtype=str),
+             "resp_words": pd.Series([], dtype=np.int64),
+             "conv_id": pd.Series([], dtype=str)}
+        )
+        ti = batch["turn_idx"].to_numpy(dtype=np.int64)
+        first = batch[ti == 0][["conv_id", "text"]].rename(
+            columns={"text": "prompt"}
+        )
+        resp = batch[ti == 1][["conv_id", "text"]].rename(
+            columns={"text": "response"}
+        )
+        if first.empty or resp.empty:
+            return empty
+        # conversations are document-atomic: ti=0 and ti=1 of one conv
+        # are emitted by the same scan kernel call, so this merge is
+        # batch-local by construction (same note as the chatml export)
+        m = first.merge(resp, on="conv_id")
+        if m.empty:
+            return empty
+        prompt = m["prompt"].fillna("").astype(str)
+        response = m["response"].fillna("").astype(str)
+        words = np.where(
+            response.str.len().to_numpy() > 0,
+            response.str.count(" ").to_numpy(dtype=np.int64) + 1,
+            np.int64(0),
+        )
+        return pd.DataFrame(
+            {
+                "prompt_md5": [
+                    hashlib.md5(t.encode()).hexdigest() for t in prompt
+                ],
+                "resp_md5": [
+                    hashlib.md5(t.encode()).hexdigest() for t in response
+                ],
+                "resp_words": words,
+                "conv_id": m["conv_id"].astype(str).to_numpy(),
+            }
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"prompt_md5": pd.Series([], dtype=str),
+             "n_candidates": pd.Series([], dtype=np.int64),
+             "chosen_md5": pd.Series([], dtype=str),
+             "rejected_md5": pd.Series([], dtype=str),
+             "chosen_conv_id": pd.Series([], dtype=str)}
+        )
+        if bucket.empty:
+            return empty
+        # distinct responses per prompt; keep the min conv_id per
+        # (prompt, response) as the reproducible example pointer
+        d = (
+            bucket.groupby(["prompt_md5", "resp_md5"], sort=False)
+            .agg(resp_words=("resp_words", "min"),
+                 conv_id=("conv_id", "min"))
+            .reset_index()
+        )
+        n = d.groupby("prompt_md5", sort=False)["resp_md5"].transform("size")
+        d = d[n.to_numpy() >= 2]
+        if d.empty:
+            return empty
+        asc = d.sort_values(["prompt_md5", "resp_words", "resp_md5"],
+                            ascending=[True, False, True], kind="stable")
+        chosen = asc.groupby("prompt_md5", sort=False).first().reset_index()
+        desc = d.sort_values(["prompt_md5", "resp_words", "resp_md5"],
+                             ascending=[True, True, False], kind="stable")
+        rejected = desc.groupby("prompt_md5", sort=False).first().reset_index()
+        counts = (
+            d.groupby("prompt_md5", sort=False)
+            .size()
+            .reset_index(name="n_candidates")
+        )
+        out = (
+            counts.merge(
+                chosen[["prompt_md5", "resp_md5", "conv_id"]].rename(
+                    columns={"resp_md5": "chosen_md5",
+                             "conv_id": "chosen_conv_id"}
+                ),
+                on="prompt_md5",
+            ).merge(
+                rejected[["prompt_md5", "resp_md5"]].rename(
+                    columns={"resp_md5": "rejected_md5"}
+                ),
+                on="prompt_md5",
+            )
+        )
+        return out[["prompt_md5", "n_candidates", "chosen_md5",
+                    "rejected_md5", "chosen_conv_id"]].astype(
+            {"n_candidates": np.int64}
+        )
+
+    return grouped_aggregate(turns.map_batches(partial, batch_format="pandas"),
+                             ["prompt_md5"], combine)
+
+
+CONV_PREFERENCE_PAIRS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE length(COALESCE(text, '')) > 0
+), t AS (
+  SELECT doc_id, words, len(words) AS wlen FROM d WHERE len(words) > 12
+), pr AS (
+  SELECT doc_id,
+         md5(array_to_string(words[1 : 12], ' ')) AS prompt_md5,
+         md5(array_to_string(words[13 : least(24, wlen)], ' '))
+           AS resp_md5,
+         least(24, wlen) - 12 AS resp_words,
+         'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id
+  FROM t
+), dist AS (
+  SELECT prompt_md5, resp_md5,
+         min(resp_words) AS resp_words, min(conv_id) AS conv_id
+  FROM pr GROUP BY 1, 2
+), sized AS (
+  SELECT *, count(*) OVER (PARTITION BY prompt_md5) AS n_candidates,
+         row_number() OVER (PARTITION BY prompt_md5
+                            ORDER BY resp_words DESC, resp_md5 ASC)
+           AS rn_chosen,
+         row_number() OVER (PARTITION BY prompt_md5
+                            ORDER BY resp_words ASC, resp_md5 DESC)
+           AS rn_rejected
+  FROM dist
+)
+SELECT c.prompt_md5,
+       CAST(max(c.n_candidates) AS BIGINT) AS n_candidates,
+       max(CASE WHEN c.rn_chosen = 1 THEN c.resp_md5 END) AS chosen_md5,
+       max(CASE WHEN c.rn_rejected = 1 THEN c.resp_md5 END)
+         AS rejected_md5,
+       max(CASE WHEN c.rn_chosen = 1 THEN c.conv_id END)
+         AS chosen_conv_id
+FROM sized c WHERE c.n_candidates >= 2
+GROUP BY 1
+"""

@@ -11996,3 +11996,76 @@ SELECT event_type, CAST(win_start_us AS BIGINT) AS win_start_us,
        CAST(sum(vc) AS BIGINT) AS sum_value_centi
 FROM w GROUP BY 1, 2
 """
+
+
+def compaction_plan(sf_dir: str, target_bytes: int = 2_000):
+    """Small-file compaction planner — the lakehouse maintenance op
+    that bins a source's files (here: documents standing in as files,
+    ``n_chars`` as file size) into sequential compaction groups of
+    ~``target_bytes``: walking a source's files in doc_id order, a file
+    joins the current group while the group's size BEFORE it is under
+    the target (first-fit-sequential, the rule real compactors use so
+    groups stay contiguous and the plan is a pure prefix scan — group
+    index = floor(running-size-before / target)). Output per (source,
+    group): file count, total bytes, and the covered doc_id range, so a
+    resumable compactor can execute groups independently.
+
+    Shape: narrow (source, doc_id, n_chars) rows off a pruned read, one
+    source-cardinality bucketed exchange, vectorized sorted cumsum per
+    bucket. The prefix scan is sequential BY DESIGN (groups must be
+    contiguous in file order), so the parallel unit is the source —
+    the same partitioning a per-table compactor has in production."""
+    from entity_extractor_linker_ray.ops.readers import read_split
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = read_split(f"{sf_dir}/documents.parquet",
+                      columns=["source", "doc_id", "n_chars"])
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=str),
+                 "group_id": pd.Series([], dtype=np.int64),
+                 "n_files": pd.Series([], dtype=np.int64),
+                 "total_bytes": pd.Series([], dtype=np.int64),
+                 "min_doc_id": pd.Series([], dtype=np.int64),
+                 "max_doc_id": pd.Series([], dtype=np.int64)}
+            )
+        b = bucket.sort_values(["source", "doc_id"], kind="stable")
+        size = b["n_chars"].to_numpy(dtype=np.int64)
+        csum = b.groupby("source", sort=False)["n_chars"].cumsum().to_numpy(
+            dtype=np.int64
+        )
+        b = b.assign(group_id=(csum - size) // np.int64(target_bytes))
+        return (
+            b.groupby(["source", "group_id"], sort=False)
+            .agg(n_files=("doc_id", "size"),
+                 total_bytes=("n_chars", "sum"),
+                 min_doc_id=("doc_id", "min"),
+                 max_doc_id=("doc_id", "max"))
+            .reset_index()
+            .astype({c: np.int64 for c in
+                     ("group_id", "n_files", "total_bytes",
+                      "min_doc_id", "max_doc_id")})
+        )
+
+    return grouped_aggregate(docs, ["source"], combine)
+
+
+def compaction_plan_oracle(target_bytes: int = 2_000) -> str:
+    return f"""
+WITH scan AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars
+           AS before_bytes
+  FROM documents
+)
+SELECT source,
+       CAST(before_bytes // {target_bytes} AS BIGINT) AS group_id,
+       count(*) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM scan GROUP BY 1, 2
+"""

@@ -226,3 +226,323 @@ def compute_stats(entities_ds, triples_ds) -> dict:
         "top_dbpedia_subjects": top_k_exploded(entities_ds, "dbpedia_subjects", "subject").to_pandas(),
         "entity_connections": entity_connections(triples_ds).to_pandas(),
     }
+
+
+# ----------------------------------------------------------------------
+# schema induction over the constructed KG (round 3)
+# ----------------------------------------------------------------------
+
+def predicate_profile(triples_ds):
+    """Per-predicate cardinality profile — the schema-induction signal a
+    KG builder reads before declaring a predicate functional (one
+    object per subject), inverse-functional, or noise: triple count,
+    distinct subject count, distinct object count, and how many of the
+    triples were implicit (relation-inference A4/A5 output) rather than
+    explicit. ``n_triples / n_subjects`` ≈ 1 marks a functional
+    predicate; a large gap marks a hub-shaped one.
+
+    Shape: per-batch partials pre-group on (predicate, subject, object)
+    — wire rows are bounded by distinct triples per batch — then one
+    predicate-keyed bucketed exchange where both distinct counts are
+    bucket-local (every row of a predicate lands in its bucket)."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "predicate": batch["predicate"].astype(str).to_numpy(),
+                "subject": batch["subject"].astype(str).to_numpy(),
+                "object": batch["object"].astype(str).to_numpy(),
+                "cnt": np.int64(1),
+                "n_implicit": (
+                    batch["inferred"].astype(str).to_numpy() == "implicit"
+                ).astype(np.int64),
+            }
+        )
+        return (
+            df.groupby(["predicate", "subject", "object"], sort=False)
+            .agg(cnt=("cnt", "sum"), n_implicit=("n_implicit", "sum"))
+            .reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {
+                    "predicate": pd.Series([], dtype=str),
+                    "n_triples": pd.Series([], dtype=np.int64),
+                    "n_subjects": pd.Series([], dtype=np.int64),
+                    "n_objects": pd.Series([], dtype=np.int64),
+                    "n_implicit": pd.Series([], dtype=np.int64),
+                }
+            )
+        return (
+            bucket.groupby("predicate", sort=False)
+            .agg(
+                n_triples=("cnt", "sum"),
+                n_subjects=("subject", "nunique"),
+                n_objects=("object", "nunique"),
+                n_implicit=("n_implicit", "sum"),
+            )
+            .reset_index()
+            .astype({c: np.int64 for c in ("n_triples", "n_subjects",
+                                           "n_objects", "n_implicit")})
+        )
+
+    return grouped_aggregate(triples_ds, ["predicate"], combine,
+                             partial=partial)
+
+
+def schema_signatures(triples_ds):
+    """Type-signature induction: per (subject_type, predicate,
+    object_type) — triple count and distinct (subject, object) entity-
+    pair count. This is the ontology skeleton the reference renders as
+    its type-distribution block, lifted to edge level: which type pairs
+    each predicate actually connects, and with how much entity-level
+    support behind the raw co-occurrence count.
+
+    Shape: identical two-phase contract as :func:`predicate_profile`
+    with the composite key; the distinct-pair count rides the same
+    pre-grouped partial rows at zero extra wire cost."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    KEYS = ["subject_type", "predicate", "object_type"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "subject_type": batch["subject_type"].astype(str).to_numpy(),
+                "predicate": batch["predicate"].astype(str).to_numpy(),
+                "object_type": batch["object_type"].astype(str).to_numpy(),
+                "subject": batch["subject"].astype(str).to_numpy(),
+                "object": batch["object"].astype(str).to_numpy(),
+                "cnt": np.int64(1),
+            }
+        )
+        return (
+            df.groupby(KEYS + ["subject", "object"], sort=False)
+            .agg(cnt=("cnt", "sum"))
+            .reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {
+                    "subject_type": pd.Series([], dtype=str),
+                    "predicate": pd.Series([], dtype=str),
+                    "object_type": pd.Series([], dtype=str),
+                    "n_triples": pd.Series([], dtype=np.int64),
+                    "n_entity_pairs": pd.Series([], dtype=np.int64),
+                }
+            )
+        pair = bucket["subject"] + "\x1f" + bucket["object"]
+        return (
+            bucket.assign(pair=pair)
+            .groupby(KEYS, sort=False)
+            .agg(n_triples=("cnt", "sum"), n_entity_pairs=("pair", "nunique"))
+            .reset_index()
+            .astype({"n_triples": np.int64, "n_entity_pairs": np.int64})
+        )
+
+    return grouped_aggregate(triples_ds, KEYS, combine, partial=partial)
+
+
+def inverse_predicate_candidates(triples_ds):
+    """Inverse-predicate mining: for every ordered predicate pair
+    (pred_a, pred_b), how many distinct-triple pairs exist where
+    ``(s, pred_a, o)`` and ``(o, pred_b, s)`` both occur — the signal
+    for declaring ``q = a⁻¹`` (or, on the diagonal, that a predicate is
+    symmetric) during KG canonicalization. Triples are deduplicated to
+    distinct (subject, predicate, object) first, so multiplicity from
+    repeated conversations doesn't inflate the evidence.
+
+    Shape: this is a self-join on the REVERSED entity key, expressed
+    without joining: each distinct triple maps to one row keyed by the
+    unordered pair (min(s,o), max(s,o)) carrying its direction flag, so
+    both directions of an entity pair land in the same hash bucket and
+    the predicate×predicate cross-count is bucket-local (bounded by the
+    distinct predicates touching ONE entity pair, never corpus-sized).
+    Self-loop triples (s == o) are excluded — their direction is
+    undefined (mirrored in the oracle's ``subject <> object``)."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["subject"].astype(str)
+        o = batch["object"].astype(str)
+        keep = (s != o).to_numpy()
+        if not keep.any():
+            return pd.DataFrame(
+                {"lo": pd.Series([], dtype=str),
+                 "hi": pd.Series([], dtype=str),
+                 "predicate": pd.Series([], dtype=str),
+                 "fwd": pd.Series([], dtype=np.int64)}
+            )
+        s, o = s[keep], o[keep]
+        pred = batch["predicate"].astype(str)[keep]
+        s_arr, o_arr = s.to_numpy(dtype=object), o.to_numpy(dtype=object)
+        is_fwd = (s < o).to_numpy()
+        return pd.DataFrame(
+            {"lo": np.where(is_fwd, s_arr, o_arr),
+             "hi": np.where(is_fwd, o_arr, s_arr),
+             "predicate": pred.to_numpy(),
+             "fwd": is_fwd.astype(np.int64)}
+        ).drop_duplicates(["lo", "hi", "predicate", "fwd"])
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "pred_a": pd.Series([], dtype=str),
+                "pred_b": pd.Series([], dtype=str),
+                "n_pairs": pd.Series([], dtype=np.int64),
+            }
+        )
+        if bucket.empty:
+            return empty
+        # partials may re-emit the same (lo, hi, predicate, fwd) from
+        # different batches — global dedup is bucket-local by key
+        b = bucket.drop_duplicates(["lo", "hi", "predicate", "fwd"])
+        f = b[b["fwd"] == 1][["lo", "hi", "predicate"]]
+        r = b[b["fwd"] == 0][["lo", "hi", "predicate"]]
+        if f.empty or r.empty:
+            return empty
+        m = f.merge(r, on=["lo", "hi"], suffixes=("_f", "_r"))
+        if m.empty:
+            return empty
+        # (s,a,o) with s==lo pairs with (o,b,s): t1 fwd, t2 rev gives
+        # (a, b); the SQL self-join also emits the flipped visit (b, a)
+        both = pd.concat(
+            [
+                m.rename(columns={"predicate_f": "pred_a",
+                                  "predicate_r": "pred_b"}),
+                m.rename(columns={"predicate_r": "pred_a",
+                                  "predicate_f": "pred_b"}),
+            ],
+            ignore_index=True,
+        )[["pred_a", "pred_b"]]
+        return (
+            both.groupby(["pred_a", "pred_b"], sort=False)
+            .size()
+            .reset_index(name="n_pairs")
+            .astype({"n_pairs": np.int64})
+        )
+
+    pairs = grouped_aggregate(triples_ds, ["lo", "hi"], combine,
+                              partial=partial)
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {
+                    "pred_a": pd.Series([], dtype=str),
+                    "pred_b": pd.Series([], dtype=str),
+                    "n_pairs": pd.Series([], dtype=np.int64),
+                }
+            )
+        return (
+            bucket.groupby(["pred_a", "pred_b"], sort=False)
+            .agg(n_pairs=("n_pairs", "sum"))
+            .reset_index()
+            .astype({"n_pairs": np.int64})
+        )
+
+    return grouped_aggregate(pairs, ["pred_a", "pred_b"], final)
+
+
+# multiplicative-hash constants for deterministic negative sampling —
+# integer arithmetic only, so DuckDB replays the draw bit-for-bit
+_NEG_A = np.int64(2654435761)   # Knuth multiplicative (as ops/sampling)
+_NEG_B = np.int64(40503)        # 16-bit Knuth companion
+_NEG_C = np.int64(2654435789)
+_NEG_MOD = np.int64(1) << np.int64(32)
+
+
+def negative_samples(triples_ds):
+    """Filtered negative sampling for KG link prediction — for every
+    distinct true triple (s, p, o), a deterministically drawn corrupted
+    object o' from the entity pool, with the filter flag that marks
+    draws which happen to be true triples themselves (the standard
+    'filtered' protocol: downstream training drops flagged rows rather
+    than resampling, keeping the op a pure function of the corpus).
+    The draw is integer arithmetic over dense entity/predicate ranks —
+    ``(si·A + pi·B + oi·C) mod 2³² mod N`` — not an RNG, so the sample
+    is reproducible at any parallelism and in SQL.
+
+    Shape: the entity and predicate index spaces are vocabulary-bounded
+    → driver-collected once and broadcast into the scan (the KB
+    small-side rule, J5); the truth filter is one bucketed exchange
+    keyed (subject, predicate) — every candidate meets every true
+    object of its pair in one bucket, so no corpus-sized set is ever
+    broadcast."""
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    def distinct_parts(batch: pd.DataFrame) -> pd.DataFrame:
+        e = pd.unique(
+            np.concatenate(
+                [batch["subject"].astype(str).to_numpy(dtype=object),
+                 batch["object"].astype(str).to_numpy(dtype=object)]
+            )
+        )
+        p = pd.unique(batch["predicate"].astype(str).to_numpy(dtype=object))
+        n = max(len(e), len(p))
+        return pd.DataFrame(
+            {"entity": np.concatenate([e, np.array([None] * (n - len(e)),
+                                                   dtype=object)]),
+             "predicate": np.concatenate([p, np.array([None] * (n - len(p)),
+                                                      dtype=object)])}
+        )
+
+    vocab = collect_small(
+        triples_ds.map_batches(distinct_parts, batch_format="pandas"),
+        ["entity", "predicate"],
+    )
+    ents = sorted({e for e in vocab["entity"] if e is not None})
+    preds = sorted({p for p in vocab["predicate"] if p is not None})
+    ent_idx = {e: np.int64(i) for i, e in enumerate(ents)}
+    pred_idx = {p: np.int64(i) for i, p in enumerate(preds)}
+    ent_arr = np.array(ents, dtype=object)
+    n_ents = np.int64(len(ents))
+
+    def draw(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["subject"].astype(str)
+        p = batch["predicate"].astype(str)
+        o = batch["object"].astype(str)
+        si = s.map(ent_idx).to_numpy(dtype=np.int64)
+        pi = p.map(pred_idx).to_numpy(dtype=np.int64)
+        oi = o.map(ent_idx).to_numpy(dtype=np.int64)
+        h = ((si * _NEG_A + pi * _NEG_B + oi * _NEG_C) % _NEG_MOD) % n_ents
+        return pd.DataFrame(
+            {"subject": s.to_numpy(), "predicate": p.to_numpy(),
+             "object": o.to_numpy(), "neg_object": ent_arr[h]}
+        ).drop_duplicates()
+
+    candidates = triples_ds.map_batches(draw, batch_format="pandas")
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"subject": pd.Series([], dtype=str),
+                 "predicate": pd.Series([], dtype=str),
+                 "object": pd.Series([], dtype=str),
+                 "neg_object": pd.Series([], dtype=str),
+                 "is_true_negative": pd.Series([], dtype=np.int64)}
+            )
+        b = bucket.drop_duplicates(["subject", "predicate", "object",
+                                    "neg_object"])
+        truth = b.groupby(["subject", "predicate"], sort=False)["object"].agg(
+            set
+        )
+        keys = pd.MultiIndex.from_arrays([b["subject"], b["predicate"]])
+        flags = np.fromiter(
+            (neg in truth.loc[key]
+             for key, neg in zip(keys, b["neg_object"])),
+            dtype=bool, count=len(b),
+        )
+        # is_true_negative = 1 when the draw is a GENUINE negative
+        # (not a true triple) — the rows a trainer keeps
+        return b.assign(is_true_negative=(~flags).astype(np.int64))
+
+    return grouped_aggregate(candidates, ["subject", "predicate"], combine)
