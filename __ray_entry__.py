@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["q4_order_priority_check"] = relational.q4_order_priority_check
     q["events_hopping_window"] = relational.events_hopping_window
     q["compaction_plan"] = relational.compaction_plan
+    q["orders_open_backlog"] = relational.orders_open_backlog
     # --- synthetic power-law graph (non-toy regime for the iterative
     #     graph kernels; seed-derived, sf_dir ignored; rows-only —
     #     replica/brute-force checks live in tests/test_synthetic_graph) -
@@ -454,6 +455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["kg_negative_samples"] = lambda sf: _graph.negative_samples(
         _kg_full_outputs(sf, "triples")
+    )
+    q["kg_ruleset_llm_agreement"] = lambda sf: simple_kg.ruleset_llm_agreement(
+        sf, _kg_full_outputs(sf, "entity_links")
     )
     # feature-flag variants (generate mode A2, chunking M1+§3.2)
     q["kg_generate_triples"] = lambda sf: _kg_variant_triples(
@@ -596,6 +600,19 @@ SELECT subject_type, predicate, object_type,
        CAST(count(DISTINCT subject || chr(31) || object) AS BIGINT)
          AS n_entity_pairs
 FROM {tri} t GROUP BY 1, 2, 3
+"""
+    from entity_extractor_linker_ray.pipelines import simple_kg as _skg
+
+    sql["kg_ruleset_llm_agreement"] = f"""
+WITH {_skg.vocab_cte()}, {_skg.mentions_cte()},
+rule_names AS (SELECT DISTINCT name FROM m),
+llm_names AS (SELECT DISTINCT entity AS name FROM {ent} g)
+SELECT
+  CAST(count(*) FILTER (r.name IS NOT NULL AND l.name IS NOT NULL)
+       AS BIGINT) AS n_both,
+  CAST(count(*) FILTER (l.name IS NULL) AS BIGINT) AS n_rule_only,
+  CAST(count(*) FILTER (r.name IS NULL) AS BIGINT) AS n_llm_only
+FROM rule_names r FULL OUTER JOIN llm_names l ON l.name = r.name
 """
     sql["kg_negative_samples"] = f"""
 WITH t AS (
@@ -905,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
     sql["q4_order_priority_check"] = relational.q4_order_priority_check_oracle()
     sql["events_hopping_window"] = relational.EVENTS_HOPPING_WINDOW_ORACLE
     sql["compaction_plan"] = relational.compaction_plan_oracle()
+    sql["orders_open_backlog"] = relational.orders_open_backlog_oracle()
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

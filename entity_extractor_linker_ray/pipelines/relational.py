@@ -12069,3 +12069,92 @@ SELECT source,
        CAST(max(doc_id) AS BIGINT) AS max_doc_id
 FROM scan GROUP BY 1, 2
 """
+
+
+def orders_open_backlog(sf_dir: str, horizon_days: int = 30):
+    """Open-order backlog over time — the interval-stabbing aggregate
+    (how many orders are 'open' on each day, an order being open for
+    ``horizon_days`` from its order date) computed as a sweep line:
+    each order contributes a +1 delta at its start day and a -1 at its
+    end day, the deltas collapse to one row per distinct day, and the
+    running sum of deltas IS the backlog step function. Output is one
+    row per change-point day (day as integer days since epoch, the
+    day's net delta, and the backlog level from that day on) — never a
+    row per (order × day) materialization.
+
+    Shape: delta generation and per-day pre-aggregation are scan-local;
+    the exchange is day-cardinality (two change points per distinct
+    order date — a few thousand rows for years of data), so the ordered
+    prefix sum runs vectorized in ONE bucket. A day domain too large
+    for one bucket would switch to the 3-step distributed scan of
+    :func:`events_running_total`; the domain bound is the documented
+    assumption."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    US_PER_DAY = 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    )
+
+    def deltas(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            batch["o_orderdate"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            // US_PER_DAY
+        )
+        df = pd.DataFrame(
+            {
+                "day": np.concatenate([day, day + np.int64(horizon_days)]),
+                "delta": np.concatenate(
+                    [np.ones(len(day), dtype=np.int64),
+                     -np.ones(len(day), dtype=np.int64)]
+                ),
+            }
+        )
+        return df.groupby("day", sort=False, as_index=False)["delta"].sum()
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"day": pd.Series([], dtype=np.int64),
+                 "day_delta": pd.Series([], dtype=np.int64),
+                 "open_orders": pd.Series([], dtype=np.int64)}
+            )
+        d = (
+            bucket.groupby("day", sort=False, as_index=False)["delta"]
+            .sum()
+            .sort_values("day", kind="stable")
+        )
+        return pd.DataFrame(
+            {"day": d["day"].to_numpy(dtype=np.int64),
+             "day_delta": d["delta"].to_numpy(dtype=np.int64),
+             "open_orders": d["delta"].cumsum().to_numpy(dtype=np.int64)}
+        )
+
+    # ONE bucket (num_partitions=1 ≡ hash % 1 = 0): the prefix sum is
+    # global, and the day domain is bounded (see docstring)
+    return grouped_aggregate(
+        orders.map_batches(deltas, batch_format="pandas"),
+        ["day"], combine, num_partitions=1,
+    )
+
+
+def orders_open_backlog_oracle(horizon_days: int = 30) -> str:
+    return f"""
+WITH pts AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day, 1 AS delta
+  FROM orders
+  UNION ALL
+  SELECT epoch_us(o_orderdate) // 86400000000 + {horizon_days}, -1
+  FROM orders
+), d AS (
+  SELECT day, SUM(delta) AS delta FROM pts GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(delta AS BIGINT) AS day_delta,
+       CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS open_orders
+FROM d
+"""

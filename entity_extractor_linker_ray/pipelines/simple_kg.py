@@ -505,6 +505,81 @@ ORACLES: dict[str, str] = {
 }
 
 
+def ruleset_llm_agreement(sf_dir: str, llm_entities_ds):
+    """KG-construction QA: agreement between the deterministic mention
+    rule set (this module) and the stub-LLM extraction pipeline over
+    the SAME corpus — how many distinct entity names both extractors
+    found, and how many each found alone. The single-row triage signal
+    a KG owner reads before trusting either extractor's coverage
+    (rule-only names = LLM recall gaps; LLM-only names = surface forms
+    the rule vocabulary misses).
+
+    Shape: both sides collapse to distinct names inside their scans
+    (vocabulary-bounded on the rule side, entity-cardinality on the LLM
+    side), a tagged union meets in one name-keyed bucket exchange, and
+    the per-bucket flag counts sum to one driver row — nothing
+    corpus-sized moves."""
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    def rule_names(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _mentions_batch(batch)
+        return pd.DataFrame(
+            {"name": pd.unique(m["name"].astype(str))}
+        ).assign(in_rule=np.int64(1), in_llm=np.int64(0))
+
+    def llm_names(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"name": pd.unique(batch["entity"].astype(str))}
+        ).assign(in_rule=np.int64(0), in_llm=np.int64(1))
+
+    union = _read_documents(sf_dir).map_batches(
+        rule_names, batch_format="pandas"
+    ).union(
+        llm_entities_ds.select_columns(["entity"]).map_batches(
+            llm_names, batch_format="pandas"
+        )
+    )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"n_both": pd.Series([], dtype=np.int64),
+                 "n_rule_only": pd.Series([], dtype=np.int64),
+                 "n_llm_only": pd.Series([], dtype=np.int64)}
+            )
+        g = bucket.groupby("name", sort=False).agg(
+            in_rule=("in_rule", "max"), in_llm=("in_llm", "max")
+        )
+        both = ((g["in_rule"] == 1) & (g["in_llm"] == 1)).sum()
+        rule_only = ((g["in_rule"] == 1) & (g["in_llm"] == 0)).sum()
+        llm_only = ((g["in_rule"] == 0) & (g["in_llm"] == 1)).sum()
+        return pd.DataFrame(
+            {"n_both": [np.int64(both)],
+             "n_rule_only": [np.int64(rule_only)],
+             "n_llm_only": [np.int64(llm_only)]}
+        )
+
+    parts = collect_small(
+        grouped_aggregate(union, ["name"], combine),
+        ["n_both", "n_rule_only", "n_llm_only"],
+    )
+    totals = parts.sum() if not parts.empty else None
+    return pd.DataFrame(
+        [{
+            "n_both": np.int64(totals["n_both"]) if totals is not None else 0,
+            "n_rule_only": (
+                np.int64(totals["n_rule_only"]) if totals is not None else 0
+            ),
+            "n_llm_only": (
+                np.int64(totals["n_llm_only"]) if totals is not None else 0
+            ),
+        }]
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     fill = {
         "vocab": vocab_cte(),

@@ -1,0 +1,112 @@
+"""Round-3 batch 13: interval-stabbing order backlog (sweep line) and
+rule-set-vs-LLM extraction agreement — DuckDB value parity plus the
+sweep-line boundary semantics (exclusive end day, same-day open/close
+cancellation) and the agreement triage arithmetic on a planted corpus."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(views: dict[str, str], sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name, path in views.items():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        if pd.api.types.is_integer_dtype(df[col]):
+            df[col] = df[col].astype(np.int64)
+        elif pd.api.types.is_float_dtype(df[col]):
+            df[col] = df[col].astype(np.float64).round(9)
+        else:
+            df[col] = df[col].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+class TestOpenBacklog:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            orders_open_backlog,
+            orders_open_backlog_oracle,
+        )
+
+        got = _canon(orders_open_backlog(SF).to_pandas())
+        exp = _canon(_oracle({"orders": f"{SF}/orders.parquet"},
+                             orders_open_backlog_oracle()))
+        assert len(got) > 10
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_sweep_semantics(self, ray_session, tmp_path):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            orders_open_backlog,
+        )
+
+        # two orders on day 0, one on day 2; horizon 3:
+        #   day 0: +2 -> 2 open; day 2: +1 -> 3 open;
+        #   day 3: -2 (day-0 orders close, exclusive end) -> 1 open;
+        #   day 5: -1 -> 0 open.
+        days = pd.to_datetime(["1970-01-01", "1970-01-01", "1970-01-03"])
+        pd.DataFrame({"o_orderdate": days}).to_parquet(
+            tmp_path / "orders.parquet"
+        )
+        got = (
+            orders_open_backlog(str(tmp_path), horizon_days=3)
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        assert list(got["day"]) == [0, 2, 3, 5]
+        assert list(got["day_delta"]) == [2, 1, -2, -1]
+        assert list(got["open_orders"]) == [2, 3, 1, 0]
+        # the backlog always returns to zero: every order closes
+        assert got["open_orders"].iloc[-1] == 0
+
+
+class TestRulesetLlmAgreement:
+    def test_matches_golden(self, ray_session):
+        import __ray_entry__ as entry
+
+        got = entry.queries()["kg_ruleset_llm_agreement"](SF)
+        sql = entry.oracle_sql()["kg_ruleset_llm_agreement"]
+        exp = _oracle({"documents": f"{SF}/documents.parquet"}, sql)
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+        row = got.iloc[0]
+        # the rule vocabulary is a subset of what the stub LLM can
+        # extract, so overlap must exist
+        assert row["n_both"] > 0
+
+    def test_planted_counts(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from entity_extractor_linker_ray.pipelines.simple_kg import (
+            ruleset_llm_agreement,
+        )
+
+        # corpus mentions exactly one rule-vocab term (lowercase
+        # "spark" -> mention name "Spark"); the fake LLM side reports
+        # Spark plus one extra name
+        pd.DataFrame(
+            {
+                "doc_id": np.array([0], dtype=np.int64),
+                "text": ["spark zzz qqq"],
+                "lang": ["en"],
+                "source": ["s"],
+                "n_chars": np.array([0], dtype=np.int64),
+            }
+        ).to_parquet(tmp_path / "documents.parquet")
+        llm = rd.from_pandas(
+            pd.DataFrame({"entity": ["Spark", "Quantum Meadow"]})
+        )
+        got = ruleset_llm_agreement(str(tmp_path), llm)
+        row = got.iloc[0]
+        assert row["n_both"] == 1
+        assert row["n_llm_only"] == 1
+        assert row["n_rule_only"] == 0
