@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["conv_context_budget"] = _convs.conv_context_budget
     q["conv_common_assistant_turns"] = _convs.conv_common_assistant_turns
     q["conv_preference_pairs"] = _convs.conv_preference_pairs
+    q["conv_sft_windows"] = _convs.conv_sft_windows
     q["events_per_user_distribution"] = relational.events_per_user_distribution
     q["events_mad"] = relational.events_mad
     q["engaged_users"] = relational.engaged_users
@@ -771,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         conversations.conv_common_assistant_turns_oracle()
     )
     sql["conv_preference_pairs"] = conversations.CONV_PREFERENCE_PAIRS_ORACLE
+    sql["conv_sft_windows"] = conversations.conv_sft_windows_oracle()
     sql["events_per_user_distribution"] = (
         relational.EVENTS_PER_USER_DISTRIBUTION_ORACLE
     )

@@ -342,6 +342,20 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "nation_market_share",
         "unigram_commonness",
         "source_token_diversity",
+        "q4_order_priority_check",
+        "events_hopping_window",
+        "knn_sq8",
+        "conv_stale_turns",
+        "conv_turn_overlap",
+        "conv_context_budget",
+        "conv_preference_pairs",
+        "compaction_plan",
+        "kmeans_separation",
+        "orders_open_backlog",
+        # kg_predicate_profile pays the memoized stub-pipeline build;
+        # kg_negative_samples then reuses it (order matters)
+        "kg_predicate_profile",
+        "kg_negative_samples",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -1371,3 +1371,112 @@ SELECT c.prompt_md5,
 FROM sized c WHERE c.n_candidates >= 2
 GROUP BY 1
 """
+
+
+def conv_sft_windows(sf_dir: str, k_context: int = 3):
+    """Windowed SFT example builder — the turn-level training-row
+    export every chat trainer runs: ONE row per assistant turn, whose
+    context is the previous up-to-``k_context`` turns joined by
+    newline (the bounded-context slice, not the whole conversation) and
+    whose target is the assistant turn itself. Texts leave the scan as
+    md5 digests plus exact integer sizes (context turn count, context
+    word count), so the row is verifiable without moving transcript
+    bytes; a real exporter would write the same rows with payloads to
+    the partitioned sink.
+
+    Shape: conversations are document-atomic in the scan kernel, so
+    window construction is scan-local (zero exchange, the map-only
+    export path); the general-source note of the chatml export
+    applies."""
+    import hashlib
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        out: dict[str, list] = {
+            "conv_id": [], "turn_idx": [], "context_turns": [],
+            "context_words": [], "context_md5": [], "response_md5": [],
+        }
+        for doc_id, text in zip(
+            batch["doc_id"].to_numpy(), batch["text"].fillna("").astype(str)
+        ):
+            words = text.split()
+            if len(words) <= 12:  # no assistant turn exists
+                continue
+            n_turns = (len(words) + 11) // 12
+            turns = [
+                " ".join(words[ti * 12 : (ti + 1) * 12])
+                for ti in range(n_turns)
+            ]
+            conv = f"doc-{doc_id:010d}"
+            for ti in range(1, n_turns, 3):  # assistant turns: ti%3==1
+                lo = max(0, ti - k_context)
+                ctx = turns[lo:ti]
+                out["conv_id"].append(conv)
+                out["turn_idx"].append(ti)
+                out["context_turns"].append(len(ctx))
+                out["context_words"].append(
+                    sum(len(t.split()) for t in ctx)
+                )
+                out["context_md5"].append(
+                    hashlib.md5("\n".join(ctx).encode()).hexdigest()
+                )
+                out["response_md5"].append(
+                    hashlib.md5(turns[ti].encode()).hexdigest()
+                )
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series(out["conv_id"], dtype=str),
+                "turn_idx": pd.Series(out["turn_idx"], dtype=np.int64),
+                "context_turns": pd.Series(out["context_turns"],
+                                           dtype=np.int64),
+                "context_words": pd.Series(out["context_words"],
+                                           dtype=np.int64),
+                "context_md5": pd.Series(out["context_md5"], dtype=str),
+                "response_md5": pd.Series(out["response_md5"], dtype=str),
+            }
+        )
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+def conv_sft_windows_oracle(k_context: int = 3) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE length(COALESCE(text, '')) > 0
+), t AS (
+  SELECT doc_id, words, len(words) AS wlen,
+         (len(words) + 11) // 12 AS n_turns
+  FROM d WHERE len(words) > 12
+), g AS (
+  SELECT doc_id, words, wlen,
+         CAST(unnest(range(0, n_turns)) AS BIGINT) AS ti
+  FROM t
+), lines AS (
+  SELECT doc_id, ti,
+         array_to_string(words[ti * 12 + 1 : least((ti + 1) * 12, wlen)],
+                         ' ') AS txt,
+         least((ti + 1) * 12, wlen) - ti * 12 AS turn_words
+  FROM g
+), ctx AS (
+  SELECT doc_id, ti, txt,
+         string_agg(txt, chr(10)) OVER w AS context,
+         count(*) OVER w AS context_turns,
+         sum(turn_words) OVER w AS context_words
+  FROM lines
+  WINDOW w AS (PARTITION BY doc_id ORDER BY ti
+               ROWS BETWEEN {k_context} PRECEDING AND 1 PRECEDING)
+)
+SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+       ti AS turn_idx,
+       CAST(context_turns AS BIGINT) AS context_turns,
+       CAST(context_words AS BIGINT) AS context_words,
+       md5(context) AS context_md5,
+       md5(txt) AS response_md5
+FROM ctx WHERE ti % 3 = 1
+"""

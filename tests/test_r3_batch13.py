@@ -110,3 +110,57 @@ class TestRulesetLlmAgreement:
         assert row["n_both"] == 1
         assert row["n_llm_only"] == 1
         assert row["n_rule_only"] == 0
+
+
+class TestSftWindows:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.conversations import (
+            conv_sft_windows,
+            conv_sft_windows_oracle,
+        )
+
+        got = _canon(conv_sft_windows(SF).to_pandas())
+        exp = _canon(_oracle({"documents": f"{SF}/documents.parquet"},
+                             conv_sft_windows_oracle()))
+        assert len(got) > 100
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_window_boundaries(self, ray_session, tmp_path):
+        import hashlib
+
+        from entity_extractor_linker_ray.pipelines.conversations import (
+            conv_sft_windows,
+        )
+
+        # 61 words -> 6 turns (t0..t5, t5 has 1 word); assistant turns
+        # ti=1 (context [t0]) and ti=4 (context [t1,t2,t3] -- capped at
+        # k=3, t0 excluded)
+        turns = [
+            " ".join(f"w{ti}_{i}" for i in range(12)) for ti in range(5)
+        ]
+        text = " ".join(turns) + " tail"
+        pd.DataFrame(
+            {
+                "doc_id": np.array([0], dtype=np.int64),
+                "text": [text],
+                "lang": ["en"],
+                "source": ["s"],
+                "n_chars": np.array([0], dtype=np.int64),
+            }
+        ).to_parquet(tmp_path / "documents.parquet")
+        got = (
+            conv_sft_windows(str(tmp_path))
+            .to_pandas()
+            .set_index("turn_idx")
+        )
+        assert sorted(got.index) == [1, 4]
+        assert got.loc[1, "context_turns"] == 1
+        assert got.loc[1, "context_words"] == 12
+        assert got.loc[1, "context_md5"] == hashlib.md5(
+            turns[0].encode()
+        ).hexdigest()
+        assert got.loc[4, "context_turns"] == 3
+        assert got.loc[4, "context_words"] == 36
+        assert got.loc[4, "context_md5"] == hashlib.md5(
+            "\n".join(turns[1:4]).encode()
+        ).hexdigest()
