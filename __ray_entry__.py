@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["unigram_commonness"] = textstats.unigram_commonness
     q["bigram_commonness"] = textstats.bigram_commonness
     q["source_token_diversity"] = textstats.source_token_diversity
+    q["intra_doc_repeats"] = textstats.intra_doc_repeats
     q["q4_order_priority_check"] = relational.q4_order_priority_check
     q["events_hopping_window"] = relational.events_hopping_window
     q["compaction_plan"] = relational.compaction_plan
@@ -921,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
     sql["unigram_commonness"] = textstats.UNIGRAM_COMMONNESS_ORACLE
     sql["bigram_commonness"] = textstats.BIGRAM_COMMONNESS_ORACLE
     sql["source_token_diversity"] = textstats.SOURCE_TOKEN_DIVERSITY_ORACLE
+    sql["intra_doc_repeats"] = textstats.intra_doc_repeats_oracle()
     sql["q4_order_priority_check"] = relational.q4_order_priority_check_oracle()
     sql["events_hopping_window"] = relational.EVENTS_HOPPING_WINDOW_ORACLE
     sql["compaction_plan"] = relational.compaction_plan_oracle()

@@ -2568,3 +2568,87 @@ SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_stopwords,
              AND n_stopwords >= 2 THEN 1 ELSE 0 END AS pass_all
 FROM agg
 """
+
+
+def intra_doc_repeats(sf_dir: str, n: int = 3):
+    """Self-repetition localization — the within-document complement of
+    the cross-document `dup_ngrams` screen: per document, how many of
+    its word-``n``-gram positions repeat a gram that already occurred
+    EARLIER in the same document (the looping-generator signature), and
+    how many distinct grams do the repeating. `repetition_signals`
+    reports corpus-level rates; this pins the mass to documents so a
+    curation pass can drop or truncate the loopers. Documents with no
+    internal repetition emit no row.
+
+    Shape: entirely scan-local (each document's gram positions live in
+    its own row) — zero exchange, embarrassingly parallel; output is
+    bounded by the repeating documents, never the gram stream."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, n_pos, n_rep, n_grams = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_numpy(), batch["text"].fillna("").astype(str)
+        ):
+            words = text.split()
+            if len(words) < n:
+                continue
+            seen: dict[str, int] = {}
+            repeats = 0
+            repeated: set[str] = set()
+            for i in range(len(words) - n + 1):
+                gram = " ".join(words[i : i + n])
+                if gram in seen:
+                    repeats += 1
+                    repeated.add(gram)
+                else:
+                    seen[gram] = i
+            if repeats == 0:
+                continue
+            ids.append(doc_id)
+            n_pos.append(len(words) - n + 1)
+            n_rep.append(repeats)
+            n_grams.append(len(repeated))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype=np.int64),
+                "n_positions": pd.Series(n_pos, dtype=np.int64),
+                "n_repeat_positions": pd.Series(n_rep, dtype=np.int64),
+                "n_repeated_grams": pd.Series(n_grams, dtype=np.int64),
+            }
+        )
+
+    return docs.map_batches(kernel, batch_format="pandas")
+
+
+def intra_doc_repeats_oracle(n: int = 3) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE length(COALESCE(text, '')) > 0
+), t AS (
+  SELECT doc_id, words, len(words) AS wlen FROM d WHERE len(words) >= {n}
+), g AS (
+  SELECT doc_id, wlen,
+         CAST(unnest(range(1, wlen - {n} + 2)) AS BIGINT) AS i
+  FROM t
+), grams AS (
+  SELECT g.doc_id, g.wlen, g.i,
+         array_to_string(t.words[g.i : g.i + {n} - 1], ' ') AS gram
+  FROM g JOIN t USING (doc_id)
+), marked AS (
+  SELECT doc_id, wlen, gram,
+         row_number() OVER (PARTITION BY doc_id, gram ORDER BY i) AS rn
+  FROM grams
+)
+SELECT doc_id,
+       CAST(max(wlen) - {n} + 1 AS BIGINT) AS n_positions,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_repeat_positions,
+       CAST(count(DISTINCT gram) FILTER (rn > 1) AS BIGINT)
+         AS n_repeated_grams
+FROM marked GROUP BY 1 HAVING count(*) FILTER (rn > 1) > 0
+"""

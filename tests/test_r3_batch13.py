@@ -164,3 +164,43 @@ class TestSftWindows:
         assert got.loc[4, "context_md5"] == hashlib.md5(
             "\n".join(turns[1:4]).encode()
         ).hexdigest()
+
+
+class TestIntraDocRepeats:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.ops.textstats import (
+            intra_doc_repeats,
+            intra_doc_repeats_oracle,
+        )
+
+        got = _canon(intra_doc_repeats(SF).to_pandas())
+        exp = _canon(_oracle({"documents": f"{SF}/documents.parquet"},
+                             intra_doc_repeats_oracle()))
+        assert len(got) > 10  # 3-gram self-repetition exists here
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_localization_semantics(self, ray_session, tmp_path):
+        from entity_extractor_linker_ray.ops.textstats import (
+            intra_doc_repeats,
+        )
+
+        # doc0: "a b c a b c a b c" -> 7 trigram positions; "a b c"
+        #   repeats at 3 and 6, "b c a" at 4, "c a b" at 5 -> 4 repeat
+        #   positions over 3 distinct grams.
+        # doc1: all-unique trigrams -> no row.
+        pd.DataFrame(
+            {
+                "doc_id": np.array([0, 1], dtype=np.int64),
+                "text": ["a b c a b c a b c", "x y z w v u"],
+                "lang": ["en"] * 2,
+                "source": ["s"] * 2,
+                "n_chars": np.zeros(2, dtype=np.int64),
+            }
+        ).to_parquet(tmp_path / "documents.parquet")
+        got = intra_doc_repeats(str(tmp_path)).to_pandas()
+        assert len(got) == 1
+        row = got.iloc[0]
+        assert row["doc_id"] == 0
+        assert row["n_positions"] == 7
+        assert row["n_repeat_positions"] == 4
+        assert row["n_repeated_grams"] == 3
