@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_extractor_linker_ray.ops import fuzzy
 
     q["fuzzy_neighbors"] = fuzzy.fuzzy_neighbors
+    q["fuzzy_dup_clusters"] = fuzzy.fuzzy_dup_clusters
     from entity_extractor_linker_ray.ops import graph_algos
 
     q["dedup_clusters"] = graph_algos.duplicate_clusters_cached
@@ -682,6 +683,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_extractor_linker_ray.ops import fuzzy
 
     sql["fuzzy_neighbors"] = fuzzy.fuzzy_neighbors_oracle()
+    sql["fuzzy_dup_clusters"] = fuzzy.fuzzy_dup_clusters_oracle()
     from entity_extractor_linker_ray.ops import graph_algos
 
     sql["dedup_clusters"] = graph_algos.duplicate_clusters_oracle()

@@ -162,3 +162,127 @@ best AS (
 )
 SELECT doc_id, other_id, CAST(dist AS BIGINT) AS dist FROM best WHERE rn = 1
 """
+
+
+FUZZY_CLUSTER_DIST = 14
+
+
+def fuzzy_dup_clusters(sf_dir: str, max_dist: int = FUZZY_CLUSTER_DIST,
+                       prefix_chars: int = PREFIX_CHARS):
+    """Fuzzy duplicate families — the transitive closure of "edit
+    distance ≤ ``max_dist`` on the first ``prefix_chars`` chars within
+    a (lang, source) block": every document that fuzzy-matches at least
+    one other gets a (doc_id, cluster_id) row, cluster_id = min doc_id
+    of its family. This is record-linkage canonicalization (the fuzzy
+    analog of the exact/n-gram `dedup_clusters`): near-miss rewrites
+    chain A~B~C into one family even when A and C differ by more than
+    the threshold.
+
+    Shape: threshold pairs are enumerated inside the same blocked
+    kernel as :func:`fuzzy_neighbors` (the block-size contract is the
+    scale assumption, documented there), then the generic hash-min
+    label propagation (`ops/graph_algos.min_label_components`) closes
+    the transitive chain — per-round message volume is 2·|pairs|,
+    never all-pairs."""
+    from entity_extractor_linker_ray.ops.graph_algos import (
+        min_label_components,
+    )
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = read_split(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "text"],
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+             "lang": batch["lang"].to_numpy(),
+             "source": batch["source"].to_numpy(),
+             "prefix": batch["text"].fillna("").str.slice(
+                 0, prefix_chars).to_numpy()}
+        )
+
+    def pairs_in_block(bucket: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, blk in bucket.groupby(["lang", "source"], sort=False):
+            m = len(blk)
+            if m < 2:
+                continue
+            ids = blk["doc_id"].to_numpy(dtype=np.int64)
+            prefixes = blk["prefix"].to_numpy(dtype=object)
+            iu, ju = np.triu_indices(m, k=1)
+            dists = np.empty(len(iu), dtype=np.int64)
+            for s in range(0, len(iu), PAIR_CHUNK):
+                e = s + PAIR_CHUNK
+                dists[s:e] = batched_levenshtein(
+                    prefixes[iu[s:e]], prefixes[ju[s:e]]
+                )
+            keep = dists <= max_dist
+            if not keep.any():
+                continue
+            frames.append(
+                pd.DataFrame({"s": ids[iu[keep]], "d": ids[ju[keep]]})
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"s": np.array([], dtype=np.int64),
+                 "d": np.array([], dtype=np.int64)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = grouped_aggregate(
+        docs.map_batches(prep, batch_format="pandas"),
+        ["lang", "source"], pairs_in_block,
+    )
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["s"].to_numpy(dtype=np.int64)
+        d = batch["d"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"s": np.concatenate([s, d]), "d": np.concatenate([d, s])}
+        )
+
+    labels = min_label_components(
+        pairs.map_batches(both_dirs, batch_format="pandas")
+    )
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["node"].to_numpy(dtype=np.int64),
+             "cluster_id": batch["label"].to_numpy(dtype=np.int64)}
+        )
+
+    return labels.map_batches(rename, batch_format="pandas")
+
+
+def fuzzy_dup_clusters_oracle(max_dist: int = FUZZY_CLUSTER_DIST,
+                              prefix_chars: int = PREFIX_CHARS) -> str:
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT doc_id, lang, source,
+         substr(COALESCE(text, ''), 1, {prefix_chars}) AS prefix
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM p a JOIN p b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.prefix, b.prefix) <= {max_dist}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d AS node, r.label
+  FROM reach r JOIN edges e ON e.s = r.node
+  WHERE r.label < e.d
+)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM reach GROUP BY node
+"""

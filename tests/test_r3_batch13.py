@@ -204,3 +204,42 @@ class TestIntraDocRepeats:
         assert row["n_positions"] == 7
         assert row["n_repeat_positions"] == 4
         assert row["n_repeated_grams"] == 3
+
+
+class TestFuzzyDupClusters:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.ops.fuzzy import (
+            fuzzy_dup_clusters,
+            fuzzy_dup_clusters_oracle,
+        )
+
+        got = _canon(fuzzy_dup_clusters(SF).to_pandas())
+        exp = _canon(_oracle({"documents": f"{SF}/documents.parquet"},
+                             fuzzy_dup_clusters_oracle()))
+        assert len(got) >= 2  # the corpus has fuzzy-duplicate prefixes
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_transitive_chain(self, ray_session, tmp_path):
+        from entity_extractor_linker_ray.ops.fuzzy import fuzzy_dup_clusters
+
+        # A~B (dist 1), B~C (dist 1), but A~C dist 2 > threshold 1:
+        # the chain still lands all three in one family; D is far from
+        # everything and emits no row.
+        pd.DataFrame(
+            {
+                "doc_id": np.array([0, 1, 2, 3], dtype=np.int64),
+                "text": ["abcdefgh", "abcdefgx", "abcdefyx",
+                         "zzzzzzzzzzzzzzzz"],
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": np.zeros(4, dtype=np.int64),
+            }
+        ).to_parquet(tmp_path / "documents.parquet")
+        got = (
+            fuzzy_dup_clusters(str(tmp_path), max_dist=1)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == [0, 1, 2]
+        assert list(got["cluster_id"]) == [0, 0, 0]
