@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_hopping_window"] = relational.events_hopping_window
     q["compaction_plan"] = relational.compaction_plan
     q["orders_open_backlog"] = relational.orders_open_backlog
+    q["events_winsorized_mean"] = relational.events_winsorized_mean
     # --- synthetic power-law graph (non-toy regime for the iterative
     #     graph kernels; seed-derived, sf_dir ignored; rows-only —
     #     replica/brute-force checks live in tests/test_synthetic_graph) -
@@ -929,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
     sql["events_hopping_window"] = relational.EVENTS_HOPPING_WINDOW_ORACLE
     sql["compaction_plan"] = relational.compaction_plan_oracle()
     sql["orders_open_backlog"] = relational.orders_open_backlog_oracle()
+    sql["events_winsorized_mean"] = relational.EVENTS_WINSORIZED_MEAN_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

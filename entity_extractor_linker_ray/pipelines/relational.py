@@ -12158,3 +12158,107 @@ SELECT CAST(day AS BIGINT) AS day,
             AS BIGINT) AS open_orders
 FROM d
 """
+
+
+def events_winsorized_mean(sf_dir: str):
+    """Winsorized mean of event value per type — the robust-mean
+    variant that CAPS outliers at the exact p10/p90 instead of
+    dropping them (`trimmed_mean_by_type` is the dropping variant; a
+    telemetry pipeline usually wants both). Exact at any scale via the
+    same (type, milli-value) histogram as `events_type_percentiles`:
+    the caps come from an integer ceil(p·N) walk of cumulative counts,
+    the winsorized sum is Σ count(v)·clip(v, lo, hi) over the
+    histogram — all int64, with the mean as the single IEEE division
+    of two exact integers, so the double hash-matches the oracle."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.cluster import milli_round
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_numpy(),
+                 "milli": milli_round(batch["value"].to_numpy(dtype=np.float64))}
+            )
+            .groupby(["event_type", "milli"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"milli": np.int64, "n": np.int64})
+        )
+
+    def walk(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "lo_milli": pd.Series([], dtype=np.int64),
+             "hi_milli": pd.Series([], dtype=np.int64),
+             "n_events": pd.Series([], dtype=np.int64),
+             "winsorized_sum_milli": pd.Series([], dtype=np.int64),
+             "winsorized_mean_milli": pd.Series([], dtype=np.float64)}
+        )
+        if bucket.empty:
+            return empty
+        hist = (
+            bucket.groupby(["event_type", "milli"], sort=False)["n"]
+            .sum()
+            .reset_index()
+            .sort_values(["event_type", "milli"], kind="stable")
+        )
+        rows = []
+        for etype, h in hist.groupby("event_type", sort=False):
+            vals = h["milli"].to_numpy(dtype=np.int64)
+            cnts = h["n"].to_numpy(dtype=np.int64)
+            csum = np.cumsum(cnts)
+            n = int(csum[-1])
+            k_lo = (n + 9) // 10          # ceil(0.1 n)
+            k_hi = (9 * n + 9) // 10      # ceil(0.9 n)
+            lo = int(vals[np.searchsorted(csum, k_lo)])
+            hi = int(vals[np.searchsorted(csum, k_hi)])
+            wsum = int(np.sum(np.clip(vals, lo, hi) * cnts))
+            rows.append(
+                {"event_type": etype, "lo_milli": lo, "hi_milli": hi,
+                 "n_events": n, "winsorized_sum_milli": wsum,
+                 "winsorized_mean_milli": float(wsum) / n}
+            )
+        return pd.DataFrame(rows).astype(
+            {"lo_milli": np.int64, "hi_milli": np.int64,
+             "n_events": np.int64, "winsorized_sum_milli": np.int64}
+        )
+
+    return grouped_aggregate(events.map_batches(partial, batch_format="pandas"),
+                             ["event_type"], walk)
+
+
+EVENTS_WINSORIZED_MEAN_ORACLE = """
+WITH m AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS milli
+  FROM events
+),
+r AS (
+  SELECT event_type, milli,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY milli) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM m
+),
+b AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 9) // 10 THEN milli END) AS lo,
+         MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN milli END) AS hi,
+         MAX(n) AS n_events
+  FROM r GROUP BY 1
+)
+SELECT m.event_type,
+       CAST(MAX(b.lo) AS BIGINT) AS lo_milli,
+       CAST(MAX(b.hi) AS BIGINT) AS hi_milli,
+       CAST(MAX(b.n_events) AS BIGINT) AS n_events,
+       CAST(SUM(GREATEST(b.lo, LEAST(b.hi, m.milli))) AS BIGINT)
+         AS winsorized_sum_milli,
+       CAST(SUM(GREATEST(b.lo, LEAST(b.hi, m.milli))) AS DOUBLE)
+         / MAX(b.n_events) AS winsorized_mean_milli
+FROM m JOIN b USING (event_type)
+GROUP BY 1
+"""

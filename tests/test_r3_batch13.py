@@ -243,3 +243,44 @@ class TestFuzzyDupClusters:
         )
         assert list(got["doc_id"]) == [0, 1, 2]
         assert list(got["cluster_id"]) == [0, 0, 0]
+
+
+class TestWinsorizedMean:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            EVENTS_WINSORIZED_MEAN_ORACLE,
+            events_winsorized_mean,
+        )
+
+        got = _canon(events_winsorized_mean(SF).to_pandas())
+        exp = _canon(_oracle({"events": f"{SF}/events.parquet"},
+                             EVENTS_WINSORIZED_MEAN_ORACLE))
+        assert len(got) == 5
+        pd.testing.assert_frame_equal(got, exp)
+        # capping can only pull the sum inward: lo <= mean <= hi
+        assert (got["lo_milli"] <= got["winsorized_mean_milli"]).all()
+        assert (got["winsorized_mean_milli"] <= got["hi_milli"]).all()
+
+    def test_cap_arithmetic(self, ray_session, tmp_path):
+        from entity_extractor_linker_ray.pipelines.relational import (
+            events_winsorized_mean,
+        )
+
+        # 10 values 1..10 (milli 1000..10000): ceil(0.1*10)=1st -> lo
+        # 1000; ceil(0.9*10)=9th -> hi 9000; winsorized values are
+        # 1..9 with 10 capped to 9 -> sum 54000
+        pd.DataFrame(
+            {
+                "event_id": np.arange(10, dtype=np.int64),
+                "user_id": np.zeros(10, dtype=np.int64),
+                "event_type": ["t"] * 10,
+                "ts": pd.to_datetime(["2024-01-01"] * 10),
+                "value": np.arange(1.0, 11.0),
+                "props": ["{}"] * 10,
+            }
+        ).to_parquet(tmp_path / "events.parquet")
+        got = events_winsorized_mean(str(tmp_path)).to_pandas()
+        row = got.iloc[0]
+        assert (row["lo_milli"], row["hi_milli"]) == (1000, 9000)
+        assert row["winsorized_sum_milli"] == 54000
+        assert row["winsorized_mean_milli"] == 5400.0
