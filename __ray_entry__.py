@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["audio_decode_stats"] = multimodal.audio_decode_stats
     q["audio_downsample_stats"] = multimodal.audio_downsample_stats
     q["video_frame_stats"] = multimodal.video_frame_stats
+    q["video_scene_cuts"] = multimodal.video_scene_cuts
     # --- relational / stream-shaped -----------------------------------
     q["events_hourly"] = relational.events_hourly
     q["events_orders_asof"] = relational.events_orders_asof
@@ -700,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
     sql["audio_decode_stats"] = multimodal.AUDIO_DECODE_STATS_ORACLE
     sql["audio_downsample_stats"] = multimodal.AUDIO_DOWNSAMPLE_STATS_ORACLE
     sql["video_frame_stats"] = multimodal.VIDEO_FRAME_STATS_ORACLE
+    sql["video_scene_cuts"] = multimodal.video_scene_cuts_oracle()
     sql["events_hourly"] = relational.EVENTS_HOURLY_ORACLE
     sql["events_orders_asof"] = relational.EVENTS_ASOF_ORACLE
     sql["orders_events_range_join"] = relational.ORDERS_EVENTS_RANGE_ORACLE

@@ -772,3 +772,71 @@ SELECT doc_id, f AS frame_idx,
        CAST(SUM(b) AS BIGINT) AS sum_b
 FROM vals GROUP BY 1, 2
 """
+
+
+def video_scene_cuts(sf_dir: str, threshold: int = 600):
+    """REAL temporal video kernel: scene-cut detection over the
+    concatenated-PPM stream — decode every frame (genuine header
+    parsing, as `video_frame_stats`), compute the exact summed absolute
+    pixel difference between each consecutive frame pair across all
+    three channels, and flag pairs whose difference exceeds
+    ``threshold`` as cuts. The pair-difference-then-threshold shape is
+    the standard shot-boundary baseline; on real footage the same actor
+    contract would hold a decoder handle in ``__init__``.
+
+    Oracle-gated: the synthetic raster is closed-form per (x, y,
+    doc_id, frame), so DuckDB replays the per-pair difference with
+    range() arithmetic — the Ray side still earns it by decoding the
+    actual bytes."""
+    from entity_extractor_linker_ray.functions.imaging import decode_ppm_stream
+
+    payloads = attach_video_payload(sf_dir)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("doc_id", "pair_idx", "diff_sum", "is_cut")}
+        for doc_id, payload in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            frames = decode_ppm_stream(payload)
+            for f in range(len(frames) - 1):
+                a = frames[f][2].astype(np.int64)
+                b = frames[f + 1][2].astype(np.int64)
+                diff = int(np.abs(a - b).sum())
+                out["doc_id"].append(int(doc_id))
+                out["pair_idx"].append(f)
+                out["diff_sum"].append(diff)
+                out["is_cut"].append(int(diff > threshold))
+        return pa.table(
+            {"doc_id": pa.array(out["doc_id"], pa.int64()),
+             "pair_idx": pa.array(out["pair_idx"], pa.int64()),
+             "diff_sum": pa.array(out["diff_sum"], pa.int64()),
+             "is_cut": pa.array(out["is_cut"], pa.int64())}
+        )
+
+    return payloads.map_batches(kernel, batch_format="pyarrow", batch_size=128)
+
+
+def video_scene_cuts_oracle(threshold: int = 600) -> str:
+    # only the b channel varies with frame index (r is x-only, g is
+    # y-only), so the pair difference is sum |b(f) - b(f+1)| over the
+    # raster
+    return f"""
+WITH params AS (
+  SELECT doc_id, 3 + doc_id % 5 AS n_frames FROM documents
+), fr AS (
+  SELECT doc_id, CAST(unnest(range(0, n_frames - 1)) AS BIGINT) AS f
+  FROM params
+), vals AS (
+  SELECT fr.doc_id, fr.f,
+         abs(((x.range + y.range + fr.doc_id + 7 * fr.f) * 37) % 256
+             - ((x.range + y.range + fr.doc_id + 7 * fr.f + 7) * 37)
+               % 256) AS d
+  FROM fr, range({VID_W}) x, range({VID_H}) y
+)
+SELECT doc_id, f AS pair_idx,
+       CAST(SUM(d) AS BIGINT) AS diff_sum,
+       CAST(CASE WHEN SUM(d) > {threshold} THEN 1 ELSE 0 END AS BIGINT)
+         AS is_cut
+FROM vals GROUP BY 1, 2
+"""

@@ -284,3 +284,40 @@ class TestWinsorizedMean:
         assert (row["lo_milli"], row["hi_milli"]) == (1000, 9000)
         assert row["winsorized_sum_milli"] == 54000
         assert row["winsorized_mean_milli"] == 5400.0
+
+
+class TestVideoSceneCuts:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.ops.multimodal import (
+            video_scene_cuts,
+            video_scene_cuts_oracle,
+        )
+
+        got = _canon(video_scene_cuts(SF).to_pandas())
+        exp = _canon(_oracle({"documents": f"{SF}/documents.parquet"},
+                             video_scene_cuts_oracle()))
+        assert len(got) > 1000
+        # the threshold must fire both ways on this corpus
+        assert set(got["is_cut"].unique()) == {0, 1}
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_real_bytes_drive_the_kernel(self, ray_session):
+        """The Ray side decodes genuine PPM bytes: corrupting one frame
+        header must crash the decode, proving the kernel is not a
+        generator replay."""
+        import pytest
+
+        from entity_extractor_linker_ray.functions.imaging import (
+            decode_ppm_stream,
+        )
+        from entity_extractor_linker_ray.ops.multimodal import (
+            attach_video_payload,
+        )
+
+        payload = (
+            attach_video_payload(SF).take(1)[0]["payload"]
+        )
+        frames = decode_ppm_stream(payload)
+        assert len(frames) >= 3
+        with pytest.raises(Exception):
+            decode_ppm_stream(b"XX" + payload[2:])
