@@ -424,6 +424,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["compaction_plan"] = relational.compaction_plan
     q["orders_open_backlog"] = relational.orders_open_backlog
     q["events_winsorized_mean"] = relational.events_winsorized_mean
+    q["gram_novelty"] = textstats.gram_novelty
+    q["source_gram_overlap"] = textstats.source_gram_overlap
+    q["events_theilsen_trend"] = relational.events_theilsen_trend
+    q["bpe_train_merges"] = textstats.bpe_train_merges
     # --- synthetic power-law graph (non-toy regime for the iterative
     #     graph kernels; seed-derived, sf_dir ignored; rows-only —
     #     replica/brute-force checks live in tests/test_synthetic_graph) -
@@ -933,6 +937,9 @@ def oracle_sql() -> dict[str, str]:
     sql["compaction_plan"] = relational.compaction_plan_oracle()
     sql["orders_open_backlog"] = relational.orders_open_backlog_oracle()
     sql["events_winsorized_mean"] = relational.EVENTS_WINSORIZED_MEAN_ORACLE
+    sql["gram_novelty"] = textstats.gram_novelty_oracle()
+    sql["source_gram_overlap"] = textstats.source_gram_overlap_oracle()
+    sql["events_theilsen_trend"] = relational.EVENTS_THEILSEN_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
 
     from entity_extractor_linker_ray.ops import sampling

@@ -356,6 +356,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         # kg_negative_samples then reuses it (order matters)
         "kg_predicate_profile",
         "kg_negative_samples",
+        "gram_novelty",
+        "source_gram_overlap",
+        "events_theilsen_trend",
+        "bpe_train_merges",
     ]
     times: dict[str, float] = {}
     for name in names:

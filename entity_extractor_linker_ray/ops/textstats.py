@@ -2652,3 +2652,404 @@ SELECT doc_id,
          AS n_repeated_grams
 FROM marked GROUP BY 1 HAVING count(*) FILTER (rn > 1) > 0
 """
+
+
+def gram_novelty(sf_dir: str, k: int = 3):
+    """Per-document n-gram novelty — the curation signal for "how much
+    NEW content does this doc add": among a doc's distinct word
+    k-grams, the share whose global first occurrence (min ``doc_id``
+    over the corpus) is this doc. Boilerplate-heavy or near-duplicate
+    docs score low; the corpus's earliest docs score high by
+    construction (`vocab_growth_curve` is the corpus-level decile view
+    of the same arrival idea — this is the per-doc score).
+
+    Shape: one explode pass to (gram, doc_id) posting rows (distinct
+    per doc, shared tokenizer with the dedup family so the DuckDB
+    oracle shingles identically), a gram-keyed two-phase MIN for the
+    owner, then owner counts and per-doc gram totals meet in ONE
+    doc-keyed tagged-union aggregate. Both exchanges are combiner
+    partials (min / sum), never row-proportional rescans; output ints
+    only, so the driver hash is exact.
+    """
+    import pyarrow as pa
+
+    from entity_extractor_linker_ray.ops.dedupe import _word_ngrams
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> "pa.Table":
+        ids: list[int] = []
+        grams: list[str] = []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            gs = _word_ngrams(t, k)
+            ids.extend([int(d)] * len(gs))
+            grams.extend(gs)
+        return pa.table(
+            {"g": pa.array(grams, pa.string()),
+             "doc_id": pa.array(ids, pa.int64())}
+        )
+
+    gram_rows = docs.map_batches(explode, batch_format="pandas")
+
+    def min_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("g", sort=False, as_index=False)["doc_id"].min()
+
+    owners = grouped_aggregate(gram_rows, ["g"], min_partial,
+                               partial=min_partial)
+
+    def novel_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby("doc_id", sort=False).size().reset_index(name="n_novel")
+        )
+        out["n_grams"] = np.int64(0)
+        return out[["doc_id", "n_grams", "n_novel"]].astype(
+            {"doc_id": np.int64, "n_grams": np.int64, "n_novel": np.int64}
+        )
+
+    def total_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby("doc_id", sort=False).size().reset_index(name="n_grams")
+        )
+        out["n_novel"] = np.int64(0)
+        return out[["doc_id", "n_grams", "n_novel"]].astype(
+            {"doc_id": np.int64, "n_grams": np.int64, "n_novel": np.int64}
+        )
+
+    unioned = gram_rows.map_batches(total_partial, batch_format="pandas").union(
+        owners.map_batches(novel_partial, batch_format="pandas")
+    )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("doc_id", sort=False, as_index=False)[
+            ["n_grams", "n_novel"]
+        ].sum()
+        g = g[g["n_grams"] > 0]
+        grams_n = g["n_grams"].to_numpy(dtype=np.int64)
+        novel_n = g["n_novel"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+             "n_grams": grams_n, "n_novel": novel_n,
+             "novelty_pct": (100 * novel_n) // grams_n}
+        )
+
+    return grouped_aggregate(unioned, ["doc_id"], final, coalesce=True)
+
+
+def gram_novelty_oracle(k: int = 3) -> str:
+    gram_expr = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, {gram_expr} AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - {k - 1})) AS t(i)
+), own AS (
+  SELECT g, min(doc_id) AS owner FROM grams GROUP BY g
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), nov AS (
+  SELECT owner AS doc_id, count(*) AS n_novel FROM own GROUP BY owner
+)
+SELECT d.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+       CAST((100 * COALESCE(n_novel, 0)) // n_grams AS BIGINT) AS novelty_pct
+FROM per_doc d LEFT JOIN nov USING (doc_id)
+"""
+
+
+def source_gram_overlap(sf_dir: str, k: int = 3):
+    """Pairwise source-level content overlap: exact Jaccard between
+    the distinct word-k-gram sets of every source pair that shares at
+    least one gram — the inter-feed contamination matrix (two sources
+    with high gram Jaccard are mirroring each other and double-count
+    in training mixes).
+
+    Shape: the all-pairs comparison never happens — per gram the
+    SORTED SET OF SOURCES containing it is built by a gram-keyed
+    two-phase union (partials are per-batch distinct (gram, source)
+    pairs, bounded by grams x |sources|), each bucket emits per
+    source-set COUNTS (<= 2^|sources| rows per bucket), and the
+    |sources|^2 matrix falls out of the tiny mask histogram on the
+    driver. One exchange; wire rows are gram-keyed partials.
+    """
+    from entity_extractor_linker_ray.ops.dedupe import _word_ngrams
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    import pyarrow as pa
+
+    docs = read_split(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def explode(batch: pd.DataFrame) -> "pa.Table":
+        srcs: list[str] = []
+        grams: list[str] = []
+        for s, t in zip(batch["source"], batch["text"]):
+            gs = _word_ngrams(t, k)
+            srcs.extend([str(s)] * len(gs))
+            grams.extend(gs)
+        out = pd.DataFrame({"g": grams, "source": srcs})
+        out = out.drop_duplicates()
+        return pa.table(
+            {"g": pa.array(out["g"].tolist(), pa.string()),
+             "source": pa.array(out["source"].tolist(), pa.string())}
+        )
+
+    gram_rows = docs.map_batches(explode, batch_format="pandas")
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(["g", "source"])
+
+    def srcset_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"srcset": pd.Series([], dtype=str),
+                 "n_grams": pd.Series([], dtype=np.int64)}
+            )
+        dedup = bucket.drop_duplicates(["g", "source"]).sort_values(
+            ["g", "source"], kind="stable"
+        )
+        sets = dedup.groupby("g", sort=False)["source"].agg("|".join)
+        vc = sets.value_counts()
+        return pd.DataFrame(
+            {"srcset": vc.index.to_numpy(dtype=object),
+             "n_grams": vc.to_numpy(dtype=np.int64)}
+        )
+
+    grid = collect_small(
+        grouped_aggregate(gram_rows, ["g"], srcset_counts,
+                          partial=pair_partial),
+        ["srcset", "n_grams"],
+    )
+    empty = pd.DataFrame(
+        {"source_a": pd.Series([], dtype=str),
+         "source_b": pd.Series([], dtype=str),
+         "n_common": pd.Series([], dtype=np.int64),
+         "n_a": pd.Series([], dtype=np.int64),
+         "n_b": pd.Series([], dtype=np.int64),
+         "jaccard_pct": pd.Series([], dtype=np.int64)}
+    )
+    if grid.empty:
+        return empty
+    hist = grid.groupby("srcset")["n_grams"].sum()
+    sizes: dict[str, int] = {}
+    commons: dict[tuple[str, str], int] = {}
+    for srcset, n in hist.items():
+        members = srcset.split("|")
+        for s in members:
+            sizes[s] = sizes.get(s, 0) + int(n)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                key = (members[i], members[j])
+                commons[key] = commons.get(key, 0) + int(n)
+    if not commons:
+        return empty
+    rows = []
+    for (sa, sb), c in sorted(commons.items()):
+        na, nb = sizes[sa], sizes[sb]
+        union = na + nb - c
+        rows.append((sa, sb, c, na, nb, (100 * c) // union))
+    return pd.DataFrame(
+        rows,
+        columns=["source_a", "source_b", "n_common", "n_a", "n_b",
+                 "jaccard_pct"],
+    ).astype({c: np.int64 for c in ("n_common", "n_a", "n_b", "jaccard_pct")})
+
+
+def source_gram_overlap_oracle(k: int = 3) -> str:
+    gram_expr = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(COALESCE(text,'')), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT source, {gram_expr} AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - {k - 1})) AS t(i)
+), sizes AS (
+  SELECT source, count(*) AS n FROM grams GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS c
+  FROM grams a JOIN grams b USING (g)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(c AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST((100 * c) // (sa.n + sb.n - c) AS BIGINT) AS jaccard_pct
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
+def _bpe_apply(word: str, ranks: dict) -> list:
+    """Apply learned merges to one word, lowest-rank pair first (ties
+    impossible: ranks are unique). Standard greedy BPE application —
+    every non-overlapping occurrence of the chosen pair merges
+    left-to-right, then the scan repeats until no learned pair
+    remains."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+        if best_rank is None:
+            break
+        out = []
+        i = 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and ranks.get((syms[i], syms[i + 1])) == best_rank
+            ):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_local_replica(word_counts: dict, n_merges: int) -> list:
+    """Single-machine BPE trainer over a {word: count} dict — the
+    correctness twin the distributed trainer is pytest-asserted equal
+    to. Returns [(rank, left, right, count)] with the (count desc,
+    left asc, right asc) tie-break."""
+    merges: list = []
+    ranks: dict = {}
+    for rank in range(1, n_merges + 1):
+        pair_counts: dict = {}
+        for word, cnt in word_counts.items():
+            syms = _bpe_apply(word, ranks)
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        merges.append((rank, left, right, cnt))
+        ranks[(left, right)] = rank
+    return merges
+
+
+def bpe_train_merges(sf_dir: str, n_merges: int = 8):
+    """Iterative BPE tokenizer training — the full merge-table learner
+    (`bpe_merge_candidates` is round 1 only): ``n_merges`` greedy
+    rounds, each picking the globally most frequent adjacent symbol
+    pair (count desc, pair asc tie-break) over the corpus and merging
+    it into a new symbol.
+
+    Scale shape: ONE corpus pass collapses text to a {word -> count}
+    table (combiner-bounded by the word vocabulary), pinned with
+    ``materialize()`` exactly like the memoized KG edge list — every
+    merge round then re-reads the vocabulary table, never the corpus.
+    Per round: tokenize each distinct word under the current merge
+    ranks (broadcast in the stage closure — the merge table is
+    ``n_merges`` rows), emit per-batch pair-count partials, two-phase
+    sum them, and each bucket surrenders only its LOCAL argmax row, so
+    the driver picks the global best from <= #buckets candidates. The
+    loop state on the driver is the merge table itself, never data.
+
+    Verification: distributed == ``bpe_local_replica`` on the same
+    corpus (pytest), plus a planted-corpus test with hand-computed
+    merges; no SQL oracle by nature (iterative argmax)."""
+    import re
+
+    import pyarrow as pa
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    word_re = re.compile(r"[a-z]+")
+    docs = read_split(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def word_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words: list = []
+        for text in batch["text"]:
+            words.extend(word_re.findall((text or "").lower()))
+        if not words:
+            return pd.DataFrame({"word": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(words).value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    vocab = grouped_aggregate(
+        docs.map_batches(word_partial, batch_format="pandas"),
+        ["word"],
+        lambda b: b.groupby("word", sort=False, as_index=False)["cnt"].sum(),
+        partial=lambda b: b.groupby("word", sort=False,
+                                    as_index=False)["cnt"].sum(),
+    ).materialize()
+
+    merges: list = []
+    ranks: dict = {}
+    for rank in range(1, n_merges + 1):
+        frozen = dict(ranks)
+
+        def pair_partial(batch: pd.DataFrame, _ranks=frozen) -> pd.DataFrame:
+            lefts: list = []
+            rights: list = []
+            cnts: list = []
+            for word, cnt in zip(batch["word"], batch["cnt"]):
+                syms = _bpe_apply(word, _ranks)
+                for a, b in zip(syms, syms[1:]):
+                    lefts.append(a)
+                    rights.append(b)
+                    cnts.append(int(cnt))
+            out = pd.DataFrame({"left": lefts, "right": rights, "cnt": cnts})
+            if out.empty:
+                return pd.DataFrame({"left": pd.Series([], dtype=str),
+                                     "right": pd.Series([], dtype=str),
+                                     "cnt": pd.Series([], dtype=np.int64)})
+            return out.groupby(["left", "right"], sort=False,
+                               as_index=False)["cnt"].sum()
+
+        def bucket_argmax(bucket: pd.DataFrame) -> pd.DataFrame:
+            if bucket.empty:
+                return pd.DataFrame({"left": pd.Series([], dtype=str),
+                                     "right": pd.Series([], dtype=str),
+                                     "cnt": pd.Series([], dtype=np.int64)})
+            tot = bucket.groupby(["left", "right"], sort=False,
+                                 as_index=False)["cnt"].sum()
+            tot = tot.sort_values(["cnt", "left", "right"],
+                                  ascending=[False, True, True],
+                                  kind="stable")
+            return tot.head(1).astype({"cnt": np.int64})
+
+        cands = collect_small(
+            grouped_aggregate(
+                vocab.map_batches(pair_partial, batch_format="pandas"),
+                ["left", "right"], bucket_argmax,
+            ),
+            ["left", "right", "cnt"],
+        )
+        if cands.empty:
+            break
+        cands = cands.sort_values(["cnt", "left", "right"],
+                                  ascending=[False, True, True],
+                                  kind="stable")
+        left, right, cnt = (cands.iloc[0]["left"], cands.iloc[0]["right"],
+                            int(cands.iloc[0]["cnt"]))
+        merges.append((np.int64(rank), left, right, left + right,
+                       np.int64(cnt)))
+        ranks[(left, right)] = rank
+
+    return pd.DataFrame(
+        merges,
+        columns=["rank", "left", "right", "merged", "pair_count"],
+    ).astype({"rank": np.int64, "pair_count": np.int64})

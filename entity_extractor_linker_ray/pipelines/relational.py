@@ -12262,3 +12262,95 @@ SELECT m.event_type,
 FROM m JOIN b USING (event_type)
 GROUP BY 1
 """
+
+
+def events_theilsen_trend(sf_dir: str):
+    """Theil-Sen robust trend of daily event volume per type: the
+    MEDIAN over all day pairs of (count_j - count_i) / (day_j - day_i)
+    — the slope estimator that shrugs off outlier days where OLS
+    (`events_value_trend`) gets dragged. Exact and grid-bounded: the
+    corpus collapses to per-(type, day) counts via the bucketed
+    two-phase sum (the only exchange; wire rows are day-grid partials,
+    never events), and each type's pair walk runs vectorized inside
+    its bucket over the <= |days|^2 slope array. Float parity: every
+    slope is ONE IEEE division of two exact int64s and the median is
+    DuckDB's ``quantile_disc`` index pick (max(ceil(q*n),1)-1) over
+    the identical multiset, so the double hash-matches the oracle."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        ).astype(np.int64)
+        return (
+            pd.DataFrame({"event_type": batch["event_type"].to_numpy(),
+                          "d": day})
+            .groupby(["event_type", "d"], sort=False)
+            .size()
+            .reset_index(name="c")
+            .astype({"d": np.int64, "c": np.int64})
+        )
+
+    def walk(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "n_days": pd.Series([], dtype=np.int64),
+             "n_pairs": pd.Series([], dtype=np.int64),
+             "slope_per_day": pd.Series([], dtype=np.float64)}
+        )
+        if bucket.empty:
+            return empty
+        daily = (
+            bucket.groupby(["event_type", "d"], sort=False)["c"]
+            .sum()
+            .reset_index()
+            .sort_values(["event_type", "d"], kind="stable")
+        )
+        rows = []
+        for etype, g in daily.groupby("event_type", sort=False):
+            d = g["d"].to_numpy(dtype=np.int64)
+            c = g["c"].to_numpy(dtype=np.int64)
+            n = len(d)
+            if n < 2:
+                continue
+            ii, jj = np.triu_indices(n, 1)
+            slopes = (c[jj] - c[ii]).astype(np.float64) / (d[jj] - d[ii])
+            slopes.sort()
+            pick = max(int(np.ceil(0.5 * len(slopes))), 1) - 1
+            rows.append((etype, np.int64(n), np.int64(len(slopes)),
+                         float(slopes[pick])))
+        if not rows:
+            return empty
+        return pd.DataFrame(
+            rows, columns=["event_type", "n_days", "n_pairs", "slope_per_day"]
+        ).astype({"n_days": np.int64, "n_pairs": np.int64})
+
+    return grouped_aggregate(events, ["event_type"], walk, partial=partial)
+
+
+EVENTS_THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), nd AS (
+  SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1
+), pairs AS (
+  SELECT a.event_type,
+         CAST(b.c - a.c AS DOUBLE) / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b USING (event_type)
+  WHERE b.d > a.d
+)
+SELECT p.event_type, CAST(MAX(nd.n_days) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       quantile_disc(p.slope, 0.5) AS slope_per_day
+FROM pairs p JOIN nd USING (event_type)
+GROUP BY 1
+"""
