@@ -387,6 +387,133 @@ def kg_citations(sf_dir: str):
 
 
 # ----------------------------------------------------------------------
+# transcript x KG cross operators: which conversation ROLE utters each
+# mention. The transcripts derivation is pure arithmetic over the
+# documents text (12-word turns, roles cycling user/assistant/tool —
+# synthetic.turns_from_document), so a mention's char offset maps to
+# its turn as word_index // 12 and to its speaker as turn % 3; both
+# sides of the oracle replay that mapping exactly.
+# ----------------------------------------------------------------------
+
+_ROLE_CYCLE = ("user", "assistant", "tool")
+_WORDS_PER_TURN = 12
+
+
+def _mentions_with_role(batch: pd.DataFrame) -> pd.DataFrame:
+    """Mentions extended with the transcript turn index and role of the
+    turn containing the mention's first character. The word index is
+    the space count before the 1-based char position ``pos`` — exact,
+    because the corpus is single-space separated."""
+    m = _mentions_batch(batch)
+    if m.empty:
+        m["ti"] = pd.Series([], dtype=np.int64)
+        m["role"] = pd.Series([], dtype=str)
+        return m
+    text_by_doc = dict(
+        zip(batch["doc_id"].to_numpy(), batch["text"].fillna("").astype(str))
+    )
+    word_idx = np.fromiter(
+        (
+            text_by_doc[d][: p - 1].count(" ")
+            for d, p in zip(m["doc_id"].to_numpy(), m["pos"].to_numpy())
+        ),
+        dtype=np.int64,
+        count=len(m),
+    )
+    m["ti"] = word_idx // _WORDS_PER_TURN
+    m["role"] = np.array(_ROLE_CYCLE, dtype=object)[(m["ti"] % 3).to_numpy()]
+    return m
+
+
+def kg_mention_role_profile(sf_dir: str):
+    """Per (role, entity type): mention count, distinct entities, and
+    distinct conversations — the 'who talks about what' profile of a
+    transcript corpus (user turns naming Organizations vs tool turns
+    naming Resources read very differently in an agent-trace KG).
+
+    Shape: mention detection, offset→turn→role mapping, and a partial
+    (role, type, name, doc) rollup all happen inside the scan kernel;
+    one bucketed exchange on the (role, type) grid — 3 x |types|
+    groups, corpus-independent — finishes the distinct counts."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    keys = ["role", "type"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _mentions_with_role(batch)
+        if m.empty:
+            return pd.DataFrame(
+                {"role": pd.Series([], dtype=str),
+                 "type": pd.Series([], dtype=str),
+                 "name": pd.Series([], dtype=str),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        return (
+            m.groupby(["role", "type", "name", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"n": np.int64})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False)
+            .agg(
+                n_mentions=("n", "sum"),
+                n_entities=("name", "nunique"),
+                n_docs=("doc_id", "nunique"),
+            )
+            .reset_index()
+            .astype({c: np.int64 for c in ("n_mentions", "n_entities", "n_docs")})
+        )
+
+    return grouped_aggregate(
+        _read_documents(sf_dir), keys, combine, partial=partial,
+        num_partitions=8,
+    )
+
+
+def kg_mention_turn_histogram(sf_dir: str, cap: int = 19):
+    """Mentions per transcript turn position (turn index capped at
+    ``cap`` so the grid is fixed-width): where in a conversation do KG
+    entities appear — early user framing vs late tool output. Columns:
+    turn_bucket, n_mentions, n_docs. Same scan-local shape as the role
+    profile; the exchange grid is ``cap + 1`` rows."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _mentions_with_role(batch)
+        if m.empty:
+            return pd.DataFrame(
+                {"turn_bucket": pd.Series([], dtype=np.int64),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        m["turn_bucket"] = np.minimum(m["ti"].to_numpy(), np.int64(cap))
+        return (
+            m.groupby(["turn_bucket", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"turn_bucket": np.int64, "n": np.int64})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("turn_bucket", sort=False)
+            .agg(n_mentions=("n", "sum"), n_docs=("doc_id", "nunique"))
+            .reset_index()
+            .astype({c: np.int64 for c in
+                     ("turn_bucket", "n_mentions", "n_docs")})
+        )
+
+    return grouped_aggregate(
+        _read_documents(sf_dir), ["turn_bucket"], combine, partial=partial,
+        num_partitions=8,
+    )
+
+
+# ----------------------------------------------------------------------
 # SQL oracle builders
 # ----------------------------------------------------------------------
 
@@ -502,6 +629,33 @@ ORACLES: dict[str, str] = {
         "WITH {vocab}, {m} SELECT doc_id, name, pos - 1 AS citation_start, "
         "pos - 1 + length(name) AS citation_end FROM m"
     ),
+    # offset→turn→role replay: word index = spaces before the 1-based
+    # char position (single-space corpus), turn = word_index // 12,
+    # role cycles user/assistant/tool (synthetic.turns_from_document)
+    "kg_mention_role_profile": (
+        "WITH {vocab}, {m}, r AS ("
+        "  SELECT m.doc_id, m.name, m.type,"
+        "         CASE ((((m.pos - 1) - length(replace(substr(d.text, 1, m.pos - 1), ' ', ''))) // 12) % 3)"
+        "              WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'"
+        "              ELSE 'tool' END AS role"
+        "  FROM m JOIN documents d USING (doc_id)) "
+        "SELECT role, type,"
+        "       CAST(count(*) AS BIGINT) AS n_mentions,"
+        "       CAST(count(DISTINCT name) AS BIGINT) AS n_entities,"
+        "       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "FROM r GROUP BY 1, 2"
+    ),
+    "kg_mention_turn_histogram": (
+        "WITH {vocab}, {m}, r AS ("
+        "  SELECT m.doc_id,"
+        "         least((((m.pos - 1) - length(replace(substr(d.text, 1, m.pos - 1), ' ', ''))) // 12), 19)"
+        "           AS turn_bucket"
+        "  FROM m JOIN documents d USING (doc_id)) "
+        "SELECT CAST(turn_bucket AS BIGINT) AS turn_bucket,"
+        "       CAST(count(*) AS BIGINT) AS n_mentions,"
+        "       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "FROM r GROUP BY 1"
+    ),
 }
 
 
@@ -605,4 +759,6 @@ QUERIES = {
     "kg_top_categories": kg_top_categories,
     "kg_chunk_counts": kg_chunk_counts,
     "kg_citations": kg_citations,
+    "kg_mention_role_profile": kg_mention_role_profile,
+    "kg_mention_turn_histogram": kg_mention_turn_histogram,
 }

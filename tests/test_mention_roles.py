@@ -1,0 +1,112 @@
+"""Transcript x KG cross operators: which conversation role utters each
+rule-based mention (offset -> word index -> 12-word turn -> role cycle),
+and where in the conversation mentions land. DuckDB value parity at
+sf0.001 plus a planted corpus whose turn/role assignments are
+hand-computed."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(views: dict[str, str], sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name, path in views.items():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        if pd.api.types.is_integer_dtype(df[col]):
+            df[col] = df[col].astype(np.int64)
+        elif pd.api.types.is_float_dtype(df[col]):
+            df[col] = df[col].astype(np.float64).round(9)
+        else:
+            df[col] = df[col].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+class TestMentionRoleProfile:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines import simple_kg
+
+        got = _canon(simple_kg.kg_mention_role_profile(SF).to_pandas())
+        exp = _canon(
+            _oracle({"documents": f"{SF}/documents.parquet"},
+                    simple_kg.oracle_sql()["kg_mention_role_profile"])
+        )
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, exp)
+        # every role the cycle can produce appears on a 500-doc corpus
+        assert set(got["role"]) == {"user", "assistant", "tool"}
+
+    def test_planted_roles(self, ray_session, tmp_path):
+        from entity_extractor_linker_ray.pipelines.simple_kg import (
+            kg_mention_role_profile,
+        )
+
+        # one 30-word doc: 3 turns (words 0-11 user, 12-23 assistant,
+        # 24-29 tool). Mentions planted at word 0 (spark -> user),
+        # word 13 (window -> assistant), word 25 (table -> tool).
+        words = ["pad"] * 30
+        words[0] = "spark"
+        words[13] = "window"
+        words[25] = "table"
+        pd.DataFrame({"doc_id": [7], "text": [" ".join(words)]}).to_parquet(
+            tmp_path / "documents.parquet"
+        )
+        got = (
+            kg_mention_role_profile(str(tmp_path))
+            .to_pandas()
+            .sort_values("role")
+            .reset_index(drop=True)
+        )
+        by_role = dict(zip(got["role"], got["type"]))
+        assert by_role == {
+            "user": "Organization",       # Spark
+            "assistant": "Method",        # Window
+            "tool": "Resource",           # Table
+        }
+        assert (got["n_mentions"] == 1).all()
+        assert (got["n_entities"] == 1).all()
+        assert (got["n_docs"] == 1).all()
+
+
+class TestMentionTurnHistogram:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines import simple_kg
+
+        got = _canon(simple_kg.kg_mention_turn_histogram(SF).to_pandas())
+        exp = _canon(
+            _oracle({"documents": f"{SF}/documents.parquet"},
+                    simple_kg.oracle_sql()["kg_mention_turn_histogram"])
+        )
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_cap_buckets_tail(self, ray_session, tmp_path):
+        from entity_extractor_linker_ray.pipelines.simple_kg import (
+            kg_mention_turn_histogram,
+        )
+
+        # mention at word 12*25 = turn 25 -> capped into bucket 19
+        words = ["pad"] * (12 * 26)
+        words[12 * 25] = "spark"
+        words[0] = "merge"  # turn 0
+        pd.DataFrame({"doc_id": [1], "text": [" ".join(words)]}).to_parquet(
+            tmp_path / "documents.parquet"
+        )
+        got = (
+            kg_mention_turn_histogram(str(tmp_path))
+            .to_pandas()
+            .sort_values("turn_bucket")
+            .reset_index(drop=True)
+        )
+        assert list(got["turn_bucket"]) == [0, 19]
+        assert list(got["n_mentions"]) == [1, 1]
