@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["conv_stats"] = _convs.conv_stats
     q["conv_role_words"] = _convs.conv_role_words
+    q["conv_role_lexicon"] = _convs.conv_role_lexicon
     q["conv_sft_pairs"] = _convs.conv_sft_pairs
     q["conv_turn_dedup"] = _convs.turn_dedup_stats
     q["conv_context_growth"] = _convs.conv_context_growth
@@ -770,6 +771,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["conv_stats"] = conversations.CONV_STATS_ORACLE
     sql["conv_role_words"] = conversations.CONV_ROLE_WORDS_ORACLE
+    sql["conv_role_lexicon"] = conversations.CONV_ROLE_LEXICON_ORACLE
     sql["conv_sft_pairs"] = conversations.CONV_SFT_PAIRS_ORACLE
     sql["conv_turn_dedup"] = conversations.CONV_TURN_DEDUP_ORACLE
     sql["conv_context_growth"] = conversations.CONV_CONTEXT_GROWTH_ORACLE

@@ -198,6 +198,89 @@ FROM g GROUP BY 1, 2
 """
 
 
+def conv_role_lexicon(sf_dir: str):
+    """Corpus-level lexicon per speaker role: exact word total, distinct
+    word count, and type-token ratio for the words uttered by user /
+    assistant / tool turns — the 'is the assistant actually adding
+    vocabulary or parroting the user' diagnostic of an agent-transcript
+    corpus. A word's role is pure arithmetic on its position
+    (``(word_idx // 12) % 3``), so the op never needs the turns table.
+
+    Shape: the scan kernel splits each document once and pre-counts per
+    (role, word); the single exchange is keyed on ``role`` (3 groups)
+    and each bucket's distinct-word count runs over vocabulary-bounded
+    partials — the same boundedness argument as the tf-idf family, and
+    the reason no corpus-proportional row ever crosses the wire."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    role_names = np.array(["user", "assistant", "tool"], dtype=object)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        roles, words = [], []
+        for text in batch["text"].fillna("").astype(str):
+            w = text.split()
+            if not w:
+                continue
+            idx = np.arange(len(w), dtype=np.int64)
+            roles.append(role_names[(idx // 12) % 3])
+            words.append(np.asarray(w, dtype=object))
+        if not roles:
+            return pd.DataFrame(
+                {"role": pd.Series([], dtype=str),
+                 "word": pd.Series([], dtype=str),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        df = pd.DataFrame(
+            {"role": np.concatenate(roles), "word": np.concatenate(words)}
+        )
+        return (
+            df.groupby(["role", "word"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"n": np.int64})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket.groupby("role", sort=False)
+            .agg(n_words=("n", "sum"), n_distinct_words=("word", "nunique"))
+            .reset_index()
+            .astype({"n_words": np.int64, "n_distinct_words": np.int64})
+        )
+        # one division per emitted row — bit-reproducible vs the oracle
+        out["type_token_ratio"] = (
+            out["n_distinct_words"].to_numpy(dtype=np.float64)
+            / out["n_words"].to_numpy(dtype=np.float64)
+        )
+        return out
+
+    return grouped_aggregate(docs, ["role"], combine, partial=partial,
+                             num_partitions=4)
+
+
+CONV_ROLE_LEXICON_ORACLE = """
+WITH d AS (
+  SELECT string_split(text, ' ') AS w
+  FROM documents WHERE length(COALESCE(text, '')) > 0
+), g AS (
+  SELECT w, CAST(unnest(range(0, len(w))) AS BIGINT) AS i FROM d
+), words AS (
+  SELECT w[i + 1] AS word,
+         CASE CAST((i // 12) % 3 AS INTEGER) WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role
+  FROM g
+)
+SELECT role,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words,
+       CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS type_token_ratio
+FROM words GROUP BY 1
+"""
+
+
 def conv_chatml_export(sf_dir: str):
     """Training-format export: each conversation rendered as ONE
     chat-template string (``<|role|>text`` lines joined by newlines, in

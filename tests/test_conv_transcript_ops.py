@@ -202,3 +202,42 @@ class TestToolSequences:
         assert a["n_tool_calls"] == 2 and a["n_distinct_tools"] == 2
         b = got.loc["doc-0000000001"]
         assert b["tool_seq"] == "search" and b["n_distinct_tools"] == 1
+
+
+class TestRoleLexicon:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.conversations import (
+            CONV_ROLE_LEXICON_ORACLE,
+            conv_role_lexicon,
+        )
+
+        got = _canon(conv_role_lexicon(SF).to_pandas())
+        exp = _canon(_oracle({"documents": f"{SF}/documents.parquet"},
+                             CONV_ROLE_LEXICON_ORACLE))
+        assert len(got) == 3
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_planted_attribution(self, ray_session, tmp_path):
+        from entity_extractor_linker_ray.pipelines.conversations import (
+            conv_role_lexicon,
+        )
+
+        # 26 words: 0-11 user ("u" x 12), 12-23 assistant ("a" x 11 +
+        # one repeat of "u"), 24-25 tool ("t", "t"). Distinct words:
+        # user {u}=1, assistant {a, u}=2, tool {t}=1.
+        words = ["u"] * 12 + ["a"] * 11 + ["u"] + ["t", "t"]
+        pd.DataFrame({"doc_id": [1], "text": [" ".join(words)]}).to_parquet(
+            tmp_path / "documents.parquet"
+        )
+        got = (
+            conv_role_lexicon(str(tmp_path))
+            .to_pandas()
+            .set_index("role")
+        )
+        assert got.loc["user", "n_words"] == 12
+        assert got.loc["user", "n_distinct_words"] == 1
+        assert got.loc["assistant", "n_words"] == 12
+        assert got.loc["assistant", "n_distinct_words"] == 2
+        assert got.loc["tool", "n_words"] == 2
+        assert got.loc["tool", "n_distinct_words"] == 1
+        assert abs(got.loc["assistant", "type_token_ratio"] - 2 / 12) < 1e-12
