@@ -429,6 +429,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["source_gram_overlap"] = textstats.source_gram_overlap
     q["events_theilsen_trend"] = relational.events_theilsen_trend
     q["bpe_train_merges"] = textstats.bpe_train_merges
+    q["dsir_importance"] = textstats.dsir_importance
+    q["token_budget_pick"] = pretrain.token_budget_pick
+    q["conv_turn_novelty"] = _convs.conv_turn_novelty
     # --- synthetic power-law graph (non-toy regime for the iterative
     #     graph kernels; seed-derived, sf_dir ignored; rows-only —
     #     replica/brute-force checks live in tests/test_synthetic_graph) -
@@ -943,6 +946,9 @@ def oracle_sql() -> dict[str, str]:
     sql["source_gram_overlap"] = textstats.source_gram_overlap_oracle()
     sql["events_theilsen_trend"] = relational.EVENTS_THEILSEN_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
+    sql["dsir_importance"] = textstats.dsir_importance_oracle()
+    sql["token_budget_pick"] = pretrain.TOKEN_BUDGET_PICK_ORACLE
+    sql["conv_turn_novelty"] = conversations.CONV_TURN_NOVELTY_ORACLE
 
     from entity_extractor_linker_ray.ops import sampling
 

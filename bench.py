@@ -360,6 +360,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "source_gram_overlap",
         "events_theilsen_trend",
         "bpe_train_merges",
+        "dsir_importance",
+        "token_budget_pick",
+        "conv_turn_novelty",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -752,3 +752,131 @@ SELECT d.doc_id, d.lang,
 FROM documents d
 LEFT JOIN ({duplicate_clusters_oracle().strip()}) c USING (doc_id)
 """
+
+
+def token_budget_pick(sf_dir: str):
+    """Greedy quality-ranked selection under a global token budget —
+    the final corpus-sizing step of a pretraining mix: rank every
+    document by a quality key (descending), walk the ranking, and keep
+    documents while the cumulative token count stays within budget
+    (here half the corpus's total tokens, so the op is meaningful at
+    every sf). The cut is a PREFIX rule — once the running total
+    crosses the budget no later document is taken — which is the
+    SQL-replayable form of greedy selection (a knapsack that skips
+    overflowing docs and keeps filling is order-dependent and not a
+    window).
+
+    Quality key: integer alpha-share ``alpha_ppm = alpha_chars·10⁶ //
+    n_chars`` (ties broken by ``doc_id``) — self-contained, exact, and
+    the same signal family as :func:`ops.textstats.quality_scores`.
+
+    Scale shape — the :func:`pipelines.relational.events_running_total`
+    three-step distributed scan, keyed by a RANGE prefix of the order
+    key (the ``alpha_ppm // 10⁴`` band, ~100 bands): (1) per-band token
+    totals via a two-phase aggregate (band-bounded, driver-safe);
+    (2) exclusive prefix over the DESCENDING bands on the driver (tiny)
+    plus the global budget scalar; (3) one bucketed exchange on the
+    band key; each bucket sorts its bands' rows (quality desc, doc_id
+    asc), adds the band offset to a vectorized cumsum, and emits the
+    selected flag. No global sort, nothing doc-proportional on the
+    driver."""
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    docs = read_split(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+
+    BAND = 10_000
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        lowered = text.str.lower()
+        n_chars = text.str.len().to_numpy(dtype=np.int64)
+        alpha = lowered.str.count(r"[a-z]").to_numpy(dtype=np.int64)
+        words = np.where(
+            n_chars > 0,
+            text.str.count(" ").to_numpy(dtype=np.int64) + 1,
+            np.int64(0),
+        ).astype(np.int64)
+        ppm = (alpha * 1_000_000) // np.maximum(n_chars, 1)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+             "alpha_ppm": ppm,
+             "band": ppm // BAND,
+             "n_words": words}
+        )
+
+    rows = docs.map_batches(keyed, batch_format="pandas")
+
+    def band_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("band", sort=False)["n_words"].sum().reset_index(
+                name="total"
+            )
+        )
+
+    def band_final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return band_partial(bucket.rename(columns={"total": "n_words"}))
+
+    band_totals = collect_small(
+        grouped_aggregate(
+            rows.map_batches(
+                lambda b: b[["band", "n_words"]], batch_format="pandas"
+            ),
+            ["band"], band_final, partial=band_partial, num_partitions=8,
+        ),
+        ["band", "total"],
+    ).sort_values("band", ascending=False)  # rank order = quality DESC
+
+    totals = band_totals["total"].to_numpy(dtype=np.int64)
+    budget = int(totals.sum()) // 2
+    offsets = dict(
+        zip(band_totals["band"].tolist(),
+            (np.cumsum(totals) - totals).tolist())
+    )
+
+    def scan_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = bucket.sort_values(["alpha_ppm", "doc_id"],
+                                ascending=[False, True], kind="stable")
+        cum = (
+            df.groupby("band", sort=False)["n_words"].cumsum().to_numpy(
+                np.int64
+            )
+            + df["band"].map(offsets).to_numpy(dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+             "alpha_ppm": df["alpha_ppm"].to_numpy(dtype=np.int64),
+             "n_words": df["n_words"].to_numpy(dtype=np.int64),
+             "cum_words": cum,
+             "selected": (cum <= budget).astype(np.int64)}
+        )
+
+    return grouped_aggregate(rows, ["band"], scan_bucket)
+
+
+TOKEN_BUDGET_PICK_ORACLE = """
+WITH q AS (
+  SELECT doc_id,
+         CASE WHEN length(COALESCE(text, '')) = 0 THEN 0
+              ELSE len(string_split(text, ' ')) END AS n_words,
+         (length(regexp_replace(lower(COALESCE(text, '')), '[^a-z]', '',
+                                'g')) * 1000000)
+           // greatest(length(COALESCE(text, '')), 1) AS alpha_ppm
+  FROM documents
+), c AS (
+  SELECT doc_id, alpha_ppm, n_words,
+         CAST(SUM(n_words) OVER (ORDER BY alpha_ppm DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_words,
+         (SELECT SUM(n_words) // 2 FROM q) AS budget
+  FROM q
+)
+SELECT doc_id, CAST(alpha_ppm AS BIGINT) AS alpha_ppm,
+       CAST(n_words AS BIGINT) AS n_words, cum_words,
+       CAST(CASE WHEN cum_words <= budget THEN 1 ELSE 0 END AS BIGINT)
+         AS selected
+FROM c
+"""

@@ -3053,3 +3053,212 @@ def bpe_train_merges(sf_dir: str, n_merges: int = 8):
         merges,
         columns=["rank", "left", "right", "merged", "pair_count"],
     ).astype({"rank": np.int64, "pair_count": np.int64})
+
+
+def dsir_importance(sf_dir: str, target_lang: str = "en", k: int = 2):
+    """DSIR-style importance score per document — the data-selection
+    signal of Xie et al. 2023 ("Data Selection for Language Models via
+    Importance Resampling"): score every document by how much more its
+    word-k-gram mass looks like a TARGET domain than like the raw
+    corpus, here with the ``lang == target_lang`` slice standing in for
+    the target sample. Documents whose grams are relatively more
+    frequent in the target slice score high and would be up-weighted
+    in an importance-resampled pretraining mix.
+
+    Integer-exact variant so the value hash gates it: instead of
+    ``Σ log p_t(g)/p_r(g)`` (cross-engine ``ln`` differs in the last
+    ulp, see :func:`bm25_components`), the per-gram signal is the
+    DIFFERENCE of Laplace-smoothed frequencies in parts-per-million —
+    ``ppm_x(g) = (c_x(g)+1)·10⁶ // (N_x + V)`` with ``c_x`` the gram's
+    occurrence count in class x, ``N_x`` the class's total gram
+    occurrences and ``V`` the corpus-wide distinct-gram count — and the
+    document score is ``Σ_g tf(g)·(ppm_t(g) − ppm_r(g))``: all int64,
+    order-free, floor divisions over non-negative operands only.
+
+    Scale shape (the :func:`unigram_commonness` plan, one extra
+    vocab-bounded pass for the smoothing scalars): (1) (g, tf, class)
+    partials collapse via a gram-keyed two-phase sum into the per-gram
+    class-count table — vocab-bounded, materialized once like the
+    memoized pair stream; the three smoothing scalars (N_t, N_r, V)
+    are one tiny aggregate over it, never a vocabulary broadcast;
+    (2) the (doc, g, tf) postings and the gram table meet in ONE
+    gram-keyed tagged-union bucket that attaches ``tf·diff``;
+    (3) a doc-keyed two-phase sum finishes. Nothing doc-proportional
+    ever sits on the driver."""
+    import re
+
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    split = re.compile(r"[^a-z0-9]+")
+    docs = read_split(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_gram, out_tf, out_tgt = [], [], [], []
+        for doc_id, text, lang in zip(batch["doc_id"], batch["text"],
+                                      batch["lang"]):
+            toks = [t for t in split.split((text or "").lower()) if t]
+            if len(toks) < k:
+                continue
+            grams = [" ".join(toks[i : i + k])
+                     for i in range(len(toks) - k + 1)]
+            counts = pd.Series(grams, dtype=object).value_counts()
+            out_doc.extend([int(doc_id)] * len(counts))
+            out_gram.extend(counts.index.tolist())
+            out_tf.extend(counts.to_numpy(dtype=np.int64).tolist())
+            out_tgt.extend([np.int64(1 if lang == target_lang else 0)]
+                           * len(counts))
+        return pd.DataFrame(
+            {"doc_id": np.array(out_doc, dtype=np.int64),
+             "g": np.array(out_gram, dtype=object),
+             "tf": np.array(out_tf, dtype=np.int64),
+             "is_t": np.array(out_tgt, dtype=np.int64)}
+        )
+
+    tf = docs.map_batches(tf_rows, batch_format="pandas")
+
+    # ---- stage 1: per-gram class counts (vocab-bounded) -------------
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.assign(c_t=batch["tf"] * batch["is_t"],
+                         c_r=batch["tf"] * (1 - batch["is_t"]))
+        return (
+            b.groupby("g", sort=False)[["c_t", "c_r"]].sum().reset_index()
+        )
+
+    def count_final(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby("g", sort=False)[["c_t", "c_r"]]
+            .sum()
+            .reset_index()
+            .astype({"c_t": np.int64, "c_r": np.int64})
+        )
+
+    gram_counts = grouped_aggregate(
+        tf.map_batches(
+            lambda b: b[["g", "tf", "is_t"]], batch_format="pandas"
+        ),
+        ["g"], count_final, partial=count_partial,
+    ).materialize()  # vocab-bounded; reused for scalars + the join
+
+    def scalar_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n_t": [int(batch["c_t"].sum())],
+             "n_r": [int(batch["c_r"].sum())],
+             "v": [len(batch)]}
+        )
+
+    scalars = collect_small(
+        gram_counts.map_batches(scalar_partial, batch_format="pandas"),
+        ["n_t", "n_r", "v"],
+    )
+    n_t = int(scalars["n_t"].sum())
+    n_r = int(scalars["n_r"].sum())
+    v = int(scalars["v"].sum())
+
+    # ---- stage 2: tagged union attaches tf·(ppm_t − ppm_r) ----------
+    def tag_postings(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"g": batch["g"].to_numpy(dtype=object),
+             "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+             "tf": batch["tf"].to_numpy(dtype=np.int64),
+             "c_t": np.int64(-1), "c_r": np.int64(-1)}
+        )
+
+    def tag_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"g": batch["g"].to_numpy(dtype=object),
+             "doc_id": np.int64(-1), "tf": np.int64(0),
+             "c_t": batch["c_t"].to_numpy(dtype=np.int64),
+             "c_r": batch["c_r"].to_numpy(dtype=np.int64)}
+        )
+
+    unioned = tf.map_batches(tag_postings, batch_format="pandas").union(
+        gram_counts.map_batches(tag_counts, batch_format="pandas")
+    )
+
+    def attach(bucket: pd.DataFrame) -> pd.DataFrame:
+        counts = bucket[bucket["doc_id"] < 0]
+        posts = bucket[bucket["doc_id"] >= 0]
+        if posts.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "tf": pd.Series([], dtype=np.int64),
+                 "contrib": pd.Series([], dtype=np.int64)}
+            )
+        m = posts.merge(counts[["g", "c_t", "c_r"]], on="g", how="left",
+                        suffixes=("_x", ""))
+        ppm_t = ((m["c_t"].to_numpy(dtype=np.int64) + 1) * 1_000_000) // (
+            n_t + v
+        )
+        ppm_r = ((m["c_r"].to_numpy(dtype=np.int64) + 1) * 1_000_000) // (
+            n_r + v
+        )
+        tf_arr = m["tf"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": m["doc_id"].to_numpy(dtype=np.int64),
+             "tf": tf_arr, "contrib": tf_arr * (ppm_t - ppm_r)}
+        )
+
+    scored = grouped_aggregate(unioned, ["g"], attach, coalesce=True)
+
+    # ---- stage 3: per-doc sum ---------------------------------------
+    def doc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby("doc_id", sort=False)[["tf", "contrib"]]
+            .sum()
+            .reset_index()
+        )
+
+    def doc_final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby("doc_id", sort=False)[["tf", "contrib"]]
+            .sum()
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+             "n_grams": g["tf"].to_numpy(dtype=np.int64),
+             "dsir_score": g["contrib"].to_numpy(dtype=np.int64)}
+        )
+
+    return grouped_aggregate(scored, ["doc_id"], doc_final,
+                             partial=doc_partial)
+
+
+def dsir_importance_oracle(target_lang: str = "en", k: int = 2) -> str:
+    gram_expr = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(COALESCE(text,'')),
+                                           '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, (lang = '{target_lang}') AS is_t, {gram_expr} AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - {k - 1})) AS t(i)
+), tf AS (
+  SELECT doc_id, is_t, g, CAST(count(*) AS BIGINT) AS tf
+  FROM grams GROUP BY 1, 2, 3
+), c AS (
+  SELECT g,
+         CAST(SUM(CASE WHEN is_t THEN tf ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(SUM(CASE WHEN is_t THEN 0 ELSE tf END) AS BIGINT) AS c_r
+  FROM tf GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+         CAST(SUM(c_r) AS BIGINT) AS n_r,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM c
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_grams,
+       CAST(SUM(tf.tf * (((c.c_t + 1) * 1000000) // (s.n_t + s.v)
+                         - ((c.c_r + 1) * 1000000) // (s.n_r + s.v)))
+            AS BIGINT) AS dsir_score
+FROM tf JOIN c USING (g) CROSS JOIN s
+GROUP BY 1
+"""

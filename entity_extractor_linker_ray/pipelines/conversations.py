@@ -1563,3 +1563,92 @@ SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
        md5(txt) AS response_md5
 FROM ctx WHERE ti % 3 = 1
 """
+
+
+def conv_turn_novelty(sf_dir: str):
+    """Within-conversation vocabulary attribution: for every
+    conversation and speaker role, how many DISTINCT words make their
+    first in-conversation appearance in a turn of that role — the
+    'who introduces the vocabulary' diagnostic of an agent transcript
+    (an assistant that only ever echoes the user's words introduces
+    nothing; a tool that dumps fresh identifiers introduces a lot).
+
+    Shape: the scan kernel splits each turn once and emits per-batch
+    partials of (conv_id, word) → min turn_idx — a conversation's
+    turns may straddle batches, so first-occurrence is finished by a
+    conv-keyed two-phase MIN (partial mins merge losslessly); each
+    bucket then maps the winning turn to its role and collapses to
+    (conv_id, role) counts before anything leaves the bucket. Wire
+    rows are per-conversation DISTINCT words (conversation-vocabulary
+    bounded, the same boundedness as the tf-idf family), never raw
+    turn text."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+    from entity_extractor_linker_ray.synthetic import (
+        transcripts_dataset_from_documents,
+    )
+
+    turns = transcripts_dataset_from_documents(sf_dir)
+    role_names = np.array(["user", "assistant", "tool"], dtype=object)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        convs: list[str] = []
+        words: list[str] = []
+        tis: list[int] = []
+        for conv, ti, text in zip(batch["conv_id"], batch["turn_idx"],
+                                  batch["text"]):
+            toks = [w for w in str(text or "").split(" ") if w]
+            if not toks:
+                continue
+            convs.extend([conv] * len(toks))
+            words.extend(toks)
+            tis.extend([int(ti)] * len(toks))
+        df = pd.DataFrame(
+            {"conv_id": np.array(convs, dtype=object),
+             "word": np.array(words, dtype=object),
+             "ti": np.array(tis, dtype=np.int64)}
+        )
+        return (
+            df.groupby(["conv_id", "word"], sort=False)["ti"]
+            .min()
+            .reset_index()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        first = (
+            bucket.groupby(["conv_id", "word"], sort=False)["ti"]
+            .min()
+            .reset_index()
+        )
+        first["role"] = role_names[
+            (first["ti"].to_numpy(dtype=np.int64) % 3)
+        ]
+        out = (
+            first.groupby(["conv_id", "role"], sort=False)
+            .size()
+            .reset_index(name="n_first_words")
+        )
+        return out.astype({"n_first_words": np.int64})
+
+    return grouped_aggregate(turns, ["conv_id"], combine, partial=partial)
+
+
+# The oracle never rebuilds turn text: a doc word at 0-based position p
+# sits in turn p // 12, whose role is (p // 12) % 3 — the same position
+# arithmetic `conv_role_lexicon` uses. First in-conversation occurrence
+# of a word = its minimum position.
+CONV_TURN_NOVELTY_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE length(COALESCE(text, '')) > 0
+), pos AS (
+  SELECT doc_id, w[i] AS word, i - 1 AS p
+  FROM d, UNNEST(generate_series(1, len(w))) AS t(i)
+), first AS (
+  SELECT doc_id, word, min(p) AS p0 FROM pos GROUP BY 1, 2
+)
+SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS conv_id,
+       CASE CAST((p0 // 12) % 3 AS INTEGER) WHEN 0 THEN 'user'
+            WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+       CAST(count(*) AS BIGINT) AS n_first_words
+FROM first GROUP BY 1, 2
+"""
