@@ -428,10 +428,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["gram_novelty"] = textstats.gram_novelty
     q["source_gram_overlap"] = textstats.source_gram_overlap
     q["events_theilsen_trend"] = relational.events_theilsen_trend
-    q["bpe_train_merges"] = textstats.bpe_train_merges
+    q["bpe_train_merges"] = textstats.bpe_merges_cached
     q["dsir_importance"] = textstats.dsir_importance
     q["token_budget_pick"] = pretrain.token_budget_pick
     q["conv_turn_novelty"] = _convs.conv_turn_novelty
+    q["pca_power_component"] = cluster.pca_power_component
+    q["bpe_encode_stats"] = textstats.bpe_encode_stats
     # --- synthetic power-law graph (non-toy regime for the iterative
     #     graph kernels; seed-derived, sf_dir ignored; rows-only —
     #     replica/brute-force checks live in tests/test_synthetic_graph) -
@@ -442,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["biggraph_kcore"] = _sg.biggraph_kcore
     q["biggraph_triangles"] = _sg.biggraph_triangles
     q["biggraph_components"] = _sg.biggraph_components
+    q["biggraph_lpa"] = _sg.biggraph_lpa
     # --- full stub-LLM KG pipeline (vs reference semantics; value-gated
     #     against golden parquet produced by the reference code — see
     #     _golden_oracles; full 70-col entities stays rows-only) --------
@@ -846,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_semantic_pairs"] = cluster.semantic_dup_oracle()
     sql["kmeans_exemplars"] = cluster.kmeans_exemplars_oracle()
     sql["kmeans_separation"] = cluster.kmeans_separation_oracle()
+    sql["pca_power_component"] = cluster.pca_power_component_oracle()
     # incremental builds must be value-identical to the from-scratch
     # builds — they share the simple_kg oracles verbatim
     sql["kg_nodes_incremental"] = sql["kg_nodes"]

@@ -363,6 +363,9 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "dsir_importance",
         "token_budget_pick",
         "conv_turn_novelty",
+        "pca_power_component",
+        "biggraph_lpa",
+        "bpe_encode_stats",
     ]
     times: dict[str, float] = {}
     for name in names:

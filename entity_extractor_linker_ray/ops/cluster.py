@@ -541,3 +541,108 @@ SELECT f.cluster,
 FROM fin f JOIN sec s USING (vec_id)
 GROUP BY 1"""
     )
+
+
+PCA_ITERS = 3
+EMB_DIM = 64
+
+
+def pca_power_component(sf_dir: str, d: int = EMB_DIM,
+                        iters: int = PCA_ITERS):
+    """Top principal direction of the embeddings via integer
+    fixed-point power iteration — the spectral statistic behind PCA
+    whitening, drift detection and spectral dedup, computed without
+    ever materializing the d×d covariance eigendecomposition: repeat
+    ``w = Xᵀ(Xv)`` (uncentered second-moment operator — the top RIGHT
+    singular direction of the milli matrix) and rescale.
+
+    Exactness contract (the :func:`kmeans_clusters` discipline —
+    bit-identical at any parallelism AND replayable in SQL):
+
+    * vectors are milli-rounded int64 (shared :func:`milli_round`);
+    * the start vector is the constant ``v₀ = 1000`` per dimension
+      (deterministic; a start orthogonal to the top component is a
+      measure-zero accident of the data, not of a seed);
+    * the rescale after each application is pure integer arithmetic —
+      ``denom = max|w| // 1000 + 1``, ``v = sign(w)·(|w| // denom)``
+      (floor division on NON-NEGATIVE operands only, so numpy and
+      DuckDB agree; keeps ``|v| ≤ ~1000`` so every later product fits
+      int64 up to ~5·10⁶ vectors per application — beyond that,
+      re-milli the partials per shard before summing).
+
+    Scale shape: one streaming pass per iteration; each batch collapses
+    itself to a d-row partial ``X_bᵀ(X_b v)`` (corpus-size-independent,
+    the :func:`~entity_extractor_linker_ray.ops.ann.embedding_covariance`
+    bounded-collect pattern), the driver only ever sums d-row frames
+    and holds the d-vector between rounds."""
+    from entity_extractor_linker_ray.ops.ann import _read_embeddings
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
+    v = np.full(d, 1000, dtype=np.int64)
+
+    for _ in range(iters):
+        v_now = v.copy()
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            X = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in batch["embedding"]]
+            )
+            if X.shape[1] != d:
+                raise ValueError(f"expected {d}-dim embeddings, got {X.shape[1]}")
+            Xm = milli_round(X)
+            dot = Xm @ v_now  # (n,) int64
+            w = Xm.T @ dot  # (d,) int64
+            return pd.DataFrame(
+                {"i": np.arange(1, d + 1, dtype=np.int64), "w": w}
+            )
+
+        parts = collect_small(
+            _read_embeddings(sf_dir).map_batches(partial, batch_format="pandas"),
+            ["i", "w"],
+        )
+        if parts.empty:
+            raise ValueError("pca_power_component requires a non-empty table")
+        w = (
+            parts.groupby("i", sort=True)["w"].sum().to_numpy(dtype=np.int64)
+        )
+        denom = int(np.abs(w).max()) // 1000 + 1
+        v = (np.sign(w) * (np.abs(w) // denom)).astype(np.int64)
+
+    return pd.DataFrame(
+        {"d": np.arange(1, d + 1, dtype=np.int64), "component": v}
+    )
+
+
+def pca_power_component_oracle(d: int = EMB_DIM,
+                               iters: int = PCA_ITERS) -> str:
+    """Unrolled-CTE replay of the fixed-point power iteration — one
+    (dot, w, v) CTE triple per round, the :func:`kmeans_oracle`
+    construction."""
+    parts = [f"""
+WITH dims AS (SELECT CAST(unnest(range(1, {d + 1})) AS BIGINT) AS i),
+m AS (
+  SELECT e.vec_id, dims.i,
+         CAST(round(e.embedding[i] * 1000) AS BIGINT) AS x
+  FROM embeddings e CROSS JOIN dims
+),
+v0 AS (SELECT i, CAST(1000 AS BIGINT) AS v FROM dims)"""]
+    for r in range(1, iters + 1):
+        parts.append(f""",
+dot{r} AS (
+  SELECT m.vec_id, CAST(SUM(m.x * v{r - 1}.v) AS BIGINT) AS s
+  FROM m JOIN v{r - 1} USING (i) GROUP BY 1
+),
+w{r} AS (
+  SELECT m.i, CAST(SUM(m.x * dot{r}.s) AS BIGINT) AS w
+  FROM m JOIN dot{r} USING (vec_id) GROUP BY 1
+),
+den{r} AS (SELECT MAX(abs(w)) // 1000 + 1 AS dn FROM w{r}),
+v{r} AS (
+  SELECT i,
+         CAST(CASE WHEN w < 0 THEN -((-w) // dn) ELSE w // dn END
+              AS BIGINT) AS v
+  FROM w{r} CROSS JOIN den{r}
+)""")
+    parts.append(f"""
+SELECT i AS d, v AS component FROM v{iters}""")
+    return "".join(parts)

@@ -2934,3 +2934,150 @@ SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
        count(*) AS n_clusters
 FROM sizes GROUP BY 1
 """
+
+
+def label_propagation(edges, rounds: int = 4, num_partitions: int = 16):
+    """Synchronous label-propagation community detection over a
+    message-edge Dataset with int64 columns ``s`` → ``d`` (pass BOTH
+    directions for an undirected graph) — the Raghavan-Albert-Kumara
+    algorithm made deterministic: every node starts labeled with its
+    own id, and each round EVERY node simultaneously adopts the most
+    frequent label among its in-neighbors, ties broken toward the
+    smallest label; an isolated node keeps its own. A fixed round
+    budget (synchronous LPA may oscillate on bipartite-ish structures,
+    so a convergence check is not a termination proof) makes the
+    output a pure function of the edge set — bit-identical at any
+    parallelism.
+
+    Shape per round (the :func:`min_label_components` machinery with a
+    MODE combine instead of MIN): labels tag themselves onto their
+    out-edges in one src-keyed bucket join; the (dst, label) messages
+    collapse to per-(node, label) COUNT partials before the node-keyed
+    exchange — so wire volume is bounded by distinct (node, incoming
+    label) pairs, not message multiplicity — and each bucket picks the
+    (count desc, label asc) winner vectorized. State is
+    `_compact`-pinned between rounds."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    edges = _compact(edges, num_partitions)
+
+    def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["s"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"node": s, "label": s})
+
+    labels = _compact(
+        grouped_aggregate(
+            edges.map_batches(init_labels, batch_format="pandas"),
+            ["node"], _labels_min, num_partitions=num_partitions,
+        ),
+        num_partitions,
+    )
+
+    def tag_labels(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["node"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"key": n, "node": n,
+             "label": batch["label"].to_numpy(dtype=np.int64),
+             "side": np.zeros(len(n), dtype=np.int64)}
+        )
+
+    def tag_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": batch["s"].to_numpy(dtype=np.int64),
+             "node": batch["d"].to_numpy(dtype=np.int64),
+             "label": np.full(len(batch), -1, dtype=np.int64),
+             "side": np.ones(len(batch), dtype=np.int64)}
+        )
+
+    tagged_edges = _compact(
+        edges.map_batches(tag_edges, batch_format="pandas"), num_partitions
+    )
+
+    def send_msgs(bucket: pd.DataFrame) -> pd.DataFrame:
+        """Per src-bucket: own label rides along with weight 0 (keeps
+        isolated nodes alive through the mode pick); each out-edge
+        carries the src's label to its dst with weight 1. Collapsed to
+        (node, label, w) partial counts before leaving the bucket."""
+        own = bucket[bucket["side"] == 0][["key", "node", "label"]]
+        e = bucket[bucket["side"] == 1][["key", "node"]]
+        keep = own[["node", "label"]].copy()
+        keep["w"] = np.int64(0)
+        if e.empty:
+            return keep.astype({"node": np.int64, "label": np.int64,
+                                "w": np.int64})
+        msgs = e.merge(
+            own[["key", "label"]].rename(columns={"label": "src_label"}),
+            on="key",
+        )[["node", "src_label"]].rename(columns={"src_label": "label"})
+        msgs = (
+            msgs.groupby(["node", "label"], sort=False)
+            .size()
+            .reset_index(name="w")
+        )
+        out = pd.concat([keep, msgs], ignore_index=True)
+        return out.astype({"node": np.int64, "label": np.int64,
+                           "w": np.int64})
+
+    def mode_pick(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby(["node", "label"], sort=False)["w"]
+            .sum()
+            .reset_index()
+        )
+        # all-zero weight (isolated node) → its own w=0 row wins;
+        # otherwise the neighbor mode: count desc, label asc
+        g = g.sort_values(["node", "w", "label"],
+                          ascending=[True, False, True], kind="stable")
+        win = g.drop_duplicates("node", keep="first")
+        return win[["node", "label"]].astype(
+            {"node": np.int64, "label": np.int64}
+        )
+
+    for _ in range(rounds):
+        unioned = labels.map_batches(tag_labels, batch_format="pandas").union(
+            tagged_edges
+        )
+        candidates = grouped_aggregate(
+            unioned, ["key"], send_msgs, num_partitions=num_partitions
+        )
+        labels = _compact(
+            grouped_aggregate(
+                candidates, ["node"], mode_pick,
+                num_partitions=num_partitions,
+            ),
+            num_partitions,
+        )
+    return labels
+
+
+def label_propagation_replica(edges_df: pd.DataFrame,
+                              rounds: int = 4) -> pd.DataFrame:
+    """Single-machine synchronous-LPA twin over an (s, d) message-edge
+    frame — the correctness reference :func:`label_propagation` is
+    pytest-asserted equal to."""
+    nodes = np.unique(
+        np.concatenate([edges_df["s"].to_numpy(dtype=np.int64),
+                        edges_df["d"].to_numpy(dtype=np.int64)])
+    )
+    labels = {int(n): int(n) for n in nodes}
+    adj: dict = {}
+    for s, d in zip(edges_df["s"].to_numpy(dtype=np.int64),
+                    edges_df["d"].to_numpy(dtype=np.int64)):
+        adj.setdefault(int(d), []).append(int(s))
+    for _ in range(rounds):
+        new = {}
+        for n in labels:
+            counts: dict = {}
+            for nb in adj.get(n, ()):  # incoming neighbors
+                lab = labels[nb]
+                counts[lab] = counts.get(lab, 0) + 1
+            if counts:
+                new[n] = min(counts, key=lambda l: (-counts[l], l))
+            else:
+                new[n] = labels[n]
+        labels = new
+    return pd.DataFrame(
+        {"node": np.array(sorted(labels), dtype=np.int64),
+         "label": np.array([labels[n] for n in sorted(labels)],
+                           dtype=np.int64)}
+    )

@@ -300,3 +300,131 @@ def biggraph_degree_stats(sf_dir: str = "", n_nodes: int = N_NODES,
                         "sum_degree": np.int64}),
         num_partitions=4,
     )
+
+
+LPA_ROUNDS = 8  # full planted-block consensus (probed: 4 → 0.60 min purity, 6 → 0.98, 8 → 1.0)
+
+
+def biggraph_lpa(sf_dir: str = "", n_nodes: int = N_NODES,
+                 blocks: int | None = None,
+                 avg_deg: int = AVG_DEG, seed: int = 7,
+                 rounds: int = LPA_ROUNDS):
+    """Label-propagation communities (undirected view) on the planted-
+    partition synthetic graph via the generic deterministic synchronous
+    kernel (`ops/graph_algos.label_propagation`) — per-round message
+    volume is 2|E| ≈ 2.4 M like `biggraph_components`, but the combine
+    is a MODE (per-(node, incoming-label) count partials), the other
+    half of the iterative-aggregation design space. The graph is
+    :func:`planted_partition_edges`, NOT the power-law graph: universal
+    hubs make any label cascade collapse into one giant community
+    (measured — 1 community at n=3000 after 3 AND 4 rounds), so the
+    power-law graph benchmarks nothing here; with 80%-internal planted
+    blocks LPA has actual structure to recover, and the recovery is
+    pytest-pinned. Output is the bounded community-size profile: one
+    row per log2-size band with community and node counts."""
+    from entity_extractor_linker_ray.ops.graph_algos import label_propagation
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    if blocks is None:
+        blocks = max(2, n_nodes // 200)
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["src"].to_numpy(dtype=np.int64)
+        d = batch["dst"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"s": np.concatenate([s, d]), "d": np.concatenate([d, s])}
+        )
+
+    labels = label_propagation(
+        _pp_edges_materialized(n_nodes, blocks, avg_deg, seed).map_batches(
+            both_dirs, batch_format="pandas"
+        ),
+        rounds=rounds, num_partitions=32,
+    )
+
+    def size_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("label", sort=False).size().reset_index(name="n")
+        return g.astype({"label": np.int64, "n": np.int64})
+
+    sizes = grouped_aggregate(
+        labels.map_batches(size_partial, batch_format="pandas"),
+        ["label"],
+        lambda b: b.groupby("label", sort=False, as_index=False)["n"].sum(),
+        num_partitions=32,
+    )
+
+    def band_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].to_numpy(dtype=np.int64)
+        band = np.floor(np.log2(np.maximum(n, 1))).astype(np.int64)
+        out = pd.DataFrame({"size_band": band,
+                            "n_communities": np.ones(len(band), dtype=np.int64),
+                            "n_nodes": n})
+        return out.groupby("size_band", sort=False, as_index=False).sum()
+
+    return grouped_aggregate(
+        sizes.map_batches(band_partial, batch_format="pandas"),
+        ["size_band"],
+        lambda b: b.groupby("size_band", sort=False, as_index=False)[
+            ["n_communities", "n_nodes"]
+        ].sum().astype({"size_band": np.int64, "n_communities": np.int64,
+                        "n_nodes": np.int64}),
+        num_partitions=4,
+    )
+
+
+LPA_BLOCKS = 500  # planted communities at n=100k → 200 nodes each
+LPA_P_IN_PCT = 80  # % of a node's edges that stay inside its block
+
+
+def planted_partition_edges(n_nodes: int = N_NODES,
+                            blocks: int = LPA_BLOCKS,
+                            avg_deg: int = AVG_DEG,
+                            p_in_pct: int = LPA_P_IN_PCT,
+                            seed: int = 7, num_blocks: int = 64):
+    """Deterministic planted-partition (stochastic-block-model-ish)
+    graph: node ``i`` lives in block ``i % blocks``; each of its
+    ``avg_deg`` out-edges stays inside the block with probability
+    ``p_in_pct``% (uniform over the block), else lands uniformly
+    anywhere. Same splitmix64 hash kernel as :func:`power_law_edges`
+    — a pure function of the parameters, byte-identical at any
+    parallelism. The power-law graph's universal hubs make ANY label
+    cascade collapse into one giant community; this is the graph with
+    actual community structure the LPA benchmark needs."""
+    import ray.data as rd
+
+    ds = rd.range(n_nodes, override_num_blocks=num_blocks)
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy().astype(np.int64)
+        src = np.repeat(ids, avg_deg)
+        k = np.tile(np.arange(avg_deg, dtype=np.int64), len(ids))
+        with np.errstate(over="ignore"):
+            key = src.astype(np.uint64) * np.uint64(1_000_003) + k.astype(
+                np.uint64
+            )
+        stay = _hash_u01(key, 3, seed) * 100.0 < p_in_pct
+        u = _hash_u01(key, 4, seed)
+        blk = src % blocks
+        # in-block: the j-th member of the block is blk + j*blocks
+        block_size = (n_nodes - blk + blocks - 1) // blocks
+        dst_in = blk + np.floor(u * block_size).astype(np.int64) * blocks
+        dst_out = np.floor(u * n_nodes).astype(np.int64)
+        dst = np.where(stay, dst_in, dst_out)
+        keep = (src != dst) & (dst < n_nodes)
+        pairs = pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+        return pairs.drop_duplicates()
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+_PP_EDGES_CACHE: dict = {}
+
+
+def _pp_edges_materialized(n_nodes: int, blocks: int, avg_deg: int,
+                           seed: int):
+    key = (n_nodes, blocks, avg_deg, seed)
+    if key not in _PP_EDGES_CACHE:
+        _PP_EDGES_CACHE[key] = planted_partition_edges(
+            n_nodes, blocks, avg_deg, seed=seed
+        ).materialize()
+    return _PP_EDGES_CACHE[key]

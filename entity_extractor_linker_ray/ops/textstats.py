@@ -3262,3 +3262,96 @@ SELECT tf.doc_id,
 FROM tf JOIN c USING (g) CROSS JOIN s
 GROUP BY 1
 """
+
+
+_BPE_MERGES_CACHE: dict = {}
+
+
+def bpe_merges_cached(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
+    """Memoized :func:`bpe_train_merges` — the trainer's consumers
+    (encode stats, any future vocab export) share one training run per
+    session, the `ngram_pairs_materialized` pattern."""
+    key = (sf_dir, n_merges)
+    if key not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[key] = bpe_train_merges(sf_dir, n_merges)
+    return _BPE_MERGES_CACHE[key]
+
+
+def bpe_encode_stats(sf_dir: str, n_merges: int = 8):
+    """Apply the trained BPE merge table to the corpus — the tokenizer
+    APPLICATION half of the tokenizer story (`bpe_train_merges` is the
+    learner): per source, exact word/char/token totals and the
+    integer compression ratio ``chars_per_token_milli =
+    n_chars·1000 // n_tokens`` (how many characters one learned token
+    absorbs — THE metric a tokenizer sweep optimizes).
+
+    Scale shape: the merge table is ``n_merges`` rows, broadcast in
+    the task closure; each batch encodes through a batch-local
+    word→token-count memo (encoding depends only on the word, so the
+    memo hit rate is the corpus's word repetition rate), collapses to
+    per-source partials, and ONE tiny source-keyed exchange finishes.
+    Rows-only by nature (the merge table comes from the iterative
+    trainer): distributed ≡ local replica encoding is pytest-asserted.
+    """
+    import re
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    merges = bpe_merges_cached(sf_dir, n_merges)
+    ranks = {
+        (left, right): int(rank)
+        for rank, left, right in zip(merges["rank"], merges["left"],
+                                     merges["right"])
+    }
+    word_re = re.compile(r"[a-z]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        memo: dict = {}
+        srcs, n_words, n_chars, n_tokens = [], [], [], []
+        for source, text in zip(batch["source"], batch["text"]):
+            words = word_re.findall((text or "").lower())
+            w = len(words)
+            c = 0
+            t = 0
+            for word in words:
+                hit = memo.get(word)
+                if hit is None:
+                    hit = len(_bpe_apply(word, ranks))
+                    memo[word] = hit
+                c += len(word)
+                t += hit
+            srcs.append(str(source))
+            n_words.append(w)
+            n_chars.append(c)
+            n_tokens.append(t)
+        df = pd.DataFrame(
+            {"source": np.array(srcs, dtype=object),
+             "n_words": np.array(n_words, dtype=np.int64),
+             "n_chars": np.array(n_chars, dtype=np.int64),
+             "n_tokens": np.array(n_tokens, dtype=np.int64)}
+        )
+        return (
+            df.groupby("source", sort=False, as_index=False)[
+                ["n_words", "n_chars", "n_tokens"]
+            ].sum()
+        )
+
+    def final(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby("source", sort=False, as_index=False)[
+                ["n_words", "n_chars", "n_tokens"]
+            ].sum()
+        )
+        toks = g["n_tokens"].to_numpy(dtype=np.int64)
+        chars = g["n_chars"].to_numpy(dtype=np.int64)
+        g["chars_per_token_milli"] = np.where(
+            toks > 0, (chars * 1000) // np.maximum(toks, 1), np.int64(0)
+        )
+        return g.astype(
+            {c: np.int64 for c in ("n_words", "n_chars", "n_tokens",
+                                   "chars_per_token_milli")}
+        )
+
+    docs = read_split(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"])
+    return grouped_aggregate(docs, ["source"], final, partial=partial)
