@@ -366,6 +366,10 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "pca_power_component",
         "biggraph_lpa",
         "bpe_encode_stats",
+        # dedup_semantic_pairs (timed above) pays the memoized fit +
+        # pair scan; the cluster/knn consumers then reuse it
+        "dedup_semantic_clusters",
+        "knn_join",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -113,10 +113,20 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
     return milli
 
 
+_FIT_CACHE: dict = {}
+
+
 def _fit(sf_dir: str, k: int, iters: int):
     """(pinned embeddings Dataset, final centroids) after ``iters``
-    Lloyd rounds — shared by :func:`kmeans_clusters` and
-    :func:`semantic_dup_pairs`."""
+    Lloyd rounds — shared by :func:`kmeans_clusters`,
+    :func:`semantic_dup_pairs` and :func:`knn_join_within_cells`, and
+    session-memoized (the `ngram_pairs_materialized` pattern): the
+    iteration is deterministic, so every consumer in a session reads
+    the same pinned working set + centroid table instead of re-running
+    Lloyd rounds."""
+    cache_key = (sf_dir, k, iters)
+    if cache_key in _FIT_CACHE:
+        return _FIT_CACHE[cache_key]
     import ray.data as rd
 
     # One read, pinned for the iteration loop: k-means makes iters+1
@@ -166,6 +176,7 @@ def _fit(sf_dir: str, k: int, iters: int):
         new[mask] = np.floor(s[mask] / n[mask] + 0.5).astype(np.int64)
         centroids = new
 
+    _FIT_CACHE[cache_key] = (embs, centroids)
     return embs, centroids
 
 
@@ -646,3 +657,192 @@ v{r} AS (
     parts.append(f"""
 SELECT i AS d, v AS component FROM v{iters}""")
     return "".join(parts)
+
+
+_SEM_PAIRS_CACHE: dict = {}
+
+
+def semantic_pairs_materialized(sf_dir: str):
+    """Memoized :func:`semantic_dup_pairs` at default parameters — the
+    `ngram_pairs_materialized` pattern for the embedding-space pair
+    stream (clustering + cell scans run once per session; the cluster
+    consumer reads the pinned result)."""
+    if sf_dir not in _SEM_PAIRS_CACHE:
+        _SEM_PAIRS_CACHE[sf_dir] = semantic_dup_pairs(sf_dir).materialize()
+    return _SEM_PAIRS_CACHE[sf_dir]
+
+
+def semantic_dup_clusters(sf_dir: str, max_iters: int = 25):
+    """(vec_id, cluster_id) connected components over the SEMANTIC
+    near-dup pairs — the embedding-space twin of
+    `graph_algos.duplicate_clusters`: two documents whose embeddings
+    sit within the same k-means cell at distance ≤ threshold are the
+    same content family even when their n-grams differ (paraphrases,
+    translations), and survivor selection needs the transitive family,
+    not raw pairs. cluster_id = min vec_id of the component.
+
+    Because the underlying pair stream is the fixed-point,
+    SQL-replayable :func:`semantic_dup_pairs` (NOT the LSH variant),
+    the whole clustering IS oracle-gated: the DuckDB twin wraps the
+    pair query in the same recursive min-label CTE as
+    `duplicate_clusters_oracle`. Shape: min-label propagation over
+    pair-involved vectors only (bounded by 2·|pairs|), two bucketed
+    exchanges per round."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.graph_algos import (
+        min_label_components,
+    )
+
+    pairs = semantic_pairs_materialized(sf_dir).select_columns(
+        ["a_id", "b_id"]
+    )
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a_id"].to_numpy(dtype=np.int64)
+        b = batch["b_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"s": np.concatenate([a, b]), "d": np.concatenate([b, a])}
+        )
+
+    labels = min_label_components(
+        pairs.map_batches(both_dirs, batch_format="pandas"),
+        max_iters=max_iters, num_partitions=16,
+    )
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"vec_id": batch["node"].to_numpy(dtype=np.int64),
+             "cluster_id": batch["label"].to_numpy(dtype=np.int64)}
+        )
+
+    out_schema = pa.schema([("vec_id", pa.int64()),
+                            ("cluster_id", pa.int64())])
+    return labels.map_batches(rename, batch_format="pandas").union(
+        rd.from_arrow(out_schema.empty_table())
+    )
+
+
+def semantic_dup_clusters_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS,
+                                 threshold: int = SEMANTIC_DUP_THRESHOLD) -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({semantic_dup_oracle(k, iters, threshold).strip()}),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION ALL
+  SELECT b_id AS s, a_id AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d AS node, r.label
+  FROM reach r JOIN edges e ON e.s = r.node
+  WHERE r.label < e.d
+)
+SELECT node AS vec_id, min(label) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+KNN_JOIN_K = 3
+
+
+def knn_join_within_cells(sf_dir: str, k: int = K_CLUSTERS,
+                          iters: int = N_ITERS,
+                          n_neighbors: int = KNN_JOIN_K):
+    """ALL-pairs k-nearest-neighbor JOIN, cell-bounded: for EVERY
+    vector, its ``n_neighbors`` nearest other vectors within the same
+    final k-means cell (exact integer squared L2, ties broken toward
+    the lower vec_id) — the kNN-graph construction primitive behind
+    semantic dedup graphs, kNN classifiers and graph-based ANN
+    indexes. Unlike the fixed-query ``knn_*`` family this scores the
+    whole corpus against itself; the k-means cells bound the
+    quadratic exactly as in :func:`semantic_dup_pairs`, and the same
+    caveat applies (a true neighbor straddling a cell boundary is
+    missed — the IVF nprobe=1 trade, stated rather than hidden).
+
+    Shape: one exchange after the shared fit — vectors shuffle by
+    final cell, each bucket runs one vectorized distance expansion
+    per cell and keeps ``lexsort``-ed top rows per vector. Output is
+    ≤ n·n_neighbors rows. Oracle: the shared kmeans WITH-block plus a
+    same-cell self-join under ``row_number() OVER (PARTITION BY
+    vec_id ORDER BY d2, neighbor)``."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    embs, centroids = _fit(sf_dir, k, iters)
+
+    def tag(batch: pa.Table, *, c: np.ndarray) -> pd.DataFrame:
+        ids, vecs = _milli_matrix(batch)
+        assign, _ = _assign(vecs, c)
+        return pd.DataFrame(
+            {"cluster": assign.astype(np.int64),
+             "vec_id": ids,
+             "milli": list(vecs)}
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_v, out_n, out_d, out_r = [], [], [], []
+        for _, g in bucket.groupby("cluster", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack(g["milli"].to_numpy())
+            vv = np.einsum("ij,ij->i", m, m)
+            d2 = vv[:, None] - 2 * (m @ m.T) + vv[None, :]
+            np.fill_diagonal(d2, np.iinfo(np.int64).max)  # no self-match
+            take = min(n_neighbors, len(g) - 1)
+            # per row: order by (d2, neighbor id); lexsort's last key
+            # is primary
+            order = np.lexsort((np.broadcast_to(ids, d2.shape), d2), axis=1)
+            top = order[:, :take]
+            rows = np.repeat(np.arange(len(g)), take)
+            cols = top.ravel()
+            out_v.append(np.repeat(ids, take))
+            out_n.append(ids[cols])
+            out_d.append(d2[rows, cols])
+            out_r.append(np.tile(np.arange(1, take + 1, dtype=np.int64),
+                                 len(g)))
+        if not out_v:
+            return pd.DataFrame(
+                {"vec_id": np.array([], dtype=np.int64),
+                 "neighbor_id": np.array([], dtype=np.int64),
+                 "dist2": np.array([], dtype=np.int64),
+                 "nn_rank": np.array([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"vec_id": np.concatenate(out_v),
+             "neighbor_id": np.concatenate(out_n),
+             "dist2": np.concatenate(out_d),
+             "nn_rank": np.concatenate(out_r)}
+        ).astype({c: np.int64 for c in ("vec_id", "neighbor_id", "dist2",
+                                        "nn_rank")})
+
+    tagged = embs.map_batches(tag, batch_format="pyarrow",
+                              fn_kwargs={"c": centroids})
+    return grouped_aggregate(tagged, ["cluster"], combine, num_partitions=8)
+
+
+def knn_join_within_cells_oracle(k: int = K_CLUSTERS, iters: int = N_ITERS,
+                                 n_neighbors: int = KNN_JOIN_K) -> str:
+    return (
+        _kmeans_with_block(k, iters)
+        + f""",
+d AS (
+  SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
+         CAST(SUM((va.milli - vb.milli) * (va.milli - vb.milli)) AS BIGINT)
+           AS dist2
+  FROM fin x JOIN fin y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+  JOIN v va ON va.vec_id = x.vec_id
+  JOIN v vb ON vb.vec_id = y.vec_id AND vb.pos = va.pos
+  GROUP BY 1, 2
+)
+SELECT vec_id, neighbor_id, dist2, CAST(rn AS BIGINT) AS nn_rank FROM (
+  SELECT vec_id, neighbor_id, dist2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist2, neighbor_id) AS rn
+  FROM d
+) WHERE rn <= {n_neighbors}"""
+    )
