@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["gram_novelty"] = textstats.gram_novelty
     q["source_gram_overlap"] = textstats.source_gram_overlap
     q["events_theilsen_trend"] = relational.events_theilsen_trend
+    q["events_daily_ewma"] = relational.events_daily_ewma
     q["bpe_train_merges"] = textstats.bpe_merges_cached
     q["dsir_importance"] = textstats.dsir_importance
     q["token_budget_pick"] = pretrain.token_budget_pick
@@ -472,6 +473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _kg_full_outputs(sf, "triples")
     )
     q["kg_negative_samples"] = lambda sf: _graph.negative_samples(
+        _kg_full_outputs(sf, "triples")
+    )
+    q["kg_qa_pairs"] = lambda sf: _graph.qa_pairs(
         _kg_full_outputs(sf, "triples")
     )
     q["kg_ruleset_llm_agreement"] = lambda sf: simple_kg.ruleset_llm_agreement(
@@ -618,6 +622,22 @@ SELECT subject_type, predicate, object_type,
        CAST(count(DISTINCT subject || chr(31) || object) AS BIGINT)
          AS n_entity_pairs
 FROM {tri} t GROUP BY 1, 2, 3
+"""
+    sql["kg_qa_pairs"] = f"""
+WITH qa AS (
+  SELECT 'forward' AS direction,
+         'What does "' || subject || '" ' || predicate || '?' AS question,
+         object AS answer
+  FROM {tri} t
+  UNION ALL
+  SELECT 'inverse' AS direction,
+         'Which entity ' || predicate || ' "' || object || '"?' AS question,
+         subject AS answer
+  FROM {tri} t2
+)
+SELECT direction, question, answer,
+       CAST(count(*) AS BIGINT) AS n_support
+FROM qa GROUP BY 1, 2, 3
 """
     from entity_extractor_linker_ray.pipelines import simple_kg as _skg
 
@@ -953,6 +973,7 @@ def oracle_sql() -> dict[str, str]:
     sql["gram_novelty"] = textstats.gram_novelty_oracle()
     sql["source_gram_overlap"] = textstats.source_gram_overlap_oracle()
     sql["events_theilsen_trend"] = relational.EVENTS_THEILSEN_ORACLE
+    sql["events_daily_ewma"] = relational.EVENTS_DAILY_EWMA_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
     sql["dsir_importance"] = textstats.dsir_importance_oracle()
     sql["token_budget_pick"] = pretrain.TOKEN_BUDGET_PICK_ORACLE

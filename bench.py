@@ -370,6 +370,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         # pair scan; the cluster/knn consumers then reuse it
         "dedup_semantic_clusters",
         "knn_join",
+        "kg_qa_pairs",
+        "events_daily_ewma",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -12354,3 +12354,102 @@ SELECT p.event_type, CAST(MAX(nd.n_days) AS BIGINT) AS n_days,
 FROM pairs p JOIN nd USING (event_type)
 GROUP BY 1
 """
+
+
+def events_daily_ewma(sf_dir: str):
+    """Integer exponential smoothing of daily event volume per type —
+    the streaming-telemetry baseline (``s_d = (c_d + 3·s_{d-1}) // 4``,
+    i.e. α = 1/4 in pure int64 with floor division, seeded at the first
+    day's count) over the CONTIGUOUS day span of each type with gap
+    days counted as zero. The first genuinely RECURSIVE per-step oracle
+    shape in the repo: the smoother cannot be unrolled like the
+    fixed-round kmeans/pagerank CTEs because its depth is data-driven
+    (the day span), so the DuckDB twin is a ``WITH RECURSIVE`` walking
+    ``rn → rn+1`` over the same grid.
+
+    Scale shape: the corpus collapses to per-(type, day) counts via the
+    bucketed two-phase sum (the `events_theilsen_trend` exchange; wire
+    rows are day-grid partials, never events); the recursion itself is
+    inherently serial PER TYPE but runs over the domain-bounded daily
+    grid (~366 rows/type/year) inside the type's bucket — types smooth
+    in parallel, days sequentially, exactly the dependency structure
+    of the operator."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            batch["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        ).astype(np.int64)
+        return (
+            pd.DataFrame({"event_type": batch["event_type"].to_numpy(),
+                          "d": day})
+            .groupby(["event_type", "d"], sort=False)
+            .size()
+            .reset_index(name="c")
+            .astype({"d": np.int64, "c": np.int64})
+        )
+
+    def smooth(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_type": pd.Series([], dtype=str),
+             "d": pd.Series([], dtype=np.int64),
+             "c": pd.Series([], dtype=np.int64),
+             "ewma": pd.Series([], dtype=np.int64)}
+        )
+        if bucket.empty:
+            return empty
+        daily = (
+            bucket.groupby(["event_type", "d"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        frames = []
+        for etype, g in daily.groupby("event_type", sort=False):
+            d = g["d"].to_numpy(dtype=np.int64)
+            c_sparse = g["c"].to_numpy(dtype=np.int64)
+            d0, d1 = int(d.min()), int(d.max())
+            grid = np.arange(d0, d1 + 1, dtype=np.int64)
+            c = np.zeros(len(grid), dtype=np.int64)
+            c[d - d0] = c_sparse
+            s = np.empty(len(grid), dtype=np.int64)
+            s[0] = c[0]
+            for i in range(1, len(grid)):  # domain-bounded serial walk
+                s[i] = (c[i] + 3 * s[i - 1]) // 4
+            frames.append(pd.DataFrame(
+                {"event_type": etype, "d": grid, "c": c, "ewma": s}
+            ))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return grouped_aggregate(events, ["event_type"], smooth, partial=partial)
+
+
+EVENTS_DAILY_EWMA_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT span.event_type, span.d0 + x AS d,
+         CAST(x + 1 AS BIGINT) AS rn
+  FROM span, UNNEST(range(0, d1 - d0 + 1)) AS t(x)
+), g AS (
+  SELECT grid.event_type, grid.d, grid.rn,
+         COALESCE(daily.c, 0) AS c
+  FROM grid LEFT JOIN daily USING (event_type, d)
+), ewma(event_type, d, rn, c, s) AS (
+  SELECT event_type, d, rn, c, c FROM g WHERE rn = 1
+  UNION ALL
+  SELECT g.event_type, g.d, g.rn, g.c, (g.c + 3 * e.s) // 4
+  FROM ewma e JOIN g ON g.event_type = e.event_type AND g.rn = e.rn + 1
+)
+SELECT event_type, d, c, CAST(s AS BIGINT) AS ewma FROM ewma
+"""

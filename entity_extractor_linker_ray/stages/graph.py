@@ -546,3 +546,53 @@ def negative_samples(triples_ds):
         return b.assign(is_true_negative=(~flags).astype(np.int64))
 
     return grouped_aggregate(candidates, ["subject", "predicate"], combine)
+
+
+def qa_pairs(triples_ds):
+    """QA training pairs from the constructed KG — the reference's
+    knowledge-graph outputs feed QA-style training material
+    (compendium/training sinks, ``orchestrator.py`` artifact surface);
+    this is that sink over the triple stream: every (s, p, o) yields a
+    FORWARD question ('What does "s" p?' → o) and an INVERSE one
+    ('Which entity p "o"?' → s), deduplicated across the corpus with a
+    support count (how many extracted triples back the answer) — the
+    weak-supervision weight a QA fine-tune filters on.
+
+    Shape: pure map to QA rows, then ONE (direction, question, answer)
+    two-phase count — wire rows bounded by distinct QA pairs per
+    batch. Value-gated against the reference-produced golden triples
+    (the SQL twin replays the identical string construction)."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    keys = ["direction", "question", "answer"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["subject"].astype(str)
+        p = batch["predicate"].astype(str)
+        o = batch["object"].astype(str)
+        fwd = pd.DataFrame(
+            {"direction": "forward",
+             "question": 'What does "' + s + '" ' + p + "?",
+             "answer": o}
+        )
+        inv = pd.DataFrame(
+            {"direction": "inverse",
+             "question": "Which entity " + p + ' "' + o + '"?',
+             "answer": s}
+        )
+        df = pd.concat([fwd, inv], ignore_index=True)
+        return (
+            df.groupby(keys, sort=False)
+            .size()
+            .reset_index(name="n_support")
+            .astype({"n_support": np.int64})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(keys, sort=False, as_index=False)["n_support"]
+            .sum()
+            .astype({"n_support": np.int64})
+        )
+
+    return grouped_aggregate(triples_ds, keys, combine, partial=partial)
