@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_semantic_pairs"] = cluster.semantic_pairs_materialized
     q["dedup_semantic_clusters"] = cluster.semantic_dup_clusters
     q["knn_join"] = cluster.knn_join_within_cells
+    q["coreset_fps"] = cluster.coreset_fps
     q["kmeans_exemplars"] = cluster.kmeans_exemplars
     q["kmeans_separation"] = cluster.kmeans_separation
     from entity_extractor_linker_ray.pipelines import incremental
@@ -874,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
     sql["pca_power_component"] = cluster.pca_power_component_oracle()
     sql["dedup_semantic_clusters"] = cluster.semantic_dup_clusters_oracle()
     sql["knn_join"] = cluster.knn_join_within_cells_oracle()
+    sql["coreset_fps"] = cluster.coreset_fps_oracle()
     # incremental builds must be value-identical to the from-scratch
     # builds — they share the simple_kg oracles verbatim
     sql["kg_nodes_incremental"] = sql["kg_nodes"]

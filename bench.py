@@ -372,6 +372,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "knn_join",
         "kg_qa_pairs",
         "events_daily_ewma",
+        "coreset_fps",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -846,3 +846,125 @@ SELECT vec_id, neighbor_id, dist2, CAST(rn AS BIGINT) AS nn_rank FROM (
   FROM d
 ) WHERE rn <= {n_neighbors}"""
     )
+
+
+FPS_PICKS = 8
+
+
+def coreset_fps(sf_dir: str, n_picks: int = FPS_PICKS):
+    """Farthest-point sampling (greedy k-center) over the embeddings —
+    the diversity-selection primitive behind coreset construction and
+    seed picking for annotation/eval: start at ``vec_id 0``, then
+    repeatedly add the vector FARTHEST from the chosen set (max over
+    vectors of min squared L2 to any chosen, ties toward the lower
+    vec_id). The emitted ``radius2`` per pick is the k-center covering
+    radius curve — how well ``k`` exemplars cover the corpus.
+
+    Exactness: milli int64 vectors (shared :func:`milli_round`), exact
+    integer distances, deterministic tie-break — so the greedy argmax
+    unrolls into SQL (one dist/sel CTE pair per pick, the
+    :func:`kmeans_oracle` discipline) and the driver hash gates it.
+
+    Scale shape: one streaming pass per pick; the ≤ ``n_picks``
+    chosen vectors ride in the task closure (tiny), each batch
+    computes min-dist-to-chosen vectorized and surrenders only its
+    LOCAL argmax row, so the driver picks the global best from
+    ≤ #blocks candidates — the `bpe_train_merges` per-bucket-argmax
+    pattern. Driver state is the picks themselves, never data."""
+    from entity_extractor_linker_ray.ops.ann import _read_embeddings
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
+    embs = _read_embeddings(sf_dir).materialize()
+
+    seed = _init_centroids(sf_dir, 1)[0]  # milli vector of vec_id 0
+    chosen_ids = [np.int64(0)]
+    chosen = [seed]
+    radii = [np.int64(0)]
+
+    for _ in range(1, n_picks):
+        C = np.stack(chosen)
+
+        def far_partial(batch: pa.Table, *, c: np.ndarray) -> pd.DataFrame:
+            ids, vecs = _milli_matrix(batch)
+            vv = np.einsum("ij,ij->i", vecs, vecs)
+            cc = np.einsum("ij,ij->i", c, c)
+            d2 = vv[:, None] - 2 * (vecs @ c.T) + cc[None, :]
+            mind = d2.min(axis=1)
+            # batch-local argmax by (mind desc, id asc)
+            best = np.lexsort((ids, -mind))[0]
+            return pd.DataFrame(
+                {"vec_id": [np.int64(ids[best])],
+                 "mind": [np.int64(mind[best])]}
+            )
+
+        cands = collect_small(
+            embs.map_batches(far_partial, batch_format="pyarrow",
+                             fn_kwargs={"c": C}),
+            ["vec_id", "mind"],
+        )
+        cands = cands.sort_values(["mind", "vec_id"],
+                                  ascending=[False, True], kind="stable")
+        pick = np.int64(cands.iloc[0]["vec_id"])
+        radii.append(np.int64(cands.iloc[0]["mind"]))
+        chosen_ids.append(pick)
+        # fetch the picked vector (one predicate-pushed row read)
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "=", int(pick))])
+        _, m = _milli_matrix(t)
+        chosen.append(m[0])
+
+    return pd.DataFrame(
+        {"pick_order": np.arange(n_picks, dtype=np.int64),
+         "vec_id": np.array(chosen_ids, dtype=np.int64),
+         "radius2": np.array(radii, dtype=np.int64)}
+    )
+
+
+def coreset_fps_oracle(n_picks: int = FPS_PICKS) -> str:
+    """Unrolled greedy argmax: one (dist, mind, sel, rad) CTE group per
+    pick; min-dist-so-far is the LEAST() of the per-pick distances."""
+    parts = ["""
+WITH v AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+         CAST(round(unnest(embedding) * 1000) AS BIGINT) AS milli
+  FROM embeddings
+),
+sel0 AS (SELECT CAST(0 AS BIGINT) AS vec_id)"""]
+    for r in range(n_picks - 1):
+        least_args = ", ".join(f"d{i}.d2" for i in range(r + 1))
+        least_expr = (f"LEAST({least_args})" if r > 0 else "d0.d2")
+        joins = "\n".join(
+            f"  JOIN dist{i} d{i} USING (vec_id)" for i in range(1, r + 1)
+        )
+        parts.append(f""",
+dist{r} AS (
+  SELECT a.vec_id,
+         CAST(SUM((a.milli - b.milli) * (a.milli - b.milli)) AS BIGINT) AS d2
+  FROM v a JOIN v b ON b.pos = a.pos
+                   AND b.vec_id = (SELECT vec_id FROM sel{r})
+  GROUP BY 1
+),
+mind{r} AS (
+  SELECT d0.vec_id, {least_expr} AS md
+  FROM dist0 d0
+{joins}
+),
+sel{r + 1} AS (
+  SELECT vec_id FROM mind{r} ORDER BY md DESC, vec_id LIMIT 1
+),
+rad{r + 1} AS (SELECT MAX(md) AS md FROM mind{r})""")
+    sel_rows = ["SELECT CAST(0 AS BIGINT) AS pick_order, "
+                "(SELECT vec_id FROM sel0) AS vec_id, "
+                "CAST(0 AS BIGINT) AS radius2"]
+    for r in range(1, n_picks):
+        sel_rows.append(
+            f"SELECT CAST({r} AS BIGINT), (SELECT vec_id FROM sel{r}), "
+            f"CAST((SELECT md FROM rad{r}) AS BIGINT)"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(sel_rows))
+    return "".join(parts)
