@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_edges_incremental"] = incremental.kg_edges_incremental
     q["events_sessions_incremental"] = incremental.events_sessions_incremental
     q["documents_cdc_merge"] = incremental.documents_cdc_merge
+    q["dedup_exact_incremental"] = incremental.dedup_exact_incremental
     from entity_extractor_linker_ray.pipelines import curation
 
     q["curate_documents"] = curation.curate_documents
@@ -435,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bpe_train_merges"] = textstats.bpe_merges_cached
     q["dsir_importance"] = textstats.dsir_importance
     q["token_budget_pick"] = pretrain.token_budget_pick
+    q["mixture_weights"] = pretrain.mixture_weights
     q["conv_turn_novelty"] = _convs.conv_turn_novelty
     q["pca_power_component"] = cluster.pca_power_component
     q["bpe_encode_stats"] = textstats.bpe_encode_stats
@@ -714,6 +716,7 @@ def oracle_sql() -> dict[str, str]:
     sql["table_profile"] = profile.table_profile_oracle()
     sql["table_checksums"] = profile.table_checksums_oracle()
     sql["dedup_exact"] = dedupe.EXACT_DEDUP_ORACLE
+    sql["dedup_exact_incremental"] = dedupe.EXACT_DEDUP_ORACLE
     sql["dedup_ngram_jaccard"] = dedupe.NGRAM_JACCARD_ORACLE
     sql["fp_containment"] = dedupe.fp_containment_oracle()
     from entity_extractor_linker_ray.ops import fuzzy
@@ -979,6 +982,7 @@ def oracle_sql() -> dict[str, str]:
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
     sql["dsir_importance"] = textstats.dsir_importance_oracle()
     sql["token_budget_pick"] = pretrain.TOKEN_BUDGET_PICK_ORACLE
+    sql["mixture_weights"] = pretrain.MIXTURE_WEIGHTS_ORACLE
     sql["conv_turn_novelty"] = conversations.CONV_TURN_NOVELTY_ORACLE
 
     from entity_extractor_linker_ray.ops import sampling

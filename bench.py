@@ -373,6 +373,8 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "kg_qa_pairs",
         "events_daily_ewma",
         "coreset_fps",
+        "dedup_exact_incremental",
+        "mixture_weights",
     ]
     times: dict[str, float] = {}
     for name in names:

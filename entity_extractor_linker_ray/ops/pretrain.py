@@ -880,3 +880,97 @@ SELECT doc_id, CAST(alpha_ppm AS BIGINT) AS alpha_ppm,
          AS selected
 FROM c
 """
+
+
+def mixture_weights(sf_dir: str):
+    """Training-mix recipe table: per (source, lang), document count,
+    Gopher-rule survivors (the `ops/textstats.gopher_quality_flags`
+    rule set applied inline), and the normalized sampling weight in
+    ppm — ``weight_ppm = n_pass·10⁶ // total_pass`` — i.e. the share
+    of the curated mix each feed contributes if sampling follows
+    quality-gated supply. The artifact a mixture dataloader consumes.
+
+    Shape: one scan with per-batch (source, lang) partials, one tiny
+    domain-bounded exchange (sources × langs), and the normalization
+    happens on the driver over that bounded table."""
+    from entity_extractor_linker_ray.ops.shuffle import (
+        collect_small,
+        grouped_aggregate,
+    )
+
+    STOP = frozenset(
+        "the a an and or of to in is are was were be been it this that"
+        .split()
+    )
+    docs = read_split(f"{sf_dir}/documents.parquet",
+                      columns=["source", "lang", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for source, lang, t in zip(batch["source"], batch["lang"],
+                                   batch["text"].fillna("")):
+            toks = t.split(" ") if t else []
+            n = len(toks)
+            sum_chars = sum(len(w) for w in toks)
+            alpha = sum(1 for w in toks if any(c.isalpha() for c in w))
+            stop = sum(1 for w in toks if w in STOP)
+            ok = (50 <= n <= 100_000 and 3 * n <= sum_chars <= 10 * n
+                  and 10 * alpha >= 8 * n and stop >= 2)
+            rows.append((str(source), str(lang), 1, int(ok)))
+        df = pd.DataFrame(rows, columns=["source", "lang", "n_docs",
+                                         "n_pass"])
+        return (
+            df.groupby(["source", "lang"], sort=False, as_index=False)
+            .sum()
+            .astype({"n_docs": np.int64, "n_pass": np.int64})
+        )
+
+    agg = collect_small(
+        grouped_aggregate(
+            docs, ["source", "lang"],
+            lambda b: b.groupby(["source", "lang"], sort=False,
+                                as_index=False)[["n_docs", "n_pass"]]
+            .sum()
+            .astype({"n_docs": np.int64, "n_pass": np.int64}),
+            partial=partial, num_partitions=8,
+        ),
+        ["source", "lang", "n_docs", "n_pass"],
+    )
+    total = max(int(agg["n_pass"].sum()), 1)
+    agg["weight_ppm"] = (
+        agg["n_pass"].to_numpy(dtype=np.int64) * 1_000_000
+    ) // total
+    return agg.astype(
+        {c: np.int64 for c in ("n_docs", "n_pass", "weight_ppm")}
+    ).reset_index(drop=True)
+
+
+MIXTURE_WEIGHTS_ORACLE = """
+WITH s AS (
+  SELECT source, lang,
+         CASE WHEN length(COALESCE(text, '')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, ' ') END AS toks
+  FROM documents
+), f AS (
+  SELECT source, lang,
+         CASE WHEN len(toks) BETWEEN 50 AND 100000
+               AND 3 * len(toks) <= length(array_to_string(toks, ''))
+               AND length(array_to_string(toks, '')) <= 10 * len(toks)
+               AND 10 * len(list_filter(toks,
+                       t -> regexp_matches(t, '[a-zA-Z]')))
+                   >= 8 * len(toks)
+               AND len(list_filter(toks, t -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','are',
+                    'was','were','be','been','it','this','that'], t))) >= 2
+              THEN 1 ELSE 0 END AS ok
+  FROM s
+), agg AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(ok) AS BIGINT) AS n_pass
+  FROM f GROUP BY 1, 2
+), tot AS (SELECT GREATEST(SUM(n_pass), 1) AS t FROM agg)
+SELECT source, lang, n_docs, n_pass,
+       CAST((n_pass * 1000000) // t AS BIGINT) AS weight_ppm
+FROM agg CROSS JOIN tot
+"""

@@ -453,3 +453,66 @@ def doc_quantiles_incremental(sf_dir: str, partitions: int = 2):
         ).astype({name: np.int64 for name, _ in quantiles})
 
     return grouped_aggregate(merged, ["lang"], finalize, num_partitions=4)
+
+
+# ----------------------------------------------------------------------
+# incremental exact dedup: mergeable (h_lo, h_hi) → (min_doc, count)
+# ----------------------------------------------------------------------
+
+
+def dedup_partials(docs):
+    """Mergeable exact-dedup state for one arriving document batch:
+    per 128-bit content key (the `ops/dedupe.exact_dedup` SipHash
+    pair), the minimum doc_id seen and the occurrence count. States
+    from disjoint slices merge by (min, sum) — the survivorship rule
+    is associative, so day-over-day maintenance never rescans history,
+    exactly like the node/edge partials above. Keys are 16 bytes per
+    distinct text: a year of daily states is cheap to keep."""
+    from entity_extractor_linker_ray.ops.dedupe import (
+        _HASH_KEY_A,
+        _HASH_KEY_B,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("").to_numpy(dtype=object)
+        rows = pd.DataFrame(
+            {"h_lo": pd.util.hash_array(texts, hash_key=_HASH_KEY_A),
+             "h_hi": pd.util.hash_array(texts, hash_key=_HASH_KEY_B),
+             "doc_id": batch["doc_id"].to_numpy()}
+        )
+        return (
+            rows.groupby(["h_lo", "h_hi"], sort=False)
+            .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+            .reset_index()
+        )
+
+    return docs.map_batches(partial, batch_format="pandas")
+
+
+def dedup_exact_incremental(sf_dir: str, partitions: int = 2):
+    """Full exact-dedup survivor table built the incremental way: each
+    document slice contributes an independent mergeable state; the
+    merge is one union + a bucketed (h_lo, h_hi) min/sum — so adding
+    tomorrow's documents costs one partial build plus a state-sized
+    merge, never a corpus rescan. Value-identical to
+    ``ops/dedupe.exact_dedup`` (the same DuckDB oracle gates both)."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    states = [
+        dedup_partials(partition_documents(sf_dir, partitions, r))
+        for r in range(partitions)
+    ]
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.union(s)
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.groupby(["h_lo", "h_hi"], sort=False)
+            .agg(doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+            .reset_index()[["doc_id", "n_dups"]]
+            .astype({"doc_id": np.int64, "n_dups": np.int64})
+        )
+
+    return grouped_aggregate(merged, ["h_lo", "h_hi"], combine,
+                             coalesce=True)
