@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_budget_pick"] = pretrain.token_budget_pick
     q["mixture_weights"] = pretrain.mixture_weights
     q["conv_turn_novelty"] = _convs.conv_turn_novelty
+    q["lang_confusion_matrix"] = textstats.lang_confusion_matrix
     q["pca_power_component"] = cluster.pca_power_component
     q["bpe_encode_stats"] = textstats.bpe_encode_stats
     # --- synthetic power-law graph (non-toy regime for the iterative
@@ -981,6 +982,8 @@ def oracle_sql() -> dict[str, str]:
     sql["events_daily_ewma"] = relational.EVENTS_DAILY_EWMA_ORACLE
     sql["pretrain_corpus"] = pretrain.pretrain_corpus_oracle()
     sql["dsir_importance"] = textstats.dsir_importance_oracle()
+    sql["lang_id"] = textstats.LANG_ID_ORACLE
+    sql["lang_confusion_matrix"] = textstats.LANG_CONFUSION_ORACLE
     sql["token_budget_pick"] = pretrain.TOKEN_BUDGET_PICK_ORACLE
     sql["mixture_weights"] = pretrain.MIXTURE_WEIGHTS_ORACLE
     sql["conv_turn_novelty"] = conversations.CONV_TURN_NOVELTY_ORACLE

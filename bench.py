@@ -375,6 +375,7 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "coreset_fps",
         "dedup_exact_incremental",
         "mixture_weights",
+        "lang_confusion_matrix",
     ]
     times: dict[str, float] = {}
     for name in names:

@@ -3355,3 +3355,103 @@ def bpe_encode_stats(sf_dir: str, n_merges: int = 8):
     docs = read_split(f"{sf_dir}/documents.parquet",
                       columns=["source", "text"])
     return grouped_aggregate(docs, ["source"], final, partial=partial)
+
+
+def _lang_score_sql() -> str:
+    """Shared CTE body replaying the `LangId` marker rule: distinct
+    first-200 tokens intersected with each language's marker set,
+    winner = max score with alphabetical tiebreak, 'und' at zero."""
+    markers_sql = {
+        lang: "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+        for lang, words in sorted(_LANG_MARKERS.items())
+    }
+    scores = ",\n         ".join(
+        f"len(list_filter(toks, t -> list_contains({m}, t))) AS s_{lang}"
+        for lang, m in markers_sql.items()
+    )
+    langs = sorted(_LANG_MARKERS)
+    greatest = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in langs)
+    return f"""
+s AS (
+  SELECT doc_id, lang,
+         list_distinct(list_slice(string_split(COALESCE(text, ''), ' '),
+                                  1, 200)) AS toks
+  FROM documents
+), sc AS (
+  SELECT doc_id, lang,
+         {scores}
+  FROM s
+), pred AS (
+  SELECT doc_id, lang AS true_lang,
+         CASE WHEN m = 0 THEN 'und' {case} END AS predicted_lang
+  FROM (SELECT *, {greatest} AS m FROM sc)
+)"""
+
+
+LANG_ID_ORACLE = f"""
+WITH {_lang_score_sql().strip()}
+SELECT doc_id, predicted_lang FROM pred
+"""
+
+
+def lang_confusion_matrix(sf_dir: str):
+    """Language-ID quality surface: the (true lang metadata ×
+    predicted lang) confusion matrix with row-share in ppm — the
+    artifact an LID threshold review reads. The marker heuristic is a
+    pure function of the text, so unlike typical model-eval confusions
+    this one is fully value-gated: the oracle replays the scoring rule
+    (distinct first-200 tokens ∩ marker sets, alphabetical tiebreak,
+    'und' at zero) in SQL.
+
+    Shape: the LID scan emits (true, predicted) partials; one tiny
+    |langs|² exchange; the per-true-row normalization is bucket-local
+    (a true lang's whole row lands in its bucket)."""
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    docs = read_split(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    markers = {lang: set(words) for lang, words in _LANG_MARKERS.items()}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for true_lang, t in zip(batch["lang"], batch["text"].fillna("")):
+            tokens = set(t.split(" ")[:200])
+            scores = {lang: len(tokens & words)
+                      for lang, words in markers.items()}
+            best = max(sorted(scores), key=lambda lang: scores[lang])
+            rows.append((str(true_lang),
+                         best if scores[best] > 0 else "und", 1))
+        df = pd.DataFrame(rows, columns=["true_lang", "predicted_lang", "n"])
+        return (
+            df.groupby(["true_lang", "predicted_lang"], sort=False,
+                       as_index=False)["n"].sum()
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            bucket.groupby(["true_lang", "predicted_lang"], sort=False,
+                           as_index=False)["n"].sum()
+        )
+        tot = g.groupby("true_lang", sort=False)["n"].transform("sum")
+        g["row_share_ppm"] = (
+            g["n"].to_numpy(dtype=np.int64) * 1_000_000
+        ) // tot.to_numpy(dtype=np.int64)
+        return g.astype({"n": np.int64, "row_share_ppm": np.int64})
+
+    return grouped_aggregate(docs, ["true_lang"], combine, partial=partial)
+
+
+LANG_CONFUSION_ORACLE = f"""
+WITH {_lang_score_sql().strip()}
+, cm AS (
+  SELECT true_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT true_lang, predicted_lang, n,
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY true_lang)
+            AS BIGINT) AS row_share_ppm
+FROM cm
+"""
