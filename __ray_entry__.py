@@ -115,9 +115,11 @@ def _kg_artifacts(sf_dir: str, what: str):
     cfg = {"RAY_KG_CONCURRENCY": 8, "RELATION_EXTRACTION": True}
     docs = assemble_documents(transcripts_dataset_from_documents(sf_dir), 16)
     kb_ref = ray.put(build_kb())
-    if what == "compendium":
-        return artifacts.compendium_records(docs, cfg, kb_ref)
-    return artifacts.training_records(docs, cfg, kb_ref)
+    if what in ("compendium", "compendium_refs"):
+        comp = artifacts.compendium_records(docs, cfg, kb_ref)
+        return artifacts.compendium_refs(comp) if what == "compendium_refs" else comp
+    train = artifacts.training_records(docs, cfg, kb_ref)
+    return artifacts.training_labels(train) if what == "training_labels" else train
 
 
 def entry() -> Any:
@@ -494,9 +496,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         {"TEXT_CHUNKING": True, "TEXT_CHUNK_SIZE": 300, "TEXT_CHUNK_OVERLAP": 50,
          "RELATION_EXTRACTION": True},
     )
-    # artifact stages (compendium A14, training-data sinks S4/S5)
+    # artifact stages (compendium A14, training-data sinks S4/S5).
+    # kg_compendium / kg_training_examples keep the full payloads
+    # (list column / engine-worded prompt JSON → rows-only); the three
+    # *_flat/_refs/_labels projections are value-gated against golden
+    # parquet the reference code produced (tools/make_golden.py
+    # reference_artifacts).
     q["kg_compendium"] = lambda sf: _kg_artifacts(sf, "compendium")
     q["kg_training_examples"] = lambda sf: _kg_artifacts(sf, "training")
+    q["kg_compendium_flat"] = lambda sf: _kg_artifacts(sf, "compendium").select_columns(
+        ["conv_id", "compendium", "n_references"]
+    )
+    q["kg_compendium_refs"] = lambda sf: _kg_artifacts(sf, "compendium_refs")
+    q["kg_training_labels"] = lambda sf: _kg_artifacts(sf, "training_labels")
     return q
 
 
@@ -550,6 +562,11 @@ def _golden_oracles() -> dict[str, str]:
     sql["kg_chunked_triples"] = (
         f"SELECT * FROM {src('kg_chunked_triples')} t"
     )
+    # artifact stages: compendium text/ref-list and training labels the
+    # reference's own sinks produced (make_golden.reference_artifacts)
+    sql["kg_compendium_flat"] = f"SELECT * FROM {src('kg_compendium_flat')} c"
+    sql["kg_compendium_refs"] = f"SELECT * FROM {src('kg_compendium_refs')} r"
+    sql["kg_training_labels"] = f"SELECT * FROM {src('kg_training_labels')} l"
     # stages/graph.py build_nodes: first-wins label/type by (conv_id,
     # ord) per canonical_id; mention count; distinct conv count
     sql["kg_pipeline_nodes"] = f"""

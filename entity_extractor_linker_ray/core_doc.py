@@ -290,11 +290,20 @@ def link_entities(entities: list[dict], cfg: dict, kb, llm=None) -> list[dict]:
     ]
 
 
-def extract_and_link(text: str, cfg: dict, llm, kb) -> list[dict]:
+def extract_and_link(text: str, cfg: dict, llm, kb, trace: dict | None = None) -> list[dict]:
     """``extract_api.extract_and_link`` equivalent: extract →
     (optional) infer → link (``core/extract_api.py:12-28``,
-    ``core/extractor.py:36-39``)."""
+    ``core/extractor.py:36-39``).
+
+    When ``trace`` is given, the RAW extraction entities (the parsed LLM
+    lines, pre-inference and pre-linking — exactly what the reference's
+    training sink records, ``services/openai_service.py:125-127``) are
+    appended under ``trace["extractions"]``."""
     ents = extract_entities(text, cfg, llm)
+    if trace is not None:
+        trace.setdefault("extractions", []).append(
+            {"text": text, "entities": [dict(e) for e in ents]}
+        )
     ents = infer_entities(text, ents, cfg, llm)
     return link_entities(ents, cfg, kb, llm)
 
@@ -390,9 +399,17 @@ def llm_pair_dedup(rels: list[dict], cfg: dict, llm, directed: bool) -> list[dic
     return out
 
 
-def infer_relationships(text: str, entities: list[dict], cfg: dict, llm) -> list[dict]:
+def infer_relationships(
+    text: str, entities: list[dict], cfg: dict, llm, trace: dict | None = None
+) -> list[dict]:
     """Explicit (+ optional implicit) relation extraction for one
-    document (``relationship_inference.py:46-375`` non-KGC path)."""
+    document (``relationship_inference.py:46-375`` non-KGC path).
+
+    When ``trace`` is given, the validated explicit (and, under
+    ``ENABLE_RELATIONS_INFERENCE``, implicit) relation lists are
+    appended under ``trace["relations"]`` — the exact pre-dedup lists
+    the reference's training sink records
+    (``relationship_inference.py:260,367-370``)."""
     if not cfg.get("RELATION_EXTRACTION", False):
         return []
     info = _entity_info(entities)
@@ -414,6 +431,11 @@ def infer_relationships(text: str, entities: list[dict], cfg: dict, llm) -> list
         if all(k in r for k in ("subject", "predicate", "object"))
     ]
     valid_explicit = [r for r in valid_explicit if r["subject_type"] and r["object_type"]]
+    if trace is not None:
+        trace.setdefault("relations", []).append(
+            {"text": text, "entities": info, "rels": [dict(r) for r in valid_explicit],
+             "kind": "explicit"}
+        )
     if not cfg.get("ENABLE_RELATIONS_INFERENCE", False):
         return valid_explicit
     raw_imp = llm.chat(
@@ -426,6 +448,11 @@ def infer_relationships(text: str, entities: list[dict], cfg: dict, llm) -> list
         if all(k in r for k in ("subject", "predicate", "object"))
     ]
     valid_implicit = [r for r in valid_implicit if r["subject_type"] and r["object_type"]]
+    if trace is not None:
+        trace.setdefault("relations", []).append(
+            {"text": text, "entities": info, "rels": [dict(r) for r in valid_implicit],
+             "kind": "implicit", "explicit_rels": [dict(r) for r in valid_explicit]}
+        )
     merged: dict[tuple, dict] = {triple_key(r): r for r in valid_explicit}
     for rel in valid_implicit:
         merged.setdefault(triple_key(rel), rel)
@@ -649,32 +676,45 @@ def build_compendium(topic: str, entities: list[dict], cfg: dict, llm) -> tuple[
     return raw, refs
 
 
-def training_examples(text: str, entities: list[dict], rels: list[dict], cfg: dict) -> list[dict]:
+def training_examples(trace: dict, cfg: dict) -> list[dict]:
     """Fine-tune examples mirroring the reference's two JSONL sinks
     (``services/openai_service.py:133-209``): one 3-message chat per
-    extraction call (assistant = semicolon entity lines) and one per
-    relation call (assistant = semicolon triple lines)."""
+    extraction call (assistant = raw ``name; type; url; citation``
+    lines exactly as the LLM returned them, pre-linking — saved inside
+    the extraction call, ``openai_service.py:125-127``) and one per
+    relation-inference call (assistant = semicolon triple lines of the
+    validated pre-dedup list, ``relationship_inference.py:260,367-370``).
+    Built from the pass's ``trace`` so chunked mode yields one example
+    per chunk, like the reference's per-call appends."""
     max_entities = cfg.get("MAX_ENTITIES", 15)
+    max_rel = cfg.get("MAX_RELATIONS", 15)
+    mode = cfg.get("MODE", "extract")
     lang = cfg.get("LANGUAGE", "en")
-    ent_msgs = prompts.extraction_messages(text, max_entities, lang)
-    ent_lines = "\n".join(
-        f"{e.get('entity') or e.get('name','')}; {e.get('type','')}; "
-        f"{e.get('wikipedia_url','')}; {e.get('citation','')}"
-        for e in entities
-    )
-    out = [
-        {
-            "kind": "entity_extraction",
-            "messages": ent_msgs + [{"role": "assistant", "content": ent_lines}],
-        }
-    ]
-    if rels:
-        info = _entity_info(entities)
-        rel_msgs = prompts.explicit_relation_messages(
-            text, info, cfg.get("MAX_RELATIONS", 15), cfg.get("MODE", "extract"), lang
+    out: list[dict] = []
+    for rec in trace.get("extractions", []):
+        ent_msgs = prompts.extraction_messages(rec["text"], max_entities, lang)
+        ent_lines = "\n".join(
+            f"{e.get('entity') or e.get('name','')}; {e.get('type','')}; "
+            f"{e.get('wikipedia_url','')}; {e.get('citation','')}"
+            for e in rec["entities"]
         )
+        out.append(
+            {
+                "kind": "entity_extraction",
+                "messages": ent_msgs + [{"role": "assistant", "content": ent_lines}],
+            }
+        )
+    for rec in trace.get("relations", []):
+        if rec["kind"] == "implicit":
+            rel_msgs = prompts.implicit_relation_messages(
+                rec["text"], rec["entities"], rec.get("explicit_rels", []), max_rel, lang
+            )
+        else:
+            rel_msgs = prompts.explicit_relation_messages(
+                rec["text"], rec["entities"], max_rel, mode, lang
+            )
         rel_lines = "\n".join(
-            f"{r['subject']}; {r['predicate']}; {r['object']}" for r in rels
+            f"{r['subject']}; {r['predicate']}; {r['object']}" for r in rec["rels"]
         )
         out.append(
             {
@@ -689,8 +729,34 @@ def training_examples(text: str, entities: list[dict], rels: list[dict], cfg: di
 # full per-document pipeline
 # ----------------------------------------------------------------------
 
+def _gate_sources(e: dict, cfg: dict) -> dict:
+    """Flag-gated view of one linked entity for artifact building.
+
+    The reference's compendium reads the PACKAGED ``sources`` map, which
+    only carries wikidata/dbpedia sections under the same conditions the
+    packager applies (``orchestrator.py:110-111``: ``USE_WIKIDATA and
+    wikidata_details``; dbpedia analogously). The raw link dicts here can
+    hold a ``wikidata_id`` planted by the extract fetch even when
+    ``USE_WIKIDATA`` is off, so artifacts built from raw entities would
+    cite sources the packaged output never exposes."""
+    wd = e.get("wikidata_details") or {}
+    db = e.get("dbpedia_info") or {}
+    use_wikidata = bool(cfg.get("USE_WIKIDATA", False) and wd)
+    use_dbpedia = bool(cfg.get("USE_DBPEDIA", False) and (db or e.get("dbpedia_uri")))
+    if use_wikidata and use_dbpedia:
+        return e
+    out = dict(e)
+    if not use_wikidata:
+        for key in ("wikidata_id", "wikidata_url", "wikidata_details"):
+            out.pop(key, None)
+    if not use_dbpedia:
+        for key in ("dbpedia_uri", "dbpedia_info"):
+            out.pop(key, None)
+    return out
+
+
 def build_doc_artifacts(
-    input_text: str, ents: list[dict], rels: list[dict], cfg: dict, llm
+    input_text: str, ents: list[dict], trace: dict, cfg: dict, llm
 ) -> dict:
     """Feature-flagged per-document artifacts (compendium A14, training
     data S4/S5) derived from the SAME extraction pass — the reference
@@ -698,10 +764,11 @@ def build_doc_artifacts(
     (``orchestrator.py``), never re-extracting per artifact."""
     artifacts: dict = {}
     if cfg.get("ENABLE_COMPENDIUM", False):
-        compendium, refs = build_compendium(input_text, ents, cfg, llm)
+        gated = [_gate_sources(e, cfg) for e in ents]
+        compendium, refs = build_compendium(input_text, gated, cfg, llm)
         artifacts["compendium"] = {"compendium": compendium, "references": refs}
     if cfg.get("COLLECT_TRAINING_DATA", False):
-        artifacts["training"] = training_examples(input_text, ents, rels, cfg)
+        artifacts["training"] = training_examples(trace, cfg)
     return artifacts
 
 
@@ -721,6 +788,9 @@ def process_document(
     reference's KGC state is strictly per-document
     (``orchestrator.py:446-468``).
     """
+    trace: dict | None = (
+        {} if return_artifacts and cfg.get("COLLECT_TRAINING_DATA", False) else None
+    )
     if cfg.get("TEXT_CHUNKING", False):
         chunks = chunk_text(
             input_text, cfg.get("TEXT_CHUNK_SIZE", 1000), cfg.get("TEXT_CHUNK_OVERLAP", 50)
@@ -728,16 +798,16 @@ def process_document(
         all_ents: list[dict] = []
         all_rels: list[dict] = []
         for chunk in chunks:
-            ents = extract_and_link(chunk, cfg, llm, kb)
+            ents = extract_and_link(chunk, cfg, llm, kb, trace)
             all_ents.extend(ents)
             if cfg.get("RELATION_EXTRACTION", False):
-                all_rels.extend(infer_relationships(chunk, ents, cfg, llm))
+                all_rels.extend(infer_relationships(chunk, ents, cfg, llm, trace))
         ents = dedup_entities_first_wins(all_ents)
         rels = dedup_triples_explicit_wins(all_rels)
         rels = llm_pair_dedup(rels, cfg, llm, directed=False)
         rels = fuzzy_dedup_triples(rels, 0.85)
     else:
-        ents = extract_and_link(input_text, cfg, llm, kb)
+        ents = extract_and_link(input_text, cfg, llm, kb, trace)
         rels = []
         if cfg.get("RELATION_EXTRACTION", False):
             if cfg.get("MODE") == "generate" and ents and all(
@@ -746,7 +816,7 @@ def process_document(
                 rel_context = "\n".join(e["wikipedia_extract"] for e in ents)
             else:
                 rel_context = input_text
-            rels = infer_relationships(rel_context, ents, cfg, llm)
+            rels = infer_relationships(rel_context, ents, cfg, llm, trace)
             rels = llm_pair_dedup(rels, cfg, llm, directed=False)
             rels = fuzzy_dedup_triples(rels, 0.85)
 
@@ -763,4 +833,4 @@ def process_document(
     packaged = [package_entity(e, input_text, cfg) for e in ents]
     if not return_artifacts:
         return packaged, rels
-    return packaged, rels, build_doc_artifacts(input_text, ents, rels, cfg, llm)
+    return packaged, rels, build_doc_artifacts(input_text, ents, trace or {}, cfg, llm)

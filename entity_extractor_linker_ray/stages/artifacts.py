@@ -40,6 +40,7 @@ COMPENDIUM_SCHEMA = pa.schema(
 TRAINING_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),
+        ("ex_ord", pa.int32()),
         ("kind", pa.string()),
         ("messages_json", pa.string()),
     ]
@@ -106,15 +107,16 @@ class TrainingDataActor(_DocArtifactActor):
                           "ENABLE_COMPENDIUM": False}, kb_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv_ids, kinds, payloads = [], [], []
+        conv_ids, ords, kinds, payloads = [], [], [], []
         for conv_id, doc_text in zip(
             batch.column("conv_id").to_pylist(), batch.column("doc_text").to_pylist()
         ):
             _, _, artifacts = process_document(
                 doc_text or "", self.cfg, self.llm, self.kb, return_artifacts=True
             )
-            for ex in artifacts.get("training", []):
+            for ordn, ex in enumerate(artifacts.get("training", [])):
                 conv_ids.append(conv_id)
+                ords.append(ordn)
                 kinds.append(ex["kind"])
                 payloads.append(
                     json.dumps({"messages": ex["messages"]}, ensure_ascii=False)
@@ -122,6 +124,7 @@ class TrainingDataActor(_DocArtifactActor):
         return pa.Table.from_arrays(
             [
                 pa.array(conv_ids, pa.string()),
+                pa.array(ords, pa.int32()),
                 pa.array(kinds, pa.string()),
                 pa.array(payloads, pa.string()),
             ],
@@ -153,6 +156,55 @@ def compendium_records(documents_ds, cfg: dict | None = None, kb_ref=None, **ray
 def training_records(documents_ds, cfg: dict | None = None, kb_ref=None, **ray_opts):
     """documents → fine-tune chat examples (one row per example)."""
     return _actor_stage(documents_ds, TrainingDataActor, cfg, kb_ref, **ray_opts)
+
+
+def compendium_refs(compendium_ds):
+    """Exploded reference list: (conv_id, ref_ord, ref_url) — the
+    numbered citation list the reference's compendium prompt builds
+    (``services/compendium_service.py:46-63``, numbering =
+    ``orchestrator.py:595`` ``structured_refs``). Flat rows so the
+    driver can value-hash against the reference-produced golden."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_pylist()
+        refs = batch.column("references").to_pylist()
+        out_c: list[str] = []
+        out_o: list[int] = []
+        out_u: list[str] = []
+        for c, lst in zip(conv, refs):
+            for i, u in enumerate(lst or []):
+                out_c.append(c)
+                out_o.append(i + 1)  # reference numbers from 1
+                out_u.append(u)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_c, pa.string()),
+                pa.array(out_o, pa.int32()),
+                pa.array(out_u, pa.string()),
+            ],
+            names=["conv_id", "ref_ord", "ref_url"],
+        )
+
+    return compendium_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def training_labels(training_ds):
+    """(conv_id, ex_ord, kind, label) where label is the assistant
+    message — the semantically-pinned part of each fine-tune example
+    (the raw extraction / validated-relation lines the reference's
+    JSONL sinks record); the surrounding prompt text is engine wording
+    and intentionally NOT reference-identical."""
+
+    def lab(batch: pa.Table) -> pa.Table:
+        labels = [
+            json.loads(m)["messages"][-1]["content"]
+            for m in batch.column("messages_json").to_pylist()
+        ]
+        return batch.select(["conv_id", "ex_ord", "kind"]).append_column(
+            "label", pa.array(labels, pa.string())
+        )
+
+    return training_ds.map_batches(lab, batch_format="pyarrow")
 
 
 def write_training_jsonl(training_ds, path: str) -> None:

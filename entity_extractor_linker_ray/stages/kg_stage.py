@@ -421,19 +421,22 @@ def split_compendium(records_ds):
 
 def split_training(records_ds):
     """Decode the training artifact rows into the TRAINING_SCHEMA
-    table shape (conv_id, kind, messages_json)."""
+    table shape (conv_id, ex_ord, kind, messages_json)."""
     import pyarrow.compute as pc
 
     def decode(t: pa.Table) -> pa.Table:
         from entity_extractor_linker_ray.stages.artifacts import TRAINING_SCHEMA
 
         t = t.filter(pc.equal(t.column("record_type"), "training"))
-        convs, kinds, payloads = [], [], []
-        for conv_id, payload in zip(
-            t.column("conv_id").to_pylist(), t.column("artifact_json").to_pylist()
+        convs, ords, kinds, payloads = [], [], [], []
+        for conv_id, ordn, payload in zip(
+            t.column("conv_id").to_pylist(),
+            t.column("ord").to_pylist(),
+            t.column("artifact_json").to_pylist(),
         ):
             obj = json.loads(payload)
             convs.append(conv_id)
+            ords.append(ordn)
             kinds.append(obj["kind"])
             payloads.append(
                 json.dumps({"messages": obj["messages"]}, ensure_ascii=False)
@@ -441,6 +444,7 @@ def split_training(records_ds):
         return pa.Table.from_arrays(
             [
                 pa.array(convs, pa.string()),
+                pa.array(ords, pa.int32()),
                 pa.array(kinds, pa.string()),
                 pa.array(payloads, pa.string()),
             ],

@@ -49,6 +49,12 @@ def regenerated():
     for variant in ("kg_generate", "kg_chunked"):
         vtri, _ = convert(reference_results(SF, VARIANTS[variant]))
         out[f"{variant}_triples"] = vtri
+    from tools.make_golden import reference_artifacts
+
+    comp, refs, labs = reference_artifacts(SF)
+    out["kg_compendium_flat"] = comp
+    out["kg_compendium_refs"] = refs
+    out["kg_training_labels"] = labs
     return out
 
 
@@ -60,6 +66,9 @@ class TestCommittedGoldensMatchReference:
             "kg_pipeline_entity_links",
             "kg_generate_triples",
             "kg_chunked_triples",
+            "kg_compendium_flat",
+            "kg_compendium_refs",
+            "kg_training_labels",
         ],
     )
     def test_pinned_file_equals_fresh_reference_run(self, regenerated, name):
@@ -83,6 +92,9 @@ class TestEngineMatchesGoldens:
             "kg_pipeline_entity_links",
             "kg_generate_triples",
             "kg_chunked_triples",
+            "kg_compendium_flat",
+            "kg_compendium_refs",
+            "kg_training_labels",
         ],
     )
     def test_engine_equals_golden(self, engine_queries, name):

@@ -74,6 +74,15 @@ VARIANTS = {
     },
 }
 
+# artifact variant: engine defaults + the two artifact flags — must
+# equal the cfg ``__ray_entry__._kg_artifacts`` hands the actor stages
+ARTIFACT_OVERRIDES = {
+    **ENGINE_DEFAULT_OVERRIDES,
+    "RELATION_EXTRACTION": True,
+    "ENABLE_COMPENDIUM": True,
+    "COLLECT_TRAINING_DATA": True,
+}
+
 TRIPLE_COLS = [
     "conv_id", "ord", "subject", "predicate", "object", "inferred",
     "subject_type", "object_type", "subject_inferred", "object_inferred",
@@ -95,6 +104,84 @@ def reference_results(sf_dir: str, overrides: dict):
     )
     transcripts = documents_to_transcripts_batch(docs)
     return H.run_reference(transcripts, overrides)
+
+
+def reference_artifacts(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Run the reference with compendium + training sinks enabled and
+    capture (compendium_flat, compendium_refs, training_labels) frames.
+
+    The reference APPENDS training examples to JSONL files
+    (``services/openai_service.py:171-206``), so each conversation gets
+    fresh temp paths that are read back and ordered entity-then-relation
+    — the append order of the reference's single extract + explicit
+    relation calls under the artifact flags."""
+    import tempfile
+
+    from entity_extractor_linker_ray.state.kb import KBSnapshot
+    from entity_extractor_linker_ray.state.llm import StubLLMClient
+    from entity_extractor_linker_ray.synthetic import documents_to_transcripts_batch
+    from tests import reference_harness as H
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    transcripts = documents_to_transcripts_batch(docs)
+    stub = StubLLMClient(KBSnapshot())
+    orch = H.install_reference(stub)
+    cfg = H.reference_config(ARTIFACT_OVERRIDES)
+    docs_map = H.assemble_docs_python(transcripts)
+
+    comp_rows: list[dict] = []
+    ref_rows: list[dict] = []
+    lab_rows: list[dict] = []
+    tmpdir = tempfile.mkdtemp(prefix="golden_train_")
+    for conv in sorted(docs_map):
+        ent_path = os.path.join(tmpdir, f"{conv}_ent.jsonl")
+        rel_path = os.path.join(tmpdir, f"{conv}_rel.jsonl")
+        c = dict(
+            cfg,
+            OPENAI_TRAINING_DATA_PATH=ent_path,
+            OPENAI_RELATIONSHIP_TRAINING_DATA_PATH=rel_path,
+            TRAINING_DATA_PATH=os.path.join(tmpdir, f"{conv}_legacy.jsonl"),
+        )
+        result = orch.process_entities(docs_map[conv], c)
+        comp = result.get("compendium", {})
+        refs = [r["url"] for r in comp.get("references", [])]
+        comp_rows.append(
+            {
+                "conv_id": conv,
+                "compendium": comp.get("text", ""),
+                "n_references": len(refs),
+            }
+        )
+        for i, url in enumerate(refs):
+            ref_rows.append({"conv_id": conv, "ref_ord": i + 1, "ref_url": url})
+        ex_ord = 0
+        for path, kind in (
+            (ent_path, "entity_extraction"),
+            (rel_path, "relationship_extraction"),
+        ):
+            if not os.path.exists(path):
+                continue
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    ex = json.loads(line)
+                    lab_rows.append(
+                        {
+                            "conv_id": conv,
+                            "ex_ord": ex_ord,
+                            "kind": kind,
+                            "label": ex["messages"][-1]["content"],
+                        }
+                    )
+                    ex_ord += 1
+    comp_df = pd.DataFrame(comp_rows, columns=["conv_id", "compendium", "n_references"])
+    comp_df["n_references"] = comp_df["n_references"].astype("int32")
+    refs_df = pd.DataFrame(ref_rows, columns=["conv_id", "ref_ord", "ref_url"])
+    refs_df["ref_ord"] = refs_df["ref_ord"].astype("int32")
+    labs_df = pd.DataFrame(lab_rows, columns=["conv_id", "ex_ord", "kind", "label"])
+    labs_df["ex_ord"] = labs_df["ex_ord"].astype("int32")
+    return comp_df, refs_df, labs_df
 
 
 def convert(golden: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -180,6 +267,18 @@ def build_sf(sf_dir: str) -> dict:
         write_frame(vtri, os.path.join(out_dir, f"{name}.parquet"))
         files[name] = f"{sf_name}/{name}.parquet"
         print(f"  {variant}: {len(vtri)} triples ({time.time() - t0:.1f}s)")
+
+    t0 = time.time()
+    comp_df, refs_df, labs_df = reference_artifacts(sf_dir)
+    for name, df in (
+        ("kg_compendium_flat", comp_df),
+        ("kg_compendium_refs", refs_df),
+        ("kg_training_labels", labs_df),
+    ):
+        write_frame(df, os.path.join(out_dir, f"{name}.parquet"))
+        files[name] = f"{sf_name}/{name}.parquet"
+    print(f"  artifacts: {len(comp_df)} compendia / {len(refs_df)} refs / "
+          f"{len(labs_df)} labels ({time.time() - t0:.1f}s)")
 
     return {"marker": corpus_marker(sf_dir), "files": files}
 
