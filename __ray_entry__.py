@@ -89,7 +89,37 @@ def _kg_full_outputs(sf_dir: str, what: str):
         return linked_counts(out["entities"])
     if what == "entity_links":
         return out["entities"].select_columns(ENTITY_LINK_COLS)
+    if what == "entities_full":
+        return _entities_full_flat(out["entities"])
     raise KeyError(what)
+
+
+def _entities_full_flat(entities_ds):
+    """All 70 entity columns minus the engine-only ``link_status``,
+    with the 20 list<string> columns JSON-serialized so the table is
+    flat/hashable — the driver value-gates it against golden parquet
+    converted from the reference packager's full ``sources`` map
+    (tools/make_golden.convert_entities_full)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from tools.make_golden import ENTITY_LIST_COLS
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        for c in ENTITY_LIST_COLS:
+            idx = batch.schema.get_field_index(c)
+            arr = pa.array(
+                [
+                    _json.dumps(list(v or []), ensure_ascii=False)
+                    for v in batch.column(c).to_pylist()
+                ],
+                pa.string(),
+            )
+            batch = batch.set_column(idx, c, arr)
+        return batch.drop_columns(["link_status"])
+
+    return entities_ds.map_batches(flatten, batch_format="pyarrow")
 
 
 def _kg_variant_triples(sf_dir: str, extra_cfg: dict):
@@ -459,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     _golden_oracles; full 70-col entities stays rows-only) --------
     q["kg_pipeline_triples"] = lambda sf: _kg_full_outputs(sf, "triples")
     q["kg_pipeline_entities"] = lambda sf: _kg_full_outputs(sf, "entities")
+    q["kg_pipeline_entities_full"] = lambda sf: _kg_full_outputs(sf, "entities_full")
     q["kg_pipeline_entity_links"] = lambda sf: _kg_full_outputs(sf, "entity_links")
     q["kg_pipeline_nodes"] = lambda sf: _kg_full_outputs(sf, "nodes")
     q["kg_pipeline_edges"] = lambda sf: _kg_full_outputs(sf, "edges")
@@ -556,6 +587,11 @@ def _golden_oracles() -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["kg_pipeline_triples"] = f"SELECT * FROM {tri} t"
     sql["kg_pipeline_entity_links"] = f"SELECT * FROM {ent} e"
+    # full 70-col flat entities (minus engine-only link_status; list
+    # columns JSON-serialized on both sides)
+    sql["kg_pipeline_entities_full"] = (
+        f"SELECT * FROM {src('kg_pipeline_entities_full')} e"
+    )
     sql["kg_generate_triples"] = (
         f"SELECT * FROM {src('kg_generate_triples')} t"
     )

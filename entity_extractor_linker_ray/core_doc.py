@@ -546,8 +546,11 @@ def package_entity(e: dict, input_text: str, cfg: dict) -> dict:
         "wikidata_label": (wd.get("label", "") if use_wikidata else ""),
         "wikidata_description": (wd.get("description", "") if use_wikidata else ""),
         "wikidata_types": (list(wd.get("types", [])) if use_wikidata else []),
-        "wikidata_part_of": (list(wd.get("part_of", [])) if use_wikidata else []),
-        "wikidata_has_parts": (list(wd.get("has_parts", [])) if use_wikidata else []),
+        # part_of / has_parts are in the packager's EXTENDED key list
+        # (orchestrator.py:125,394), not the base fields — populated
+        # only under ADDITIONAL_DETAILS, like the other wd_more columns
+        "wikidata_part_of": list(wd_more.get("part_of", []) or []),
+        "wikidata_has_parts": list(wd_more.get("has_parts", []) or []),
         "wikidata_url": (e.get("wikidata_url", "") if use_wikidata else ""),
         "wikidata_aliases": list(wd_more.get("aliases", []) or []),
         "wikidata_instance_of": list(wd_more.get("instance_of", []) or []),

@@ -43,9 +43,13 @@ def regenerated():
     from tools.make_golden import VARIANTS, convert, reference_results
 
     out = {}
-    tri, ent = convert(reference_results(SF, VARIANTS["kg_pipeline"]))
+    flagship = reference_results(SF, VARIANTS["kg_pipeline"])
+    tri, ent = convert(flagship)
     out["kg_pipeline_triples"] = tri
     out["kg_pipeline_entity_links"] = ent
+    from tools.make_golden import convert_entities_full
+
+    out["kg_pipeline_entities_full"] = convert_entities_full(flagship)
     for variant in ("kg_generate", "kg_chunked"):
         vtri, _ = convert(reference_results(SF, VARIANTS[variant]))
         out[f"{variant}_triples"] = vtri
@@ -64,6 +68,7 @@ class TestCommittedGoldensMatchReference:
         [
             "kg_pipeline_triples",
             "kg_pipeline_entity_links",
+            "kg_pipeline_entities_full",
             "kg_generate_triples",
             "kg_chunked_triples",
             "kg_compendium_flat",
@@ -90,6 +95,7 @@ class TestEngineMatchesGoldens:
         [
             "kg_pipeline_triples",
             "kg_pipeline_entity_links",
+            "kg_pipeline_entities_full",
             "kg_generate_triples",
             "kg_chunked_triples",
             "kg_compendium_flat",

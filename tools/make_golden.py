@@ -106,6 +106,130 @@ def reference_results(sf_dir: str, overrides: dict):
     return H.run_reference(transcripts, overrides)
 
 
+# the 20 list<string> columns of the engine's 70-col entity schema
+# (schemas.ENTITY_COLUMNS) — JSON-serialized on BOTH sides so the
+# full-entity golden stays flat/hashable
+ENTITY_LIST_COLS = [
+    "wikipedia_categories", "wikipedia_see_also",
+    "wikidata_types", "wikidata_part_of", "wikidata_has_parts",
+    "wikidata_aliases", "wikidata_instance_of", "wikidata_subclass_of",
+    "wikidata_member_of", "wikidata_citizenships",
+    "dbpedia_types", "dbpedia_subjects", "dbpedia_part_of",
+    "dbpedia_has_parts", "dbpedia_member_of", "dbpedia_categories",
+    "dbpedia_current_member", "dbpedia_former_member",
+    "dbpedia_dbp_part_of", "dbpedia_dbp_member_of",
+]
+
+
+def convert_entities_full(golden: dict) -> pd.DataFrame:
+    """Reference packaged entities → the engine's full flat entity
+    layout (all 70 columns minus the engine-only ``link_status``),
+    list columns JSON-serialized.
+
+    Field-by-field mirror of the reference packager's ``sources`` map
+    (``orchestrator.py:347-445``): wikipedia base label/url/extract/
+    categories, wikidata base id/label/description/types/url, dbpedia
+    base resource_uri/label/abstract/types/subjects/language/part_of/
+    has_parts/member_of/categories; everything else lives in the
+    ADDITIONAL_DETAILS extended key lists and is empty under the
+    flagship config."""
+
+    def js(v) -> str:
+        return json.dumps(list(v or []), ensure_ascii=False)
+
+    rows: list[dict] = []
+    for conv in sorted(golden):
+        for ordn, e in enumerate(golden[conv]["entities"]):
+            d = e["details"]
+            src = e.get("sources", {})
+            ws = src.get("wikipedia", {})
+            wd = src.get("wikidata", {})
+            db = src.get("dbpedia", {})
+            coords = wd.get("coordinates") or {}
+            rows.append(
+                {
+                    "conv_id": conv, "ord": ordn, "entity": e["entity"],
+                    "type": d["typ"], "inferred": d["inferred"],
+                    "citation": d["citation"],
+                    "citation_start": d["citation_start"],
+                    "citation_end": d["citation_end"],
+                    "wikipedia_label": ws.get("label", ""),
+                    "wikipedia_url": ws.get("url", ""),
+                    "wikipedia_extract": ws.get("extract", "") or "",
+                    "wikipedia_categories": js(ws.get("categories")),
+                    "wikipedia_infobox_json": (
+                        json.dumps(ws["infobox"]) if ws.get("infobox") else ""
+                    ),
+                    "wikipedia_see_also": js(ws.get("see_also")),
+                    "wikipedia_image": ws.get("image", "") or "",
+                    "wikidata_id": wd.get("id", ""),
+                    "wikidata_label": wd.get("label", ""),
+                    "wikidata_description": wd.get("description", ""),
+                    "wikidata_types": js(wd.get("types")),
+                    "wikidata_part_of": js(wd.get("part_of")),
+                    "wikidata_has_parts": js(wd.get("has_parts")),
+                    "wikidata_url": wd.get("url", ""),
+                    "wikidata_aliases": js(wd.get("aliases")),
+                    "wikidata_instance_of": js(wd.get("instance_of")),
+                    "wikidata_subclass_of": js(wd.get("subclass_of")),
+                    "wikidata_member_of": js(wd.get("member_of")),
+                    "wikidata_citizenships": js(wd.get("citizenships")),
+                    "wikidata_image_url": wd.get("image_url", "") or "",
+                    "wikidata_website": wd.get("website", "") or "",
+                    "wikidata_lat": (
+                        float(coords["latitude"]) if "latitude" in coords else None
+                    ),
+                    "wikidata_lon": (
+                        float(coords["longitude"]) if "longitude" in coords else None
+                    ),
+                    "wikidata_foundation_date": wd.get("foundation_date", "") or "",
+                    "wikidata_birth_date": wd.get("birth_date", "") or "",
+                    "wikidata_death_date": wd.get("death_date", "") or "",
+                    "wikidata_birth_place": wd.get("birth_place", "") or "",
+                    "wikidata_death_place": wd.get("death_place", "") or "",
+                    "wikidata_official_name": wd.get("official_name", "") or "",
+                    "wikidata_population": str(wd.get("population", "") or ""),
+                    "wikidata_gnd_id": wd.get("gnd_id", "") or "",
+                    "wikidata_isni": wd.get("isni", "") or "",
+                    "dbpedia_uri": db.get("resource_uri", ""),
+                    "dbpedia_label": db.get("label", ""),
+                    "dbpedia_abstract": db.get("abstract", ""),
+                    "dbpedia_types": js(db.get("types")),
+                    "dbpedia_subjects": js(db.get("subjects")),
+                    "dbpedia_language": db.get("language", "") or "",
+                    "dbpedia_part_of": js(db.get("part_of")),
+                    "dbpedia_has_parts": js(db.get("has_parts")),
+                    "dbpedia_member_of": js(db.get("member_of")),
+                    "dbpedia_categories": js(db.get("categories")),
+                    "dbpedia_comment": db.get("comment", "") or "",
+                    "dbpedia_homepage": db.get("homepage", "") or "",
+                    "dbpedia_thumbnail": db.get("thumbnail", "") or "",
+                    "dbpedia_depiction": db.get("depiction", "") or "",
+                    "dbpedia_birth_date": db.get("birth_date", "") or "",
+                    "dbpedia_death_date": db.get("death_date", "") or "",
+                    "dbpedia_birth_place": db.get("birth_place", "") or "",
+                    "dbpedia_death_place": db.get("death_place", "") or "",
+                    "dbpedia_population": str(db.get("population", "") or ""),
+                    "dbpedia_area": str(db.get("area", "") or ""),
+                    "dbpedia_country": db.get("country", "") or "",
+                    "dbpedia_region": db.get("region", "") or "",
+                    "dbpedia_founder": db.get("founder", "") or "",
+                    "dbpedia_parent_company": db.get("parent_company", "") or "",
+                    "dbpedia_current_member": js(db.get("current_member")),
+                    "dbpedia_former_member": js(db.get("former_member")),
+                    "dbpedia_dbp_part_of": js(db.get("dbp_part_of")),
+                    "dbpedia_dbp_member_of": js(db.get("dbp_member_of")),
+                    "canonical_id": ws.get("url") or e["entity"] or "",
+                }
+            )
+    df = pd.DataFrame(rows)
+    for c in ("ord", "citation_start", "citation_end"):
+        df[c] = df[c].astype("int32")
+    for c in ("wikidata_lat", "wikidata_lon"):
+        df[c] = df[c].astype("float64")
+    return df
+
+
 def reference_artifacts(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """Run the reference with compendium + training sinks enabled and
     capture (compendium_flat, compendium_refs, training_labels) frames.
@@ -256,8 +380,11 @@ def build_sf(sf_dir: str) -> dict:
     write_frame(ent, os.path.join(out_dir, "kg_pipeline_entity_links.parquet"))
     files["kg_pipeline_triples"] = f"{sf_name}/kg_pipeline_triples.parquet"
     files["kg_pipeline_entity_links"] = f"{sf_name}/kg_pipeline_entity_links.parquet"
+    full = convert_entities_full(flagship)
+    write_frame(full, os.path.join(out_dir, "kg_pipeline_entities_full.parquet"))
+    files["kg_pipeline_entities_full"] = f"{sf_name}/kg_pipeline_entities_full.parquet"
     print(f"  flagship: {len(tri)} triples / {len(ent)} entities "
-          f"({time.time() - t0:.1f}s)")
+          f"/ {full.shape[1]}-col full ({time.time() - t0:.1f}s)")
 
     for variant in ("kg_generate", "kg_chunked"):
         t0 = time.time()
