@@ -376,6 +376,12 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "dedup_exact_incremental",
         "mixture_weights",
         "lang_confusion_matrix",
+        # round-3 artifact/full-entity gates: entities_full reuses the
+        # memoized flagship build paid by kg_predicate_profile above;
+        # the two artifact projections each pay one actor pass
+        "kg_pipeline_entities_full",
+        "kg_compendium_refs",
+        "kg_training_labels",
     ]
     times: dict[str, float] = {}
     for name in names:

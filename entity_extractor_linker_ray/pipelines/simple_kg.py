@@ -513,6 +513,75 @@ def kg_mention_turn_histogram(sf_dir: str, cap: int = 19):
     )
 
 
+def kg_edge_timespan(sf_dir: str):
+    """Temporal KG: per-edge validity window over the transcript
+    timeline. Each triple occurrence is stamped with the timestamp of
+    the turn containing its SUBJECT mention (the deterministic
+    transcript synthesis formula ``EPOCH + doc_id*3600e6 + turn*1e6``,
+    ``synthetic.turns_from_document``); per (subject, predicate,
+    object) edge we report first_seen_ts / last_seen_ts (int64 µs),
+    distinct-document support and total assertion count — the validity
+    interval a temporal-KG builder attaches before reasoning about
+    edge freshness/decay.
+
+    Scale shape: the fused kernel builds doc-local partials (a doc
+    never straddles a batch, so per-batch nunique(doc_id) sums exactly
+    across batches) and the final is ONE exchange over the edge domain
+    (≤ |vocab|² rows)."""
+    from ray.data.aggregate import Max, Min
+
+    from entity_extractor_linker_ray.synthetic import EPOCH_US
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _mentions_with_role(batch)
+        cols = {
+            "subject": str, "predicate": str, "object": str,
+            "first_seen_ts": np.int64, "last_seen_ts": np.int64,
+            "n_docs": np.int64, "n_assertions": np.int64,
+        }
+        if m.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        b = m.sort_values(["doc_id", "pos", "name"], kind="stable")
+        nxt_name = b["name"].shift(-1)
+        nxt_doc = b["doc_id"].shift(-1)
+        mask = (nxt_doc == b["doc_id"]).to_numpy()
+        doc = b.loc[mask, "doc_id"].to_numpy(dtype=np.int64)
+        ts = (
+            np.int64(EPOCH_US)
+            + doc * np.int64(3_600_000_000)
+            + b.loc[mask, "ti"].to_numpy(dtype=np.int64) * np.int64(1_000_000)
+        )
+        t = pd.DataFrame(
+            {
+                "doc_id": doc,
+                "subject": b.loc[mask, "name"].to_numpy(),
+                "predicate": PREDICATE,
+                "object": nxt_name[mask].to_numpy(),
+                "ts": ts,
+            }
+        )
+        return (
+            t.groupby(["subject", "predicate", "object"], sort=False)
+            .agg(
+                first_seen_ts=("ts", "min"),
+                last_seen_ts=("ts", "max"),
+                n_docs=("doc_id", "nunique"),
+                n_assertions=("ts", "size"),
+            )
+            .reset_index()
+            .astype({c: np.int64 for c in
+                     ("first_seen_ts", "last_seen_ts", "n_docs", "n_assertions")})
+        )
+
+    partials = _read_documents(sf_dir).map_batches(partial, batch_format="pandas")
+    return partials.groupby(["subject", "predicate", "object"]).aggregate(
+        Min("first_seen_ts", alias_name="first_seen_ts"),
+        Max("last_seen_ts", alias_name="last_seen_ts"),
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_assertions", alias_name="n_assertions"),
+    )
+
+
 # ----------------------------------------------------------------------
 # SQL oracle builders
 # ----------------------------------------------------------------------
@@ -602,6 +671,24 @@ ORACLES: dict[str, str] = {
         "/ (ca.n_docs * cb.n_docs) AS lift "
         "FROM pairs p JOIN cnt ca ON ca.name = p.entity_a "
         "JOIN cnt cb ON cb.name = p.entity_b"
+    ),
+    # subject-turn timestamp replay: word index = spaces before the
+    # 1-based char position, turn = word_index // 12, ts = the
+    # synthesis formula EPOCH + doc_id*3600e6 + turn*1e6
+    "kg_edge_timespan": (
+        "WITH {vocab}, {m}, "
+        "mt AS (SELECT m.doc_id, m.name, m.pos, "
+        "  (((m.pos - 1) - length(replace(substr(d.text, 1, m.pos - 1), ' ', ''))) // 12) AS ti "
+        "  FROM m JOIN documents d USING (doc_id)), "
+        "t AS (SELECT doc_id, name AS subject, 'related_to' AS predicate, "
+        "  lead(name) OVER (PARTITION BY doc_id ORDER BY pos, name) AS object, "
+        "  CAST(1704067200000000 + doc_id * 3600000000 + ti * 1000000 AS BIGINT) AS ts "
+        "  FROM mt) "
+        "SELECT subject, predicate, object, "
+        "  min(ts) AS first_seen_ts, max(ts) AS last_seen_ts, "
+        "  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "  CAST(count(*) AS BIGINT) AS n_assertions "
+        "FROM t WHERE object IS NOT NULL GROUP BY 1, 2, 3"
     ),
     "kg_type_distribution": (
         "WITH {vocab}, {m} SELECT type, count(*) AS n FROM m GROUP BY type"
@@ -761,4 +848,5 @@ QUERIES = {
     "kg_citations": kg_citations,
     "kg_mention_role_profile": kg_mention_role_profile,
     "kg_mention_turn_histogram": kg_mention_turn_histogram,
+    "kg_edge_timespan": kg_edge_timespan,
 }

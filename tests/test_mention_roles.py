@@ -110,3 +110,54 @@ class TestMentionTurnHistogram:
         )
         assert list(got["turn_bucket"]) == [0, 19]
         assert list(got["n_mentions"]) == [1, 1]
+
+
+class TestEdgeTimespan:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines import simple_kg
+
+        got = _canon(simple_kg.kg_edge_timespan(SF).to_pandas())
+        exp = _canon(
+            _oracle({"documents": f"{SF}/documents.parquet"},
+                    simple_kg.oracle_sql()["kg_edge_timespan"])
+        )
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_planted_window(self, ray_session, tmp_path):
+        from entity_extractor_linker_ray.pipelines.simple_kg import kg_edge_timespan
+        from entity_extractor_linker_ray.synthetic import EPOCH_US
+
+        # same spark->window edge asserted in docs 2 and 5; subject
+        # mention at word 0 (turn 0) in doc 2, word 13 (turn 1) in doc 5
+        w2 = ["pad"] * 24
+        w2[0], w2[3] = "spark", "window"
+        w5 = ["pad"] * 30
+        w5[13], w5[20] = "spark", "window"
+        pd.DataFrame(
+            {"doc_id": [2, 5], "text": [" ".join(w2), " ".join(w5)]}
+        ).to_parquet(tmp_path / "documents.parquet")
+        got = kg_edge_timespan(str(tmp_path)).to_pandas()
+        row = got[(got.subject == "Spark") & (got.object == "Window")]
+        assert len(row) == 1
+        assert int(row.n_docs.iloc[0]) == 2
+        assert int(row.n_assertions.iloc[0]) == 2
+        assert int(row.first_seen_ts.iloc[0]) == EPOCH_US + 2 * 3_600_000_000
+        assert (
+            int(row.last_seen_ts.iloc[0])
+            == EPOCH_US + 5 * 3_600_000_000 + 1_000_000
+        )
+
+    def test_consistent_with_kg_edges(self, ray_session):
+        """Independent path cross-check: the timespan table covers
+        exactly the edge set of kg_edges, and n_assertions equals the
+        edge weight."""
+        from entity_extractor_linker_ray.pipelines import simple_kg
+
+        span = simple_kg.kg_edge_timespan(SF).to_pandas()
+        edges = simple_kg.kg_edges(SF).to_pandas()
+        key = ["subject", "predicate", "object"]
+        merged = span.merge(edges, on=key, how="outer", indicator=True)
+        assert (merged["_merge"] == "both").all()
+        assert (merged["n_assertions"] == merged["weight"]).all()
+        assert (span["first_seen_ts"] <= span["last_seen_ts"]).all()
