@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_nodes_incremental"] = incremental.kg_nodes_incremental
     q["kg_edges_incremental"] = incremental.kg_edges_incremental
+    q["kg_edge_timespan_incremental"] = incremental.kg_edge_timespan_incremental
     q["events_sessions_incremental"] = incremental.events_sessions_incremental
     q["documents_cdc_merge"] = incremental.documents_cdc_merge
     q["dedup_exact_incremental"] = incremental.dedup_exact_incremental
@@ -937,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
     # builds — they share the simple_kg oracles verbatim
     sql["kg_nodes_incremental"] = sql["kg_nodes"]
     sql["kg_edges_incremental"] = sql["kg_edges"]
+    sql["kg_edge_timespan_incremental"] = sql["kg_edge_timespan"]
     sql["events_sessions_incremental"] = relational.EVENTS_SESSIONIZE_ORACLE
     from entity_extractor_linker_ray.pipelines import incremental
 

@@ -126,6 +126,26 @@ def kg_edges_incremental(sf_dir: str, partitions: int = 2):
     return merge_edge_partials(states)
 
 
+def kg_edge_timespan_incremental(sf_dir: str, partitions: int = 2):
+    """Temporal-KG state maintenance: per arriving slice an
+    (edge → min/max ts, doc support, assertion count) partial;
+    states fold by associative (min, max, sum, sum), so day-over-day
+    edge validity windows never rescan history. Value-identical to
+    ``simple_kg.kg_edge_timespan`` (same DuckDB oracle gates both)."""
+    from entity_extractor_linker_ray.pipelines.simple_kg import (
+        edge_timespan_partial,
+        merge_edge_timespan_partials,
+    )
+
+    states = [
+        partition_documents(sf_dir, partitions, r).map_batches(
+            edge_timespan_partial, batch_format="pandas"
+        )
+        for r in range(partitions)
+    ]
+    return merge_edge_timespan_partials(states)
+
+
 # ----------------------------------------------------------------------
 # incremental sessionization: mergeable session states
 # ----------------------------------------------------------------------

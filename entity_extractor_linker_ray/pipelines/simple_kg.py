@@ -528,53 +528,70 @@ def kg_edge_timespan(sf_dir: str):
     never straddles a batch, so per-batch nunique(doc_id) sums exactly
     across batches) and the final is ONE exchange over the edge domain
     (≤ |vocab|² rows)."""
-    from ray.data.aggregate import Max, Min
+    partials = _read_documents(sf_dir).map_batches(
+        edge_timespan_partial, batch_format="pandas"
+    )
+    return merge_edge_timespan_partials([partials])
 
+
+def edge_timespan_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Doc-local (edge → min/max ts, doc support, assertion count)
+    partial state. Mergeable: min/max/sum/sum are associative and a
+    document lives in exactly one batch of one arriving slice, so
+    partials from disjoint slices fold exactly (the incremental
+    maintenance contract of ``pipelines/incremental.py``)."""
     from entity_extractor_linker_ray.synthetic import EPOCH_US
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = _mentions_with_role(batch)
-        cols = {
-            "subject": str, "predicate": str, "object": str,
-            "first_seen_ts": np.int64, "last_seen_ts": np.int64,
-            "n_docs": np.int64, "n_assertions": np.int64,
+    m = _mentions_with_role(batch)
+    cols = {
+        "subject": str, "predicate": str, "object": str,
+        "first_seen_ts": np.int64, "last_seen_ts": np.int64,
+        "n_docs": np.int64, "n_assertions": np.int64,
+    }
+    if m.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+    b = m.sort_values(["doc_id", "pos", "name"], kind="stable")
+    nxt_name = b["name"].shift(-1)
+    nxt_doc = b["doc_id"].shift(-1)
+    mask = (nxt_doc == b["doc_id"]).to_numpy()
+    doc = b.loc[mask, "doc_id"].to_numpy(dtype=np.int64)
+    ts = (
+        np.int64(EPOCH_US)
+        + doc * np.int64(3_600_000_000)
+        + b.loc[mask, "ti"].to_numpy(dtype=np.int64) * np.int64(1_000_000)
+    )
+    t = pd.DataFrame(
+        {
+            "doc_id": doc,
+            "subject": b.loc[mask, "name"].to_numpy(),
+            "predicate": PREDICATE,
+            "object": nxt_name[mask].to_numpy(),
+            "ts": ts,
         }
-        if m.empty:
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        b = m.sort_values(["doc_id", "pos", "name"], kind="stable")
-        nxt_name = b["name"].shift(-1)
-        nxt_doc = b["doc_id"].shift(-1)
-        mask = (nxt_doc == b["doc_id"]).to_numpy()
-        doc = b.loc[mask, "doc_id"].to_numpy(dtype=np.int64)
-        ts = (
-            np.int64(EPOCH_US)
-            + doc * np.int64(3_600_000_000)
-            + b.loc[mask, "ti"].to_numpy(dtype=np.int64) * np.int64(1_000_000)
+    )
+    return (
+        t.groupby(["subject", "predicate", "object"], sort=False)
+        .agg(
+            first_seen_ts=("ts", "min"),
+            last_seen_ts=("ts", "max"),
+            n_docs=("doc_id", "nunique"),
+            n_assertions=("ts", "size"),
         )
-        t = pd.DataFrame(
-            {
-                "doc_id": doc,
-                "subject": b.loc[mask, "name"].to_numpy(),
-                "predicate": PREDICATE,
-                "object": nxt_name[mask].to_numpy(),
-                "ts": ts,
-            }
-        )
-        return (
-            t.groupby(["subject", "predicate", "object"], sort=False)
-            .agg(
-                first_seen_ts=("ts", "min"),
-                last_seen_ts=("ts", "max"),
-                n_docs=("doc_id", "nunique"),
-                n_assertions=("ts", "size"),
-            )
-            .reset_index()
-            .astype({c: np.int64 for c in
-                     ("first_seen_ts", "last_seen_ts", "n_docs", "n_assertions")})
-        )
+        .reset_index()
+        .astype({c: np.int64 for c in
+                 ("first_seen_ts", "last_seen_ts", "n_docs", "n_assertions")})
+    )
 
-    partials = _read_documents(sf_dir).map_batches(partial, batch_format="pandas")
-    return partials.groupby(["subject", "predicate", "object"]).aggregate(
+
+def merge_edge_timespan_partials(states):
+    """Fold timespan partial states into the final table — one union,
+    one bounded exchange over the edge domain."""
+    from ray.data.aggregate import Max, Min
+
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.union(s)
+    return merged.groupby(["subject", "predicate", "object"]).aggregate(
         Min("first_seen_ts", alias_name="first_seen_ts"),
         Max("last_seen_ts", alias_name="last_seen_ts"),
         Sum("n_docs", alias_name="n_docs"),

@@ -445,3 +445,38 @@ class TestEventsPercentiles:
         df = con.execute(EVENTS_PERCENTILES_ORACLE).fetchdf().sort_values("event_id")
         assert list(df["pct_rank"]) == [0.0, 0.0, 1.0, 0.0]
         assert list(df["cume"]) == [2 / 3, 2 / 3, 1.0, 1.0]
+
+
+class TestIncrementalEdgeTimespan:
+    def test_merge_equals_direct(self, ray_session):
+        from entity_extractor_linker_ray.pipelines.incremental import (
+            kg_edge_timespan_incremental,
+        )
+        from entity_extractor_linker_ray.pipelines.simple_kg import kg_edge_timespan
+
+        inc = _canon(kg_edge_timespan_incremental(SF, partitions=3).to_pandas())
+        full = _canon(kg_edge_timespan(SF).to_pandas())
+        pd.testing.assert_frame_equal(inc, full, check_dtype=False)
+
+    def test_checkpoint_round_trip(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from entity_extractor_linker_ray.pipelines.incremental import (
+            partition_documents,
+        )
+        from entity_extractor_linker_ray.pipelines.simple_kg import (
+            edge_timespan_partial,
+            kg_edge_timespan,
+            merge_edge_timespan_partials,
+        )
+
+        reloaded = []
+        for r in range(2):
+            out = tmp_path / f"span_state_{r}"
+            partition_documents(SF, 2, r).map_batches(
+                edge_timespan_partial, batch_format="pandas"
+            ).write_parquet(str(out))
+            reloaded.append(rd.read_parquet(str(out)))
+        merged = _canon(merge_edge_timespan_partials(reloaded).to_pandas())
+        full = _canon(kg_edge_timespan(SF).to_pandas())
+        pd.testing.assert_frame_equal(merged, full, check_dtype=False)
