@@ -599,6 +599,71 @@ def merge_edge_timespan_partials(states):
     )
 
 
+def kg_edge_diff(sf_dir: str):
+    """KG snapshot diff: the edge-level change set between the graph
+    built from the even-doc_id half of the corpus and the odd half —
+    the upsert plan an incremental graph materializer executes when a
+    new corpus slice replaces an old one. Columns: edge key,
+    weight_base / weight_new (0 when absent) and status
+    ``added`` / ``removed`` / ``common``.
+
+    Scale shape: ONE fused scan tags each doc-local partial with its
+    side (no second read of the corpus), one bounded exchange over the
+    edge domain, side-pivot inside the bucket."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = _triples_from_mentions(_mentions_batch(batch))
+        if t.empty:
+            return pd.DataFrame(
+                {"subject": pd.Series([], dtype=str),
+                 "predicate": pd.Series([], dtype=str),
+                 "object": pd.Series([], dtype=str),
+                 "side": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        t["side"] = (t["doc_id"].to_numpy(dtype=np.int64) % 2).astype(np.int64)
+        return (
+            t.groupby(["subject", "predicate", "object", "side"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .astype({"n": np.int64})
+        )
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        if bucket.empty:
+            return pd.DataFrame(
+                {"subject": pd.Series([], dtype=str),
+                 "predicate": pd.Series([], dtype=str),
+                 "object": pd.Series([], dtype=str),
+                 "weight_base": pd.Series([], dtype=np.int64),
+                 "weight_new": pd.Series([], dtype=np.int64),
+                 "status": pd.Series([], dtype=str)}
+            )
+        g = (
+            bucket.pivot_table(
+                index=["subject", "predicate", "object"], columns="side",
+                values="n", aggfunc="sum", fill_value=0,
+            )
+            .reindex(columns=[0, 1], fill_value=0)
+            .reset_index()
+        )
+        g.columns = ["subject", "predicate", "object", "weight_base", "weight_new"]
+        base = g["weight_base"].to_numpy(dtype=np.int64)
+        new = g["weight_new"].to_numpy(dtype=np.int64)
+        g["weight_base"] = base
+        g["weight_new"] = new
+        g["status"] = np.where(
+            base == 0, "added", np.where(new == 0, "removed", "common")
+        )
+        return g
+
+    partials = _read_documents(sf_dir).map_batches(partial, batch_format="pandas")
+    return grouped_aggregate(
+        partials, ["subject", "predicate", "object"], combine
+    )
+
+
 # ----------------------------------------------------------------------
 # SQL oracle builders
 # ----------------------------------------------------------------------
@@ -706,6 +771,19 @@ ORACLES: dict[str, str] = {
         "  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
         "  CAST(count(*) AS BIGINT) AS n_assertions "
         "FROM t WHERE object IS NOT NULL GROUP BY 1, 2, 3"
+    ),
+    "kg_edge_diff": (
+        "WITH {vocab}, {m}, {t}, "
+        "s AS (SELECT doc_id % 2 AS side, subject, predicate, object "
+        "  FROM t WHERE object IS NOT NULL), "
+        "p AS (SELECT subject, predicate, object, "
+        "  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS weight_base, "
+        "  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS weight_new "
+        "  FROM s GROUP BY 1, 2, 3) "
+        "SELECT subject, predicate, object, weight_base, weight_new, "
+        "  CASE WHEN weight_base = 0 THEN 'added' "
+        "       WHEN weight_new = 0 THEN 'removed' ELSE 'common' END AS status "
+        "FROM p"
     ),
     "kg_type_distribution": (
         "WITH {vocab}, {m} SELECT type, count(*) AS n FROM m GROUP BY type"
@@ -866,4 +944,5 @@ QUERIES = {
     "kg_mention_role_profile": kg_mention_role_profile,
     "kg_mention_turn_histogram": kg_mention_turn_histogram,
     "kg_edge_timespan": kg_edge_timespan,
+    "kg_edge_diff": kg_edge_diff,
 }

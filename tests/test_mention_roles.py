@@ -161,3 +161,43 @@ class TestEdgeTimespan:
         assert (merged["_merge"] == "both").all()
         assert (merged["n_assertions"] == merged["weight"]).all()
         assert (span["first_seen_ts"] <= span["last_seen_ts"]).all()
+
+
+class TestEdgeDiff:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines import simple_kg
+
+        got = _canon(simple_kg.kg_edge_diff(SF).to_pandas())
+        exp = _canon(
+            _oracle({"documents": f"{SF}/documents.parquet"},
+                    simple_kg.oracle_sql()["kg_edge_diff"])
+        )
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_planted_statuses(self, ray_session, tmp_path):
+        from entity_extractor_linker_ray.pipelines.simple_kg import kg_edge_diff
+
+        # doc 2 (base side): spark->window only; doc 3 (new side):
+        # table->merge only; docs 4 and 5: hash->batch on both sides
+        def doc(*terms):
+            words = ["pad"] * 8
+            for i, t in enumerate(terms):
+                words[i * 3] = t
+            return " ".join(words)
+
+        pd.DataFrame(
+            {
+                "doc_id": [2, 3, 4, 5],
+                "text": [doc("spark", "window"), doc("table", "merge"),
+                         doc("hash", "batch"), doc("hash", "batch")],
+            }
+        ).to_parquet(tmp_path / "documents.parquet")
+        got = kg_edge_diff(str(tmp_path)).to_pandas()
+        by_edge = {
+            (r.subject, r.object): (r.status, r.weight_base, r.weight_new)
+            for r in got.itertuples()
+        }
+        assert by_edge[("Spark", "Window")] == ("removed", 1, 0)
+        assert by_edge[("Table", "Merge")] == ("added", 0, 1)
+        assert by_edge[("Hash", "Batch")] == ("common", 1, 1)
