@@ -599,6 +599,53 @@ def merge_edge_timespan_partials(states):
     )
 
 
+def kg_entity_timespan(sf_dir: str):
+    """Node-level twin of :func:`kg_edge_timespan`: per (name, type)
+    the first/last mention timestamp (each mention stamped with its
+    containing turn's ts), distinct-document support and total mention
+    count — when an entity enters and leaves the corpus timeline.
+    Same doc-local-partials + one bounded exchange shape."""
+    from ray.data.aggregate import Max, Min
+
+    from entity_extractor_linker_ray.synthetic import EPOCH_US
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _mentions_with_role(batch)
+        cols = {
+            "name": str, "type": str,
+            "first_seen_ts": np.int64, "last_seen_ts": np.int64,
+            "n_docs": np.int64, "n_mentions": np.int64,
+        }
+        if m.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        m = m.copy()
+        m["ts"] = (
+            np.int64(EPOCH_US)
+            + m["doc_id"].to_numpy(dtype=np.int64) * np.int64(3_600_000_000)
+            + m["ti"].to_numpy(dtype=np.int64) * np.int64(1_000_000)
+        )
+        return (
+            m.groupby(["name", "type"], sort=False)
+            .agg(
+                first_seen_ts=("ts", "min"),
+                last_seen_ts=("ts", "max"),
+                n_docs=("doc_id", "nunique"),
+                n_mentions=("ts", "size"),
+            )
+            .reset_index()
+            .astype({c: np.int64 for c in
+                     ("first_seen_ts", "last_seen_ts", "n_docs", "n_mentions")})
+        )
+
+    partials = _read_documents(sf_dir).map_batches(partial, batch_format="pandas")
+    return partials.groupby(["name", "type"]).aggregate(
+        Min("first_seen_ts", alias_name="first_seen_ts"),
+        Max("last_seen_ts", alias_name="last_seen_ts"),
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_mentions", alias_name="n_mentions"),
+    )
+
+
 def kg_edge_diff(sf_dir: str):
     """KG snapshot diff: the edge-level change set between the graph
     built from the even-doc_id half of the corpus and the odd half —
@@ -771,6 +818,18 @@ ORACLES: dict[str, str] = {
         "  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
         "  CAST(count(*) AS BIGINT) AS n_assertions "
         "FROM t WHERE object IS NOT NULL GROUP BY 1, 2, 3"
+    ),
+    "kg_entity_timespan": (
+        "WITH {vocab}, {m}, "
+        "mt AS (SELECT m.doc_id, m.name, m.type, "
+        "  CAST(1704067200000000 + m.doc_id * 3600000000 + "
+        "  (((m.pos - 1) - length(replace(substr(d.text, 1, m.pos - 1), ' ', ''))) // 12) * 1000000 "
+        "  AS BIGINT) AS ts "
+        "  FROM m JOIN documents d USING (doc_id)) "
+        "SELECT name, type, min(ts) AS first_seen_ts, max(ts) AS last_seen_ts, "
+        "  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "  CAST(count(*) AS BIGINT) AS n_mentions "
+        "FROM mt GROUP BY 1, 2"
     ),
     "kg_edge_diff": (
         "WITH {vocab}, {m}, {t}, "
@@ -945,4 +1004,5 @@ QUERIES = {
     "kg_mention_turn_histogram": kg_mention_turn_histogram,
     "kg_edge_timespan": kg_edge_timespan,
     "kg_edge_diff": kg_edge_diff,
+    "kg_entity_timespan": kg_entity_timespan,
 }

@@ -201,3 +201,27 @@ class TestEdgeDiff:
         assert by_edge[("Spark", "Window")] == ("removed", 1, 0)
         assert by_edge[("Table", "Merge")] == ("added", 0, 1)
         assert by_edge[("Hash", "Batch")] == ("common", 1, 1)
+
+
+class TestEntityTimespan:
+    def test_matches_duckdb(self, ray_session):
+        from entity_extractor_linker_ray.pipelines import simple_kg
+
+        got = _canon(simple_kg.kg_entity_timespan(SF).to_pandas())
+        exp = _canon(
+            _oracle({"documents": f"{SF}/documents.parquet"},
+                    simple_kg.oracle_sql()["kg_entity_timespan"])
+        )
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_consistent_with_kg_nodes(self, ray_session):
+        from entity_extractor_linker_ray.pipelines import simple_kg
+
+        span = simple_kg.kg_entity_timespan(SF).to_pandas()
+        nodes = simple_kg.kg_nodes(SF).to_pandas()
+        merged = span.merge(nodes, on=["name", "type"], how="outer", indicator=True)
+        assert (merged["_merge"] == "both").all()
+        assert (merged["n_docs_x"] == merged["n_docs_y"]).all()
+        assert (span["first_seen_ts"] <= span["last_seen_ts"]).all()
+        assert (span["n_mentions"] >= span["n_docs"]).all()
