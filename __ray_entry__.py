@@ -32,7 +32,9 @@ ENTITY_LINK_COLS = [
 ]
 
 
-_KG_OUT_CACHE: dict[str, dict] = {}
+from entity_extractor_linker_ray.ops import memo as _memo
+
+_KG_OUT_CACHE: dict[str, dict] = _memo.register({})
 
 
 def _kg_full_outputs(sf_dir: str, what: str):
@@ -58,11 +60,12 @@ def _kg_full_outputs(sf_dir: str, what: str):
         "RAY_KG_CONCURRENCY": 8,
         "RAY_DOC_BLOCKS": 16,
     }
-    if sf_dir not in _KG_OUT_CACHE:
-        _KG_OUT_CACHE[sf_dir] = build_kg_datasets(
+    out = _memo.memoize(
+        _KG_OUT_CACHE, sf_dir,
+        lambda: build_kg_datasets(
             transcripts_dataset_from_documents(sf_dir), cfg
-        )
-    out = _KG_OUT_CACHE[sf_dir]
+        ),
+    )
     if what == "triples":
         return out["triples"]
     if what == "entities":

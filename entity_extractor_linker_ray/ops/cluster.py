@@ -43,6 +43,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from entity_extractor_linker_ray.ops import memo as _memo
+
 K_CLUSTERS = 8
 N_ITERS = 3
 
@@ -113,7 +115,7 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
     return milli
 
 
-_FIT_CACHE: dict = {}
+_FIT_CACHE: dict = _memo.register({})
 
 
 def _fit(sf_dir: str, k: int, iters: int):
@@ -126,6 +128,7 @@ def _fit(sf_dir: str, k: int, iters: int):
     Lloyd rounds."""
     cache_key = (sf_dir, k, iters)
     if cache_key in _FIT_CACHE:
+        _FIT_CACHE[cache_key] = _FIT_CACHE.pop(cache_key)  # LRU refresh
         return _FIT_CACHE[cache_key]
     import ray.data as rd
 
@@ -177,6 +180,8 @@ def _fit(sf_dir: str, k: int, iters: int):
         centroids = new
 
     _FIT_CACHE[cache_key] = (embs, centroids)
+    while len(_FIT_CACHE) > _memo.DEFAULT_KEEP:  # bound pinned fits
+        _FIT_CACHE.pop(next(iter(_FIT_CACHE)))
     return embs, centroids
 
 
@@ -659,17 +664,19 @@ SELECT i AS d, v AS component FROM v{iters}""")
     return "".join(parts)
 
 
-_SEM_PAIRS_CACHE: dict = {}
+_SEM_PAIRS_CACHE: dict = _memo.register({})
 
 
 def semantic_pairs_materialized(sf_dir: str):
     """Memoized :func:`semantic_dup_pairs` at default parameters — the
     `ngram_pairs_materialized` pattern for the embedding-space pair
     stream (clustering + cell scans run once per session; the cluster
-    consumer reads the pinned result)."""
-    if sf_dir not in _SEM_PAIRS_CACHE:
-        _SEM_PAIRS_CACHE[sf_dir] = semantic_dup_pairs(sf_dir).materialize()
-    return _SEM_PAIRS_CACHE[sf_dir]
+    consumer reads the pinned result). Bounded keep-last-N (ops.memo)
+    so a multi-sf sweep doesn't accumulate pinned working sets."""
+    return _memo.memoize(
+        _SEM_PAIRS_CACHE, sf_dir,
+        lambda: semantic_dup_pairs(sf_dir).materialize(),
+    )
 
 
 def semantic_dup_clusters(sf_dir: str, max_iters: int = 25):

@@ -23,6 +23,8 @@ import logging
 import numpy as np
 import pandas as pd
 
+from entity_extractor_linker_ray.ops import memo as _memo
+
 logger = logging.getLogger(__name__)
 
 _MERSENNE = (1 << 61) - 1
@@ -716,14 +718,16 @@ def _inverted_pair_stats(key_rows, df_lo: int, df_cap: int, finalize,
 # should run once per sf_dir, not per consumer. Mirrors
 # graph_algos._KG_EDGES_CACHE; the materialized Dataset is bounded by
 # pair count (df-cap-bounded), not corpus size.
-_NGRAM_PAIRS_CACHE: dict = {}
+_NGRAM_PAIRS_CACHE: dict = _memo.register({})
 
 
 def ngram_pairs_materialized(sf_dir: str):
-    """Memoized :func:`ngram_jaccard_pairs` at default parameters."""
-    if sf_dir not in _NGRAM_PAIRS_CACHE:
-        _NGRAM_PAIRS_CACHE[sf_dir] = ngram_jaccard_pairs(sf_dir).materialize()
-    return _NGRAM_PAIRS_CACHE[sf_dir]
+    """Memoized :func:`ngram_jaccard_pairs` at default parameters
+    (bounded keep-last-N, see ops.memo)."""
+    return _memo.memoize(
+        _NGRAM_PAIRS_CACHE, sf_dir,
+        lambda: ngram_jaccard_pairs(sf_dir).materialize(),
+    )
 
 
 def ngram_jaccard_pairs(

@@ -25,6 +25,8 @@ import logging
 import numpy as np
 import pandas as pd
 
+from entity_extractor_linker_ray.ops import memo as _memo
+
 logger = logging.getLogger(__name__)
 
 
@@ -51,20 +53,34 @@ def _labels_min(bucket: pd.DataFrame) -> pd.DataFrame:
 
 
 def min_label_components(edges, max_iters: int = 25,
-                         num_partitions: int = 16):
+                         num_partitions: int = 16,
+                         require_convergence: bool = True):
     """Generic hash-min connected components over a message-edge
     Dataset with int64 columns ``s`` → ``d`` (pass BOTH directions for
     an undirected graph). Returns (node, label) where label = min node
     id of the component. Each round is two bucketed two-phase
     exchanges; convergence is the monotone label-sum check; state is
-    `_compact`-pinned so block counts don't ratchet."""
+    `_compact`-pinned so block counts don't ratchet.
+
+    Hash-min propagates ONE hop per round, so a chain whose hop
+    distance from its min-id member exceeds ``max_iters`` would exit
+    the loop with stale labels — silently wrong clusters. By default
+    the function raises RuntimeError instead of returning unconverged
+    state (the oracles compute the full transitive closure); pass
+    ``require_convergence=False`` only for budgeted approximations."""
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
     edges = _compact(edges, num_partitions)
 
     def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch["s"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"node": s, "label": s})
+        # Seed from BOTH endpoints so a node appearing only as a
+        # destination on a one-direction edge set still gets a label
+        # row (matches the replicas and the oracle nodes CTEs, which
+        # union s and d). Min-dedup in the aggregate collapses the
+        # duplicates, so symmetric edge sets are unchanged.
+        n = np.concatenate([batch["s"].to_numpy(dtype=np.int64),
+                            batch["d"].to_numpy(dtype=np.int64)])
+        return pd.DataFrame({"node": n, "label": n})
 
     labels = grouped_aggregate(
         edges.map_batches(init_labels, batch_format="pandas"), ["node"], _labels_min,
@@ -126,6 +142,18 @@ def min_label_components(edges, max_iters: int = 25,
             logger.info("min_label_components converged after %d rounds", it + 1)
             break
         prev_sum = new_sum
+    else:
+        if require_convergence:
+            raise RuntimeError(
+                f"min_label_components did not converge in {max_iters} "
+                "rounds — labels would be stale (hash-min moves one hop "
+                "per round). Raise max_iters or pass "
+                "require_convergence=False for a budgeted approximation."
+            )
+        logger.warning(
+            "min_label_components returning UNCONVERGED labels after %d "
+            "rounds", max_iters,
+        )
     return labels
 
 
@@ -169,14 +197,16 @@ def duplicate_clusters(sf_dir: str, max_iters: int = 25):
 # iterative label propagation runs once per sf_dir; its four consumers
 # (dedup_survivors, dedup_cluster_sizes, curate_documents,
 # leakage_safe_split) read the pinned result.
-_DUP_CLUSTERS_CACHE: dict = {}
+_DUP_CLUSTERS_CACHE: dict = _memo.register({})
 
 
 def duplicate_clusters_cached(sf_dir: str):
-    """Memoized :func:`duplicate_clusters` at default parameters."""
-    if sf_dir not in _DUP_CLUSTERS_CACHE:
-        _DUP_CLUSTERS_CACHE[sf_dir] = duplicate_clusters(sf_dir).materialize()
-    return _DUP_CLUSTERS_CACHE[sf_dir]
+    """Memoized :func:`duplicate_clusters` at default parameters
+    (bounded keep-last-N, see ops.memo)."""
+    return _memo.memoize(
+        _DUP_CLUSTERS_CACHE, sf_dir,
+        lambda: duplicate_clusters(sf_dir).materialize(),
+    )
 
 
 def dedup_survivors(sf_dir: str):
@@ -510,15 +540,16 @@ def pagerank_reference(edges: pd.DataFrame, iters: int = 10) -> pd.DataFrame:
 # simple-KG derivation (~3 s at sf0.1) should run once, not per query.
 # Mirrors __ray_entry__._KG_OUT_CACHE; a materialized Dataset pins its
 # blocks in the object store for the session.
-_KG_EDGES_CACHE: dict = {}
+_KG_EDGES_CACHE: dict = _memo.register({})
 
 
 def _kg_edges_materialized(sf_dir: str):
     from entity_extractor_linker_ray.pipelines.simple_kg import kg_edges
 
-    if sf_dir not in _KG_EDGES_CACHE:
-        _KG_EDGES_CACHE[sf_dir] = kg_edges(sf_dir).materialize()
-    return _KG_EDGES_CACHE[sf_dir]
+    return _memo.memoize(
+        _KG_EDGES_CACHE, sf_dir,
+        lambda: kg_edges(sf_dir).materialize(),
+    )
 
 
 def kg_pagerank(sf_dir: str, iters: int = 5):
@@ -2962,8 +2993,14 @@ def label_propagation(edges, rounds: int = 4, num_partitions: int = 16):
     edges = _compact(edges, num_partitions)
 
     def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch["s"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"node": s, "label": s})
+        # Seed from BOTH endpoints so a node appearing only as a
+        # destination on a one-direction edge set still gets a label
+        # row (matches the replicas and the oracle nodes CTEs, which
+        # union s and d). Min-dedup in the aggregate collapses the
+        # duplicates, so symmetric edge sets are unchanged.
+        n = np.concatenate([batch["s"].to_numpy(dtype=np.int64),
+                            batch["d"].to_numpy(dtype=np.int64)])
+        return pd.DataFrame({"node": n, "label": n})
 
     labels = _compact(
         grouped_aggregate(

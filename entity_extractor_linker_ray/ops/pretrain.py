@@ -48,6 +48,12 @@ from entity_extractor_linker_ray.ops.readers import read_split
 # same Knuth multiplicative hash as ops/sampling.py — one portable
 # sampling primitive across the repo
 _KNUTH = np.int64(2654435761)
+
+# ASCII letters only — the DuckDB oracles test '[a-zA-Z]', so the
+# Python kernels must not widen to Unicode isalpha().
+_ASCII_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
 _MOD_BITS = 32
 _MOD = np.int64(1) << np.int64(_MOD_BITS)
 
@@ -912,7 +918,11 @@ def mixture_weights(sf_dir: str):
             toks = t.split(" ") if t else []
             n = len(toks)
             sum_chars = sum(len(w) for w in toks)
-            alpha = sum(1 for w in toks if any(c.isalpha() for c in w))
+            # ASCII letter test, matching the oracle's regexp_matches
+            # '[a-zA-Z]' — Unicode isalpha() would diverge on non-ASCII.
+            alpha = sum(
+                1 for w in toks if not _ASCII_LETTERS.isdisjoint(w)
+            )
             stop = sum(1 for w in toks if w in STOP)
             ok = (50 <= n <= 100_000 and 3 * n <= sum_chars <= 10 * n
                   and 10 * alpha >= 8 * n and stop >= 2)

@@ -27,6 +27,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from entity_extractor_linker_ray.ops import memo as _memo
+
 N_NODES = 100_000
 AVG_DEG = 12
 MAX_DEG = 256
@@ -114,16 +116,14 @@ def power_law_edges(n_nodes: int = N_NODES, avg_deg: int = AVG_DEG,
     return ds.map_batches(kernel, batch_format="pandas")
 
 
-_BIG_EDGES_CACHE: dict = {}
+_BIG_EDGES_CACHE: dict = _memo.register({})
 
 
 def _edges_materialized(n_nodes: int, avg_deg: int, seed: int):
-    key = (n_nodes, avg_deg, seed)
-    if key not in _BIG_EDGES_CACHE:
-        _BIG_EDGES_CACHE[key] = power_law_edges(
-            n_nodes, avg_deg, seed=seed
-        ).materialize()
-    return _BIG_EDGES_CACHE[key]
+    return _memo.memoize(
+        _BIG_EDGES_CACHE, (n_nodes, avg_deg, seed),
+        lambda: power_law_edges(n_nodes, avg_deg, seed=seed).materialize(),
+    )
 
 
 def biggraph_pagerank(sf_dir: str = "", n_nodes: int = N_NODES,
@@ -417,14 +417,14 @@ def planted_partition_edges(n_nodes: int = N_NODES,
     return ds.map_batches(kernel, batch_format="pandas")
 
 
-_PP_EDGES_CACHE: dict = {}
+_PP_EDGES_CACHE: dict = _memo.register({})
 
 
 def _pp_edges_materialized(n_nodes: int, blocks: int, avg_deg: int,
                            seed: int):
-    key = (n_nodes, blocks, avg_deg, seed)
-    if key not in _PP_EDGES_CACHE:
-        _PP_EDGES_CACHE[key] = planted_partition_edges(
+    return _memo.memoize(
+        _PP_EDGES_CACHE, (n_nodes, blocks, avg_deg, seed),
+        lambda: planted_partition_edges(
             n_nodes, blocks, avg_deg, seed=seed
-        ).materialize()
-    return _PP_EDGES_CACHE[key]
+        ).materialize(),
+    )

@@ -13,10 +13,17 @@ import pandas as pd
 
 from ray.data.aggregate import Sum
 
+from entity_extractor_linker_ray.ops import memo as _memo
 from entity_extractor_linker_ray.ops.readers import read_split
 
 _STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been it this that".split()
+)
+
+# ASCII letters only — the DuckDB oracles test '[a-zA-Z]', so the
+# Python kernels must not widen to Unicode isalpha().
+_ASCII_LETTERS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 )
 
 # Tiny character-frequency profiles for the n-gram-free language
@@ -2512,7 +2519,11 @@ def gopher_quality_flags(sf_dir: str):
             toks = t.split(" ") if t else []
             n = len(toks)
             sum_chars = sum(len(w) for w in toks)
-            alpha = sum(1 for w in toks if any(c.isalpha() for c in w))
+            # ASCII letter test, matching the oracle's regexp_matches
+            # '[a-zA-Z]' — Unicode isalpha() would diverge on non-ASCII.
+            alpha = sum(
+                1 for w in toks if not _ASCII_LETTERS.isdisjoint(w)
+            )
             stop = sum(1 for w in toks if w in _STOPWORDS)
             r_wc = 50 <= n <= 100_000
             r_ml = 3 * n <= sum_chars <= 10 * n
@@ -3264,17 +3275,18 @@ GROUP BY 1
 """
 
 
-_BPE_MERGES_CACHE: dict = {}
+_BPE_MERGES_CACHE: dict = _memo.register({})
 
 
 def bpe_merges_cached(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
     """Memoized :func:`bpe_train_merges` — the trainer's consumers
     (encode stats, any future vocab export) share one training run per
-    session, the `ngram_pairs_materialized` pattern."""
-    key = (sf_dir, n_merges)
-    if key not in _BPE_MERGES_CACHE:
-        _BPE_MERGES_CACHE[key] = bpe_train_merges(sf_dir, n_merges)
-    return _BPE_MERGES_CACHE[key]
+    session, the `ngram_pairs_materialized` pattern (bounded
+    keep-last-N, see ops.memo)."""
+    return _memo.memoize(
+        _BPE_MERGES_CACHE, (sf_dir, n_merges),
+        lambda: bpe_train_merges(sf_dir, n_merges),
+    )
 
 
 def bpe_encode_stats(sf_dir: str, n_merges: int = 8):
