@@ -267,6 +267,12 @@ def rows_only_reasons() -> dict[str, str]:
         "biggraph_triangles": biggraph,
         "biggraph_components": biggraph,
         "biggraph_lpa": biggraph,
+        "biggraph_edge_jaccard": biggraph,
+        "biggraph_two_hop": biggraph,
+        "biggraph_clustering_coefficient": biggraph,
+        "biggraph_hits": biggraph,
+        "biggraph_shortest_paths": biggraph,
+        "biggraph_link_candidates": biggraph,
         "kg_pipeline_entities": (
             "superset twin of the golden-gated kg_pipeline_entity_links "
             "— adds engine-internal link_status and prompt-derived "
@@ -609,6 +615,16 @@ def _build_queries() -> dict[str, Callable[[str], Any]]:
     q["biggraph_triangles"] = _sg.biggraph_triangles
     q["biggraph_components"] = _sg.biggraph_components
     q["biggraph_lpa"] = _sg.biggraph_lpa
+    # round 4: the KG feature-op family in the 100k-node compute
+    # regime (same oracle-gated kernels, wedge caps engaged on the
+    # planted hubs; bounded band/top-k outputs)
+    q["biggraph_edge_jaccard"] = _sg.biggraph_edge_jaccard
+    q["biggraph_two_hop"] = _sg.biggraph_two_hop
+    q["biggraph_clustering_coefficient"] = (
+        _sg.biggraph_clustering_coefficient)
+    q["biggraph_hits"] = _sg.biggraph_hits
+    q["biggraph_shortest_paths"] = _sg.biggraph_shortest_paths
+    q["biggraph_link_candidates"] = _sg.biggraph_link_candidates
     # --- full stub-LLM KG pipeline (vs reference semantics; value-gated
     #     against golden parquet produced by the reference code — see
     #     _golden_oracles; full 70-col entities stays rows-only) --------

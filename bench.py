@@ -333,6 +333,15 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         "biggraph_kcore",
         "biggraph_triangles",
         "biggraph_components",
+        # round 4: the KG feature-op family in the same 100k-node
+        # compute regime (shares the memoized string edge view;
+        # shortest_paths first warms it)
+        "biggraph_shortest_paths",
+        "biggraph_two_hop",
+        "biggraph_clustering_coefficient",
+        "biggraph_edge_jaccard",
+        "biggraph_hits",
+        "biggraph_link_candidates",
         "bpe_merge_candidates",
         "winnow_fingerprints",
         "image_decode_stats",

@@ -43,6 +43,20 @@ def _compact(ds, n_blocks: int):
     return ds.repartition(n_blocks).materialize()
 
 
+def _cap_nbrs(nbrs: np.ndarray, cap: int | None) -> np.ndarray:
+    """Celebrity-vertex wedge cap for the Σ deg(m)² kernels: keep the
+    lexicographically smallest ``cap`` of an already-sorted distinct
+    neighbor list. Deterministic (same set at any parallelism — the
+    wedge bucket holds ALL of a middle's rows) and None = exact. The
+    toy-KG oracle-gated queries pass None; the 10^5-node synthetic
+    graph engages the cap on its planted hubs, the documented
+    cap-or-sample production trade (as :func:`triangles`
+    ``max_wedge_deg``)."""
+    if cap is not None and len(nbrs) > cap:
+        return nbrs[:cap]
+    return nbrs
+
+
 def _labels_min(bucket: pd.DataFrame) -> pd.DataFrame:
     return (
         bucket.groupby("node", sort=False)["label"]
@@ -470,7 +484,7 @@ def pagerank(edges_ds, iters: int = 10, num_partitions: int = 32,
         m = e.merge(r, on="key", how="inner")
         if m.empty:
             return pd.DataFrame(
-                {"node": pd.Series([], dtype=object),
+                {"node": pd.Series([], dtype=str),
                  "contrib": pd.Series([], dtype=np.int64)}
             )
         c = (m["rank"].to_numpy(dtype=np.int64) * m["weight"].to_numpy(dtype=np.int64)
@@ -750,7 +764,8 @@ JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
 """
 
 
-def kg_two_hop(sf_dir: str, num_partitions: int = 8, edges_ds=None):
+def kg_two_hop(sf_dir: str, num_partitions: int = 8, edges_ds=None,
+               max_wedge_deg: int | None = None):
     """Per-entity neighborhood profile: ``n_direct`` distinct
     neighbors and ``n_two_hop`` STRICT two-hop neighbors (reachable in
     exactly two hops, neither self nor already direct) — the
@@ -811,6 +826,15 @@ def kg_two_hop(sf_dir: str, num_partitions: int = 8, edges_ds=None):
         out = bucket[bucket["side"] == 1][["key", "node"]].rename(
             columns={"node": "nb"}
         )
+        if max_wedge_deg is not None:
+            # cap each middle's fan-in AND fan-out to its
+            # lexicographically smallest max_wedge_deg neighbors —
+            # bounds the merge at cap^2 rows per hub (same set on both
+            # sides: the undirected pair list carries both directions)
+            inc = (inc.sort_values(["key", "entity"], kind="stable")
+                   .groupby("key", sort=False).head(max_wedge_deg))
+            out = (out.sort_values(["key", "nb"], kind="stable")
+                   .groupby("key", sort=False).head(max_wedge_deg))
         pairs = inc.merge(out, on="key")[["entity", "nb"]]
         pairs = pairs[pairs["entity"] != pairs["nb"]]
         return pairs.drop_duplicates()
@@ -1302,7 +1326,7 @@ def kg_bfs_depths(sf_dir: str, rounds: int = BFS_ROUNDS):
         def expand(bucket: pd.DataFrame, _k=k) -> pd.DataFrame:
             has_frontier = (bucket["kind"] == 1).any()
             if not has_frontier:
-                return pd.DataFrame({"node": pd.Series([], dtype=object)})
+                return pd.DataFrame({"node": pd.Series([], dtype=str)})
             e = bucket[bucket["kind"] == 0]
             fr = set(bucket.loc[bucket["kind"] == 1, "src"])
             nxt = e.loc[e["src"].isin(fr), "dst"].drop_duplicates()
@@ -1661,7 +1685,8 @@ FROM agg
 """
 
 
-def kg_edge_jaccard(sf_dir: str, num_partitions: int = 8, edges_ds=None):
+def kg_edge_jaccard(sf_dir: str, num_partitions: int = 8, edges_ds=None,
+                    max_wedge_deg: int | None = None):
     """Neighborhood Jaccard per KG edge — for every canonical
     undirected edge (u < v): the count of common neighbors, the
     neighborhood-union size, and their ratio. The classic
@@ -1736,7 +1761,7 @@ def kg_edge_jaccard(sf_dir: str, num_partitions: int = 8, edges_ds=None):
     def wedge_counts(bucket: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for _, grp in bucket.groupby("m", sort=False):
-            nbrs = np.sort(grp["other"].unique())
+            nbrs = _cap_nbrs(np.sort(grp["other"].unique()), max_wedge_deg)
             if len(nbrs) < 2:
                 continue
             ia, ib = np.triu_indices(len(nbrs), k=1)
@@ -1974,7 +1999,7 @@ def kg_shortest_paths(sf_dir: str, rounds: int = SSSP_ROUNDS, edges_ds=None):
             d = bucket[bucket["kind"] == 1]
             if not len(d):
                 return pd.DataFrame(
-                    {"node": pd.Series([], dtype=object),
+                    {"node": pd.Series([], dtype=str),
                      "dist": pd.Series([], dtype=np.int64)}
                 )
             e = bucket.loc[bucket["kind"] == 0, ["src", "dst", "w"]]
@@ -2058,7 +2083,8 @@ LINK_CANDIDATES_K = 20
 
 
 def kg_link_candidates(sf_dir: str, k: int = LINK_CANDIDATES_K,
-                       num_partitions: int = 8, edges_ds=None):
+                       num_partitions: int = 8, edges_ds=None,
+                       max_wedge_deg: int | None = None):
     """Link prediction by common neighbors over the STRONG-TIE graph:
     the top-k pairs NOT connected by an above-average-weight edge,
     ranked by how many strong neighbors they share — the classic
@@ -2151,7 +2177,7 @@ def kg_link_candidates(sf_dir: str, k: int = LINK_CANDIDATES_K,
     def wedge_counts(bucket: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for _, grp in bucket.groupby("m", sort=False):
-            nbrs = np.sort(grp["other"].unique())
+            nbrs = _cap_nbrs(np.sort(grp["other"].unique()), max_wedge_deg)
             if len(nbrs) < 2:
                 continue
             ia, ib = np.triu_indices(len(nbrs), k=1)
@@ -2258,7 +2284,8 @@ LIMIT {k}
 
 
 def kg_clustering_coefficient(sf_dir: str, num_partitions: int = 8,
-                              edges_ds=None):
+                              edges_ds=None,
+                              max_wedge_deg: int | None = None):
     """Per-node local clustering coefficient — ``cc(v) = 2·T(v) /
     (deg(v)·(deg(v)−1))`` where T(v) counts triangles through v: how
     close each entity's neighborhood is to a clique, the node-level
@@ -2312,7 +2339,7 @@ def kg_clustering_coefficient(sf_dir: str, num_partitions: int = 8,
     def wedge_with_mid(bucket: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for m, grp in bucket.groupby("m", sort=False):
-            nbrs = np.sort(grp["other"].unique())
+            nbrs = _cap_nbrs(np.sort(grp["other"].unique()), max_wedge_deg)
             if len(nbrs) < 2:
                 continue
             ia, ic = np.triu_indices(len(nbrs), k=1)
@@ -2617,7 +2644,7 @@ def kg_hits(sf_dir: str, rounds: int = HITS_ROUNDS, num_partitions: int = 8,
             m = e.merge(s, on="key", how="inner")
             if m.empty:
                 return pd.DataFrame(
-                    {"node": pd.Series([], dtype=object),
+                    {"node": pd.Series([], dtype=str),
                      "raw": pd.Series([], dtype=np.int64)}
                 )
             raw = m["score"].to_numpy(dtype=np.int64) * m["weight"].to_numpy(

@@ -428,3 +428,213 @@ def _pp_edges_materialized(n_nodes: int, blocks: int, avg_deg: int,
             n_nodes, blocks, avg_deg, seed=seed
         ).materialize(),
     )
+
+
+# --- KG feature ops on the synthetic graph --------------------------
+#
+# Round 3 moved pagerank/kcore/triangles/components/LPA off the toy
+# K12 KG into the 100k-node compute regime; round 4 does the same for
+# the neighborhood-feature family (edge Jaccard, strict two-hop,
+# local clustering, HITS, weighted SSSP, link candidates). The
+# kernels are the SAME oracle-gated functions from ops/graph_algos —
+# fed through a string subject/object/weight view of the synthetic
+# edge list — with the celebrity-vertex wedge cap ENGAGED (the toy
+# queries run exact with cap=None; the planted hubs here are exactly
+# the case the cap exists for). Outputs are bounded profiles
+# (band histograms / top-k), never |V| or |E| rows at the driver.
+
+FEATURE_WEDGE_CAP = 64
+
+_KG_VIEW_CACHE: dict = _memo.register({})
+
+
+def _kg_view_edges_materialized(n_nodes: int, avg_deg: int, seed: int):
+    """subject/object/weight string view of the synthetic edges —
+    zero-padded ids so the kernels' lexicographic canonicalization
+    agrees with numeric order. Memoized separately from the int64
+    edge list (both are session working sets)."""
+    def to_view(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"subject": np.char.zfill(
+                batch["src"].to_numpy(dtype=np.int64).astype(str), 7),
+             "object": np.char.zfill(
+                batch["dst"].to_numpy(dtype=np.int64).astype(str), 7),
+             "weight": batch["weight"].to_numpy(dtype=np.int64)}
+        )
+
+    return _memo.memoize(
+        _KG_VIEW_CACHE, (n_nodes, avg_deg, seed),
+        lambda: _edges_materialized(n_nodes, avg_deg, seed)
+        .map_batches(to_view, batch_format="pandas")
+        .materialize(),
+    )
+
+
+def _band_profile(ds, value_col: str, band_col: str, count_col: str,
+                  sum_col: str, scale: int | None = None,
+                  num_partitions: int = 4):
+    """Generic bounded two-phase band histogram: band = floor(v *
+    scale) for ratio columns (scale=20 → 21 bands) or
+    floor(log2(max(v,1))) for counts (scale=None). Output rows are
+    bounded by the band domain, never by |V|/|E|."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy()
+        if scale is not None:
+            band = np.floor(v * scale).astype(np.int64)
+        else:
+            band = np.floor(
+                np.log2(np.maximum(v.astype(np.int64), 1))
+            ).astype(np.int64)
+        out = pd.DataFrame({band_col: band,
+                            count_col: np.ones(len(band), dtype=np.int64),
+                            sum_col: v.astype(np.float64)})
+        return out.groupby(band_col, sort=False, as_index=False).sum()
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        [band_col],
+        lambda b: b.groupby(band_col, sort=False, as_index=False)[
+            [count_col, sum_col]
+        ].sum().astype({band_col: np.int64, count_col: np.int64}),
+        num_partitions=num_partitions,
+    )
+
+
+def biggraph_edge_jaccard(sf_dir: str = "", n_nodes: int = N_NODES,
+                          avg_deg: int = AVG_DEG, seed: int = 7,
+                          wedge_cap: int = FEATURE_WEDGE_CAP):
+    """Per-edge neighborhood Jaccard (`ops/graph_algos.kg_edge_jaccard`)
+    on the synthetic graph, wedge cap engaged on the planted hubs.
+    Output: 21-band Jaccard histogram (band = floor(j*20)) with edge
+    count and summed common-neighbor count per band."""
+    from entity_extractor_linker_ray.ops.graph_algos import kg_edge_jaccard
+
+    ej = kg_edge_jaccard(
+        "", num_partitions=32,
+        edges_ds=_kg_view_edges_materialized(n_nodes, avg_deg, seed),
+        max_wedge_deg=wedge_cap,
+    )
+    return _band_profile(ej, "jaccard", "jaccard_band", "n_edges",
+                         "sum_jaccard", scale=20)
+
+
+def biggraph_two_hop(sf_dir: str = "", n_nodes: int = N_NODES,
+                     avg_deg: int = AVG_DEG, seed: int = 7,
+                     wedge_cap: int = FEATURE_WEDGE_CAP):
+    """Strict two-hop neighborhood profile
+    (`ops/graph_algos.kg_two_hop`) on the synthetic graph, middle
+    fan-in/out capped per hub. Output: log2 band histogram of
+    n_two_hop with entity count and summed two-hop count per band."""
+    from entity_extractor_linker_ray.ops.graph_algos import kg_two_hop
+
+    th = kg_two_hop(
+        "", num_partitions=32,
+        edges_ds=_kg_view_edges_materialized(n_nodes, avg_deg, seed),
+        max_wedge_deg=wedge_cap,
+    )
+    return _band_profile(th, "n_two_hop", "two_hop_band", "n_entities",
+                         "sum_two_hop", scale=None)
+
+
+def biggraph_clustering_coefficient(sf_dir: str = "",
+                                    n_nodes: int = N_NODES,
+                                    avg_deg: int = AVG_DEG, seed: int = 7,
+                                    wedge_cap: int = FEATURE_WEDGE_CAP):
+    """Local clustering coefficient
+    (`ops/graph_algos.kg_clustering_coefficient`) on the synthetic
+    graph, wedge cap engaged (T(v) is computed on the capped wedge
+    set; degree stays exact — a documented lower-bound approximation
+    on hubs, the production trade). Output: 21-band cc histogram."""
+    from entity_extractor_linker_ray.ops.graph_algos import (
+        kg_clustering_coefficient,
+    )
+
+    cc = kg_clustering_coefficient(
+        "", num_partitions=32,
+        edges_ds=_kg_view_edges_materialized(n_nodes, avg_deg, seed),
+        max_wedge_deg=wedge_cap,
+    )
+    return _band_profile(cc, "local_cc", "cc_band", "n_nodes",
+                         "sum_cc", scale=20)
+
+
+def biggraph_hits(sf_dir: str = "", n_nodes: int = N_NODES,
+                  avg_deg: int = AVG_DEG, seed: int = 7,
+                  rounds: int = 3, k: int = 20):
+    """HITS hubs/authorities (`ops/graph_algos.kg_hits`) on the
+    DIRECTED synthetic graph — per-round message volume |E| ≈ 1.2 M.
+    Output: top-k authorities by (auth desc, node) via per-block
+    partial top-k + one k·blocks final merge, never a full sort."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_extractor_linker_ray.ops.graph_algos import kg_hits
+
+    scores = kg_hits(
+        "", rounds=rounds, num_partitions=32,
+        edges_ds=_kg_view_edges_materialized(n_nodes, avg_deg, seed),
+    )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["auth", "node"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    out_schema = pa.schema(
+        [("node", pa.string()), ("hub", pa.int64()), ("auth", pa.int64())]
+    )
+    return (
+        scores.map_batches(local_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(local_topk, batch_format="pandas")
+        .union(rd.from_arrow(out_schema.empty_table()))
+    )
+
+
+def biggraph_shortest_paths(sf_dir: str = "", n_nodes: int = N_NODES,
+                            avg_deg: int = AVG_DEG, seed: int = 7,
+                            rounds: int = 4):
+    """Bounded Bellman-Ford SSSP (`ops/graph_algos.kg_shortest_paths`)
+    from node 0000000 on the synthetic graph (unit weights) — per
+    round ~2|E| relaxation candidates. Output: distance histogram
+    (dist, n_nodes), ≤ rounds+1 rows."""
+    from entity_extractor_linker_ray.ops.graph_algos import kg_shortest_paths
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    sp = kg_shortest_paths(
+        "", rounds=rounds,
+        edges_ds=_kg_view_edges_materialized(n_nodes, avg_deg, seed),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"dist": batch["dist"].to_numpy(dtype=np.int64),
+                            "n_nodes": np.ones(len(batch), dtype=np.int64)})
+        return out.groupby("dist", sort=False, as_index=False).sum()
+
+    return grouped_aggregate(
+        sp.map_batches(partial, batch_format="pandas"),
+        ["dist"],
+        lambda b: b.groupby("dist", sort=False, as_index=False)[
+            "n_nodes"
+        ].sum().astype({"dist": np.int64, "n_nodes": np.int64}),
+        num_partitions=4,
+    )
+
+
+def biggraph_link_candidates(sf_dir: str = "", n_nodes: int = N_NODES,
+                             avg_deg: int = AVG_DEG, seed: int = 7,
+                             k: int = 20,
+                             wedge_cap: int = FEATURE_WEDGE_CAP):
+    """Common-neighbor link prediction
+    (`ops/graph_algos.kg_link_candidates`) on the synthetic graph's
+    strong-tie view, wedge cap engaged. Output already top-k bounded
+    by the kernel."""
+    from entity_extractor_linker_ray.ops.graph_algos import kg_link_candidates
+
+    return kg_link_candidates(
+        "", k=k, num_partitions=32,
+        edges_ds=_kg_view_edges_materialized(n_nodes, avg_deg, seed),
+        max_wedge_deg=wedge_cap,
+    )
