@@ -182,3 +182,151 @@ def synth_image(doc_id: int, width: int = 24, height: int = 16) -> np.ndarray:
         axis=2,
     )
     return img.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------
+# PNG (RFC 2083) — stdlib-only encoder/decoder, 8-bit RGB truecolor.
+# zlib IS in the stdlib, so a real raster sink needs no matplotlib:
+# IHDR/IDAT/IEND chunks with CRC-32, filter type 0 per scanline on
+# encode; the decoder reverses filters 0-4 (Sub/Up/Average/Paeth) so
+# it reads any baseline non-interlaced RGB PNG, not just ours.
+# ---------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib as _z
+
+    crc = _z.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → PNG (8-bit truecolor, filter 0, one IDAT)."""
+    import zlib as _z
+
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"encode_png expects HxWx3, got {pixels.shape}")
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    # filter byte 0 prepended per scanline
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(raw, 9))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline non-interlaced 8-bit RGB PNG → (w, h, HxWx3 uint8).
+    Verifies the signature and every chunk CRC; reverses scanline
+    filters 0-4."""
+    import zlib as _z
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        chunk = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if _z.crc32(tag + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk)
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "decode_png supports 8-bit truecolor non-interlaced "
+                    f"only, got depth={depth} color={color} "
+                    f"interlace={interlace}")
+        elif tag == b"IDAT":
+            idat += chunk
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = _z.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for i in range(3, stride):
+                cur[i] = (cur[i] + cur[i - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - 3] if i >= 3 else 0
+                cur[i] = (cur[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - 3] if i >= 3 else 0
+                ul = prev[i - 3] if i >= 3 else 0
+                cur[i] = (cur[i] + _paeth(int(left), int(prev[i]), int(ul))) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return w, h, out.reshape(h, w, 3)
+
+
+def draw_line(pixels: np.ndarray, x1: int, y1: int, x2: int, y2: int,
+              color: tuple[int, int, int]) -> None:
+    """Bresenham line into an HxWx3 uint8 raster (in place)."""
+    h, w, _ = pixels.shape
+    dx, dy = abs(x2 - x1), -abs(y2 - y1)
+    sx = 1 if x1 < x2 else -1
+    sy = 1 if y1 < y2 else -1
+    err = dx + dy
+    x, y = x1, y1
+    while True:
+        if 0 <= x < w and 0 <= y < h:
+            pixels[y, x] = color
+        if x == x2 and y == y2:
+            break
+        e2 = 2 * err
+        if e2 >= dy:
+            err += dy
+            x += sx
+        if e2 <= dx:
+            err += dx
+            y += sy
+
+
+def draw_disc(pixels: np.ndarray, cx: int, cy: int, r: int,
+              color: tuple[int, int, int]) -> None:
+    """Filled circle into an HxWx3 uint8 raster (in place)."""
+    h, w, _ = pixels.shape
+    y0, y1 = max(0, cy - r), min(h, cy + r + 1)
+    x0, x1 = max(0, cx - r), min(w, cx + r + 1)
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+    pixels[y0:y1, x0:x1][mask] = color

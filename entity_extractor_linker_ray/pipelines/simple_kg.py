@@ -40,9 +40,30 @@ PREDICATE = "related_to"
 
 
 def vocab() -> list[dict]:
-    """Single-word KB entities (the multi-word 'parent' entities cannot
-    occur in the space-separated documents corpus)."""
-    return [r for r in build_kb() if " " not in r["label"]]
+    """Corpus-derived KB entities: every record whose surface form is a
+    1–3 token sequence of the documents vocabulary (singles, bigrams,
+    core trigrams — 1504 records; the two multi-word 'parent' entities
+    cannot occur in the token stream and are excluded)."""
+    return [r for r in build_kb() if r.get("corpus_surface")]
+
+
+# Hoisted per-process vocab state (round-3 advice: vocab() used to be
+# rebuilt inside the batch kernel). Built lazily once per worker:
+# surface term -> (label, type) keyed by token count, plus the KB link
+# frame for the broadcast join.
+_VOCAB_STATE: dict | None = None
+
+
+def _vocab_state() -> dict:
+    global _VOCAB_STATE
+    if _VOCAB_STATE is None:
+        by_len: dict[int, dict[str, tuple[str, str]]] = {}
+        for r in vocab():
+            term = r["corpus_surface"]
+            n = term.count(" ") + 1
+            by_len.setdefault(n, {})[term] = (r["label"], r["type"])
+        _VOCAB_STATE = {"by_len": by_len, "max_n": max(by_len)}
+    return _VOCAB_STATE
 
 
 def _read_documents(sf_dir: str, columns=("doc_id", "text")):
@@ -56,23 +77,44 @@ def _read_documents(sf_dir: str, columns=("doc_id", "text")):
 # ----------------------------------------------------------------------
 
 def _mentions_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    padded = " " + batch["text"].fillna("") + " "
-    frames = []
-    for rec in vocab():
-        pos = padded.str.find(f" {rec['label'].lower()} ") + 1  # 1-based strpos; 0 = miss
-        mask = pos > 0
-        if mask.any():
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": batch.loc[mask, "doc_id"].to_numpy(),
-                        "name": rec["label"],
-                        "type": rec["type"],
-                        "pos": pos[mask].to_numpy(dtype=np.int64),
-                    }
-                )
-            )
-    if not frames:
+    """Tokenization-based mention scan: O(tokens) per document instead
+    of O(|vocab| × text) — one pass splits each document, emits every
+    1..3-gram surface with its padded-strpos position, and keeps the
+    FIRST occurrence per (doc, surface). Identical semantics to the
+    oracle's ``strpos(' '||text||' ', ' '||term||' ')`` on the
+    single-space corpus: a token starting at 0-based text offset o sits
+    at padded position o+1."""
+    state = _vocab_state()
+    by_len, max_n = state["by_len"], state["max_n"]
+    doc_ids: list = []
+    names: list[str] = []
+    types: list[str] = []
+    poss: list[int] = []
+    for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+        if not text:
+            continue
+        toks = text.split(" ")
+        starts = np.empty(len(toks), dtype=np.int64)
+        off = 0
+        for i, t in enumerate(toks):
+            starts[i] = off + 1  # 1-based padded strpos
+            off += len(t) + 1
+        seen: dict[str, int] = {}
+        for n in range(1, max_n + 1):
+            table = by_len.get(n)
+            if not table:
+                continue
+            for i in range(len(toks) - n + 1):
+                term = toks[i] if n == 1 else " ".join(toks[i:i + n])
+                if term in table and term not in seen:
+                    seen[term] = i
+        for term, i in seen.items():
+            label, typ = by_len[term.count(" ") + 1][term]
+            doc_ids.append(doc_id)
+            names.append(label)
+            types.append(typ)
+            poss.append(int(starts[i]))
+    if not doc_ids:
         return pd.DataFrame(
             {
                 "doc_id": pd.Series([], dtype=np.int64),
@@ -81,7 +123,14 @@ def _mentions_batch(batch: pd.DataFrame) -> pd.DataFrame:
                 "pos": pd.Series([], dtype=np.int64),
             }
         )
-    return pd.concat(frames, ignore_index=True)
+    return pd.DataFrame(
+        {
+            "doc_id": np.asarray(doc_ids, dtype=np.int64),
+            "name": names,
+            "type": types,
+            "pos": np.asarray(poss, dtype=np.int64),
+        }
+    )
 
 
 def kg_mentions(sf_dir: str):

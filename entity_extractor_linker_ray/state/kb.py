@@ -23,8 +23,17 @@ from entity_extractor_linker_ray.functions.urls import build_wikipedia_url, pars
 # Closed entity vocabulary. The surface forms are chosen from the token
 # vocabulary of the driver-generated ``documents`` test tables (see
 # TESTDATA.md) so the same KB powers transcripts synthesized in-repo AND
-# pipelines run directly over /root/testdata parquet. No term is a
-# prefix of another (whole-word matching stays unambiguous).
+# pipelines run directly over /root/testdata parquet.
+#
+# Round 4 grew the KB from 14 records to O(10^3): the 31-token corpus
+# vocabulary yields 31 single-token entities, all 961 ordered token
+# bigrams ("Hash Join"), and the 512 trigrams over the 8 most frequent
+# tokens — 1506 records total, so the flagship KG has non-trivial
+# node/edge cardinality and REAL hot-entity skew (singles occur in
+# nearly every document, bigrams in some, trigrams rarely — a natural
+# power-law mention distribution). The original 12 entities keep their
+# exact labels/translations; the planted fallback-chain edge cases
+# (index cycles below) now recur across the whole vocabulary.
 _VOCAB: list[tuple[str, str, str, str]] = [
     # (label_en, label_de, type, parent_label)
     ("Spark", "Funke", "Organization", "Data Platform"),
@@ -45,6 +54,28 @@ _PARENTS: list[tuple[str, str, str]] = [
     ("Data Platform", "Datenplattform", "System"),
     ("Query Engine", "Abfragemaschine", "System"),
 ]
+
+# The 31-token vocabulary of the driver-generated documents corpus
+# (TESTDATA.md; stable across sf0.001/0.01/0.1 — seed 42) with a
+# deterministic German gloss per token (distinct glosses so the
+# translate/synonym fallbacks stay unambiguous).
+_TOKEN_DE: dict[str, str] = {
+    "a": "Ein", "agg": "Aggregat", "batch": "Stapel", "big": "Groß",
+    "column": "Spalte", "customer": "Kunde", "data": "Daten",
+    "dup": "Duplikat", "fast": "Schnell", "filter": "Filterung",
+    "group": "Gruppe", "hash": "Streuwert", "join": "Verbund",
+    "key": "Schlüssel", "line": "Zeile", "merge": "Zusammenführung",
+    "order": "Reihenfolge", "part": "Teil", "query": "Abfrage",
+    "row": "Reihe", "scan": "Abtastung", "slow": "Langsam",
+    "small": "Klein", "sort": "Sortierung", "spark": "Funke",
+    "stream": "Datenstrom", "table": "Tabelle", "the": "Der",
+    "value": "Wert", "vector": "Vektor", "window": "Fenster",
+}
+_CORPUS_TOKENS: list[str] = sorted(_TOKEN_DE)
+# the 8 most frequent corpus tokens — the trigram alphabet (8^3 = 512
+# planted trigram entities, each expected ~10x at sf0.1)
+_CORE8: list[str] = ["scan", "column", "window", "order", "sort",
+                     "part", "agg", "value"]
 
 MAINTENANCE_SAMPLE = [
     "Articles with short description",
@@ -77,8 +108,55 @@ for _t, _q in _TYPE_QIDS.items():
     _AUX_LABELS[_q] = (_t, _TYPE_DE[_t])
 
 
+def _cap(token: str) -> str:
+    return token[:1].upper() + token[1:]
+
+
+def _specs() -> list[tuple[str, str, str, str, str]]:
+    """(label, label_de, type, parent_label, corpus_surface) for every
+    KB record, in a fixed deterministic order: the original 12 + the 2
+    multi-word parents, then the 19 remaining corpus singles, all 961
+    token bigrams (parent = the first token's single), and the 512
+    core-token trigrams (parent = the leading bigram). corpus_surface
+    is the lowercase space-joined surface as it occurs in the corpus
+    ("" for the parents, which cannot occur in the token stream)."""
+    type_cycle = sorted(_TYPE_DE)
+    specs: list[tuple[str, str, str, str, str]] = [
+        (lab, de, typ, par, lab.lower()) for lab, de, typ, par in _VOCAB
+    ]
+    specs += [(lab, de, typ, "", "") for lab, de, typ in _PARENTS]
+    known = {lab.lower() for lab, _, _, _ in _VOCAB}
+    extra_singles = [t for t in _CORPUS_TOKENS if t not in known]
+    for i, t in enumerate(extra_singles):
+        parent = _PARENTS[i % 2][0]
+        specs.append((_cap(t), _TOKEN_DE[t], type_cycle[i % len(type_cycle)],
+                      parent, t))
+    n0 = len(specs)
+    for i, t1 in enumerate(_CORPUS_TOKENS):
+        for j, t2 in enumerate(_CORPUS_TOKENS):
+            label = f"{_cap(t1)} {_cap(t2)}"
+            de = f"{_TOKEN_DE[t1]} {_TOKEN_DE[t2]}"
+            specs.append((label, de,
+                          type_cycle[(n0 + i * 31 + j) % len(type_cycle)],
+                          _cap(t1), f"{t1} {t2}"))
+    n1 = len(specs)
+    for i, t1 in enumerate(_CORE8):
+        for j, t2 in enumerate(_CORE8):
+            for k, t3 in enumerate(_CORE8):
+                label = f"{_cap(t1)} {_cap(t2)} {_cap(t3)}"
+                de = f"{_TOKEN_DE[t1]} {_TOKEN_DE[t2]} {_TOKEN_DE[t3]}"
+                idx = n1 + (i * 8 + j) * 8 + k
+                specs.append((label, de, type_cycle[idx % len(type_cycle)],
+                              f"{_cap(t1)} {_cap(t2)}", f"{t1} {t2} {t3}"))
+    return specs
+
+
+_KB_CACHE: list[dict] | None = None
+
+
 def build_kb() -> list[dict]:
-    """Deterministic KB records (pure function; same output everywhere).
+    """Deterministic KB records (pure function; same output everywhere;
+    memoized per process — treat the returned records as immutable).
 
     Planted edge cases, cycling by index, exercise the reference's
     fallback chain (``core/linker.py:63-134``):
@@ -92,14 +170,19 @@ def build_kb() -> list[dict]:
     * ``idx % 7 == 6``   → entity missing from DBpedia (→ constructed
       resource-URI fallback, ``linker.py:216-225``).
     """
+    global _KB_CACHE  # noqa: PLW0603 — single declaration for the fn
+    if _KB_CACHE is not None:
+        return _KB_CACHE
     records: list[dict] = []
-    specs = [(lab, de, typ, par) for lab, de, typ, par in _VOCAB]
-    specs += [(lab, de, typ, "") for lab, de, typ in _PARENTS]
-    for idx, (label, label_de, typ, parent) in enumerate(specs):
+    specs = _specs()
+    for idx, (label, label_de, typ, parent, corpus_surface) in enumerate(specs):
         title = label  # canonical Wikipedia title
         url_en = build_wikipedia_url(title, "en")
         url_de = build_wikipedia_url(label_de, "de")
-        redirect_from = [f"{label} (disambiguation)", f"The {label}"]
+        # "Legacy" is NOT a corpus token, so redirect titles can never
+        # collide with a real record's surface (a "The {label}" form
+        # would collide with the "The X" bigram entities)
+        redirect_from = [f"{label} (disambiguation)", f"Legacy {label}"]
         if idx % 10 == 3:
             llm_url = ""
         elif idx % 10 == 7:
@@ -158,6 +241,7 @@ def build_kb() -> list[dict]:
             {
                 "label": label,
                 "label_de": label_de,
+                "corpus_surface": corpus_surface,
                 "type": typ,
                 "aliases": sorted({label.lower(), label_de.lower()}),
                 "title_en": title,
@@ -313,6 +397,7 @@ def build_kb() -> list[dict]:
         rec["see_also"] = [
             records[(idx + k) % len(records)]["url_en"] for k in (1, 2)
         ]
+    _KB_CACHE = records
     return records
 
 

@@ -87,17 +87,32 @@ class StubLLMClient:
     * **compendium**: deterministic template text.
     """
 
+    _WORD_RE = re.compile(r"\w+")
+
     def __init__(self, kb: KBSnapshot | None = None, language: str = "en"):
         self.kb = kb if kb is not None else KBSnapshot()
         self.language = language
-        self._mention_res: list[tuple[re.Pattern, dict]] = []
+        # Token-sequence form index: lowercase word-token tuple of each
+        # surface form (label / label_de / aliases) → records. One
+        # O(tokens) scan per text instead of one regex pass per record
+        # — the O(|KB|) regex loop was fine at 14 records but is the
+        # hot path at 1506 (flagship bench runs this per document).
+        # Whole-word semantics are preserved: \w+ tokenization matches
+        # the old (?<!\w)form(?!\w) boundaries on every corpus/template
+        # text (forms are pure word-char token sequences).
+        self._forms_by_len: dict[int, dict[tuple[str, ...], list[dict]]] = {}
+        self._max_form_len = 1
         for rec in self.kb.records:
-            forms = sorted({rec["label"], rec["label_de"], *rec["aliases"]},
-                           key=len, reverse=True)
-            pattern = "|".join(re.escape(f) for f in forms)
-            self._mention_res.append(
-                (re.compile(rf"(?<!\w)(?:{pattern})(?!\w)", re.IGNORECASE), rec)
-            )
+            for form in {rec["label"], rec["label_de"], *rec["aliases"]}:
+                key = tuple(m.group(0).lower()
+                            for m in self._WORD_RE.finditer(form))
+                if not key:
+                    continue
+                bucket = self._forms_by_len.setdefault(len(key), {})
+                recs = bucket.setdefault(key, [])
+                if rec not in recs:
+                    recs.append(rec)
+                self._max_form_len = max(self._max_form_len, len(key))
 
     # ------------------------------------------------------------------
     def chat(self, messages: list[dict], **kwargs) -> str:
@@ -140,12 +155,30 @@ class StubLLMClient:
 
     def find_mentions(self, text: str) -> list[dict]:
         """KB entities present in ``text``: (record, first position,
-        matched span), ordered by (position, label)."""
-        found = []
-        for regex, rec in self._mention_res:
-            m = regex.search(text)
-            if m:
-                found.append({"rec": rec, "pos": m.start(), "span": m.group(0)})
+        matched span), ordered by (position, label). One tokenizing
+        pass; each record reports its FIRST matching form occurrence
+        (min char position over all its forms)."""
+        words = [(m.group(0).lower(), m.start(), m.end())
+                 for m in self._WORD_RE.finditer(text)]
+        best: dict[int, tuple[int, int, dict]] = {}  # id(rec) -> (pos, end, rec)
+        for n, table in self._forms_by_len.items():
+            for i in range(len(words) - n + 1):
+                key = tuple(w[0] for w in words[i:i + n])
+                recs = table.get(key)
+                if not recs:
+                    continue
+                pos, end = words[i][1], words[i + n - 1][2]
+                for rec in recs:
+                    cur = best.get(id(rec))
+                    # min position; longest span on a position tie
+                    # (the old length-desc regex alternation behavior)
+                    if (cur is None or pos < cur[0]
+                            or (pos == cur[0] and end > cur[1])):
+                        best[id(rec)] = (pos, end, rec)
+        found = [
+            {"rec": rec, "pos": pos, "span": text[pos:end]}
+            for pos, end, rec in best.values()
+        ]
         found.sort(key=lambda f: (f["pos"], f["rec"]["label"]))
         return found
 

@@ -196,7 +196,10 @@ class TestReciprocityPeakZorder:
     def test_reciprocity_planted(self, ray_session, tmp_path):
         """spark→hash and hash→spark (from two mirrored docs) are
         reciprocal; hash→vector one-way: 3 directed edges, 2
-        reciprocal → ratio 2/3."""
+        reciprocal → ratio 2/3. The 'zzz' spacer is not a corpus
+        token, so no bigram/trigram KB surface can match between the
+        planted singles (the round-4 grown vocabulary would otherwise
+        add 'Spark Hash'-style entities to adjacent pairs)."""
         from entity_extractor_linker_ray.ops.graph_algos import (
             _KG_EDGES_CACHE,
             kg_reciprocity,
@@ -204,7 +207,7 @@ class TestReciprocityPeakZorder:
 
         docs = pd.DataFrame(
             {"doc_id": np.array([1, 2, 3], dtype=np.int64),
-             "text": ["spark hash", "hash spark", "hash vector"],
+             "text": ["spark zzz hash", "hash zzz spark", "hash zzz vector"],
              "lang": ["en"] * 3, "source": ["s"] * 3,
              "n_chars": np.zeros(3, dtype=np.int64)}
         )
@@ -355,7 +358,7 @@ class TestAssortativity:
 
         docs = pd.DataFrame(
             {"doc_id": np.array([1, 2, 3], dtype=np.int64),
-             "text": ["hash spark", "hash vector", "hash window"],
+             "text": ["hash zzz spark", "hash zzz vector", "hash zzz window"],
              "lang": ["en"] * 3, "source": ["s"] * 3,
              "n_chars": np.zeros(3, dtype=np.int64)}
         )

@@ -130,17 +130,24 @@ class TestGraphViz:
         assert {n["id"] for n in payload["nodes"]} == {"u/A", "u/B"}
         assert payload["edges"][1]["dashes"] is True
 
-    def test_png_stub_raises_without_matplotlib(self, graph_frames):
+    def test_png_renders_real_raster(self, graph_frames, tmp_path):
+        """Without matplotlib the sink produces a REAL baseline RGB
+        PNG via the stdlib encoder: valid signature, chunk CRCs,
+        declared dimensions, and actually-drawn content (node discs +
+        edge lines darken the white canvas)."""
+        from entity_extractor_linker_ray.functions.imaging import decode_png
         from entity_extractor_linker_ray.stages.artifacts import render_graph_png
 
-        try:
-            import matplotlib  # noqa: F401
-
-            pytest.skip("matplotlib present; real render path")
-        except ImportError:
-            pass
-        with pytest.raises(NotImplementedError):
-            render_graph_png(*graph_frames, path="/tmp/never.png")
+        path = tmp_path / "graph.png"
+        render_graph_png(*graph_frames, path=str(path), width=320, height=240)
+        data = path.read_bytes()
+        w, h, pixels = decode_png(data)  # verifies signature + CRCs
+        assert (w, h) == (320, 240)
+        # the canvas is white; nodes/edges must have painted non-white
+        assert (pixels != 255).any()
+        # both palette node discs present (blue + orange)
+        flat = set(map(tuple, pixels.reshape(-1, 3).tolist()))
+        assert (31, 119, 180) in flat and (255, 127, 14) in flat
 
 
 class TestPipelineVariants:

@@ -58,7 +58,7 @@ class TestBfsDepths:
         docs = pd.DataFrame(
             {
                 "doc_id": np.array([1, 2], dtype=np.int64),
-                "text": ["spark hash", "hash vector"],
+                "text": ["spark zzz hash", "hash zzz vector"],
                 "lang": ["en", "en"],
                 "source": ["s", "s"],
                 "n_chars": np.zeros(2, dtype=np.int64),

@@ -130,12 +130,32 @@ EMPTY_OK = [
     ("image_resize_stats", 0),
     ("bpe_merge_candidates", 0),
     ("winnow_fingerprints", 0),
+    # round-3/4 driver-collect shapes (verdict #6): typed empties, no
+    # schema-drop crashes
+    ("dsir_importance", 0),
+    ("token_budget_pick", 0),
+    ("events_daily_ewma", 0),
+    ("mixture_weights", 0),
+    ("lang_confusion_matrix", 0),
+    ("bpe_train_merges", 0),
+    ("bpe_encode_stats", 0),
+    ("gram_novelty", 0),
+    ("source_gram_overlap", 0),
+    ("events_theilsen_trend", 0),
+    ("conv_turn_novelty", 0),
+    ("events_hopping_window", 0),
+    ("compaction_plan", 0),
+    ("orders_open_backlog", 0),
+    ("events_winsorized_mean", 0),
 ]
 
 # contract violations on empty embeddings -> informative ValueError
 RAISES = ["kmeans_clusters", "kmeans_exemplars", "dedup_semantic_pairs",
           "knn_brute", "knn_ivf", "knn_lsh", "knn_pq", "range_search",
-          "knn_mips", "embedding_covariance"]
+          "knn_mips", "embedding_covariance",
+          # round-3/4: empty embeddings violate the seeding/non-empty
+          # contracts with informative errors
+          "coreset_fps", "pca_power_component"]
 
 
 class TestEmptyInputs:

@@ -162,9 +162,9 @@ class TestEntityLift:
         from entity_extractor_linker_ray.pipelines.simple_kg import kg_entity_lift
 
         rows = [
-            (0, "spark stream hash", "en", "s0"),
-            (1, "spark stream", "en", "s0"),
-            (2, "hash table", "en", "s0"),
+            (0, "spark zzz stream zzz hash", "en", "s0"),
+            (1, "spark zzz stream", "en", "s0"),
+            (2, "hash zzz table", "en", "s0"),
             (3, "filler words only", "en", "s0"),
         ]
         sf = _write_docs(tmp_path, rows)

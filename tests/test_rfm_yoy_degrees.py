@@ -130,7 +130,8 @@ class TestDegreeDistribution:
 
     def test_path_graph_histogram(self, ray_session, tmp_path):
         """spark—hash—vector: the middle node has degree 2, the two
-        endpoints degree 1 → histogram {1: 2, 2: 1}."""
+        endpoints degree 1 → histogram {1: 2, 2: 1}. 'zzz' spacers keep
+        the round-4 bigram vocabulary from adding extra nodes."""
         from entity_extractor_linker_ray.ops.graph_algos import (
             kg_degree_distribution,
         )
@@ -138,7 +139,7 @@ class TestDegreeDistribution:
         docs = pd.DataFrame(
             {
                 "doc_id": np.array([1, 2], dtype=np.int64),
-                "text": ["spark hash", "hash vector"],
+                "text": ["spark zzz hash", "hash zzz vector"],
                 "lang": ["en", "en"],
                 "source": ["s", "s"],
                 "n_chars": np.zeros(2, dtype=np.int64),

@@ -89,8 +89,10 @@ class TestResolveChain:
 
     def test_entity_without_wikidata_item_misses_cleanly(self, kb):
         # "Merge" (idx 4) exists in the KB but has no Wikidata item:
-        # every step must advance and the chain must end in a miss
-        llm = ScriptedLLM(translations=["Merge"], synonyms=[["The Merge"]])
+        # every step must advance and the chain must end in a miss.
+        # The synonym must NOT be a KB surface — "The Merge" became a
+        # real bigram record in the round-4 grown vocabulary.
+        llm = ScriptedLLM(translations=["Merge"], synonyms=[["Mergeling"]])
         qid, step = resolve_wikidata_id(
             "https://en.wikipedia.org/wiki/Nonexistent", "Merge", {}, kb, llm
         )
