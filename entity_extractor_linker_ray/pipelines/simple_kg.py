@@ -208,19 +208,36 @@ def kg_triples(sf_dir: str):
 # ----------------------------------------------------------------------
 
 def kg_edges(sf_dir: str):
+    """Weighted distinct edges. Two-phase hash aggregation
+    (`ops/shuffle.grouped_aggregate`) instead of
+    ``Dataset.groupby().aggregate(Sum)``: with the round-4 grown KB
+    the per-batch partials are ~240k 3-string-key rows at sf0.1 and
+    Ray's sort-based Aggregate spent 20.9 s (280 CPU-s) sorting them;
+    the bucketed exchange does the same in ~2 s."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    keys = ["subject", "predicate", "object"]
     partials = kg_triples(sf_dir).map_batches(
-        lambda b: b.groupby(["subject", "predicate", "object"], sort=False)
+        lambda b: b.groupby(keys, sort=False)
         .size()
         .reset_index(name="weight")
         .astype({"weight": np.int64}),
         batch_format="pandas",
     )
-    return partials.groupby(["subject", "predicate", "object"]).aggregate(
-        Sum("weight", alias_name="weight")
+    return grouped_aggregate(
+        partials, keys,
+        lambda b: b.groupby(keys, sort=False, as_index=False)["weight"]
+        .sum()
+        .astype({"weight": np.int64}),
     )
 
 
 def kg_nodes(sf_dir: str):
+    """Per-entity doc counts (same two-phase hash shape as
+    :func:`kg_edges`; per-batch nunique partials are exact because a
+    document's mentions never straddle a batch)."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
     partials = kg_mentions(sf_dir).map_batches(
         lambda b: b.groupby(["name", "type"], sort=False)
         .agg(n_docs=("doc_id", "nunique"))
@@ -228,7 +245,12 @@ def kg_nodes(sf_dir: str):
         .astype({"n_docs": np.int64}),
         batch_format="pandas",
     )
-    return partials.groupby(["name", "type"]).aggregate(Sum("n_docs", alias_name="n_docs"))
+    return grouped_aggregate(
+        partials, ["name", "type"],
+        lambda b: b.groupby(["name", "type"], sort=False, as_index=False)[
+            "n_docs"
+        ].sum().astype({"n_docs": np.int64}),
+    )
 
 
 def kg_entity_connections(sf_dir: str):
@@ -634,17 +656,24 @@ def edge_timespan_partial(batch: pd.DataFrame) -> pd.DataFrame:
 
 def merge_edge_timespan_partials(states):
     """Fold timespan partial states into the final table — one union,
-    one bounded exchange over the edge domain."""
-    from ray.data.aggregate import Max, Min
+    one bounded hash-bucket exchange over the edge domain (same
+    two-phase shape as :func:`kg_edges`; the sort-based Aggregate was
+    the wall on 3-string keys at the grown-KB cardinality)."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
     merged = states[0]
     for s in states[1:]:
         merged = merged.union(s)
-    return merged.groupby(["subject", "predicate", "object"]).aggregate(
-        Min("first_seen_ts", alias_name="first_seen_ts"),
-        Max("last_seen_ts", alias_name="last_seen_ts"),
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("n_assertions", alias_name="n_assertions"),
+    keys = ["subject", "predicate", "object"]
+    return grouped_aggregate(
+        merged, keys,
+        lambda b: b.groupby(keys, sort=False, as_index=False)
+        .agg(first_seen_ts=("first_seen_ts", "min"),
+             last_seen_ts=("last_seen_ts", "max"),
+             n_docs=("n_docs", "sum"),
+             n_assertions=("n_assertions", "sum"))
+        .astype({c: np.int64 for c in
+                 ("first_seen_ts", "last_seen_ts", "n_docs", "n_assertions")}),
     )
 
 
@@ -654,8 +683,6 @@ def kg_entity_timespan(sf_dir: str):
     containing turn's ts), distinct-document support and total mention
     count — when an entity enters and leaves the corpus timeline.
     Same doc-local-partials + one bounded exchange shape."""
-    from ray.data.aggregate import Max, Min
-
     from entity_extractor_linker_ray.synthetic import EPOCH_US
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -687,11 +714,17 @@ def kg_entity_timespan(sf_dir: str):
         )
 
     partials = _read_documents(sf_dir).map_batches(partial, batch_format="pandas")
-    return partials.groupby(["name", "type"]).aggregate(
-        Min("first_seen_ts", alias_name="first_seen_ts"),
-        Max("last_seen_ts", alias_name="last_seen_ts"),
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("n_mentions", alias_name="n_mentions"),
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    return grouped_aggregate(
+        partials, ["name", "type"],
+        lambda b: b.groupby(["name", "type"], sort=False, as_index=False)
+        .agg(first_seen_ts=("first_seen_ts", "min"),
+             last_seen_ts=("last_seen_ts", "max"),
+             n_docs=("n_docs", "sum"),
+             n_mentions=("n_mentions", "sum"))
+        .astype({c: np.int64 for c in
+                 ("first_seen_ts", "last_seen_ts", "n_docs", "n_mentions")}),
     )
 
 
