@@ -229,6 +229,7 @@ def kg_edges(sf_dir: str):
         lambda b: b.groupby(keys, sort=False, as_index=False)["weight"]
         .sum()
         .astype({"weight": np.int64}),
+        coalesce=True,  # partials are combiner-bounded per batch
     )
 
 
@@ -250,6 +251,7 @@ def kg_nodes(sf_dir: str):
         lambda b: b.groupby(["name", "type"], sort=False, as_index=False)[
             "n_docs"
         ].sum().astype({"n_docs": np.int64}),
+        coalesce=True,
     )
 
 
@@ -674,6 +676,7 @@ def merge_edge_timespan_partials(states):
              n_assertions=("n_assertions", "sum"))
         .astype({c: np.int64 for c in
                  ("first_seen_ts", "last_seen_ts", "n_docs", "n_assertions")}),
+        coalesce=True,
     )
 
 
@@ -725,6 +728,7 @@ def kg_entity_timespan(sf_dir: str):
              n_mentions=("n_mentions", "sum"))
         .astype({c: np.int64 for c in
                  ("first_seen_ts", "last_seen_ts", "n_docs", "n_mentions")}),
+        coalesce=True,
     )
 
 
