@@ -2884,13 +2884,16 @@ def kg_random_walks(sf_dir: str, steps: int = 3):
         u = pd.unique(batch["u"].astype(str).to_numpy())
         return pd.DataFrame({"key": u, "start": u, "cur": u})
 
-    frontier = grouped_aggregate(
-        edges.map_batches(init_frontier, batch_format="pandas"),
-        ["key"],
-        lambda b: b.drop_duplicates(["start"])[["start", "cur"]].assign(
-            key=lambda d: d["cur"]
+    frontier = _compact(
+        grouped_aggregate(
+            edges.map_batches(init_frontier, batch_format="pandas"),
+            ["key"],
+            lambda b: b.drop_duplicates(["start"])[["start", "cur"]].assign(
+                key=lambda d: d["cur"]
+            ),
+            num_partitions=8,
         ),
-        num_partitions=8,
+        8,
     )
     paths = [frontier.map_batches(
         lambda b, s=0: pd.DataFrame(
@@ -2950,8 +2953,13 @@ def kg_random_walks(sf_dir: str, steps: int = 3):
                  "cur": m["v"].astype(str).to_numpy()}
             )
 
-        frontier = grouped_aggregate(unioned, ["key"], advance,
-                                     num_partitions=8)
+        # pin per round — a lazy frontier would re-execute every
+        # prior round's exchange for each later step AND for each
+        # paths[] consumer (O(steps^2) recompute)
+        frontier = _compact(
+            grouped_aggregate(unioned, ["key"], advance, num_partitions=8),
+            8,
+        )
         paths.append(frontier.map_batches(
             lambda b, s=t + 1: pd.DataFrame(
                 {"start_node": b["start"].astype(str).to_numpy(),
