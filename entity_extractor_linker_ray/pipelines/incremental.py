@@ -33,8 +33,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ray.data.aggregate import Sum
-
 from entity_extractor_linker_ray.pipelines.simple_kg import (
     _mentions_batch,
     _read_documents,
@@ -89,20 +87,37 @@ def edge_partials(docs):
 
 def merge_node_partials(states):
     """Fold node partial states (freshly built or reloaded from a
-    checkpoint) into the final node table — one union of the small
-    partial datasets, one aggregate."""
+    checkpoint) into the final node table — one union of the
+    combiner-bounded partials, one coalesced hash-bucket exchange
+    (the sort-based Aggregate was the wall on string keys at the
+    grown-KB cardinality; same switch as simple_kg.kg_nodes)."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
     merged = states[0]
     for s in states[1:]:
         merged = merged.union(s)
-    return merged.groupby(["name", "type"]).aggregate(Sum("n_docs", alias_name="n_docs"))
+    return grouped_aggregate(
+        merged, ["name", "type"],
+        lambda b: b.groupby(["name", "type"], sort=False, as_index=False)[
+            "n_docs"
+        ].sum().astype({"n_docs": np.int64}),
+        coalesce=True,
+    )
 
 
 def merge_edge_partials(states):
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    keys = ["subject", "predicate", "object"]
     merged = states[0]
     for s in states[1:]:
         merged = merged.union(s)
-    return merged.groupby(["subject", "predicate", "object"]).aggregate(
-        Sum("weight", alias_name="weight")
+    return grouped_aggregate(
+        merged, keys,
+        lambda b: b.groupby(keys, sort=False, as_index=False)["weight"]
+        .sum()
+        .astype({"weight": np.int64}),
+        coalesce=True,
     )
 
 
