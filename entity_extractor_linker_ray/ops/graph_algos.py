@@ -57,12 +57,17 @@ def _edge_hash_filter(edges):
     false-positive-only contract."""
     import ray
 
-    parts = edges.map_batches(
-        lambda b: pd.DataFrame(
-            {"h": pd.util.hash_pandas_object(b[["u", "v"]], index=False)}
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
+    parts = collect_small(
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {"h": pd.util.hash_pandas_object(b[["u", "v"]], index=False)}
+            ),
+            batch_format="pandas",
         ),
-        batch_format="pandas",
-    ).to_pandas()
+        ["h"],
+    )
     return ray.put(np.sort(parts["h"].to_numpy(dtype=np.uint64)))
 
 
