@@ -389,6 +389,12 @@ def timed_queries(sf_dir: str) -> dict[str, float]:
         # memoized flagship build paid by kg_predicate_profile above;
         # the two artifact projections each pay one actor pass
         "kg_pipeline_entities_full",
+        # round 5: flagship graph finals (build_nodes/build_edges over
+        # the memoized flagship build — now on the bucketed two-phase
+        # hash aggregate like their simple-KG twins)
+        "kg_pipeline_nodes",
+        "kg_pipeline_edges",
+        "kg_pipeline_type_distribution",
         "kg_compendium_refs",
         "kg_training_labels",
     ]

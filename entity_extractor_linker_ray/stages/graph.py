@@ -20,8 +20,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Sum
-
 from entity_extractor_linker_ray.functions.categories import is_maintenance_category
 
 
@@ -91,13 +89,26 @@ def _edge_partials(batch: pd.DataFrame) -> pd.DataFrame:
 
 def build_edges(triples_ds):
     """triples → weighted edge list (D3 corpus-wide: the canonical
-    shuffle, pre-combined per batch)."""
-    partials = triples_ds.select_columns(
-        ["subject_id", "predicate", "object_id", "inferred"]
-    ).map_batches(_edge_partials, batch_format="pandas")
-    return (
-        partials.groupby(["subject_id", "predicate", "object_id", "inferred"])
-        .aggregate(Sum("weight", alias_name="weight"))
+    shuffle, pre-combined per batch). Final reduce via the bucketed
+    two-phase hash aggregate (`ops/shuffle.py`): edge cardinality ≈
+    group cardinality (285k distinct edges at sf0.1 with the grown KB),
+    exactly the regime where the sort-based
+    ``Dataset.groupby().aggregate(Sum)`` spends its wall sorting
+    4-string-key partial rows — the simple-KG twin of this shape
+    measured 21.9 → 2.8 s at sf0.1 when it switched
+    (``pipelines/simple_kg.py`` ``kg_edges``)."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
+    KEYS = ["subject_id", "predicate", "object_id", "inferred"]
+    partials = triples_ds.select_columns(KEYS).map_batches(
+        _edge_partials, batch_format="pandas"
+    )
+    return grouped_aggregate(
+        partials, KEYS,
+        lambda b: b.groupby(KEYS, sort=False, as_index=False)["weight"]
+        .sum()
+        .astype({"weight": np.int64}),
+        coalesce=True,  # partials are combiner-bounded per batch
     )
 
 
@@ -142,12 +153,25 @@ def entity_connections(triples_ds):
 
 
 def type_distribution(entities_ds):
-    """G2: count by entity type (``orchestrator.py:488-492``)."""
+    """G2: count by entity type (``orchestrator.py:488-492``). Group
+    count is tiny (#types), but the final rides the same bucketed hash
+    aggregate as the other graph finals so the flagship never carries a
+    sort-based Aggregate plan anywhere (partials are ~#types rows per
+    batch; the exchange coalesces to cpus/2 blocks)."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
     partials = entities_ds.select_columns(["type"]).map_batches(
-        lambda b: b.groupby("type", sort=False).size().reset_index(name="n"),
+        lambda b: b.groupby("type", sort=False).size().reset_index(name="n")
+        .astype({"n": np.int64}),
         batch_format="pandas",
     )
-    return partials.groupby("type").aggregate(Sum("n", alias_name="n"))
+    return grouped_aggregate(
+        partials, ["type"],
+        lambda b: b.groupby("type", sort=False, as_index=False)["n"]
+        .sum()
+        .astype({"n": np.int64}),
+        coalesce=True,
+    )
 
 
 def linked_counts(entities_ds) -> pd.DataFrame:
@@ -201,10 +225,18 @@ def top_k_exploded(entities_ds, column: str, out_key: str, k: int = 10,
     """G4-G7 (``orchestrator.py:508-579``): explode a list column,
     count, (maintenance-filter for categories), top-k by count with a
     deterministic name tiebreak."""
+    from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
+
     partials = entities_ds.select_columns([column]).map_batches(
         _explode_counts(column, out_key, drop_maintenance), batch_format="pyarrow"
     )
-    counts = partials.groupby(out_key).aggregate(Sum("n", alias_name="n"))
+    counts = grouped_aggregate(
+        partials, [out_key],
+        lambda b: b.groupby(out_key, sort=False, as_index=False)["n"]
+        .sum()
+        .astype({"n": np.int64}),
+        coalesce=True,  # value_counts partials are key-bounded per batch
+    )
     return counts.sort(["n", out_key], descending=[True, False]).limit(k)
 
 
