@@ -50,6 +50,9 @@ DEFAULT_CONFIG: dict = {
     # === COMPENDIUM ===
     "ENABLE_COMPENDIUM": False,
     "COMPENDIUM_LENGTH": 8000,
+    # appends the educational structuring clause to four prompt
+    # families (functions/prompts.educational_block) like the
+    # reference's openai_service/generator/entity_inference/compendium
     "COMPENDIUM_EDUCATIONAL_MODE": False,
 
     # === GRAPH ===

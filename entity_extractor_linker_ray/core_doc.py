@@ -52,13 +52,15 @@ def extract_entities(text: str, cfg: dict, llm) -> list[dict]:
         # pinned to "generated", entities marked implicit
         raw = llm.chat(
             prompts.generation_messages(
-                text, cfg.get("MAX_ENTITIES", 15), cfg.get("LANGUAGE", "en")
+                text, cfg.get("MAX_ENTITIES", 15), cfg.get("LANGUAGE", "en"),
+                educational=bool(cfg.get("COMPENDIUM_EDUCATIONAL_MODE", False)),
             )
         )
         return parse_entity_lines(raw, inferred="implicit")
     raw = llm.chat(
         prompts.extraction_messages(
-            text, cfg.get("MAX_ENTITIES", 15), cfg.get("LANGUAGE", "en")
+            text, cfg.get("MAX_ENTITIES", 15), cfg.get("LANGUAGE", "en"),
+            educational=bool(cfg.get("COMPENDIUM_EDUCATIONAL_MODE", False)),
         )
     )
     return parse_entity_lines(raw, inferred="explicit")
@@ -97,6 +99,7 @@ def infer_entities(text: str, entities: list[dict], cfg: dict, llm) -> list[dict
             explicit,
             cfg.get("MAX_ENTITIES", len(explicit) or 15),
             cfg.get("LANGUAGE", "en"),
+            educational=bool(cfg.get("COMPENDIUM_EDUCATIONAL_MODE", False)),
         )
     )
     implicit = [
@@ -673,7 +676,9 @@ def build_compendium(topic: str, entities: list[dict], cfg: dict, llm) -> tuple[
     knowledge = "\n\n".join(knowledge_parts)
     raw = llm.chat(
         prompts.compendium_messages(
-            topic, refs, int(cfg.get("COMPENDIUM_LENGTH", 8000)), knowledge
+            topic, refs, int(cfg.get("COMPENDIUM_LENGTH", 8000)), knowledge,
+            language=cfg.get("LANGUAGE", "en"),
+            educational=bool(cfg.get("COMPENDIUM_EDUCATIONAL_MODE", False)),
         )
     )
     return raw, refs

@@ -14,8 +14,70 @@ from __future__ import annotations
 
 import json
 
+# ----------------------------------------------------------------------
+# COMPENDIUM_EDUCATIONAL_MODE
+# ----------------------------------------------------------------------
+# The reference appends a structuring catalogue of educational knowledge
+# aspects to four prompt families when the flag is set
+# (``services/openai_service.py:72-74`` extraction,
+# ``core/generator.py:131-133`` generation,
+# ``core/entity_inference.py:76-82`` entity inference,
+# ``services/compendium_service.py:67`` + ``compendium_prompts.py:34``
+# compendium). These are the engine-worded equivalents — same aspect
+# axes, fresh prose (no-copy rule). Under the deterministic stub the
+# extra clause never changes dispatch (markers are matched by
+# substring), so flag-off goldens are byte-identical.
 
-def extraction_messages(text: str, max_entities: int, language: str = "en") -> list[dict]:
+_EDU_ASPECTS_EN = (
+    "Educational mode: organize the output around the knowledge axes a "
+    "learner needs — scope and goals of the topic; core terminology "
+    "(with English equivalents), formulas and laws; internal structure "
+    "and subfields; everyday and societal relevance; historical "
+    "milestones and key figures; notable people, organizations and "
+    "networks; occupations and applied practice; standard literature, "
+    "journals and open datasets; curricula, standards and teaching "
+    "materials; legal, licensing and ethical constraints; ecological "
+    "and social impact; neighboring disciplines and transfer links; "
+    "current research and open questions; related resource types "
+    "(people, places, tools, metadata); and concrete case studies or "
+    "worked examples."
+)
+
+_EDU_ASPECTS_DE = (
+    "Bildungsmodus: strukturieren Sie die Ausgabe entlang der "
+    "Wissensachsen, die Lernende benötigen — Umfang und Ziele des "
+    "Themas; Kernterminologie (mit englischen Entsprechungen), Formeln "
+    "und Gesetze; innere Struktur und Teilgebiete; Alltags- und "
+    "Gesellschaftsbezug; historische Meilensteine und Schlüsselfiguren; "
+    "bedeutende Personen, Organisationen und Netzwerke; Berufe und "
+    "Anwendungspraxis; Standardliteratur, Zeitschriften und offene "
+    "Datensätze; Lehrpläne, Standards und Lernmaterialien; rechtliche, "
+    "lizenz- und ethikbezogene Rahmen; ökologische und soziale Wirkung; "
+    "Nachbardisziplinen und Transferbezüge; aktuelle Forschung und "
+    "offene Fragen; verwandte Ressourcentypen (Personen, Orte, "
+    "Werkzeuge, Metadaten); sowie konkrete Fallstudien oder "
+    "Beispielprojekte."
+)
+
+
+def educational_block(language: str = "en") -> str:
+    """Engine-worded educational structuring clause, selected by
+    language like the reference's ``get_educational_block_{de,en}``
+    (``compendium_prompts.py:6-32``)."""
+    return _EDU_ASPECTS_DE if language == "de" else _EDU_ASPECTS_EN
+
+
+def _with_edu(system: str, educational: bool, language: str) -> str:
+    """Append the educational block to a system prompt under the flag —
+    the reference's ``f"{system_prompt.strip()}\\n\\n{edu_block}"``
+    composition (``core/generator.py:133``)."""
+    if not educational:
+        return system
+    return f"{system.strip()}\n\n{educational_block(language)}"
+
+
+def extraction_messages(text: str, max_entities: int, language: str = "en",
+                        educational: bool = False) -> list[dict]:
     """Entity extraction (``extract_prompts.py:6-56``): semicolon lines
     ``name; type; wikipedia_url; citation``."""
     system = (
@@ -26,12 +88,13 @@ def extraction_messages(text: str, max_entities: int, language: str = "en") -> l
         "span of at most 5 words. No JSON, no extra text."
     )
     return [
-        {"role": "system", "content": system},
+        {"role": "system", "content": _with_edu(system, educational, language)},
         {"role": "user", "content": f"Text: {text}"},
     ]
 
 
-def generation_messages(topic: str, max_entities: int, language: str = "en") -> list[dict]:
+def generation_messages(topic: str, max_entities: int, language: str = "en",
+                        educational: bool = False) -> list[dict]:
     """Generate-mode entity generation (``generation_prompts.py:6-45``):
     the reference prompts for entities about a TOPIC rather than spans
     from a text; output stays the semicolon wire contract with citation
@@ -51,20 +114,22 @@ def generation_messages(topic: str, max_entities: int, language: str = "en") -> 
         "One entity per line. No JSON."
     )
     return [
-        {"role": "system", "content": system},
+        {"role": "system", "content": _with_edu(system, educational, language)},
         {"role": "user", "content": user},
     ]
 
 
 def entity_inference_messages(
-    text: str, explicit_entities: list[dict], max_entities: int, language: str = "en"
+    text: str, explicit_entities: list[dict], max_entities: int,
+    language: str = "en", educational: bool = False,
 ) -> list[dict]:
     """Implicit entity inference (``entity_inference_prompts.py:8-55``)."""
-    system = (
+    system = _with_edu(
         "You are an AI assistant enriching an existing entity list by adding "
         f"only implicit entities. Generate exactly {max_entities} new entities, "
         "one per line as 'name; type; wikipedia_url; citation' with citation "
-        "set to \"generated\". Do not repeat provided entities."
+        "set to \"generated\". Do not repeat provided entities.",
+        educational, language,
     )
     user = (
         f"Topic/Text: {text}\n\n"
@@ -184,12 +249,19 @@ def dedup_messages(
     ]
 
 
-def compendium_messages(topic: str, references: list[str], length: int, knowledge: str) -> list[dict]:
-    """Compendium generation (``compendium_prompts.py:34-134``)."""
+def compendium_messages(topic: str, references: list[str], length: int,
+                        knowledge: str, language: str = "en",
+                        educational: bool = False) -> list[dict]:
+    """Compendium generation (``compendium_prompts.py:34-134``). Under
+    ``educational`` the structuring clause is embedded mid-prompt before
+    the knowledge block, mirroring the reference's ``{edu}`` slot in the
+    compendium template (``compendium_prompts.py:54``)."""
     refs = "\n".join(f"({i + 1}) {u}" for i, u in enumerate(references))
+    edu = f"{educational_block(language)}\n" if educational else ""
     user = (
         f"Write a compendium of about {length} characters on: {topic}\n"
         f"Cite only these references:\n{refs}\n"
+        f"{edu}"
         "### Wissen aus Quellen:\n"
         f"{knowledge}"
     )
