@@ -43,43 +43,146 @@ def _compact(ds, n_blocks: int):
     return ds.repartition(n_blocks).materialize()
 
 
-def _edge_hash_filter(edges):
+# |E| above which the broadcast wedge filter switches from the exact
+# sorted uint64 array (8 B/edge — O(|E|) broadcast growth) to the
+# bounded-footprint Bloom filter. Both are false-positive-only filters
+# and the downstream edge-marker join restores exactness, so the swap
+# never changes output — only the broadcast size and the (harmless)
+# extra exchange rows. 8M edges = 64 MB exact array, the point where
+# per-task deserialization of the broadcast starts to show.
+EDGE_FILTER_BLOOM_THRESHOLD = 8_000_000
+
+
+class _BloomEdgeFilter:
+    """Fixed-footprint Bloom filter over uint64 pair hashes.
+
+    ``k`` bit positions per key via Kirsch–Mitzenmacher double hashing
+    (pos_i = h1 + i·h2 mod m, h2 forced odd so it generates the whole
+    power-of-two ring). Build and probe are pure numpy over the whole
+    hash array — no per-key Python. No false negatives by construction;
+    false positives only ever ADD (u, v) exchange rows that the
+    edge-marker join drops, the same contract as a 64-bit hash
+    collision in the exact array. Sized at ``bits_per_key`` (default 16
+    → ~0.05% fpp at k=4) and CAPPED at ``max_bits`` (default 2^30 bits
+    = 128 MiB) so the broadcast stops growing with |E|; past the cap
+    the fpp degrades gracefully instead of the array growing."""
+
+    __slots__ = ("words", "mask", "k")
+
+    _H2_SALT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio salt
+
+    @staticmethod
+    def _mix64(h: np.ndarray) -> np.ndarray:
+        """Murmur3-style 64-bit finalizer (public avalanche constants).
+        Without it the k positions are affine functions of the SAME low
+        bits of the input hash (power-of-two mask), which correlates
+        member and probe positions and inflated the measured fpp ~100×
+        over the p^k bound."""
+        h = np.asarray(h, dtype=np.uint64).copy()
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+        return h
+
+    def __init__(self, hashes: np.ndarray, *, bits_per_key: int = 16,
+                 k: int = 4, max_bits: int = 1 << 30,
+                 m_bits: int | None = None):
+        if m_bits is None:
+            n = max(1, len(hashes))
+            target = min(max(n * bits_per_key, 1 << 10), max_bits)
+            m_bits = 1 << int(np.ceil(np.log2(target)))
+        assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of 2"
+        self.mask = np.uint64(m_bits - 1)
+        self.k = int(k)
+        self.words = np.zeros(m_bits // 64, dtype=np.uint64)
+        h = np.asarray(hashes, dtype=np.uint64)
+        if len(h):
+            for pos in self._positions(h):
+                np.bitwise_or.at(
+                    self.words, pos >> np.uint64(6),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+
+    def _positions(self, h: np.ndarray):
+        # Kirsch–Mitzenmacher double hashing over two independently
+        # avalanched views of the input hash; h2 forced odd so it
+        # generates the whole power-of-two ring
+        h = np.asarray(h, dtype=np.uint64)
+        h1 = self._mix64(h)
+        h2 = self._mix64(h ^ self._H2_SALT) | np.uint64(1)
+        for i in range(self.k):
+            yield (h1 + np.uint64(i) * h2) & self.mask
+
+    def contains(self, h: np.ndarray) -> np.ndarray:
+        """Vectorized membership mask (true members always True)."""
+        out = np.ones(len(h), dtype=bool)
+        h = np.asarray(h, dtype=np.uint64)
+        for pos in self._positions(h):
+            bits = (self.words[pos >> np.uint64(6)]
+                    >> (pos & np.uint64(63))) & np.uint64(1)
+            out &= bits.astype(bool)
+        return out
+
+
+def _pair_hashes(df: pd.DataFrame, cols: tuple[str, str]) -> np.ndarray:
+    return pd.util.hash_pandas_object(
+        df[list(cols)], index=False
+    ).to_numpy(dtype=np.uint64)
+
+
+def _edge_hash_filter(edges, bloom_threshold: int | None = None):
     """Broadcast semi-join filter for wedge kernels whose consumers
     only keep wedge pairs that ARE edges (edge Jaccard's common
-    counts, clustering's closed wedges): the sorted uint64 row-hash
-    array of the canonical (u, v) edge set, shipped once via
-    ``ray.put``. Probing is ``searchsorted`` inside the wedge bucket;
-    a hash collision only lets a non-edge pair through, and the
-    downstream edge-marker join drops it — so the filter is EXACT in
-    the final output while cutting the (u, v) exchange from all wedge
-    pairs (Σ deg(m)²-ish) down to ~|E|. At 100 TB replace the exact
-    array with a fixed-size Bloom filter over the same hashes — same
-    false-positive-only contract."""
+    counts, clustering's closed wedges), shipped once via ``ray.put``.
+
+    Two representations behind one probe contract:
+
+    * |E| ≤ threshold — the EXACT sorted uint64 row-hash array of the
+      canonical (u, v) edge set; probing is ``searchsorted``.
+    * |E| > threshold — a :class:`_BloomEdgeFilter` over the same
+      hashes, whose broadcast footprint is capped instead of growing
+      O(|E|) (the 10^8-edge regime where a 64-bit-per-edge array would
+      be ~1 GB per worker).
+
+    Either way a false positive only lets a non-edge pair through to
+    the exchange, and the downstream edge-marker join drops it — the
+    filter is EXACT in the final output while cutting the (u, v)
+    exchange from all wedge pairs (Σ deg(m)²-ish) down to ~|E|."""
     import ray
 
     from entity_extractor_linker_ray.ops.shuffle import collect_small
 
+    if bloom_threshold is None:
+        bloom_threshold = EDGE_FILTER_BLOOM_THRESHOLD
     parts = collect_small(
         edges.map_batches(
-            lambda b: pd.DataFrame(
-                {"h": pd.util.hash_pandas_object(b[["u", "v"]], index=False)}
-            ),
+            lambda b: pd.DataFrame({"h": _pair_hashes(b, ("u", "v"))}),
             batch_format="pandas",
         ),
         ["h"],
     )
-    return ray.put(np.sort(parts["h"].to_numpy(dtype=np.uint64)))
+    hashes = parts["h"].to_numpy(dtype=np.uint64)
+    if len(hashes) > bloom_threshold:
+        return ray.put(_BloomEdgeFilter(hashes))
+    return ray.put(np.sort(hashes))
 
 
-def _probe_edge_filter(df: pd.DataFrame, sorted_hashes: np.ndarray,
+def _probe_edge_filter(df: pd.DataFrame, filt,
                        cols: tuple[str, str]) -> pd.DataFrame:
-    """Keep rows of ``df`` whose (cols) row-hash is in the sorted edge
-    hash set (plus hash-collision false positives)."""
+    """Keep rows of ``df`` whose (cols) row-hash is in the edge filter
+    (plus false positives — exact sorted array: hash collisions only;
+    Bloom: bit collisions too). ``filt`` is whatever
+    :func:`_edge_hash_filter` produced."""
+    if isinstance(filt, _BloomEdgeFilter):
+        if df.empty:
+            return df.iloc[0:0]
+        return df[filt.contains(_pair_hashes(df, cols))]
+    sorted_hashes = filt
     if df.empty or len(sorted_hashes) == 0:
         return df.iloc[0:0]
-    h = pd.util.hash_pandas_object(
-        df[list(cols)], index=False
-    ).to_numpy(dtype=np.uint64)
+    h = _pair_hashes(df, cols)
     idx = np.searchsorted(sorted_hashes, h)
     idx = np.minimum(idx, len(sorted_hashes) - 1)
     return df[sorted_hashes[idx] == h]
