@@ -54,6 +54,42 @@ def test_first_50_keys_all_value_gated(contract):
     assert "kg_training_labels" in first50
 
 
+def test_window_rotation_is_disjoint_and_flagship_led(contract):
+    """Round-keyed rotation: the 31 non-flagship window slots of
+    consecutive rounds are disjoint slices of the gated pool (until the
+    pool wraps), and the golden flagship stays pinned at the front for
+    every round."""
+    import __ray_entry__ as entry
+
+    _, oracles = contract
+    flagship = entry._GOLDEN_FLAGSHIP
+    assert list(dict.fromkeys(flagship)) == flagship  # no dupes
+    assert set(flagship) <= set(oracles)
+    pool_size = len([k for k in oracles if k not in flagship])
+    slots = entry._WINDOW - len(flagship)
+    windows = [
+        entry._rotated_window_keys(set(oracles), r)
+        for r in range(1, 1 + pool_size // slots)
+    ]
+    for w in windows:
+        assert len(w) == slots
+        assert not (set(w) & set(flagship))
+    for a, b in zip(windows, windows[1:]):
+        assert not (set(a) & set(b)), "consecutive rounds overlap"
+    # full coverage across one rotation cycle + the wrapping round
+    seen = set().union(*windows) | set(
+        entry._rotated_window_keys(set(oracles), 1 + len(windows))
+    )
+    assert seen == {k for k in oracles if k not in flagship}
+
+
+def test_round_index_reads_correctness_files():
+    import __ray_entry__ as entry
+
+    # the repo carries rounds 1..4 → this session is round 5
+    assert entry._round_index() >= 5
+
+
 def test_rows_only_reasons_cover_exactly_the_ungated(contract):
     """Every no-oracle query carries a machine-readable reason (and no
     reason is stale); rows-only entries sit at the tail, past the
