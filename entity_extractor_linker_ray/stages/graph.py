@@ -189,11 +189,19 @@ def linked_counts(entities_ds) -> pd.DataFrame:
             }
         )
 
-    parts = entities_ds.select_columns(
-        ["wikipedia_url", "wikidata_id", "dbpedia_uri"]
-    ).map_batches(partial, batch_format="pandas").to_pandas()
+    from entity_extractor_linker_ray.ops.shuffle import collect_small
+
+    # collect_small, not to_pandas: an EMPTY corpus yields a zero-block
+    # Dataset whose to_pandas() drops columns (Ray 2.49), which turned
+    # the empty-input path into a KeyError instead of a zero row
+    parts = collect_small(
+        entities_ds.select_columns(
+            ["wikipedia_url", "wikidata_id", "dbpedia_uri"]
+        ).map_batches(partial, batch_format="pandas"),
+        ["total", "wikipedia", "wikidata", "dbpedia"],
+    )
     totals = parts.sum()
-    total = int(totals["total"]) or 0
+    total = int(totals["total"]) if len(parts) else 0
     row = {"total_entities": total}
     for src in ("wikipedia", "wikidata", "dbpedia"):
         count = int(totals[src]) if total else 0

@@ -157,12 +157,25 @@ class StubLLMClient:
         """KB entities present in ``text``: (record, first position,
         matched span), ordered by (position, label). One tokenizing
         pass; each record reports its FIRST matching form occurrence
-        (min char position over all its forms)."""
+        (min char position over all its forms). Multi-word forms match
+        only when consecutive tokens are separated by EXACTLY one
+        space — the literal-form semantics of the pre-tokenizer regex
+        alternation ('scan. Column' or 'query-engine' must NOT match a
+        'Scan Column' bigram)."""
         words = [(m.group(0).lower(), m.start(), m.end())
                  for m in self._WORD_RE.finditer(text)]
+        # bad_gaps prefix sum: bad_gaps[j] = #non-single-space
+        # separators among the first j inter-token gaps → an n-gram at
+        # i is contiguous iff the count over gaps [i, i+n-1) is zero
+        bad_gaps = [0]
+        for j in range(len(words) - 1):
+            single_space = text[words[j][2]:words[j + 1][1]] == " "
+            bad_gaps.append(bad_gaps[-1] + (0 if single_space else 1))
         best: dict[int, tuple[int, int, dict]] = {}  # id(rec) -> (pos, end, rec)
         for n, table in self._forms_by_len.items():
             for i in range(len(words) - n + 1):
+                if n > 1 and bad_gaps[i + n - 1] != bad_gaps[i]:
+                    continue
                 key = tuple(w[0] for w in words[i:i + n])
                 recs = table.get(key)
                 if not recs:

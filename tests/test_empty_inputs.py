@@ -2,19 +2,63 @@
 schema — an empty partition, a filtered-away shard): every operator
 must either return a schema-correct empty/zero result or raise an
 informative ValueError — never a KeyError/IndexError from deep inside
-a kernel. Exercises the 15 operators that crashed in the
-empty-corpus sweep before `ops/shuffle.collect_small` (Ray 2.49's
-``to_pandas()`` on an empty dataset drops columns) and the explicit
-seed/query guards."""
+a kernel.
+
+The sweep is MECHANICAL (round-4 verdict #7): it enumerates EVERY
+``queries()`` key from ``__ray_entry__`` at collection time, so a new
+operator can never ship unclassified — it lands in the default bucket
+(must return 0 rows on an empty corpus) unless explicitly listed in
+``NONZERO_ROWS`` (count-shaped outputs that stay one row of zeros) or
+``RAISES`` (ops whose seeding/query contracts are violated by an empty
+table and raise an informative ValueError). ``biggraph_*`` ops
+synthesize their own graph and never read the corpus, so the empty
+corpus is meaningless for them — they are derived (prefix-matched, not
+hand-listed) and skipped.
+"""
 
 from __future__ import annotations
+
+import sys
 
 import pyarrow.parquet as pq
 import pytest
 
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as _entry  # noqa: E402  (no ray.init at import)
+
 SRC = "/root/testdata/sf0.001"
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
+
+ALL_QUERIES = sorted(_entry.queries())
+
+# COUNT-shaped outputs: one row of zeros by design, never empty
+NONZERO_ROWS = {
+    "kg_linked_counts": 1,
+    "kg_pipeline_linked_counts": 1,
+    "q6_forecast_revenue": 1,
+    "events_ks_stat": 1,
+    "kg_ruleset_llm_agreement": 1,
+    "q17_small_quantity_revenue": 1,
+    "q19_disjunctive_revenue": 1,
+}
+
+# contract violations on empty embeddings -> informative ValueError
+# (k-means seeding needs vec_ids 0..k-1; ANN query sets need vec_ids
+# 0..q-1; PCA/coreset need a non-empty matrix)
+RAISES = ["kmeans_clusters", "kmeans_exemplars", "dedup_semantic_pairs",
+          "knn_brute", "knn_ivf", "knn_lsh", "knn_pq", "range_search",
+          "knn_mips", "embedding_covariance", "coreset_fps",
+          "pca_power_component",
+          # round-5 mechanical sweep: same seeding/query contracts
+          "dedup_semantic_clusters", "kmeans_separation", "knn_join",
+          "knn_sq8"]
+
+# corpus-independent ops (synthetic graph family): derived, not listed
+INPUT_INDEPENDENT = [q for q in ALL_QUERIES if q.startswith("biggraph_")]
+
+SWEEP = [q for q in ALL_QUERIES
+         if q not in set(RAISES) and q not in set(INPUT_INDEPENDENT)]
 
 
 @pytest.fixture(scope="module")
@@ -30,9 +74,7 @@ def _run(name, sf):
     """Returns (pandas_result, schema_column_names). Ray 2.49's
     ``to_pandas()`` drops columns on an empty Dataset, so the schema
     check reads the Dataset's own schema when one exists."""
-    import __ray_entry__ as m
-
-    r = m.queries()[name](sf)
+    r = _entry.queries()[name](sf)
     if hasattr(r, "to_pandas") and hasattr(r, "schema"):  # ray Dataset
         schema = r.schema()
         return r.to_pandas(), list(schema.names) if schema else []
@@ -40,131 +82,24 @@ def _run(name, sf):
     return df, list(df.columns)
 
 
-# formerly KeyError crashes -> now schema-correct empty results
-EMPTY_OK = [
-    ("events_running_total", 0),
-    ("top_revenue_orders", 0),
-    ("local_supplier_revenue", 0),
-    ("decontaminate", 0),
-    ("lang_rebalance", 0),
-    ("pack_sequences", 0),
-    ("kg_entity_lift", 0),
-    # COUNT-shaped outputs stay non-empty by design: one row of zeros
-    ("kg_linked_counts", 1),
-    # sixth-session ops whose broadcast/cut tables are empty on an
-    # empty corpus — each now returns a typed empty instead of
-    # KeyError-ing on the schema-dropped driver collect
-    ("docs_top_decile", 0),
-    ("events_value_bands", 0),
-    ("events_mad", 0),
-    ("daily_active_7d", 0),
-    ("user_type_gaps", 0),
-    ("kg_bfs_depths", 0),
-    ("customer_rfm", 0),
-    ("lineitem_regr", 0),
-    ("kg_edge_jaccard", 0),
-    ("kg_shortest_paths", 0),
-    ("q3_unshipped_revenue", 0),
-    ("orders_below_customer_avg", 0),
-    ("customer_order_counts", 0),
-    ("promo_revenue_share", 0),
-    ("kg_link_candidates", 0),
-    ("kg_clustering_coefficient", 0),
-    ("q18_large_volume_customers", 0),
-    ("top_parts_per_brand", 0),
-    ("kg_personalized_pagerank", 0),
-    ("daily_type_pairs", 0),
-    ("supplier_revenue_rank", 0),
-    ("train_val_split", 0),
-    ("revenue_concentration_deciles", 0),
-    ("kg_hits", 0),
-    # fourteenth-session ops: Q6/KS are COUNT-shaped single-row zeros
-    ("q6_forecast_revenue", 1),
-    ("q10_returned_items", 0),
-    ("events_ks_stat", 1),
-    ("chi2_type_dow", 0),
-    ("leakage_safe_split", 0),
-    ("trimmed_mean_by_type", 0),
-    ("cms_heavy_hitters", 0),
-    ("trade_matrix_nations", 0),
-    ("events_percent_rank", 0),
-    ("segment_priority_mix", 0),
-    ("events_late_arrivals", 0),
-    ("revenue_rollup", 0),
-    ("dup_rate_by_source", 0),
-    ("media_exact_dedup", 0),
-    ("order_price_median_by_priority", 0),
-    ("events_gap_interpolate", 0),
-    ("quality_pass_wilson", 0),
-    ("bm25_components", 0),
-    ("repeat_purchase_rate", 0),
-    ("events_cusum_changepoint", 0),
-    ("zorder_prune_stats", 0),
-    ("term_drift", 0),
-    ("events_transition_dwell", 0),
-    ("docs_pii_scan", 0),
-    ("conv_chatml_export", 0),
-    ("kg_random_walks", 0),
-    ("customer_top2_order_gap", 0),
-    ("events_dow_anova_components", 0),
-    ("supplier_nation_reach", 0),
-    ("orders_interarrival_stats", 0),
-    ("doc_length_pct_by_lang", 0),
-    ("payload_shards", 0),
-    ("customer_copurchase_pairs", 0),
-    ("order_size_distribution", 0),
-    ("events_seasonal_naive_mae", 0),
-    ("events_type_trigrams", 0),
-    ("tail_value_share", 0),
-    ("doc_quantiles_incremental", 0),
-    ("events_value_scaled", 0),
-    ("dedup_cluster_sizes", 0),
-    ("supplier_balance_outliers", 0),
-    ("events_zero_hour_share", 0),
-    ("customer_value_corr", 0),
-    ("vocab_growth_curve", 0),
-    ("part_brand_return_rate", 0),
-    ("char_class_profile", 0),
-    ("lineitem_qty_price_histogram2d", 0),
-    ("image_decode_stats", 0),
-    ("image_resize_stats", 0),
-    ("bpe_merge_candidates", 0),
-    ("winnow_fingerprints", 0),
-    # round-3/4 driver-collect shapes (verdict #6): typed empties, no
-    # schema-drop crashes
-    ("dsir_importance", 0),
-    ("token_budget_pick", 0),
-    ("events_daily_ewma", 0),
-    ("mixture_weights", 0),
-    ("lang_confusion_matrix", 0),
-    ("bpe_train_merges", 0),
-    ("bpe_encode_stats", 0),
-    ("gram_novelty", 0),
-    ("source_gram_overlap", 0),
-    ("events_theilsen_trend", 0),
-    ("conv_turn_novelty", 0),
-    ("events_hopping_window", 0),
-    ("compaction_plan", 0),
-    ("orders_open_backlog", 0),
-    ("events_winsorized_mean", 0),
-]
-
-# contract violations on empty embeddings -> informative ValueError
-RAISES = ["kmeans_clusters", "kmeans_exemplars", "dedup_semantic_pairs",
-          "knn_brute", "knn_ivf", "knn_lsh", "knn_pq", "range_search",
-          "knn_mips", "embedding_covariance",
-          # round-3/4: empty embeddings violate the seeding/non-empty
-          # contracts with informative errors
-          "coreset_fps", "pca_power_component"]
+def test_classification_covers_every_query():
+    """The mechanical guarantee: the three buckets partition the whole
+    queries() surface, and the explicit lists contain no stale names."""
+    assert set(SWEEP) | set(RAISES) | set(INPUT_INDEPENDENT) == set(ALL_QUERIES)
+    assert not set(RAISES) - set(ALL_QUERIES), "stale RAISES entries"
+    assert not set(NONZERO_ROWS) - set(SWEEP), "stale NONZERO_ROWS entries"
+    assert not set(RAISES) & set(INPUT_INDEPENDENT)
 
 
 class TestEmptyInputs:
-    @pytest.mark.parametrize("name,n_rows", EMPTY_OK)
-    def test_empty_ok(self, ray_session, empty_sf, name, n_rows):
-        """Crash-freedom + the right row count. Column names are only
-        asserted on NON-empty results: Ray 2.49 cannot propagate a
-        schema through a zero-block Dataset, which is an upstream
-        limitation, not an operator contract violation."""
+    @pytest.mark.parametrize("name", SWEEP)
+    def test_empty_ok(self, ray_session, empty_sf, name):
+        """Crash-freedom + the right row count (default 0; count-shaped
+        overrides in NONZERO_ROWS). Column names are only asserted on
+        NON-empty results: Ray 2.49 cannot propagate a schema through a
+        zero-block Dataset, which is an upstream limitation, not an
+        operator contract violation."""
+        n_rows = NONZERO_ROWS.get(name, 0)
         df, cols = _run(name, empty_sf)
         assert len(df) == n_rows, f"{name}: {len(df)} rows"
         if n_rows > 0:
@@ -178,3 +113,11 @@ class TestEmptyInputs:
     def test_zero_counts_row(self, ray_session, empty_sf):
         df, _ = _run("kg_linked_counts", empty_sf)
         assert df.iloc[0]["total_mentions"] == 0
+
+    def test_pipeline_zero_counts_row(self, ray_session, empty_sf):
+        """Round-5 fix: the flagship linked_counts KeyError'd on the
+        schema-dropped empty collect; it must give one row of zeros."""
+        df, _ = _run("kg_pipeline_linked_counts", empty_sf)
+        row = df.iloc[0]
+        assert row["total_entities"] == 0
+        assert row["wikipedia_count"] == 0 and row["wikipedia_percent"] == 0.0

@@ -220,3 +220,28 @@ class TestCategories:
         for cat in legitimate:
             assert not any(kw in cat for kw in ref_keywords), cat
             assert not is_maintenance_category(cat), cat
+
+
+class TestFindMentionsSeparators:
+    """Multi-word KB forms must match only across EXACTLY one space —
+    the literal-form semantics of the pre-tokenizer regex (round-4
+    ADVICE: punctuation/hyphen/double-space separated corpus tokens
+    must not produce bigram mentions)."""
+
+    def test_single_space_matches(self, stub_llm):
+        labels = {f["rec"]["label"] for f in
+                  stub_llm.find_mentions("zzz data platform zzz")}
+        assert "Data Platform" in labels
+
+    def test_punctuation_and_width_variants_do_not(self, stub_llm):
+        for text in ("zzz data. platform zzz",
+                     "zzz data-platform zzz",
+                     "zzz data  platform zzz",
+                     "zzz data\nplatform zzz"):
+            labels = {f["rec"]["label"] for f in stub_llm.find_mentions(text)}
+            assert "Data Platform" not in labels, text
+
+    def test_single_word_forms_unaffected(self, stub_llm):
+        labels = {f["rec"]["label"] for f in
+                  stub_llm.find_mentions("zzz data. platform zzz")}
+        assert "Data" in labels
