@@ -235,22 +235,25 @@ def kg_edges(sf_dir: str):
 
 def kg_nodes(sf_dir: str):
     """Per-entity doc counts (same two-phase hash shape as
-    :func:`kg_edges`; per-batch nunique partials are exact because a
-    document's mentions never straddle a batch)."""
+    :func:`kg_edges`). Partials emit DISTINCT (name, type, doc_id)
+    rows and the combine counts distinct doc_ids per key — exact under
+    ANY block/batch splitting (round-4 ADVICE: summing per-batch
+    nunique partials silently double-counts if Ray's dynamic block
+    splitting ever lands one document's mentions in two batches).
+    Wire rows stay combiner-bounded: distinct (entity, doc) pairs per
+    batch, the same bound the n_docs partial had."""
     from entity_extractor_linker_ray.ops.shuffle import grouped_aggregate
 
     partials = kg_mentions(sf_dir).map_batches(
-        lambda b: b.groupby(["name", "type"], sort=False)
-        .agg(n_docs=("doc_id", "nunique"))
-        .reset_index()
-        .astype({"n_docs": np.int64}),
+        lambda b: b[["name", "type", "doc_id"]].drop_duplicates(),
         batch_format="pandas",
     )
     return grouped_aggregate(
         partials, ["name", "type"],
-        lambda b: b.groupby(["name", "type"], sort=False, as_index=False)[
-            "n_docs"
-        ].sum().astype({"n_docs": np.int64}),
+        lambda b: b.groupby(["name", "type"], sort=False)["doc_id"]
+        .nunique()
+        .reset_index(name="n_docs")
+        .astype({"n_docs": np.int64}),
         coalesce=True,
     )
 

@@ -307,7 +307,9 @@ def render_graph_png(nodes_df, edges_df, path: str,
         return
     import matplotlib.pyplot as plt  # pragma: no cover - env-dependent
 
-    fig, ax = plt.subplots(figsize=(12, 8))
+    # honor the requested pixel dimensions like the raster branch does
+    # (figsize inches × dpi = pixels)
+    fig, ax = plt.subplots(figsize=(width / 80, height / 80), dpi=80)
     pos = {
         row.canonical_id: (i % 10, i // 10)
         for i, row in enumerate(nodes_df.itertuples(index=False))

@@ -51,11 +51,20 @@ def _content_hash(out_dir: str) -> tuple[int, int]:
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         joined = batch[cols].astype(str).agg("|".join, axis=1)
         h = joined.map(lambda s: zlib.crc32(s.encode())).astype("uint64")
-        return pd.DataFrame({"h": [int(h.sum() % (2**64))],
-                             "n": [len(batch)]})
+        # explicit uint64 partials: a bare python-int column would
+        # infer int64 OR uint64 per block (value-dependent), and the
+        # mixed-schema concat promotes to float64 — silently lossy
+        # above 2^53 for a 64-bit equality check
+        import numpy as np
+
+        return pd.DataFrame({"h": np.array([h.sum() % (2**64)],
+                                           dtype=np.uint64),
+                             "n": np.array([len(batch)], dtype=np.int64)})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    return int(parts["h"].sum() % (2**64)), int(parts["n"].sum())
+    # accumulate in python ints (arbitrary precision), not a numpy sum
+    total = sum(int(v) for v in parts["h"]) % (2**64)
+    return total, int(parts["n"].sum())
 
 
 def main() -> int:

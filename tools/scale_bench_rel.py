@@ -44,10 +44,14 @@ def _replicate(batch: pd.DataFrame, rep: int, shift_cols: list[str],
     out = batch.copy()
     for c in shift_cols:
         out[c] = out[c].to_numpy(dtype=np.int64) + KEY_STRIDE * np.int64(rep)
-    # deterministic per-replica second-level jitter keeps timestamps
-    # distinct across replicas (dedup-by-ts shapes stay realistic)
+    # deterministic per-replica jitter keeps timestamps distinct across
+    # replicas (dedup-by-ts shapes stay realistic): seconds cycle 0-59,
+    # the millisecond term disambiguates reps 60+ (full range, no reuse
+    # at R>60 — the old rep % 60 aliased replicas 60-63 onto 0-3)
     for c in jitter_ts:
-        out[c] = out[c] + pd.to_timedelta(rep % 60, unit="s")
+        out[c] = (out[c]
+                  + pd.to_timedelta(rep % 60, unit="s")
+                  + pd.to_timedelta(rep // 60, unit="ms"))
     return out
 
 
