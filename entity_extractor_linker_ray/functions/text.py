@@ -10,6 +10,10 @@ from __future__ import annotations
 import re
 
 _ELLIPSIS_RE = re.compile(r"(?:\.{3,}|…)\s*$")
+# control chars (< 0x20) except \b \f \n \r \t → space
+_CTRL_TO_SPACE = {
+    c: " " for c in range(32) if chr(c) not in "\b\f\n\r\t"
+}
 _FENCE_OPEN_RE = re.compile(r"^```[^\n]*\n?")
 
 
@@ -75,7 +79,7 @@ def clean_llm_json(raw: str) -> str:
                 del lines[i]
                 break
         raw = "\n".join(lines)
-    allowed = "\b\f\n\r\t"
-    return "".join(
-        ch if (ord(ch) >= 32 or ch in allowed) else " " for ch in raw
-    )
+    # str.translate with a precomputed table: one C pass instead of a
+    # per-character generator (this runs on every LLM response in the
+    # actor hot path — ~1.2M chars per 600-doc batch)
+    return raw.translate(_CTRL_TO_SPACE)

@@ -421,6 +421,14 @@ class KBSnapshot:
 
     def __init__(self, records: list[dict] | None = None):
         self.records = records if records is not None else build_kb()
+        # memo caches for the two pure record→dict decoders — they run
+        # once per MENTION in the actor hot path (~10k calls per
+        # 600-doc batch) and are pure functions of the immutable
+        # snapshot; bounded by |KB| × languages. Callers must treat the
+        # returned dicts as read-only (they already do: every consumer
+        # copies list fields via list(...)).
+        self._wd_details_cache: dict[tuple[str, str], dict] = {}
+        self._dbpedia_cache: dict[str, dict | None] = {}
         self.by_title: dict[tuple[str, str], dict] = {}
         self.redirects: dict[tuple[str, str], dict] = {}
         self.search: dict[str, dict] = {}
@@ -537,7 +545,11 @@ class KBSnapshot:
         population (raw amount), P361/P527/P463 relations, P227 GND,
         P213 ISNI. Keys appear only when the claim exists — same
         conditional shape as the reference. Entity-valued claims
-        resolve labels via :meth:`_qid_label`."""
+        resolve labels via :meth:`_qid_label`. Memoized per (qid,
+        language); the returned dict is shared — do not mutate."""
+        cached = self._wd_details_cache.get((qid, language))
+        if cached is not None:
+            return cached
         rec = self.by_qid.get(qid)
         if rec is None:
             return {}
@@ -614,6 +626,7 @@ class KBSnapshot:
             result["gnd_id"] = claims["P227"][0]
         if claims.get("P213"):
             result["isni"] = claims["P213"][0]
+        self._wd_details_cache[(qid, language)] = result
         return result
 
     def get_wikipedia_details(self, url: str) -> dict:
@@ -642,9 +655,13 @@ class KBSnapshot:
         parent_company, part_of/has_parts/member_of URIs,
         current/former members, raw infobox dbp:* values) — each key
         present only when the synthetic resource carries it, matching
-        the reference's only-when-bound decode."""
+        the reference's only-when-bound decode. Memoized per url; the
+        returned dict is shared — do not mutate."""
+        if url in self._dbpedia_cache:
+            return self._dbpedia_cache[url]
         rec = self._resolve_canonical(url)
         if rec is None or not rec["dbpedia_uri"]:
+            self._dbpedia_cache[url] = None
             return None
         info = {
             "resource_uri": rec["dbpedia_uri"],
@@ -658,4 +675,5 @@ class KBSnapshot:
             info[key] = list(value) if isinstance(value, list) else (
                 dict(value) if isinstance(value, dict) else value
             )
+        self._dbpedia_cache[url] = info
         return info

@@ -92,6 +92,11 @@ class StubLLMClient:
     def __init__(self, kb: KBSnapshot | None = None, language: str = "en"):
         self.kb = kb if kb is not None else KBSnapshot()
         self.language = language
+        # per-name compiled whole-word patterns for _entity_positions:
+        # stdlib re's 512-slot compile cache thrashes at 1506 KB names
+        # (re._compile showed up as ~10% of the actor kernel); the dict
+        # is bounded by the KB-derived name vocabulary per actor
+        self._name_pats: dict[str, re.Pattern] = {}
         # Token-sequence form index: lowercase word-token tuple of each
         # surface form (label / label_de / aliases) → records. One
         # O(tokens) scan per text instead of one regex pass per record
@@ -200,7 +205,13 @@ class StubLLMClient:
         excluded. Order: (position, name)."""
         out = []
         for name in names:
-            m = re.search(rf"(?<!\w){re.escape(name)}(?!\w)", text, re.IGNORECASE)
+            pat = self._name_pats.get(name)
+            if pat is None:
+                pat = re.compile(
+                    rf"(?<!\w){re.escape(name)}(?!\w)", re.IGNORECASE
+                )
+                self._name_pats[name] = pat
+            m = pat.search(text)
             if m:
                 out.append((m.start(), name))
         out.sort()
