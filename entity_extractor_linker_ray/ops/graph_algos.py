@@ -149,7 +149,15 @@ def _edge_hash_filter(edges, bloom_threshold: int | None = None):
     Either way a false positive only lets a non-edge pair through to
     the exchange, and the downstream edge-marker join drops it — the
     filter is EXACT in the final output while cutting the (u, v)
-    exchange from all wedge pairs (Σ deg(m)²-ish) down to ~|E|."""
+    exchange from all wedge pairs (Σ deg(m)²-ish) down to ~|E|.
+
+    Build-side trade: the BUILD still collects the 8 B/edge hash array
+    to the driver once (traffic-optimal — per-block partial Blooms
+    would ship m_bits per block, far more than 8 B/edge at any m worth
+    having). What the Bloom bounds is the per-task BROADCAST, the term
+    paid once per wedge bucket. If |E| ever exceeds driver heap
+    (~10^10 edges), switch the build to per-block partial Bloom words
+    OR-merged in a tree reduce and accept the one-time build traffic."""
     import ray
 
     from entity_extractor_linker_ray.ops.shuffle import collect_small
