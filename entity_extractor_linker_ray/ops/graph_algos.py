@@ -126,10 +126,68 @@ class _BloomEdgeFilter:
         return out
 
 
-def _pair_hashes(df: pd.DataFrame, cols: tuple[str, str]) -> np.ndarray:
+_PAIR_C1 = np.uint64(0x9E3779B97F4A7C15)
+_PAIR_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _string_hashes(s) -> np.ndarray:
+    """Per-element uint64 hash of a string Series/array (one pandas C
+    pass)."""
     return pd.util.hash_pandas_object(
-        df[list(cols)], index=False
+        pd.Series(s), index=False
     ).to_numpy(dtype=np.uint64)
+
+
+def _combine_pair(hu: np.ndarray, hv: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit combiner of two per-string hash arrays.
+    Lets wedge kernels probe the edge filter on INT arrays — each
+    neighbor string is hashed once and the Σ deg(m)² candidate pairs
+    never materialize as object columns (collisions stay
+    exactness-safe via the edge-marker join)."""
+    with np.errstate(over="ignore"):
+        return (hu * _PAIR_C1) + (hv * _PAIR_C2)
+
+
+def _pair_hashes(df: pd.DataFrame, cols: tuple[str, str]) -> np.ndarray:
+    return _combine_pair(_string_hashes(df[cols[0]]),
+                         _string_hashes(df[cols[1]]))
+
+
+def _segmented_triu(group_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered position pairs (ix < iy) WITHIN each contiguous
+    group of an already-sorted code array — the wedge enumeration as
+    pure index arithmetic (repeat + cumsum), no join and no Python
+    per-group work. Returns global position arrays into the input."""
+    n = len(group_codes)
+    if n == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    # exclusive end position of each row's group
+    change = np.flatnonzero(group_codes[1:] != group_codes[:-1]) + 1
+    bounds = np.concatenate([change, [n]])
+    sizes = np.diff(np.concatenate([[0], bounds]))
+    ends = np.repeat(bounds, sizes)
+    cnt = ends - np.arange(n) - 1  # pairs each row opens to its right
+    total = int(cnt.sum())
+    if total == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    ix = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    iy = np.arange(total, dtype=np.int64) - offs[ix] + ix + 1
+    return ix, iy
+
+
+def _probe_hashes(h: np.ndarray, filt) -> np.ndarray:
+    """Boolean membership mask of pre-combined pair hashes against
+    either filter representation."""
+    if isinstance(filt, _BloomEdgeFilter):
+        return filt.contains(h)
+    if len(filt) == 0 or len(h) == 0:
+        return np.zeros(len(h), dtype=bool)
+    idx = np.searchsorted(filt, h)
+    idx = np.minimum(idx, len(filt) - 1)
+    return filt[idx] == h
 
 
 def _edge_hash_filter(edges, bloom_threshold: int | None = None):
@@ -183,17 +241,11 @@ def _probe_edge_filter(df: pd.DataFrame, filt,
     (plus false positives — exact sorted array: hash collisions only;
     Bloom: bit collisions too). ``filt`` is whatever
     :func:`_edge_hash_filter` produced."""
-    if isinstance(filt, _BloomEdgeFilter):
-        if df.empty:
-            return df.iloc[0:0]
-        return df[filt.contains(_pair_hashes(df, cols))]
-    sorted_hashes = filt
-    if df.empty or len(sorted_hashes) == 0:
+    if df.empty:
         return df.iloc[0:0]
-    h = _pair_hashes(df, cols)
-    idx = np.searchsorted(sorted_hashes, h)
-    idx = np.minimum(idx, len(sorted_hashes) - 1)
-    return df[sorted_hashes[idx] == h]
+    if not isinstance(filt, _BloomEdgeFilter) and len(filt) == 0:
+        return df.iloc[0:0]
+    return df[_probe_hashes(_pair_hashes(df, cols), filt)]
 
 
 def _cap_nbrs(nbrs: np.ndarray, cap: int | None) -> np.ndarray:
@@ -1921,26 +1973,39 @@ def kg_edge_jaccard(sf_dir: str, num_partitions: int = 8, edges_ds=None,
     def wedge_counts(bucket: pd.DataFrame) -> pd.DataFrame:
         """Vectorized wedge generation: dedup + (optional) per-middle
         lexicographic cap via sort/groupby-head, then ONE C-speed
-        self-merge on the middle with an ordered (x < y) filter —
-        identical pair set to the per-middle triu loop, no Python
-        per-group work. The broadcast edge filter then drops every
-        pair that is not an edge before the exchange."""
+        positional self-merge on the middle — identical pair set to
+        the per-middle triu loop, no Python per-group work. Candidate
+        pairs exist only as INT position/hash arrays: each neighbor
+        string is hashed once, the Σ deg(m)² pairs probe the broadcast
+        edge filter as pre-combined uint64s, and only the ~|E|
+        survivors materialize string columns (the old string-pair
+        merge built 30.2 M object rows per n=100k run just to throw
+        96% away at the filter)."""
+        empty = pd.DataFrame({"u": pd.Series([], dtype=str),
+                              "v": pd.Series([], dtype=str),
+                              "cnt": pd.Series([], dtype=np.int64)})
         nb = bucket[["m", "other"]].drop_duplicates()
         nb = nb.sort_values(["m", "other"], kind="stable")
         if max_wedge_deg is not None:
             nb = nb.groupby("m", sort=False).head(max_wedge_deg)
-        pairs = nb.merge(nb, on="m")
-        pairs = pairs[pairs["other_x"] < pairs["other_y"]]
-        allp = pairs.rename(columns={"other_x": "u", "other_y": "v"})[
-            ["u", "v"]
-        ]
-        if allp.empty:
-            return pd.DataFrame({"u": pd.Series([], dtype=str),
-                                 "v": pd.Series([], dtype=str),
-                                 "cnt": pd.Series([], dtype=np.int64)})
+        if nb.empty:
+            return empty
+        other = nb["other"].to_numpy(dtype=object)
+        h = _string_hashes(nb["other"])
+        # within a middle the positions are contiguous ascending in
+        # lexicographic 'other' order, so ix < iy ⟺ other_x < other_y;
+        # pair enumeration is pure index arithmetic (no join)
+        ix, iy = _segmented_triu(pd.factorize(nb["m"])[0])
+        if ix.size == 0:
+            return empty
         import ray
 
-        allp = _probe_edge_filter(allp, ray.get(edge_filter_ref), ("u", "v"))
+        mask = _probe_hashes(_combine_pair(h[ix], h[iy]),
+                             ray.get(edge_filter_ref))
+        ix, iy = ix[mask], iy[mask]
+        if ix.size == 0:
+            return empty
+        allp = pd.DataFrame({"u": other[ix], "v": other[iy]})
         out = allp.groupby(["u", "v"], sort=False).size().reset_index(name="cnt")
         return out.astype({"cnt": np.int64})
 
@@ -1974,6 +2039,7 @@ def kg_edge_jaccard(sf_dir: str, num_partitions: int = 8, edges_ds=None,
             edges.map_batches(tag_edge, batch_format="pandas")
         ),
         ["u", "v"], common_per_edge, num_partitions=num_partitions,
+        coalesce=True,  # tagged-union join: combine happens in-bucket
     )
 
     # --- attach deg(u), then deg(v): tag-union joins keyed by node
@@ -2005,6 +2071,7 @@ def kg_edge_jaccard(sf_dir: str, num_partitions: int = 8, edges_ds=None,
             deg.map_batches(deg_row, batch_format="pandas")
         ),
         ["node"], attach_du, num_partitions=num_partitions,
+        coalesce=True,  # tagged-union join
     )
 
     def edge_keyed_v(batch: pd.DataFrame) -> pd.DataFrame:
@@ -2041,6 +2108,7 @@ def kg_edge_jaccard(sf_dir: str, num_partitions: int = 8, edges_ds=None,
             deg.map_batches(deg_row_v, batch_format="pandas")
         ),
         ["node"], finalize, num_partitions=num_partitions,
+        coalesce=True,  # tagged-union join
     )
     out_schema = pa.schema(
         [("u", pa.string()), ("v", pa.string()), ("n_common", pa.int64()),
@@ -2512,26 +2580,37 @@ def kg_clustering_coefficient(sf_dir: str, num_partitions: int = 8,
         )
 
     def wedge_with_mid(bucket: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for m, grp in bucket.groupby("m", sort=False):
-            nbrs = _cap_nbrs(np.sort(grp["other"].unique()), max_wedge_deg)
-            if len(nbrs) < 2:
-                continue
-            ia, ic = np.triu_indices(len(nbrs), k=1)
-            outs.append(pd.DataFrame(
-                {"a": nbrs[ia], "c": nbrs[ic],
-                 "m": np.full(len(ia), m, dtype=object)}
-            ))
-        if not outs:
-            return pd.DataFrame({"a": pd.Series([], dtype=str),
-                                 "c": pd.Series([], dtype=str),
-                                 "m": pd.Series([], dtype=str)})
+        """Same positional int-array wedge generation as
+        :func:`kg_edge_jaccard` (strings hashed once, Σ deg(m)²
+        candidates probed as pre-combined uint64s, survivors-only
+        string materialization) — here CARRYING the middle, since the
+        closed wedge credits its triangle to m. Replaces the former
+        per-middle Python triu loop."""
+        empty = pd.DataFrame({"a": pd.Series([], dtype=str),
+                              "c": pd.Series([], dtype=str),
+                              "m": pd.Series([], dtype=str)})
+        nb = bucket[["m", "other"]].drop_duplicates()
+        nb = nb.sort_values(["m", "other"], kind="stable")
+        if max_wedge_deg is not None:
+            nb = nb.groupby("m", sort=False).head(max_wedge_deg)
+        if nb.empty:
+            return empty
+        other = nb["other"].to_numpy(dtype=object)
+        mids = nb["m"].to_numpy(dtype=object)
+        h = _string_hashes(nb["other"])
+        # ascending positions ⟺ a < c within a middle (sorted above)
+        ia, ic = _segmented_triu(pd.factorize(nb["m"])[0])
+        if ia.size == 0:
+            return empty
         import ray
 
-        return _probe_edge_filter(
-            pd.concat(outs, ignore_index=True),
-            ray.get(edge_filter_ref), ("a", "c"),
-        )
+        mask = _probe_hashes(_combine_pair(h[ia], h[ic]),
+                             ray.get(edge_filter_ref))
+        ia, ic = ia[mask], ic[mask]
+        if ia.size == 0:
+            return empty
+        return pd.DataFrame({"a": other[ia], "c": other[ic],
+                             "m": mids[ia]})
 
     wedges = grouped_aggregate(
         edges.map_batches(tag_mid, batch_format="pandas"),
@@ -2564,6 +2643,7 @@ def kg_clustering_coefficient(sf_dir: str, num_partitions: int = 8,
             edges.map_batches(tag_edge, batch_format="pandas")
         ),
         ["u", "v"], closed_per_mid, num_partitions=num_partitions,
+        coalesce=True,  # tagged-union join
     )
 
     def deg_rows(batch: pd.DataFrame) -> pd.DataFrame:
@@ -2604,6 +2684,7 @@ def kg_clustering_coefficient(sf_dir: str, num_partitions: int = 8,
             tri.map_batches(tri_rows, batch_format="pandas")
         ),
         ["node"], finalize, num_partitions=num_partitions,
+        coalesce=True,  # tagged-union join
     )
     out_schema = pa.schema(
         [("node", pa.string()), ("degree", pa.int64()),
@@ -2903,6 +2984,7 @@ def kg_hits(sf_dir: str, rounds: int = HITS_ROUNDS, num_partitions: int = 8,
             batch_format="pandas",
         ), "score", 0).union(tag(hub, "score", 1)).union(tag(auth, "score", 2)),
         ["node"], finalize, num_partitions=num_partitions,
+        coalesce=True,  # tagged-union join
     )
     out_schema = pa.schema(
         [("node", pa.string()), ("hub", pa.int64()), ("auth", pa.int64())]

@@ -16,10 +16,9 @@ from entity_extractor_linker_ray.ops.graph_algos import (
 
 
 def _hashes(df: pd.DataFrame) -> np.ndarray:
-    return np.sort(
-        pd.util.hash_pandas_object(df[["u", "v"]], index=False)
-        .to_numpy(dtype=np.uint64)
-    )
+    from entity_extractor_linker_ray.ops.graph_algos import _pair_hashes
+
+    return np.sort(_pair_hashes(df, ("u", "v")))
 
 
 class TestProbeEdgeFilter:
@@ -171,3 +170,30 @@ class TestWedgeKernelEquivalence:
             results[label] = (jac, cc)
         pd.testing.assert_frame_equal(results["exact"][0], results["bloom"][0])
         pd.testing.assert_frame_equal(results["exact"][1], results["bloom"][1])
+
+
+class TestSegmentedTriu:
+    def test_matches_bruteforce(self):
+        from entity_extractor_linker_ray.ops.graph_algos import _segmented_triu
+
+        rng = np.random.default_rng(5)
+        for trial in range(20):
+            sizes = rng.integers(1, 7, size=rng.integers(1, 9))
+            codes = np.repeat(np.arange(len(sizes)), sizes)
+            ix, iy = _segmented_triu(codes)
+            expect = []
+            start = 0
+            for s in sizes:
+                for i in range(start, start + int(s)):
+                    for j in range(i + 1, start + int(s)):
+                        expect.append((i, j))
+                start += int(s)
+            assert list(zip(ix.tolist(), iy.tolist())) == expect, trial
+
+    def test_empty_and_singletons(self):
+        from entity_extractor_linker_ray.ops.graph_algos import _segmented_triu
+
+        ix, iy = _segmented_triu(np.array([], dtype=np.int64))
+        assert len(ix) == 0 and len(iy) == 0
+        ix, iy = _segmented_triu(np.array([0, 1, 2], dtype=np.int64))
+        assert len(ix) == 0  # all groups size 1 -> no pairs
