@@ -248,18 +248,13 @@ def _probe_edge_filter(df: pd.DataFrame, filt,
     return df[_probe_hashes(_pair_hashes(df, cols), filt)]
 
 
-def _cap_nbrs(nbrs: np.ndarray, cap: int | None) -> np.ndarray:
-    """Celebrity-vertex wedge cap for the Σ deg(m)² kernels: keep the
-    lexicographically smallest ``cap`` of an already-sorted distinct
-    neighbor list. Deterministic (same set at any parallelism — the
-    wedge bucket holds ALL of a middle's rows) and None = exact. The
-    toy-KG oracle-gated queries pass None; the 10^5-node synthetic
-    graph engages the cap on its planted hubs, the documented
-    cap-or-sample production trade (as :func:`triangles`
-    ``max_wedge_deg``)."""
-    if cap is not None and len(nbrs) > cap:
-        return nbrs[:cap]
-    return nbrs
+# NOTE on the celebrity-vertex wedge cap used by every Σ deg(m)²
+# kernel: each middle keeps only its lexicographically smallest
+# ``max_wedge_deg`` distinct neighbors (sort + groupby-head on the
+# bucket, which holds ALL of a middle's rows — deterministic at any
+# parallelism; None = exact). The toy-KG oracle-gated queries pass
+# None; the 10^5-node synthetic graph engages the cap on its planted
+# hubs — the documented cap-or-sample production trade.
 
 
 def _labels_min(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -1025,24 +1020,38 @@ def kg_two_hop(sf_dir: str, num_partitions: int = 8, edges_ds=None,
         )
 
     def join_mid(bucket: pd.DataFrame) -> pd.DataFrame:
-        inc = bucket[bucket["side"] == 0][["key", "node"]].rename(
-            columns={"node": "entity"}
-        )
-        out = bucket[bucket["side"] == 1][["key", "node"]].rename(
-            columns={"node": "nb"}
-        )
+        """The undirected pair list is symmetric, so the fan-in and
+        fan-out sides of a middle carry the SAME neighbor set — the
+        self-merge is really the full ordered-pair enumeration over
+        each middle's sorted (cap-truncated) neighbor list. Generated
+        as index arithmetic (`_segmented_triu` + both orders) and
+        deduped on integer codes; strings materialize only for the
+        distinct survivors (the string-key merge built Σ deg(mid)²
+        object rows per bucket before deduping)."""
+        empty = pd.DataFrame({"entity": pd.Series([], dtype=str),
+                              "nb": pd.Series([], dtype=str)})
+        nb = bucket[bucket["side"] == 0][["key", "node"]].drop_duplicates()
+        nb = nb.sort_values(["key", "node"], kind="stable")
         if max_wedge_deg is not None:
-            # cap each middle's fan-in AND fan-out to its
-            # lexicographically smallest max_wedge_deg neighbors —
-            # bounds the merge at cap^2 rows per hub (same set on both
-            # sides: the undirected pair list carries both directions)
-            inc = (inc.sort_values(["key", "entity"], kind="stable")
-                   .groupby("key", sort=False).head(max_wedge_deg))
-            out = (out.sort_values(["key", "nb"], kind="stable")
-                   .groupby("key", sort=False).head(max_wedge_deg))
-        pairs = inc.merge(out, on="key")[["entity", "nb"]]
-        pairs = pairs[pairs["entity"] != pairs["nb"]]
-        return pairs.drop_duplicates()
+            # cap each middle to its lexicographically smallest
+            # max_wedge_deg neighbors — bounds the pair set at cap²
+            # per hub (identical subset to capping both merge sides)
+            nb = nb.groupby("key", sort=False).head(max_wedge_deg)
+        if nb.empty:
+            return empty
+        codes, uniques = pd.factorize(nb["node"])
+        codes = codes.astype(np.int64)
+        ix, iy = _segmented_triu(pd.factorize(nb["key"])[0])
+        if ix.size == 0:
+            return empty
+        # both orders (the merge emitted (x, y) and (y, x)); nodes are
+        # distinct within a middle so the diagonal never appears
+        n = np.int64(len(uniques))
+        ca, cb = codes[ix], codes[iy]
+        packed = np.unique(np.concatenate([ca * n + cb, cb * n + ca]))
+        uniq_arr = np.asarray(uniques, dtype=object)
+        return pd.DataFrame({"entity": uniq_arr[packed // n],
+                             "nb": uniq_arr[packed % n]})
 
     two_hop = grouped_aggregate(
         undirected.map_batches(tag_for_mid, batch_format="pandas"),
@@ -2413,20 +2422,31 @@ def kg_link_candidates(sf_dir: str, k: int = LINK_CANDIDATES_K,
         )
 
     def wedge_counts(bucket: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, grp in bucket.groupby("m", sort=False):
-            nbrs = _cap_nbrs(np.sort(grp["other"].unique()), max_wedge_deg)
-            if len(nbrs) < 2:
-                continue
-            ia, ib = np.triu_indices(len(nbrs), k=1)
-            outs.append(pd.DataFrame({"u": nbrs[ia], "v": nbrs[ib]}))
-        if not outs:
-            return pd.DataFrame({"u": pd.Series([], dtype=str),
-                                 "v": pd.Series([], dtype=str),
-                                 "cnt": pd.Series([], dtype=np.int64)})
-        allp = pd.concat(outs, ignore_index=True)
-        out = allp.groupby(["u", "v"], sort=False).size().reset_index(name="cnt")
-        return out.astype({"cnt": np.int64})
+        """Wedge pair counts as index arithmetic + integer
+        unique-with-counts (same `_segmented_triu` shape as the other
+        wedge kernels; no edge filter here — every pair is a
+        candidate, the count IS the signal)."""
+        empty = pd.DataFrame({"u": pd.Series([], dtype=str),
+                              "v": pd.Series([], dtype=str),
+                              "cnt": pd.Series([], dtype=np.int64)})
+        nb = bucket[["m", "other"]].drop_duplicates()
+        nb = nb.sort_values(["m", "other"], kind="stable")
+        if max_wedge_deg is not None:
+            nb = nb.groupby("m", sort=False).head(max_wedge_deg)
+        if nb.empty:
+            return empty
+        codes, uniques = pd.factorize(nb["other"])
+        codes = codes.astype(np.int64)
+        ix, iy = _segmented_triu(pd.factorize(nb["m"])[0])
+        if ix.size == 0:
+            return empty
+        n = np.int64(len(uniques))
+        packed, counts = np.unique(codes[ix] * n + codes[iy],
+                                   return_counts=True)
+        uniq_arr = np.asarray(uniques, dtype=object)
+        return pd.DataFrame({"u": uniq_arr[packed // n],
+                             "v": uniq_arr[packed % n],
+                             "cnt": counts.astype(np.int64)})
 
     wedges = grouped_aggregate(
         edges.map_batches(tag_mid, batch_format="pandas"),
